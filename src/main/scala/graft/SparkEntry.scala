@@ -1,13 +1,83 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{DateFeatures, SchemaOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a matching DuckDB oracle in `oracleSql`
+  * (same column names, same ORDER BY) unless the operator is not
+  * SQL-expressible in DuckDB, in which case the driver records a
+  * weaker rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * Exercises the SURVEY §7.3 end-to-end slice: parquet scan (S2) →
+    * struct flatten of a JSON-parsed column (P5) → date-feature bundle
+    * (F11–F14) → aggregation over the derived calendar columns — the
+    * "gold layer" the reference's silver stage was built to serve.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("props_struct", from_json(col("props"), lit("k INT")))
+    val flat = SchemaOps.flatten(ev, Seq("props_struct"))
+    val withDates = DateFeatures.withDateFeatures(flat, "ts")
+    withDates
+      .groupBy(col("ts_date"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"),
+        sum(col("props_struct_k")).as("total_k"))
+      .orderBy(col("ts_date"), col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F11–F14 + P2/P3: the reference's most reused compound operator
+    // (create_date_features, clean.py:213-233) over the events table.
+    "q_date_features" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "ts")
+      DateFeatures.withDateFeatures(ev, "ts").orderBy("event_id")
+    }),
+    // P5: struct flattening (flatten_stuct_schema, clean.py:161-179).
+    // events.props is a JSON string — parse to a struct, then flatten
+    // to prefixed top-level columns exactly like the clean stage does
+    // with Yelp `attributes`/`hours`.
+    "q_flatten_struct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("props_struct", from_json(col("props"), lit("k INT")))
+        .select("event_id", "props_struct")
+      SchemaOps.flatten(ev, Seq("props_struct")).orderBy("event_id")
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * DuckDB deviations handled here: `dayofweek` is 0-based
+    * Sunday-start in DuckDB vs 1-based in Spark (+1); nanosecond
+    * parquet timestamps are cast to microsecond TIMESTAMP to match
+    * our Tables.events repair.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_date_features" ->
+      """SELECT event_id,
+        |  ts::TIMESTAMP AS ts_ts,
+        |  ts::DATE AS ts_date,
+        |  date_trunc('week', ts::TIMESTAMP)::DATE AS ts_week_start_date,
+        |  CAST(weekofyear(ts::TIMESTAMP) AS INTEGER) AS ts_week,
+        |  CAST(quarter(ts::TIMESTAMP) AS INTEGER) AS ts_quarter,
+        |  CAST(dayofweek(ts::TIMESTAMP) + 1 AS INTEGER) AS ts_dayofweek,
+        |  CAST(month(ts::TIMESTAMP) AS INTEGER) AS ts_month,
+        |  CAST(year(ts::TIMESTAMP) AS INTEGER) AS ts_year
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_flatten_struct" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS INTEGER) AS props_struct_k
+        |FROM events ORDER BY event_id""".stripMargin
+  )
 }
