@@ -35,8 +35,10 @@ object SparkEntry {
       .orderBy(col("ts_date"), col("event_type"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2, merged from
+    * the per-area query modules plus the two wired here. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.ParityQueries.queries ++ Map(
     // F11–F14 + P2/P3: the reference's most reused compound operator
     // (create_date_features, clean.py:213-233) over the events table.
     "q_date_features" -> ((s, dir) => {
@@ -63,7 +65,8 @@ object SparkEntry {
     * parquet timestamps are cast to microsecond TIMESTAMP to match
     * our Tables.events repair.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    graft.queries.ParityQueries.oracleSql ++ Map(
     "q_date_features" ->
       """SELECT event_id,
         |  ts::TIMESTAMP AS ts_ts,

@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Oracle-checked queries covering SURVEY.md §2's operator inventory
+  * (the reference's own capabilities). Each entry has a DuckDB oracle
+  * with identical column names and ORDER BY.
+  */
+object ParityQueries {
+
+  /** Build the python-literal junk string the repair chain exists for,
+    * from a clean source column — identically in Spark and DuckDB, so
+    * the repair itself is what's compared.
+    */
+  private def pythonLiteral(src: org.apache.spark.sql.Column) =
+    concat(lit("{'wifi': u'"), src, lit("', 'open': True, 'extra': None}"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // F5–F7: the 6-step python-literal → JSON repair chain.
+    "q_string_repair" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("raw", pythonLiteral(col("lang")))
+        .select(col("doc_id"), StringRepair.repair(col("raw")).as("repaired"))
+        .orderBy("doc_id")
+    }),
+
+    // clean.py:95-106: data-dependent typing. `flag` repairs to
+    // true/false on every row → BooleanType wins; `label` (free text)
+    // fails every candidate → stays string.
+    "q_safe_cast" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        when(col("value") > 50, lit("True")).otherwise(lit("False")).as("flag"),
+        col("event_type").as("label"))
+      val repaired = ev.withColumn("flag", StringRepair.repair(col("flag")))
+      SafeCast.convertColumns(repaired, Seq("flag", "label"),
+        SafeCast.yelpAttributeCandidates).orderBy("event_id")
+    }),
+
+    // J1 + P4: One Big Table — lineitem fact ⋈ part, supplier dims,
+    // prefixed columns, dup keys dropped. Dims are broadcast (they are
+    // orders of magnitude smaller than the fact — the 100 TB plan).
+    "q_enrich_obt" -> ((s, dir) => {
+      val fact = Tables.lineitem(s, dir)
+        .withColumnRenamed("l_partkey", "partkey")
+        .withColumnRenamed("l_suppkey", "suppkey")
+      val dims = Seq(
+        Enrich.Dim("part", Tables.part(s, dir)
+          .withColumnRenamed("p_partkey", "partkey"), "partkey"),
+        Enrich.Dim("supplier", Tables.supplier(s, dir)
+          .withColumnRenamed("s_suppkey", "suppkey"), "suppkey"))
+      Enrich.oneBigTable(fact, dims)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // A1: the reference's only aggregation — before/after null-count
+    // validation (safe_convert_string's accept test) as one global agg.
+    "q_conditional_count" -> ((s, dir) => {
+      Tables.events(s, dir).agg(
+        count(when(col("props").isNull, 1)).as("max_allowed_null_count"),
+        count(when(col("props").try_cast("boolean").isNull, 1)).as("null_count"))
+    }),
+
+    // F1 + F3: CSV-ish split + explode (the checkin shape), with
+    // posexplode so row identity is deterministic.
+    "q_explode_split" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ", -1)))
+        .toDF("doc_id", "pos", "token")
+        .orderBy("doc_id", "pos")
+    }),
+
+    // F4 (deterministic variant): dense surrogate id by natural-key
+    // order — the oracle-comparable replacement for
+    // monotonically_increasing_id (SURVEY §7.4 item 2).
+    "q_surrogate_id" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(
+          Surrogate.sequentialId(col("l_orderkey"), col("l_linenumber")).as("rid"),
+          col("l_orderkey"), col("l_linenumber"))
+        .orderBy("rid")
+    }),
+
+    // Gold-layer aggregation (the reference's motivating TODO,
+    // clean.py:31): date-feature bucket × event_type rollup.
+    "q_gold_daily" -> ((s, dir) => {
+      val ev = DateFeatures.withDateFeatures(Tables.events(s, dir), "ts")
+      ev.groupBy(col("ts_date"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy("ts_date", "event_type")
+    }),
+
+    // TPC-H Q1-shaped pricing summary: the bench headline groupBy agg.
+    "q1_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_string_repair" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    '{''wifi'': u''' || lang || ''', ''open'': True, ''extra'': None}' AS raw
+        |  FROM documents
+        |), s1 AS (SELECT doc_id, regexp_replace(raw, '^u''(.*)''$', '\1', 'g') AS v FROM raw
+        |), s2 AS (SELECT doc_id, regexp_replace(v, 'u(''.*?'')', '\1', 'g') AS v FROM s1
+        |), s3 AS (SELECT doc_id, regexp_replace(v, '''none''', 'none', 'g') AS v FROM s2
+        |), s4 AS (SELECT doc_id, CASE WHEN lower(v) = 'none' THEN NULL ELSE v END AS v FROM s3
+        |), s5 AS (SELECT doc_id, regexp_replace(v, '[Nn]one', 'null', 'g') AS v FROM s4
+        |), s6 AS (SELECT doc_id, regexp_replace(v, 'False', 'false', 'g') AS v FROM s5
+        |) SELECT doc_id, regexp_replace(v, 'True', 'true', 'g') AS repaired
+        |FROM s6 ORDER BY doc_id""".stripMargin,
+    "q_safe_cast" ->
+      """SELECT event_id, (value > 50) AS flag, event_type AS label
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_enrich_obt" ->
+      """SELECT l.l_orderkey, l.partkey, l.suppkey, l.l_linenumber, l.l_quantity,
+        |  l.l_extendedprice, l.l_discount, l.l_tax, l.l_returnflag, l.l_linestatus,
+        |  l.l_shipdate,
+        |  p.p_name AS part_p_name, p.p_brand AS part_p_brand,
+        |  p.p_type AS part_p_type, p.p_size AS part_p_size,
+        |  p.p_retailprice AS part_p_retailprice,
+        |  su.s_name AS supplier_s_name, su.s_nationkey AS supplier_s_nationkey,
+        |  su.s_acctbal AS supplier_s_acctbal
+        |FROM (SELECT l_orderkey, l_partkey AS partkey, l_suppkey AS suppkey,
+        |        l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+        |        l_returnflag, l_linestatus, l_shipdate FROM lineitem) l
+        |JOIN part p ON l.partkey = p.p_partkey
+        |JOIN supplier su ON l.suppkey = su.s_suppkey
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    "q_conditional_count" ->
+      """SELECT count(CASE WHEN props IS NULL THEN 1 END) AS max_allowed_null_count,
+        |  count(CASE WHEN TRY_CAST(props AS BOOLEAN) IS NULL THEN 1 END) AS null_count
+        |FROM events""".stripMargin,
+    "q_explode_split" ->
+      """SELECT doc_id, CAST(u.g - 1 AS INTEGER) AS pos, t.toks[u.g] AS token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS g) u
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q_surrogate_id" ->
+      """SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS rid,
+        |  l_orderkey, l_linenumber
+        |FROM lineitem ORDER BY rid""".stripMargin,
+    "q_gold_daily" ->
+      """SELECT ts::DATE AS ts_date, event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY ts_date, event_type""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+}
