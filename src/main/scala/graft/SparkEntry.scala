@@ -38,7 +38,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, merged from
     * the per-area query modules plus the two wired here. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.ParityQueries.queries ++ Map(
+    graft.queries.ParityQueries.queries ++
+    graft.queries.LlmQueries.queries ++ Map(
     // F11–F14 + P2/P3: the reference's most reused compound operator
     // (create_date_features, clean.py:213-233) over the events table.
     "q_date_features" -> ((s, dir) => {
@@ -66,7 +67,8 @@ object SparkEntry {
     * our Tables.events repair.
     */
   def oracleSql: Map[String, String] =
-    graft.queries.ParityQueries.oracleSql ++ Map(
+    graft.queries.ParityQueries.oracleSql ++
+    graft.queries.LlmQueries.oracleSql ++ Map(
     "q_date_features" ->
       """SELECT event_id,
         |  ts::TIMESTAMP AS ts_ts,

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact top-k cosine: broadcast the (small)
+  *    query set against the corpus, score with a codegen'd
+  *    zip_with/aggregate fold, rank per query with a window. Correct
+  *    baseline at any corpus size as long as the QUERY set is small
+  *    (the corpus streams; nothing is collected).
+  *  - [[annTopK]] — LSH-bucketed approximate variant (random
+  *    hyperplane signatures, L tables × b bits): corpus and queries
+  *    are bucketed by signature; only same-bucket pairs are scored,
+  *    then exact cosine re-ranks the candidates. This is the 100 TB
+  *    path: candidate volume scales with bucket occupancy, not corpus
+  *    size × queries.
+  *
+  * All arithmetic is an explicit left-to-right double-precision fold
+  * so an external oracle (DuckDB `list_sum(list_transform(...))` over
+  * `::DOUBLE` casts) reproduces the numbers.
+  */
+object Similarity {
+
+  /** dot(a, b) as a sequential double fold (deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) frame — arbitrarily large
+    * @param queries (idCol, vecCol) frame — small enough to broadcast
+    * @return (qid, rank, nid, sim) with rank 1..k by (sim desc, nid)
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+    rankTopK(scored, k)
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1),
+    * derived from MurmurHash3 of (table, bit, dim) — no RNG state, so
+    * signatures are reproducible across runs and engines that share
+    * the constant table.
+    */
+  private[ops] def hyperplane(table: Int, bit: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      val h = MurmurHash3.productHash((table, bit, d))
+      (h.toDouble / Int.MaxValue.toDouble)
+    }
+
+  /** Signature column for one LSH table: `bits` sign-bits packed into
+    * an int. */
+  private def tableSignature(vec: Column, table: Int, bits: Int, dim: Int): Column =
+    (0 until bits)
+      .map { j =>
+        val hp = typedlit(hyperplane(table, j, dim).toSeq)
+        when(dot(vec, hp) >= 0, lit(1 << j)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+
+  /** Approximate top-k: L hash tables of `bits` random-hyperplane sign
+    * bits; candidates = distinct corpus vectors sharing any table
+    * bucket with the query; exact cosine re-ranks candidates. Recall
+    * rises with L, candidate volume with 2^-bits — tune per corpus.
+    */
+  def annTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      tables: Int = 8,
+      bits: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
+      val sigs = array((0 until tables).map(t =>
+        struct(lit(t).as("table"), tableSignature(col(vec), t, bits, dim).as("bucket"))): _*)
+      df.select(col(id), col(vec), explode(sigs).as("tb"))
+        .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    }
+    val q = bucketed(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qid", "qvec")
+    val c = bucketed(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid", "nvec")
+    val cand = q
+      .join(c, Seq("table", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "qvec", "nid", "nvec")
+      .distinct()
+    rankTopK(cand.withColumn("sim", cosine(col("qvec"), col("nvec"))), k)
+  }
+}

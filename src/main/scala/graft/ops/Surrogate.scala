@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Surrogate-key generation (F4).
   *
@@ -13,14 +13,16 @@ import org.apache.spark.sql.functions._
   * input splits yields different ids — so it cannot hash-match a
   * DuckDB oracle. We expose both:
   *
-  *   - [[uniqueId]] — the faithful, scale-free variant: per-partition
+  *   - [[withUniqueId]] — the faithful, scale-free variant: per-partition
   *     counter embedded in the upper bits, zero shuffle, ids unique
   *     but not dense and not reproducible across layouts.
-  *   - [[sequentialId]] — deterministic dense rank over a natural key
-  *     ordering: reproducible and oracle-comparable. Costs one global
-  *     sort (range partition + local sort), which is the unavoidable
-  *     price of a dense deterministic sequence on a cluster; use only
-  *     when determinism is required.
+  *   - [[withSequentialId]] — deterministic dense 0-based id by key
+  *     order, computed with the partition-offset (zipWithIndex) shape:
+  *     range-repartition + local sort, one small job counting rows per
+  *     partition, then `offset(partition) + local index`. Every
+  *     partition works independently — no single-partition global
+  *     window (the naive `row_number() OVER (ORDER BY …)` funnels the
+  *     entire dataset through one task and OOMs at scale).
   */
 object Surrogate {
 
@@ -28,15 +30,37 @@ object Surrogate {
     * partitionings; unique within a job). */
   def uniqueId: Column = monotonically_increasing_id()
 
-  /** Deterministic 0-based id by ordering on `keys` (dense, stable
-    * across partitionings as long as `keys` is a total order).
-    */
-  def sequentialId(keys: Column*): Column =
-    row_number().over(Window.orderBy(keys: _*)).cast("long") - 1
-
   def withUniqueId(df: DataFrame, name: String): DataFrame =
     df.withColumn(name, uniqueId)
 
-  def withSequentialId(df: DataFrame, name: String, keys: Column*): DataFrame =
-    df.withColumn(name, sequentialId(keys: _*))
+  /** Deterministic dense 0-based id ordered by `keys` (which must be a
+    * total order for full determinism; ties get an arbitrary but
+    * stable-within-run order).
+    *
+    * Cost: one range-shuffle + local sort (the unavoidable price of a
+    * globally ordered dense sequence) + one lightweight count job for
+    * the per-partition offsets. No partition ever holds more than its
+    * range share — scales to any row count.
+    */
+  def withSequentialId(df: DataFrame, name: String, keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+    val rdd = sorted.rdd
+    // zipWithIndex = count job over all-but-last partition + broadcast
+    // of the cumulative offsets; indices follow partition order, which
+    // repartitionByRange makes identical to global key order.
+    val withId = rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ idx)
+    }
+    spark.createDataFrame(withId, sorted.schema.add(name, LongType, nullable = false))
+  }
+
+  /** Column-form deterministic id for small/test frames. Deprecated in
+    * favor of [[withSequentialId]] — kept only because a bare `Column`
+    * cannot carry the partition-offset computation.
+    */
+  def sequentialId(keys: Column*): Column =
+    row_number()
+      .over(org.apache.spark.sql.expressions.Window.orderBy(keys: _*))
+      .cast("long") - 1
 }

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenize /
+  * normalize, document statistics, quality scoring, stopword-profile
+  * language identification, and a BPE-ish regex token counter.
+  *
+  * The reference (`/root/reference/yelp_etl/pipeline/clean.py`) stops
+  * at string repair; these extend the engine toward corpus curation.
+  * Everything here is a pure `Column` expression over Catalyst
+  * built-ins — codegen'd, no UDFs, no shuffle — so each op costs one
+  * map-side pass regardless of scale.
+  *
+  * Cross-engine hashing: [[h64]] is an md5-derived 60-bit hash that
+  * DuckDB/any ANSI engine reproduces bit-for-bit
+  * (`('0x' || substr(md5(seed || '|' || x), 1, 15))::BIGINT`), which is
+  * what lets MinHash/SimHash results hash-match an external oracle.
+  * For production throughput prefer [[fastH64]] (xxhash64, one
+  * codegen'd call, no hex round-trip) — the dedup ops take the hasher
+  * as a parameter.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of lower-cased text. */
+  def tokens(text: Column): Column = split(lower(text), " ", -1)
+
+  /** Deterministic cross-engine 60-bit hash (md5 hex prefix → long).
+    * 15 hex chars = 60 bits, always non-negative, fits a long.
+    */
+  def h64(seed: Column, x: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit("|"), x)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Production-speed hasher (not oracle-reproducible): xxhash64. */
+  def fastH64(seed: Column, x: Column): Column = xxhash64(seed, x)
+
+  /** 28-bit cross-engine base hash (md5 hex[1..7] → long). MinHash
+    * derives its k permutations from ONE base hash per shingle via
+    * affine maps mod a prime (see [[graft.ops.Dedup.minhashA]]), so
+    * the md5 cost is paid once per shingle, not once per (shingle,
+    * seed). 28-bit base × 30-bit multiplier stays under 2^58 — no
+    * overflow in either engine's 64-bit signed arithmetic.
+    */
+  def baseHash(x: Column): Column =
+    conv(substring(md5(x), 1, 7), 16, 10).cast("long")
+
+  /** Production-speed base hash: xxhash64 folded to 28 bits. */
+  def fastBaseHash(x: Column): Column =
+    pmod(xxhash64(x), lit(1L << 28))
+
+  /** Word n-gram shingles. Documents shorter than `n` tokens collapse
+    * to a single whole-text shingle so every doc has ≥1 shingle (an
+    * empty shingle set would make MinHash undefined).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array(lower(text)))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))))
+  }
+
+  /** BPE-ish token count: alpha runs, digit runs, and single
+    * punctuation marks each count as one token — a cheap proxy for
+    * subword tokenizer counts that needs no vocabulary.
+    */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeTokenPattern)).cast("long")
+
+  /** Document statistics bundle (all derived from one pass over the
+    * text column):
+    * n_chars, n_tokens, n_types (distinct tokens), alpha_ratio,
+    * avg_token_len, bpe_tokens.
+    */
+  def stats(text: Column): Seq[(String, Column)] = {
+    val t = tokens(text)
+    val nChars = length(text).cast("long")
+    val nTokens = size(t).cast("long")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val tokLenSum = aggregate(t, lit(0L), (acc, tok) => acc + length(tok))
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "n_types" -> size(array_distinct(t)).cast("long"),
+      "alpha_ratio" -> round(alpha / nChars.cast("double"), 4),
+      "avg_token_len" -> round(tokLenSum.cast("double") / nTokens.cast("double"), 4),
+      "bpe_tokens" -> bpeTokenCount(text))
+  }
+
+  /** Quality predicate over the [[stats]] columns — the standard
+    * pre-training heuristics (length band + mostly-alphabetic + sane
+    * token lengths). Composable `Column`, usable directly in
+    * `df.filter`.
+    */
+  def qualityPredicate(
+      nTokens: Column,
+      alphaRatio: Column,
+      avgTokenLen: Column): Column =
+    nTokens >= 5 && nTokens <= 5000 &&
+      alphaRatio >= 0.5 &&
+      avgTokenLen >= 2.0 && avgTokenLen <= 20.0
+
+  /** Stopword profiles for the n-gram-free language-ID heuristic.
+    * Order matters: ties resolve to the earlier language.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "es" -> Seq("el", "la", "de", "y", "los", "que", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "den"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+
+  /** Per-language stopword hit counts. */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val t = tokens(text)
+    langProfiles.map { case (lang, words) =>
+      s"score_$lang" -> size(filter(t, tok => tok.isin(words: _*))).cast("long")
+    }
+  }
+
+  /** Predicted language: argmax of the stopword scores with
+    * deterministic first-wins tie-break in profile order; all-zero →
+    * "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val scores = langScores(text).map(_._2)
+    val top = greatest(scores: _*)
+    val langs = langProfiles.map(_._1)
+    langs.zip(scores).foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(top > 0 && s === top, lit(lang)).otherwise(acc)
+    }
+  }
+}

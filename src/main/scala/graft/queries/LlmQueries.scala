@@ -1,0 +1,240 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the LLM-data-pipeline operators (dedup,
+  * similarity search, text analysis, multimodal) over the driver's
+  * `documents` / `embeddings` tables.
+  *
+  * Every query is deterministic and reproduced bit-for-bit by the
+  * DuckDB oracle: hashing goes through the cross-engine md5-based
+  * [[TextAnalysis.baseHash]]/[[TextAnalysis.h64]], floating point
+  * through explicit left-to-right double folds, and ordering through
+  * unique sort keys.
+  */
+object LlmQueries {
+
+  private val simK = 5
+  private val simQueryIds = 100 // query set = vec_id < 100
+  private val embeddingDim = 64
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text analysis -------------------------------------------------
+    "q_text_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val statCols = TextAnalysis.stats(col("text")).map { case (n, c) => c.as(n) }
+      d.select((col("doc_id") +: statCols): _*)
+        .withColumn(
+          "is_quality",
+          TextAnalysis.qualityPredicate(
+            col("n_tokens"), col("alpha_ratio"), col("avg_token_len")))
+        .orderBy("doc_id")
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scoreCols = TextAnalysis.langScores(col("text")).map { case (n, c) => c.as(n) }
+      d.select((col("doc_id") +: scoreCols) :+ TextAnalysis.langId(col("text")).as("lang_pred"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // ---- dedup ---------------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDupGroups(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("survivor_id")
+    }),
+
+    "q_dedup_near" -> ((s, dir) => {
+      Dedup.nearDupPairs(
+          Tables.documents(s, dir), "text", "doc_id",
+          k = 16, bands = 8, shingleN = 3, threshold = 0.0)
+        .orderBy("a", "b")
+    }),
+
+    "q_dedup_survivors" -> ((s, dir) => {
+      Dedup.dedupNear(
+          Tables.documents(s, dir), "text", "doc_id",
+          k = 16, bands = 8, shingleN = 3, threshold = 0.5)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "q_simhash" -> ((s, dir) => {
+      Dedup.simhash(Tables.documents(s, dir), "text", "doc_id", bits = 60)
+        .orderBy("doc_id")
+    }),
+
+    // ---- similarity search --------------------------------------------
+    "q_similarity_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < simQueryIds), "vec_id", "embedding", simK)
+        .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim_r"))
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- multimodal ----------------------------------------------------
+    "q_multimodal_decode" -> ((s, dir) => {
+      Multimodal.decodeDocuments(s, Tables.documents(s, dir), "doc_id", "text")
+        .toDF()
+        .orderBy("id")
+    }))
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  private def statsOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id,
+       |    length(text)::BIGINT AS n_chars,
+       |    len(toks)::BIGINT AS n_tokens,
+       |    len(list_distinct(toks))::BIGINT AS n_types,
+       |    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+       |          / length(text)::DOUBLE, 4) AS alpha_ratio,
+       |    round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+       |          / len(toks)::DOUBLE, 4) AS avg_token_len,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
+       |  FROM t
+       |)
+       |SELECT *,
+       |  (n_tokens >= 5 AND n_tokens <= 5000 AND alpha_ratio >= 0.5
+       |   AND avg_token_len >= 2.0 AND avg_token_len <= 20.0) AS is_quality
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  private def langOracle: String = {
+    val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> list_contains([$lst], x)))::BIGINT AS score_$lang"
+    }
+    val names = TextAnalysis.langProfiles.map { case (l, _) => s"score_$l" }
+    val top = s"greatest(${names.mkString(", ")})"
+    val cases = TextAnalysis.langProfiles.map { case (lang, _) =>
+      s"WHEN score_$lang = $top THEN '$lang'"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, ${scores.mkString(",\n    ")}
+       |  FROM t
+       |)
+       |SELECT doc_id, ${names.mkString(", ")},
+       |  CASE WHEN $top = 0 THEN 'und'
+       |    ${cases.mkString("\n    ")}
+       |    ELSE 'und' END AS lang_pred
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared CTE prefix replicating shingles → base hashes → MinHash
+    * signatures → LSH bands → candidate pairs → estimates, with the
+    * same constants as [[Dedup]].
+    */
+  private def minhashCtes(k: Int, bands: Int): String = {
+    val r = k / bands
+    val mins = (0 until k).map { i =>
+      s"list_min(list_transform(bases, x -> (x * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.minhashP}))"
+    }
+    val bandConcat = (1 to r)
+      .map(j => s"sig[b.band*$r+$j]::VARCHAR")
+      .mkString(" || ',' || ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, lower(text) AS t FROM documents
+       |), tok AS (
+       |  SELECT doc_id, t, string_split(t, ' ') AS toks FROM docs
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN [t]
+       |         ELSE list_transform(generate_series(1, len(toks)-2),
+       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shingles
+       |  FROM tok
+       |), bases_t AS (
+       |  SELECT doc_id,
+       |    list_transform(shingles, x -> ('0x' || substr(md5(x),1,7))::BIGINT) AS bases
+       |  FROM sh
+       |), sig AS (
+       |  SELECT doc_id, [${mins.mkString(",\n    ")}] AS sig FROM bases_t
+       |), bands AS (
+       |  SELECT doc_id, b.band, md5($bandConcat) AS band_hash
+       |  FROM sig, LATERAL (SELECT unnest(generate_series(0,${bands - 1})) AS band) b
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+       |), est AS (
+       |  SELECT c.a, c.b,
+       |    len(list_filter(generate_series(1,$k), i -> sa.sig[i] = sb.sig[i])) / $k.0 AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.a
+       |  JOIN sig sb ON sb.doc_id = c.b
+       |)""".stripMargin
+  }
+
+  private def simhashOracle(bits: Int): String = {
+    val sums = (0 until bits)
+      .map(j => s"sum(((h >> $j) & 1)*2 - 1) AS bit_$j")
+      .mkString(",\n    ")
+    val assemble = (0 until bits)
+      .map(j => s"CASE WHEN bit_$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+       |), h AS (
+       |  SELECT doc_id, ('0x' || substr(md5('0|' || tok),1,15))::BIGINT AS h FROM tok
+       |), s AS (
+       |  SELECT doc_id, $sums
+       |  FROM h GROUP BY doc_id
+       |)
+       |SELECT doc_id, $assemble AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private def similarityOracle: String = {
+    def dotSql(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${embeddingDim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qvec FROM e WHERE vec_id < $simQueryIds
+       |), scored AS (
+       |  SELECT q.qid, c.vec_id AS nid,
+       |    ${dotSql("qvec", "c.embedding")} /
+       |    (sqrt(${dotSql("qvec", "qvec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS sim
+       |  FROM q JOIN e c ON c.vec_id <> q.qid
+       |), ranked AS (
+       |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(sim, 4) AS sim_r
+       |FROM ranked WHERE rank <= $simK ORDER BY qid, rank""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_text_stats" -> statsOracle,
+    "q_lang_id" -> langOracle,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, min(doc_id) AS survivor_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin,
+    "q_dedup_near" ->
+      (minhashCtes(16, 8) + "\nSELECT a, b, est_jaccard FROM est ORDER BY a, b"),
+    "q_dedup_survivors" ->
+      (minhashCtes(16, 8) +
+        """
+          |SELECT doc_id FROM documents
+          |WHERE doc_id NOT IN (SELECT b FROM est WHERE est_jaccard >= 0.5)
+          |ORDER BY doc_id""".stripMargin),
+    "q_simhash" -> simhashOracle(60),
+    "q_similarity_topk" -> similarityOracle,
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS id,
+        |  octet_length(encode(text))::INTEGER AS byte_len,
+        |  md5(text) AS content_md5,
+        |  'bin' AS format,
+        |  (16 + ('0x' || substr(md5(text),1,4))::INTEGER % 240)::INTEGER AS width,
+        |  (16 + ('0x' || substr(md5(text),5,4))::INTEGER % 240)::INTEGER AS height
+        |FROM documents ORDER BY id""".stripMargin)
+}

@@ -77,12 +77,12 @@ object ParityQueries {
 
     // F4 (deterministic variant): dense surrogate id by natural-key
     // order — the oracle-comparable replacement for
-    // monotonically_increasing_id (SURVEY §7.4 item 2).
+    // monotonically_increasing_id (SURVEY §7.4 item 2), computed with
+    // the partition-offset shape (no single-partition global window).
     "q_surrogate_id" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .select(
-          Surrogate.sequentialId(col("l_orderkey"), col("l_linenumber")).as("rid"),
-          col("l_orderkey"), col("l_linenumber"))
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber")
+      Surrogate.withSequentialId(li, "rid", col("l_orderkey"), col("l_linenumber"))
+        .select("rid", "l_orderkey", "l_linenumber")
         .orderBy("rid")
     }),
 

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random float in [-1, 1) from ints (no RNG
+    * state — reproducible across runs). */
+  private def prng(parts: Int*): Float =
+    MurmurHash3.orderedHash(parts).toFloat / Int.MaxValue.toFloat
+
+  /** Clustered fixture: `nClusters` well-separated centers, `perCluster`
+    * members each = center + small noise. Members of a cluster are
+    * mutual nearest neighbors by construction.
+    */
+  private def clustered(nClusters: Int, perCluster: Int, dim: Int) = {
+    val centers = Array.tabulate(nClusters, dim)((c, d) => prng(1, c, d) * 10f)
+    val rows = for {
+      c <- 0 until nClusters
+      m <- 0 until perCluster
+    } yield {
+      val id = (c * perCluster + m).toLong
+      val vec = Array.tabulate(dim)(d => centers(c)(d) + prng(2, id.toInt, d) * 0.1f)
+      (id, vec.toSeq, c)
+    }
+    rows.toDF("vec_id", "embedding", "cluster")
+  }
+
+  test("cosine: identity is 1, orthogonal is 0") {
+    val df = Seq((Seq(1f, 0f, 2f), Seq(0f, 3f, 0f))).toDF("a", "b")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("a")).as("same"),
+      Similarity.cosine(col("a"), col("b")).as("orth")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks cluster members first") {
+    val df = clustered(nClusters = 4, perCluster = 5, dim = 16)
+    val top = Similarity.bruteForceTopK(df, df.filter(col("vec_id") < 5), "vec_id", "embedding", 4)
+    // queries are cluster 0 (ids 0-4); their top-4 neighbors must be
+    // exactly the other 4 members of cluster 0
+    val got = top.groupBy("qid").agg(collect_set("nid").as("nids"))
+      .as[(Long, Seq[Long])].collect()
+    assert(got.length == 5)
+    got.foreach { case (qid, nids) =>
+      val expected = (0L until 5L).toSet - qid
+      assert(nids.toSet == expected, s"qid=$qid got ${nids.sorted}")
+    }
+  }
+
+  test("annTopK: high recall on clustered data with far fewer comparisons") {
+    val df = clustered(nClusters = 8, perCluster = 8, dim = 16).cache()
+    val queries = df.filter(col("vec_id") % 8 === 0) // one per cluster
+    val k = 4
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annTopK(df, queries, "vec_id", "embedding", k,
+        dim = 16, tables = 8, bits = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"ANN recall $recall below 0.7 on clustered fixture")
+  }
+
+  test("dot is an ordered double fold (precision contract)") {
+    // floats that lose bits if summed in float precision
+    val a = Seq(1e8f, 1f, -1e8f)
+    val b = Seq(1f, 1f, 1f)
+    val r = Seq((a, b)).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b"))).head().getDouble(0)
+    assert(r == 1.0) // double fold keeps the 1; a float fold would drop it
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stats: hand-computed values on a known sentence") {
+    val df = Seq((1L, "The cat, the hat 42!")).toDF("id", "text")
+    val row = df
+      .select(col("id") +: TextAnalysis.stats(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .head()
+    assert(row.getAs[Long]("n_chars") == 20L)
+    // tokens: the / cat, / the / hat / 42!
+    assert(row.getAs[Long]("n_tokens") == 5L)
+    assert(row.getAs[Long]("n_types") == 4L)
+    // alpha chars: Thecatthehat = 12 of 20
+    assert(row.getAs[Double]("alpha_ratio") == 0.6)
+    // token lengths 3+4+3+3+3 = 16 / 5
+    assert(row.getAs[Double]("avg_token_len") == 3.2)
+    // BPE-ish: The cat , the hat 42 ! = 7
+    assert(row.getAs[Long]("bpe_tokens") == 7L)
+  }
+
+  test("langId: stopword profiles pick the dominant language, und for none") {
+    val df = Seq(
+      (1L, "the cat sat of the mat and a dog"),
+      (2L, "le chat et la table des idées"),
+      (3L, "qqq www zzz")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.langId(col("text")).as("lang"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "en"), (2L, "fr"), (3L, "und")))
+  }
+
+  test("langId tie-break is first profile in order") {
+    // "de" scores 1 for both fr and es → fr wins (earlier profile).
+    val got = Seq(Tuple1("de xyz")).toDF("text")
+      .select(TextAnalysis.langId(col("text"))).head().getString(0)
+    assert(got == "fr")
+  }
+
+  test("shingles: n-grams for long docs, whole text for short ones") {
+    val df = Seq(Tuple1("a b c d")).toDF("text")
+    val sh = df.select(TextAnalysis.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq(Tuple1("Hi there")).toDF("text")
+      .select(TextAnalysis.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(short == Seq("hi there"))
+  }
+
+  test("qualityPredicate bands") {
+    val df = Seq(
+      (1L, Array.fill(10)("words").mkString(" ")), // good
+      (2L, "too short"),                           // < 5 tokens
+      (3L, Array.fill(10)("!!!!!").mkString(" "))  // no alpha
+    ).toDF("id", "text")
+    val stats = df.select(
+      col("id") +: TextAnalysis.stats(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val got = stats
+      .select(col("id"),
+        TextAnalysis.qualityPredicate(
+          col("n_tokens"), col("alpha_ratio"), col("avg_token_len")).as("q"))
+      .orderBy("id").as[(Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, true), (2L, false), (3L, false)))
+  }
+
+  test("h64 and baseHash are stable and non-negative") {
+    val df = Seq(Tuple1("hello")).toDF("x")
+    val r1 = df.select(
+      TextAnalysis.h64(lit(0), col("x")),
+      TextAnalysis.baseHash(col("x"))).head()
+    val r2 = df.select(
+      TextAnalysis.h64(lit(0), col("x")),
+      TextAnalysis.baseHash(col("x"))).head()
+    assert(r1 == r2)
+    assert(r1.getLong(0) >= 0 && r1.getLong(1) >= 0)
+    assert(r1.getLong(1) < (1L << 28))
+  }
+}
