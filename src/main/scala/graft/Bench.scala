@@ -7,9 +7,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: touch every input table once so JVM/codegen/parquet-footer
+    // init isn't attributed to whichever query happens to run first.
+    Seq("lineitem", "orders", "part", "supplier", "documents", "embeddings")
+      .foreach(t => Tables.load(spark, sfDir, t).count())
+    Tables.events(spark, sfDir).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

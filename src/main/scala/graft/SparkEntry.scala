@@ -39,7 +39,8 @@ object SparkEntry {
     * the per-area query modules plus the two wired here. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.ParityQueries.queries ++
-    graft.queries.LlmQueries.queries ++ Map(
+    graft.queries.LlmQueries.queries ++
+    graft.queries.PipelineQueries.queries ++ Map(
     // F11–F14 + P2/P3: the reference's most reused compound operator
     // (create_date_features, clean.py:213-233) over the events table.
     "q_date_features" -> ((s, dir) => {
@@ -68,7 +69,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.ParityQueries.oracleSql ++
-    graft.queries.LlmQueries.oracleSql ++ Map(
+    graft.queries.LlmQueries.oracleSql ++
+    graft.queries.PipelineQueries.oracleSql ++ Map(
     "q_date_features" ->
       """SELECT event_id,
         |  ts::TIMESTAMP AS ts_ts,

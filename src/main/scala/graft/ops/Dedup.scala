@@ -102,6 +102,13 @@ object Dedup {
 
   /** Candidate pairs (a < b) sharing any LSH bucket. The join key is
     * (band, band_hash), so comparisons happen only within buckets.
+    *
+    * Skew note: a bucket of B docs contributes B² intermediate pairs.
+    * If a corpus has pathologically common content (boilerplate pages,
+    * empty docs), pre-filter those buckets — `bandsDf.groupBy("band",
+    * "band_hash").count()` and anti-join buckets above a cap — before
+    * calling this; the cap trades recall on ultra-common content for a
+    * bounded shuffle.
     */
   def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
     val x = bandsDf.select(col(idCol).as("a"), col("band"), col("band_hash"))

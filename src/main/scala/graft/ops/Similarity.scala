@@ -49,12 +49,22 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    // Norms are precomputed once per row on each side — the pair loop
+    // then does one dot product instead of three. Arithmetic is
+    // identical to inline cosine (same fold, same operand order), so
+    // results stay bit-equal to an oracle that computes norms inline.
+    val q = queries.select(
+      col(idCol).as("qid"),
+      col(vecCol).as("qvec"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qnorm"))
+    val c = corpus.select(
+      col(idCol).as("nid"),
+      col(vecCol).as("nvec"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nnorm"))
     val scored = c
       .crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+      .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")))
     rankTopK(scored, k)
   }
 

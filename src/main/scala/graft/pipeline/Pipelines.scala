@@ -77,22 +77,31 @@ object Pipelines {
       // → Boolean → stays string).
       df = df.select(SchemaOps.flattenStruct(df.schema, None, Some(Seq("attributes"))): _*)
       val attributeColumns = df.columns.filterNot(startColumns).toSeq
-      attributeColumns.foreach { c =>
-        df = df.withColumn(c, StringRepair.repair(col(c)))
-      }
+      // One withColumns call, not a withColumn loop: each withColumn
+      // re-analyzes the whole plan, which is O(n²) driver time over the
+      // ~39 Yelp attribute columns (the reference's own loop shape,
+      // clean.py:66-94, rebuilt right).
+      df = df.withColumns(
+        attributeColumns.map(c => c -> StringRepair.repair(col(c))).toMap)
       df = SafeCast.convertColumns(df, attributeColumns, SafeCast.yelpAttributeCandidates)
-      // Opening hours: flatten → "7:0-20:0" → 4 int components.
+      // Opening hours: flatten → "7:0-20:0" → 4 int components, as a
+      // single projection (same final column order the per-column
+      // withColumn+drop loop produced: untouched columns first, then
+      // the 4 components per hours column in flatten order).
       df = df.select(SchemaOps.flattenStruct(df.schema, None, Some(Seq("hours"))): _*)
       val hoursColumns =
         df.columns.filterNot(startColumns).filterNot(attributeColumns.toSet).toSeq
-      hoursColumns.foreach { c =>
-        val parts = split(col(c), "[-:]")
-        df = df
-          .withColumn(s"${c}_start_hour", parts.getItem(0).try_cast(IntegerType))
-          .withColumn(s"${c}_start_minute", parts.getItem(1).try_cast(IntegerType))
-          .withColumn(s"${c}_end_hour", parts.getItem(2).try_cast(IntegerType))
-          .withColumn(s"${c}_end_minute", parts.getItem(3).try_cast(IntegerType))
-          .drop(c)
+      if (hoursColumns.nonEmpty) {
+        val untouched = df.columns.filterNot(hoursColumns.toSet).map(col).toSeq
+        val components = hoursColumns.flatMap { c =>
+          val parts = split(col(c), "[-:]")
+          Seq(
+            parts.getItem(0).try_cast(IntegerType).as(s"${c}_start_hour"),
+            parts.getItem(1).try_cast(IntegerType).as(s"${c}_start_minute"),
+            parts.getItem(2).try_cast(IntegerType).as(s"${c}_end_hour"),
+            parts.getItem(3).try_cast(IntegerType).as(s"${c}_end_minute"))
+        }
+        df = df.select(untouched ++ components: _*)
       }
     }
     if (Set("checkin", "review", "tip", "user").contains(entityType)) {

@@ -33,9 +33,13 @@ object ParityQueries {
     // true/false on every row → BooleanType wins; `label` (free text)
     // fails every candidate → stays string.
     "q_safe_cast" -> ((s, dir) => {
+      // NULL value stays NULL (matches the oracle's `value > 50`
+      // three-valued logic; events.value currently has no NULLs but
+      // don't bake that in).
       val ev = Tables.events(s, dir).select(
         col("event_id"),
-        when(col("value") > 50, lit("True")).otherwise(lit("False")).as("flag"),
+        when(col("value").isNotNull,
+          when(col("value") > 50, lit("True")).otherwise(lit("False"))).as("flag"),
         col("event_type").as("label"))
       val repaired = ev.withColumn("flag", StringRepair.repair(col("flag")))
       SafeCast.convertColumns(repaired, Seq("flag", "label"),

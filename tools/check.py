@@ -18,14 +18,9 @@ import sys
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-
-
-def norm(v):
-    if isinstance(v, float):
-        return round(v, 6)
-    return v
 
 
 def main(sf_dir, out_dir):
@@ -63,8 +58,11 @@ def main(sf_dir, out_dir):
         bad = None
         for c in wcols:
             for i, (a, b) in enumerate(zip(w[c], g[c])):
-                if a is None and b is None:
-                    continue
+                try:
+                    if pd.isna(a) and pd.isna(b):  # None/NaT/NaN on both sides
+                        continue
+                except (TypeError, ValueError):
+                    pass
                 try:
                     an, bn = float("nan"), float("nan")
                     if isinstance(a, float) or isinstance(b, float):
@@ -75,11 +73,13 @@ def main(sf_dir, out_dir):
                             continue
                         bad = (c, i, a, b)
                         break
-                    if a != b and str(a) != str(b):
+                    if a != b:
                         bad = (c, i, a, b)
                         break
                 except (TypeError, ValueError):
-                    if str(a) != str(b):
+                    # NaT/None mixtures and non-orderable cells land
+                    # here; fall back to repr equality.
+                    if repr(a) != repr(b):
                         bad = (c, i, a, b)
                         break
             if bad:
