@@ -97,6 +97,71 @@ object Similarity {
       }
       .reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs (a < b) with sim ≥
+    * `threshold`, computed exactly over all pairs — bounded inputs
+    * only (a deduplication batch, an LSH bucket, a candidate set). The
+    * 100 TB path is [[annNearDupPairs]]: LSH buckets first, exact
+    * cosine only within buckets.
+    */
+  def exactNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("a"), col(vecCol).as("avec"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("anorm"))
+    val b = df.select(col(idCol).as("b"), col(vecCol).as("bvec"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("bnorm"))
+    a.crossJoin(b)
+      .filter(col("a") < col("b"))
+      .withColumn("sim", dot(col("avec"), col("bvec")) / (col("anorm") * col("bnorm")))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  /** Near-dup vector pairs via LSH buckets + exact re-check: only
+    * same-bucket pairs are scored. Recall depends on (tables, bits)
+    * exactly as in [[annTopK]].
+    */
+  def annNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      tables: Int = 8,
+      bits: Int = 4): DataFrame = {
+    def bucketed(alias: String): DataFrame = {
+      val sigs = array((0 until tables).map(t =>
+        struct(lit(t).as("table"), tableSignature(col(vecCol), t, bits, dim).as("bucket"))): _*)
+      df.select(col(idCol).as(alias), col(vecCol).as(s"${alias}vec"), explode(sigs).as("tb"))
+        .select(col(alias), col(s"${alias}vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    }
+    bucketed("a").join(bucketed("b"), Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "avec", "bvec")
+      .distinct()
+      .withColumn("sim", cosine(col("avec"), col("bvec")))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  /** Keep one vector (minimum id) per near-dup group — greedy
+    * keep-first, same policy as [[graft.ops.Dedup.dedupNear]].
+    */
+  def dedupByEmbedding(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      tables: Int = 8,
+      bits: Int = 4): DataFrame = {
+    val losers = annNearDupPairs(df, idCol, vecCol, threshold, dim, tables, bits)
+      .select(col("b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Approximate top-k: L hash tables of `bits` random-hyperplane sign
     * bits; candidates = distinct corpus vectors sharing any table
     * bucket with the query; exact cosine re-ranks candidates. Recall

@@ -63,6 +63,25 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_verified" -> ((s, dir) => {
+      Dedup.verifiedNearDupPairs(
+          Tables.documents(s, dir), "text", "doc_id",
+          k = 16, bands = 8, shingleN = 3, threshold = 0.4)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard_r"))
+        .orderBy("a", "b")
+    }),
+
+    // Embedding-cosine near-dup pairs, exact variant on a bounded id
+    // subset (the ANN-bucketed variant is unit-specced; sf-independent
+    // subset keeps the all-pairs check bounded at any scale).
+    "q_embedding_neardup" -> ((s, dir) => {
+      Similarity.exactNearDupPairs(
+          Tables.embeddings(s, dir).filter(col("vec_id") < 500),
+          "vec_id", "embedding", threshold = 0.4)
+        .select(col("a"), col("b"), round(col("sim"), 4).as("sim_r"))
+        .orderBy("a", "b")
+    }),
+
     "q_simhash" -> ((s, dir) => {
       Dedup.simhash(Tables.documents(s, dir), "text", "doc_id", bits = 60)
         .orderBy("doc_id")
@@ -229,6 +248,34 @@ object LlmQueries {
           |ORDER BY doc_id""".stripMargin),
     "q_simhash" -> simhashOracle(60),
     "q_similarity_topk" -> similarityOracle,
+    "q_dedup_verified" ->
+      (minhashCtes(16, 8) +
+        """, shx AS (
+          |  SELECT doc_id, list_distinct(shingles) AS s FROM sh
+          |), jac AS (
+          |  SELECT c.a, c.b,
+          |    len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+          |      / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE AS jaccard
+          |  FROM cand c
+          |  JOIN shx sa ON sa.doc_id = c.a
+          |  JOIN shx sb ON sb.doc_id = c.b
+          |)
+          |SELECT a, b, round(jaccard, 4) AS jaccard_r
+          |FROM jac WHERE jaccard >= 0.4 ORDER BY a, b""".stripMargin),
+    "q_embedding_neardup" -> {
+      def dotSql(a: String, b: String) =
+        s"list_sum(list_transform(range(1, ${embeddingDim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+         |), p AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |    ${dotSql("a.embedding", "b.embedding")} /
+         |    (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) AS sim
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |)
+         |SELECT a, b, round(sim, 4) AS sim_r FROM p
+         |WHERE sim >= 0.4 ORDER BY a, b""".stripMargin
+    },
     "q_multimodal_decode" ->
       """SELECT doc_id AS id,
         |  octet_length(encode(text))::INTEGER AS byte_len,

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over event streams (the `events` table shape:
+  * event_id, ts, user_id, event_type, value).
+  *
+  * The reference is batch-only (SURVEY §2.7) — its checkin data is
+  * event-like but processed as batch. These operators are the
+  * streaming counterparts a production deployment of the same pipeline
+  * needs: tumbling-window aggregation with watermarking (late-data
+  * drop), and custom sessionization state via
+  * `flatMapGroupsWithState`.
+  *
+  * Scale notes: windowed aggregation is an incremental stateful
+  * hash-agg keyed by (window, event_type) — state size is bounded by
+  * the watermark horizon × group cardinality, not stream length.
+  * Sessionization keys state by user; `ProcessingTimeTimeout`/
+  * watermark expiry bounds state. Both run identically on a
+  * 1000-executor cluster: state is partitioned by the groupBy key.
+  */
+object EventStreams {
+
+  /** One input event (the events-table row shape). */
+  final case class Event(
+      event_id: Long,
+      ts: java.sql.Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  /** One closed (or flushed) user session. */
+  final case class Session(
+      user_id: Long,
+      n_events: Long,
+      total_value: Double,
+      first_ts: java.sql.Timestamp,
+      last_ts: java.sql.Timestamp)
+
+  /** Tumbling-window counts/sums per event type with late-data
+    * tolerance `watermark` (e.g. "10 minutes") and window length
+    * `windowLength` (e.g. "1 hour"). Works on a streaming OR batch
+    * DataFrame with the events schema — same plan, which is what makes
+    * the batch pipeline's semantics reusable for streams.
+    */
+  def windowedAgg(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  /** Event-time sessionization: events for a user belong to one
+    * session until a gap larger than `gapSeconds`. Emits a [[Session]]
+    * row when a gap closes a session; remaining state flushes on
+    * processing-time timeout.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(_.toSession(userId)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            // events within a micro-batch arrive unordered; sort by ts
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.lastMs > gapSeconds * 1000 =>
+                  closed += s.toSession(userId)
+                  cur = Some(SessionState.start(e))
+                case Some(s) => cur = Some(s.add(e))
+                case None => cur = Some(SessionState.start(e))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapSeconds * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Mutable-free session accumulator kept in GroupState. */
+  final case class SessionState(
+      n: Long,
+      total: Double,
+      firstMs: Long,
+      lastMs: Long) {
+    def add(e: Event): SessionState =
+      SessionState(n + 1, total + e.value, firstMs, e.ts.getTime)
+    def toSession(userId: Long): Session =
+      Session(userId, n, total,
+        new java.sql.Timestamp(firstMs), new java.sql.Timestamp(lastMs))
+  }
+  object SessionState {
+    def start(e: Event): SessionState =
+      SessionState(1L, e.value, e.ts.getTime, e.ts.getTime)
+  }
+}

@@ -65,6 +65,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"ANN recall $recall below 0.7 on clustered fixture")
   }
 
+  test("embedding near-dup: exact and ANN paths find the seeded dup, dedup keeps min id") {
+    val base = clustered(nClusters = 6, perCluster = 4, dim = 16)
+    // ids within a cluster are near-identical vectors (center + 1% noise)
+    val exact = Similarity.exactNearDupPairs(base, "vec_id", "embedding", 0.999)
+    val exactPairs = exact.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exactPairs.contains((0L, 1L)))
+    assert(!exactPairs.exists { case (a, b) => a / 4 != b / 4 }, "cross-cluster pair leaked")
+    val annPairs = Similarity.annNearDupPairs(base, "vec_id", "embedding", 0.999, dim = 16)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val recall = (exactPairs & annPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.7, s"ANN near-dup recall $recall")
+    val kept = Similarity.dedupByEmbedding(base, "vec_id", "embedding", 0.999, dim = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(0L) && kept.size < 24, s"kept=$kept")
+  }
+
   test("dot is an ordered double fold (precision contract)") {
     // floats that lose bits if summed in float precision
     val a = Seq(1e8f, 1f, -1e8f)

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+// Spark 4.1 moved MemoryStream under execution.streaming.runtime
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkSpec {
+  import EventStreams._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long, typ: String, v: Double) =
+    Event(id, ts(t), user, typ, v)
+
+  test("windowedAgg on a stream: tumbling counts, late row beyond watermark dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = windowedAgg(input.toDF(), watermark = "10 minutes", windowLength = "1 hour")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+
+    input.addData(
+      ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:55:00", 2, "click", 2.0),
+      ev(3, "2024-01-01 11:10:00", 1, "view", 3.0),
+      // advance watermark far past the 10-11 window…
+      ev(4, "2024-01-01 13:00:00", 3, "click", 4.0))
+    query.processAllAvailable()
+    input.addData( // …then a too-late row for 10-11: must be dropped
+      ev(5, "2024-01-01 10:30:00", 4, "click", 99.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("win_agg")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    // append mode emits only windows finalized by the watermark
+    assert(out.contains((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)))
+    assert(!out.exists { case (w, _, n, v) =>
+      w == ts("2024-01-01 10:00:00") && (n > 2L || v > 3.0)
+    }, s"late row leaked into closed window: $out")
+  }
+
+  test("windowedAgg same plan works on a batch frame") {
+    import spark.implicits._
+    val batch = Seq(
+      ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:55:00", 2, "click", 2.0),
+      ev(3, "2024-01-01 11:10:00", 1, "view", 3.0)).toDF()
+    val out = windowedAgg(batch)
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(out == Set(
+      (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
+      (ts("2024-01-01 11:00:00"), "view", 1L, 3.0)))
+  }
+
+  test("sessionize splits on gaps and emits closed sessions (batch-mode run)") {
+    // flatMapGroupsWithState executes on batch Datasets too (state
+    // starts empty, timeouts never fire) — this pins the gap-splitting
+    // semantics deterministically; the streaming plumbing itself is
+    // covered by the windowedAgg stream test above.
+    import spark.implicits._
+    val input = Seq(
+      // user 1: two events 5 min apart (one session), then a 2 h gap
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:05:00", 1, "view", 2.0),
+      ev(3, "2024-01-01 12:30:00", 1, "click", 5.0),
+      // user 2: single event
+      ev(4, "2024-01-01 10:00:00", 2, "click", 7.0)).toDS()
+    val out = sessionize(input, gapSeconds = 600).collect()
+    // the 2h gap closes user 1's first session; trailing sessions stay
+    // open (in state) and are not emitted
+    assert(out.toSeq == Seq(
+      Session(1L, 2L, 3.0, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"))))
+  }
+}
