@@ -97,6 +97,73 @@ object Similarity {
       }
       .reduce(_ + _)
 
+  /** IVF-style approximate top-k: a coarse quantizer of `nCentroids`
+    * centroid vectors partitions the corpus (each vector is assigned
+    * to its best-dot-product centroid); each query probes only its
+    * `nProbe` nearest centroids' partitions and exact cosine re-ranks
+    * within them. Candidates per query ≈ corpus × nProbe / nCentroids
+    * — the knob that keeps 100 TB ANN bounded.
+    *
+    * The quantizer here takes the `nCentroids` lowest-id corpus
+    * vectors as centroids — a deterministic stand-in for k-means
+    * (plug trained centroids in via the overload). Collecting
+    * `nCentroids` rows to the driver is the intended pattern: the
+    * centroid table is tiny and becomes literal expressions, so
+    * assignment is a codegen'd map-side pass with no join.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val centroids = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(nCentroids)
+      .collect()
+      .map(_.getSeq[Float](1))
+    ivfTopK(corpus, queries, idCol, vecCol, k, centroids.toSeq, nProbe)
+  }
+
+  /** IVF with caller-provided centroid vectors. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Seq[Float]],
+      nProbe: Int): DataFrame = {
+    def centroidDots(vec: Column): Column =
+      array(centroids.map(c => dot(vec, typedlit(c))): _*)
+    // index (0-based) of the best centroid; first index wins ties
+    def assign(vec: Column): Column = {
+      val d = centroidDots(vec)
+      array_position(d, array_max(d)).cast("int") - 1
+    }
+    // the nProbe best centroid indices: sort (−dot, idx) structs
+    def probes(vec: Column): Column = {
+      val d = centroidDots(vec)
+      val ranked = array_sort(transform(
+        sequence(lit(0), lit(centroids.size - 1)),
+        i => struct((-element_at(d, i + 1)).as("neg"), i.as("idx"))))
+      transform(slice(ranked, lit(1), lit(nProbe)), s => s.getField("idx"))
+    }
+    val c = corpus.select(
+      col(idCol).as("nid"), col(vecCol).as("nvec"),
+      assign(col(vecCol)).as("centroid"))
+    val q = queries.select(
+      col(idCol).as("qid"), col(vecCol).as("qvec"),
+      explode(probes(col(vecCol))).as("centroid"))
+    val cand = c.join(broadcast(q), Seq("centroid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+    rankTopK(cand, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b) with sim ≥
     * `threshold`, computed exactly over all pairs — bounded inputs
     * only (a deduplication batch, an LSH bucket, a candidate set). The

@@ -104,6 +104,55 @@ object TextAnalysis {
       alphaRatio >= 0.5 &&
       avgTokenLen >= 2.0 && avgTokenLen <= 20.0
 
+  /** Character k-grams of the lower-cased text (the winnowing input
+    * unit — robust to word-boundary edits, unlike word shingles).
+    */
+  def charGrams(text: Column, k: Int): Column = {
+    val t = lower(text)
+    when(length(t) < k, array(t))
+      .otherwise(transform(
+        sequence(lit(1), length(t) - (k - 1)),
+        i => t.substr(i, lit(k))))
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003)
+    * as (id, fp) pairs: hash every char `k`-gram, slide a window of
+    * `w` hashes, keep each window's minimum, dedupe. Guarantee: any
+    * shared substring of length ≥ `k + w − 1` between two documents
+    * yields at least one shared fingerprint.
+    *
+    * Relational shape — posexplode grams → window `min` over (doc,
+    * pos) with a `w`-row frame → distinct — rather than nested array
+    * lambdas: a single-Column formulation re-evaluates the md5 gram
+    * array once per window when Catalyst inlines it into an inferred
+    * predicate (measured O(len²) hashes/row, >500× slower, interpreted
+    * eval). Here each gram hashes exactly once; the only shuffle is
+    * the per-doc window partition, and state per partition is one doc.
+    */
+  def winnowingFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      hasher: Column => Column = baseHash): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol), posexplode(charGrams(col(textCol), k)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), hasher(col("gram")).as("h"))
+    val byDoc = Window.partitionBy(idCol)
+    val frame = byDoc.orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("wmin", min(col("h")).over(frame))
+      // full windows only (pos is 0-based): pos ≤ n−w; short docs
+      // (n ≤ w) keep the single whole-doc window at pos 0
+      .filter((col("n") <= w && col("pos") === 0) ||
+        (col("n") > w && col("pos") <= col("n") - w))
+      .select(col(idCol), col("wmin").as("fp"))
+      .distinct()
+  }
+
   /** Stopword profiles for the n-gram-free language-ID heuristic.
     * Order matters: ties resolve to the earlier language.
     */

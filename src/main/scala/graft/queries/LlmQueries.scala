@@ -42,6 +42,13 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Winnowing fingerprints, exploded to (doc_id, fp) rows.
+    "q_fingerprint" -> ((s, dir) => {
+      TextAnalysis.winnowingFingerprints(
+          Tables.documents(s, dir), "doc_id", "text", k = 8, w = 4)
+        .orderBy("doc_id", "fp")
+    }),
+
     // ---- dedup ---------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactDupGroups(Tables.documents(s, dir), "text", "doc_id")
@@ -232,6 +239,26 @@ object LlmQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) < 8 THEN [t]
+        |         ELSE list_transform(generate_series(1, length(t)-7), i -> substr(t, i, 8)) END AS grams
+        |  FROM t
+        |), h AS (
+        |  SELECT doc_id,
+        |    list_transform(grams, g -> ('0x' || substr(md5(g),1,7))::BIGINT) AS hs
+        |  FROM g
+        |), m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+        |         ELSE list_transform(generate_series(1, len(hs)-3), j -> list_min(hs[j:j+3])) END AS mins
+        |  FROM h
+        |)
+        |SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp
+        |FROM m ORDER BY doc_id, fp""".stripMargin,
     "q_text_stats" -> statsOracle,
     "q_lang_id" -> langOracle,
     "q_dedup_exact" ->

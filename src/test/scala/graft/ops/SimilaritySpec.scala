@@ -65,6 +65,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"ANN recall $recall below 0.7 on clustered fixture")
   }
 
+  test("ivfTopK: cluster-center quantizer recovers brute-force neighbors") {
+    val df = clustered(nClusters = 8, perCluster = 8, dim = 16).cache()
+    val queries = df.filter(col("vec_id") % 8 === 3) // one non-centroid member per cluster
+    val k = 4
+    // one centroid per cluster: its first member's vector
+    val centroids = df.filter(col("vec_id") % 8 === 0).orderBy("vec_id")
+      .select("embedding").as[Seq[Float]].collect().toSeq
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(df, queries, "vec_id", "embedding", k, centroids, nProbe = 2)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall with per-cluster centroids")
+  }
+
   test("embedding near-dup: exact and ANN paths find the seeded dup, dedup keeps min id") {
     val base = clustered(nClusters = 6, perCluster = 4, dim = 16)
     // ids within a cluster are near-identical vectors (center + 1% noise)

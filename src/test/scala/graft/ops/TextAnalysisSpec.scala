@@ -65,6 +65,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((1L, true), (2L, false), (3L, false)))
   }
 
+  test("winnowing: shared long substring implies shared fingerprint") {
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"cccc dddd $shared eeee"),
+      (3L, "completely unrelated content with no overlap at all here")
+    ).toDF("id", "text")
+    val pairs = TextAnalysis.winnowingFingerprints(df, "id", "text", k = 8, w = 4)
+      .as[(Long, Long)].collect()
+    val fps = (1L to 3L).map(i => pairs.filter(_._1 == i).map(_._2).toSet)
+    // winnowing guarantee: a shared substring of length >= k+w-1 (11)
+    // yields at least one shared fingerprint
+    assert((fps(0) & fps(1)).nonEmpty, "docs sharing a 44-char substring share no fingerprint")
+    assert((fps(0) & fps(2)).size < fps(0).size / 2, "unrelated docs overlap too much")
+    // short doc (< k chars) still fingerprints (whole text)
+    val short = TextAnalysis.winnowingFingerprints(
+        Seq((9L, "tiny")).toDF("id", "text"), "id", "text", 8, 4)
+      .collect()
+    assert(short.length == 1)
+  }
+
   test("h64 and baseHash are stable and non-negative") {
     val df = Seq(Tuple1("hello")).toDF("x")
     val r1 = df.select(
