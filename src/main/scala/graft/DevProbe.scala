@@ -30,6 +30,19 @@ object DevProbe {
     time("candidatePairs")(Dedup.candidatePairs(bands, "doc_id").count())
     time("nearDupPairs")(Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.0).count())
     time("nearDupPairs2")(Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.0).count())
+    time("fingerprint")(
+      graft.ops.TextAnalysis.winnowingFingerprints(docs, "doc_id", "text").count())
+    time("fingerprint2")(
+      graft.ops.TextAnalysis.winnowingFingerprints(docs, "doc_id", "text").count())
+    time("fp_hash_only")(docs.select(col("doc_id"),
+      posexplode(graft.ops.TextAnalysis.charGrams(col("text"), 8)).as(Seq("pos", "gram")))
+      .select(graft.ops.TextAnalysis.baseHash(col("gram")).as("h")).agg(sum("h")).count())
+    time("fp_fast_hasher")(graft.ops.TextAnalysis.winnowingFingerprints(
+      docs, "doc_id", "text", hasher = graft.ops.TextAnalysis.fastBaseHash).count())
+    time("verified")(
+      Dedup.verifiedNearDupPairs(docs, "text", "doc_id", threshold = 0.4).count())
+    time("verified2")(
+      Dedup.verifiedNearDupPairs(docs, "text", "doc_id", threshold = 0.4).count())
     spark.stop()
   }
 }

@@ -192,7 +192,9 @@ object Dedup {
       threshold: Double = 0.5,
       baseHasher: Column => Column = baseHash): DataFrame = {
     val cand = nearDupPairs(df, textCol, idCol, k, bands, shingleN, 0.0, baseHasher)
-    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    val sh = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
     cand
       .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), Seq("b"))
@@ -214,9 +216,14 @@ object Dedup {
       idCol: String,
       bits: Int = 60,
       hasher: Hasher = h64): DataFrame = {
-    val tok = df.select(
-      col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    // pre-explode repartition: parallelize token hashing across cores
+    // even from a single input split, and pre-satisfy the groupBy
+    // distribution (see TextAnalysis.winnowingFingerprints)
+    val tok = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(
+        col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val hashed = tok.withColumn("h", hasher(lit(0), col("tok")))
     val sums = (0 until bits).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"bit_$j")

@@ -137,18 +137,29 @@ object TextAnalysis {
       w: Int = 4,
       hasher: Column => Column = baseHash): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Hash-partition by id BEFORE the ~len-fold explode: the shuffle
+    // moves one row per doc (not per gram), spreads the gram hashing
+    // across all cores even when the source is a single file split,
+    // and already satisfies the window's required distribution — so
+    // the exploded rows are never shuffled at all. The explicit
+    // partition count matters: AQE would coalesce a bytes-small
+    // pre-explode shuffle to one partition, blind to the ~len-fold
+    // row fanout the explode is about to apply.
     val grams = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol), posexplode(charGrams(col(textCol), k)).as(Seq("pos", "gram")))
       .select(col(idCol), col("pos"), hasher(col("gram")).as("h"))
-    val byDoc = Window.partitionBy(idCol)
-    val frame = byDoc.orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    val byPos = Window.partitionBy(idCol).orderBy("pos")
+    val frame = byPos.rowsBetween(Window.currentRow, w - 1)
     grams
-      .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("wmin", min(col("h")).over(frame))
-      // full windows only (pos is 0-based): pos ≤ n−w; short docs
-      // (n ≤ w) keep the single whole-doc window at pos 0
-      .filter((col("n") <= w && col("pos") === 0) ||
-        (col("n") > w && col("pos") <= col("n") - w))
+      // a window is "full" iff a (w−1)-ahead row exists; truncated
+      // trailing windows are dropped, except pos 0 which stands in for
+      // the single whole-doc window of short (< w grams) docs — frame
+      // truncation makes its min the whole-doc min. Both window
+      // functions share one sort/pass (same partition + order spec).
+      .withColumn("full", lead(col("h"), w - 1).over(byPos).isNotNull)
+      .filter(col("full") || col("pos") === 0)
       .select(col(idCol), col("wmin").as("fp"))
       .distinct()
   }
