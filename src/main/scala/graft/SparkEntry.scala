@@ -37,7 +37,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2, merged from
     * the per-area query modules plus the two wired here. */
+  /** Insertion-ordered (ListMap) so Verify/Bench run queries in a
+    * stable order: cheap parity queries first warm the JVM/codegen,
+    * and per-query bench attribution is comparable across rounds.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap.empty[String, (SparkSession, String) => DataFrame] ++
     graft.queries.ParityQueries.queries ++
     graft.queries.LlmQueries.queries ++
     graft.queries.PipelineQueries.queries ++ Map(
@@ -56,6 +61,16 @@ object SparkEntry {
         .withColumn("props_struct", from_json(col("props"), lit("k INT")))
         .select("event_id", "props_struct")
       SchemaOps.flatten(ev, Seq("props_struct")).orderBy("event_id")
+    }),
+    // The streaming module's tumbling-window plan, run in batch mode —
+    // the same windowedAgg powers the watermarked stream
+    // (EventStreamsSpec drives that path via MemoryStream).
+    "q_windowed_agg" -> ((s, dir) => {
+      graft.streaming.EventStreams.windowedAgg(Tables.events(s, dir))
+        .select(
+          col("window_start"), col("event_type"), col("n_events"),
+          round(col("total_value"), 2).as("total_value_r"))
+        .orderBy("window_start", "event_type")
     })
   )
 
@@ -85,6 +100,11 @@ object SparkEntry {
     "q_flatten_struct" ->
       """SELECT event_id,
         |  CAST(props->>'$.k' AS INTEGER) AS props_struct_k
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_windowed_agg" ->
+      """SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value_r
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin
   )
 }

@@ -21,7 +21,7 @@ object LlmQueries {
   private val simQueryIds = 100 // query set = vec_id < 100
   private val embeddingDim = 64
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = scala.collection.immutable.ListMap(
 
     // ---- text analysis -------------------------------------------------
     "q_text_stats" -> ((s, dir) => {

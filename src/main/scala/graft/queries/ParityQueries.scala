@@ -19,7 +19,7 @@ object ParityQueries {
   private def pythonLiteral(src: org.apache.spark.sql.Column) =
     concat(lit("{'wifi': u'"), src, lit("', 'open': True, 'extra': None}"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = scala.collection.immutable.ListMap(
 
     // F5–F7: the 6-step python-literal → JSON repair chain.
     "q_string_repair" -> ((s, dir) => {

@@ -20,7 +20,7 @@ object PipelineQueries {
   val businessFixture = "/root/repo/fixtures/business.ndjson"
   val checkinFixture = "/root/repo/fixtures/checkin.ndjson"
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = scala.collection.immutable.ListMap(
 
     // S1 + P5 + F2/F5-F10: the full business clean branch.
     "q_clean_business" -> ((s, _) => {
