@@ -87,6 +87,63 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a media payload (stub: a byte-range chunk
+    * standing in for a decoded video frame). */
+  final case class Frame(
+      id: Long,
+      frame_index: Int,
+      frame_offset: Long,
+      frame_bytes: Int,
+      frame_md5: String)
+
+  /** STUB frame sampling: where a real pipeline would seek the
+    * container and decode every Nth frame, we sample `nFrames`
+    * equal-spaced byte ranges of `frameBytes` bytes and fingerprint
+    * each. The plumbing is the real shape: one input row fans out to
+    * `nFrames` typed rows per media item, per-partition "decoder"
+    * state, narrow execution.
+    */
+  def frameSampleStub(
+      media: Dataset[MediaRecord],
+      nFrames: Int = 4,
+      frameBytes: Int = 64): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      val digest = MessageDigest.getInstance("MD5")
+      records.flatMap { r =>
+        val n = math.max(1, math.min(nFrames, r.content.length / math.max(1, frameBytes)))
+        (0 until n).map { i =>
+          val offset = (r.content.length.toLong * i) / n
+          val len = math.min(frameBytes, r.content.length - offset.toInt)
+          val chunk = java.util.Arrays.copyOfRange(
+            r.content, offset.toInt, offset.toInt + len)
+          digest.reset()
+          Frame(r.id, i, offset, len,
+            digest.digest(chunk).map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
+  /** STUB resize: a real implementation decodes, scales to
+    * `targetW`×`targetH`, and re-encodes; the stub derives the
+    * "resized" payload as a deterministic truncation-with-header so
+    * schema, sizing behavior, and per-partition execution are real.
+    */
+  def resizeStub(
+      media: Dataset[MediaRecord],
+      targetW: Int,
+      targetH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        val budget = math.max(16, math.min(r.content.length, targetW * targetH / 8))
+        val header = s"RSZ:${targetW}x$targetH:".getBytes("UTF-8")
+        r.copy(content = header ++ r.content.take(budget - math.min(budget, header.length)))
+      }
+    }
+  }
+
   /** Full stub pipeline: ingest text as binary → per-partition decode. */
   def decodeDocuments(spark: SparkSession, df: DataFrame, idCol: String, textCol: String): Dataset[DecodedMedia] = {
     import spark.implicits._

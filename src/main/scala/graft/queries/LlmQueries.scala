@@ -108,6 +108,16 @@ object LlmQueries {
       Multimodal.decodeDocuments(s, Tables.documents(s, dir), "doc_id", "text")
         .toDF()
         .orderBy("id")
+    }),
+
+    "q_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.ingestUtf8(
+        Tables.documents(s, dir), "doc_id", "text", "video/fake")
+        .as[Multimodal.MediaRecord]
+      Multimodal.frameSampleStub(media, nFrames = 4, frameBytes = 64)
+        .toDF()
+        .orderBy("id", "frame_index")
     }))
 
   // ---- oracle SQL ------------------------------------------------------
@@ -303,6 +313,22 @@ object LlmQueries {
          |SELECT a, b, round(sim, 4) AS sim_r FROM p
          |WHERE sim >= 0.4 ORDER BY a, b""".stripMargin
     },
+    // documents text is ASCII, so DuckDB's char-based substr matches
+    // the engine's byte-range frames exactly
+    "q_frame_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |), f AS (
+        |  SELECT doc_id, text, len, greatest(1, least(4, len // 64)) AS n FROM t
+        |), g AS (
+        |  SELECT doc_id, u.i AS frame_index, (len * u.i) // n AS off,
+        |    least(64, len - (len * u.i) // n) AS fb, text
+        |  FROM f, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) u
+        |)
+        |SELECT doc_id AS id, CAST(frame_index AS INTEGER) AS frame_index,
+        |  CAST(off AS BIGINT) AS frame_offset, CAST(fb AS INTEGER) AS frame_bytes,
+        |  md5(substr(text, CAST(off AS INTEGER) + 1, fb)) AS frame_md5
+        |FROM g ORDER BY id, frame_index""".stripMargin,
     "q_multimodal_decode" ->
       """SELECT doc_id AS id,
         |  octet_length(encode(text))::INTEGER AS byte_len,

@@ -57,6 +57,34 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.toSeq == again.toSeq)
   }
 
+  test("frameSampleStub fans out n deterministic frames per media item") {
+    import spark.implicits._
+    val media = Multimodal.ingestUtf8(
+      Seq((1L, "x" * 600), (2L, "short")).toDF("doc_id", "text"),
+      "doc_id", "text", "video/fake").as[Multimodal.MediaRecord]
+    val frames = Multimodal.frameSampleStub(media, nFrames = 4, frameBytes = 64)
+      .collect().groupBy(_.id)
+    assert(frames(1L).length == 4)
+    assert(frames(1L).map(_.frame_index).sorted.sameElements(0 until 4))
+    assert(frames(1L).forall(_.frame_bytes == 64))
+    // offsets are equal-spaced over the payload
+    assert(frames(1L).map(_.frame_offset).sorted.sameElements(Seq(0L, 150L, 300L, 450L)))
+    // short payloads yield a single whole-content frame
+    assert(frames(2L).length == 1 && frames(2L).head.frame_bytes == 5)
+    val again = Multimodal.frameSampleStub(media, 4, 64).collect().groupBy(_.id)
+    assert(again(1L).map(_.frame_md5).toSet == frames(1L).map(_.frame_md5).toSet)
+  }
+
+  test("resizeStub bounds payload size and stamps the target dims") {
+    import spark.implicits._
+    val media = Multimodal.ingestUtf8(
+      Seq((1L, "y" * 5000)).toDF("doc_id", "text"),
+      "doc_id", "text", "image/fake").as[Multimodal.MediaRecord]
+    val resized = Multimodal.resizeStub(media, 64, 64).head()
+    assert(resized.content.length <= 64 * 64 / 8)
+    assert(new String(resized.content.take(10), "UTF-8").startsWith("RSZ:64x64:"))
+  }
+
   test("decode is narrow: partition count is preserved (no shuffle)") {
     val df = Seq.tabulate(8)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
       .repartition(3)
