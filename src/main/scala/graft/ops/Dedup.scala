@@ -62,11 +62,15 @@ object Dedup {
 
   /** id → k-slot MinHash signature of the word-`shingleN`-gram set.
     *
-    * Built as three stacked projections (shingles → base hashes →
-    * k mins) so the md5 base-hash array is materialized once per row;
-    * CollapseProject keeps multi-referenced non-trivial aliases in
-    * their own projection, so codegen evaluates md5 once per shingle
-    * rather than k times.
+    * Relational shape: explode shingles → base-hash each once →
+    * groupBy(id) with k `min` aggregates → repack as an array. The
+    * hash aggregate is plain codegen'd arithmetic (no array lambdas —
+    * an earlier nested `transform`/`array_min` formulation spent
+    * several seconds in codegen and risked per-reference re-evaluation
+    * of the md5 array), partial aggregation combines map-side, and the
+    * explicit keyed pre-repartition parallelizes hashing from
+    * single-split sources while pre-satisfying the groupBy
+    * distribution (no post-explode shuffle).
     */
   def signatures(
       df: DataFrame,
@@ -75,14 +79,17 @@ object Dedup {
       k: Int = 16,
       shingleN: Int = 3,
       baseHasher: Column => Column = baseHash): DataFrame = {
+    val exploded = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__sh"))
+      .select(col(idCol), baseHasher(col("__sh")).as("__b"))
     val mins = (0 until k).map { i =>
-      array_min(transform(
-        col("__bases"),
-        b => (b * lit(minhashA(i)) + lit(minhashB(i))) % lit(minhashP)))
+      min((col("__b") * lit(minhashA(i)) + lit(minhashB(i))) % lit(minhashP)).as(s"__m$i")
     }
-    df.select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
-      .select(col(idCol), transform(col("__sh"), baseHasher).as("__bases"))
-      .select(col(idCol), array(mins: _*).as("sig"))
+    exploded
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
   /** Explode a signature frame to (id, band, band_hash): `bands` rows
