@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-regression pins for the at-scale claims in PLANS.md: if a
+  * refactor silently reintroduces a shuffle join where a broadcast is
+  * intended, a global window, or a full-width scan, these fail before
+  * a benchmark ever notices.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q_enrich_obt joins its dims by broadcast, never shuffle") {
+    val plan = planOf("q_enrich_obt")
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "OBT join must not shuffle the fact")
+  }
+
+  test("q_enrich_obt scan prunes columns and pushes join-key filters") {
+    val plan = planOf("q_enrich_obt")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_partkey), IsNotNull(l_suppkey)]")
+      || plan.contains("PushedFilters: [IsNotNull(l_suppkey), IsNotNull(l_partkey)]"))
+    assert(!plan.contains("l_comment"), "unprojected columns must not be read")
+  }
+
+  test("q_surrogate_id has no single-partition global window") {
+    val plan = planOf("q_surrogate_id")
+    assert(!plan.contains("Window"), "sequential id must use partition offsets, not a window")
+  }
+
+  test("q_text_stats reads only the needed columns") {
+    val plan = planOf("q_text_stats")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("q_similarity_topk broadcasts the query side and pushes partial top-k") {
+    val plan = planOf("q_similarity_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin"), "query set must broadcast")
+    assert(plan.contains("WindowGroupLimit"), "top-k must prune before the rank shuffle")
+  }
+
+  test("q1_pricing_summary aggregates with a map-side partial phase") {
+    val plan = planOf("q1_pricing_summary")
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      "aggregation must combine map-side")
+  }
+}
