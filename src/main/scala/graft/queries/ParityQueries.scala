@@ -101,6 +101,20 @@ object ParityQueries {
         .orderBy("ts_date", "event_type")
     }),
 
+    // Skew-salted join vs a PLAIN-join oracle: proves the salting
+    // transform is semantics-preserving (hot keys spread over `salts`
+    // reducers; the oracle knows nothing about salt).
+    "q_salted_join" -> ((s, dir) => {
+      val fact = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+      val dim = Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_name"))
+      Skew.saltedJoin(fact, dim, "l_partkey", salts = 8,
+          factSaltSource = col("l_orderkey") * 8 + col("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "p_name")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // TPC-H Q1-shaped pricing summary: the bench headline groupBy agg.
     "q1_pricing_summary" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -164,6 +178,10 @@ object ParityQueries {
         |  count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY ts_date, event_type""".stripMargin,
+    "q_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_name
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
