@@ -103,6 +103,27 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Full curation pipeline composed end-to-end: quality filter ∩
+    // near-dup survivors → per-language corpus stats. The shape a real
+    // training-data run executes: each stage is one of the
+    // oracle-verified ops above, composed lazily into a single plan.
+    "q_curation" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val statCols = TextAnalysis.stats(col("text")).map { case (n, c) => c.as(n) }
+      val stats = d.select(col("doc_id") +: col("lang") +: statCols: _*)
+      val quality = stats.filter(TextAnalysis.qualityPredicate(
+        col("n_tokens"), col("alpha_ratio"), col("avg_token_len")))
+      val survivors = Dedup.dedupNear(d, "text", "doc_id", threshold = 0.5)
+        .select("doc_id")
+      quality.join(survivors, Seq("doc_id"), "left_semi")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"),
+          sum(col("bpe_tokens")).as("total_bpe_tokens"))
+        .orderBy("lang")
+    }),
+
     // ---- multimodal ----------------------------------------------------
     "q_multimodal_decode" -> ((s, dir) => {
       Multimodal.decodeDocuments(s, Tables.documents(s, dir), "doc_id", "text")
@@ -285,6 +306,27 @@ object LlmQueries {
           |ORDER BY doc_id""".stripMargin),
     "q_simhash" -> simhashOracle(60),
     "q_similarity_topk" -> similarityOracle,
+    "q_curation" ->
+      (minhashCtes(16, 8) +
+        """, stats AS (
+          |  SELECT doc_id, lang,
+          |    len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+          |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+          |      / length(text)::DOUBLE AS alpha_ratio,
+          |    list_sum(list_transform(string_split(lower(text), ' '), x -> length(x)))::DOUBLE
+          |      / len(string_split(lower(text), ' '))::DOUBLE AS avg_token_len,
+          |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens
+          |  FROM documents
+          |), kept AS (
+          |  SELECT * FROM stats
+          |  WHERE n_tokens >= 5 AND n_tokens <= 5000 AND alpha_ratio >= 0.5
+          |    AND avg_token_len >= 2.0 AND avg_token_len <= 20.0
+          |    AND doc_id NOT IN (SELECT b FROM est WHERE est_jaccard >= 0.5)
+          |)
+          |SELECT lang, count(*) AS n_docs,
+          |  round(avg(n_tokens), 4) AS avg_tokens,
+          |  sum(bpe_tokens)::BIGINT AS total_bpe_tokens
+          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
     "q_dedup_verified" ->
       (minhashCtes(16, 8) +
         """, shx AS (
