@@ -96,6 +96,24 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.contains(0L) && kept.size < 24, s"kept=$kept")
   }
 
+  test("fused cosine expression is bit-identical to the composed fold form") {
+    val base = clustered(nClusters = 4, perCluster = 4, dim = 16)
+    val pairs = base.select(col("vec_id").as("ida"), col("embedding").as("a"))
+      .crossJoin(base.select(col("vec_id").as("idb"), col("embedding").as("b")))
+      .filter(col("ida") < col("idb"))
+    def composed(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Similarity.dot(a, b) /
+        (sqrt(Similarity.dot(a, a)) * sqrt(Similarity.dot(b, b)))
+    val rows = pairs.select(
+      Similarity.cosine(col("a"), col("b")).as("fused"),
+      composed(col("a"), col("b")).as("comp")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"fused ${r.getDouble(0)} != composed ${r.getDouble(1)}")
+    }
+  }
+
   test("dot is an ordered double fold (precision contract)") {
     // floats that lose bits if summed in float precision
     val a = Seq(1e8f, 1f, -1e8f)
