@@ -85,15 +85,55 @@ object Similarity {
       (h.toDouble / Int.MaxValue.toDouble)
     }
 
-  /** Signature column for one LSH table: `bits` sign-bits packed into
-    * an int. */
-  private def tableSignature(vec: Column, table: Int, bits: Int, dim: Int): Column =
-    (0 until bits)
-      .map { j =>
-        val hp = typedlit(hyperplane(table, j, dim).toSeq)
-        when(dot(vec, hp) >= 0, lit(1 << j)).otherwise(lit(0))
-      }
-      .reduce(_ + _)
+  /** Attach one LSH bucket column per table: each table's `bits`
+    * hyperplane dots come from ONE fused
+    * [[graft.functions.MatVecDotsExpr]] kernel call materialized as a
+    * temp column (the composed one-fold-per-bit form ran tables×bits
+    * separate higher-order folds per row and dominated ANN cost), then
+    * the sign bits pack into an int bucket. Returns the frame plus the
+    * bucket column names; temp dot columns are dropped.
+    */
+  private def withTableBuckets(
+      df: DataFrame,
+      vecCol: String,
+      tables: Int,
+      bits: Int,
+      dim: Int): (DataFrame, Seq[String]) = {
+    val withDots = (0 until tables).foldLeft(df) { (acc, t) =>
+      val w = Array.tabulate(bits)(j => hyperplane(t, j, dim))
+      acc.withColumn(
+        s"__lsh_dots_$t",
+        graft.functions.MatVecDotsExpr.matVecDots(col(vecCol), w))
+    }
+    val withBuckets = (0 until tables).foldLeft(withDots) { (acc, t) =>
+      val bucket = (0 until bits)
+        .map(j => when(element_at(col(s"__lsh_dots_$t"), j + 1) >= 0, lit(1 << j))
+          .otherwise(lit(0)))
+        .reduce(_ + _)
+      acc.withColumn(s"__bucket_$t", bucket)
+    }
+    val cleaned = (0 until tables).foldLeft(withBuckets)(
+      (acc, t) => acc.drop(s"__lsh_dots_$t"))
+    (cleaned, (0 until tables).map(t => s"__bucket_$t"))
+  }
+
+  /** (id, vec, table, bucket) rows: one row per (input row, table). */
+  private def bucketedByTable(
+      df: DataFrame,
+      idAlias: String,
+      vecAlias: String,
+      tables: Int,
+      bits: Int,
+      dim: Int): DataFrame = {
+    val (withBuckets, bucketCols) = withTableBuckets(df, vecAlias, tables, bits, dim)
+    val sigs = array(bucketCols.zipWithIndex.map { case (b, t) =>
+      struct(lit(t).as("table"), col(b).as("bucket"))
+    }: _*)
+    withBuckets
+      .select(col(idAlias), col(vecAlias), explode(sigs).as("tb"))
+      .select(col(idAlias), col(vecAlias),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
 
   /** IVF-style approximate top-k: a coarse quantizer of `nCentroids`
     * centroid vectors partitions the corpus (each vector is assigned
@@ -135,27 +175,26 @@ object Similarity {
       k: Int,
       centroids: Seq[Seq[Float]],
       nProbe: Int): DataFrame = {
-    def centroidDots(vec: Column): Column =
-      array(centroids.map(c => dot(vec, typedlit(c))): _*)
+    // all centroid dots from one fused kernel call, materialized once
+    // per row so argmax/probe-ranking reference the attribute instead
+    // of recomputing the dots per use
+    val cm = centroids.map(_.map(_.toDouble).toArray).toArray
+    def withCentroidDots(df: DataFrame, vec: String): DataFrame =
+      df.withColumn("__cd", graft.functions.MatVecDotsExpr.matVecDots(col(vec), cm))
     // index (0-based) of the best centroid; first index wins ties
-    def assign(vec: Column): Column = {
-      val d = centroidDots(vec)
-      array_position(d, array_max(d)).cast("int") - 1
-    }
+    val assign = array_position(col("__cd"), array_max(col("__cd"))).cast("int") - 1
     // the nProbe best centroid indices: sort (−dot, idx) structs
-    def probes(vec: Column): Column = {
-      val d = centroidDots(vec)
+    val probes = {
       val ranked = array_sort(transform(
         sequence(lit(0), lit(centroids.size - 1)),
-        i => struct((-element_at(d, i + 1)).as("neg"), i.as("idx"))))
+        i => struct((-element_at(col("__cd"), i + 1)).as("neg"), i.as("idx"))))
       transform(slice(ranked, lit(1), lit(nProbe)), s => s.getField("idx"))
     }
-    val c = corpus.select(
-      col(idCol).as("nid"), col(vecCol).as("nvec"),
-      assign(col(vecCol)).as("centroid"))
-    val q = queries.select(
-      col(idCol).as("qid"), col(vecCol).as("qvec"),
-      explode(probes(col(vecCol))).as("centroid"))
+    val c = withCentroidDots(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nvec")
+      .withColumn("centroid", assign)
+      .select("nid", "nvec", "centroid")
+    val q = withCentroidDots(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qvec")
+      .select(col("qid"), col("qvec"), explode(probes).as("centroid"))
     val cand = c.join(broadcast(q), Seq("centroid"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", cosine(col("qvec"), col("nvec")))
@@ -194,12 +233,10 @@ object Similarity {
       dim: Int,
       tables: Int = 8,
       bits: Int = 4): DataFrame = {
-    def bucketed(alias: String): DataFrame = {
-      val sigs = array((0 until tables).map(t =>
-        struct(lit(t).as("table"), tableSignature(col(vecCol), t, bits, dim).as("bucket"))): _*)
-      df.select(col(idCol).as(alias), col(vecCol).as(s"${alias}vec"), explode(sigs).as("tb"))
-        .select(col(alias), col(s"${alias}vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-    }
+    def bucketed(alias: String): DataFrame =
+      bucketedByTable(
+        df.select(col(idCol).as(alias), col(vecCol).as(s"${alias}vec")),
+        alias, s"${alias}vec", tables, bits, dim)
     bucketed("a").join(bucketed("b"), Seq("table", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b", "avec", "bvec")
@@ -239,14 +276,12 @@ object Similarity {
       dim: Int,
       tables: Int = 8,
       bits: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
-      val sigs = array((0 until tables).map(t =>
-        struct(lit(t).as("table"), tableSignature(col(vec), t, bits, dim).as("bucket"))): _*)
-      df.select(col(id), col(vec), explode(sigs).as("tb"))
-        .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-    }
-    val q = bucketed(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qid", "qvec")
-    val c = bucketed(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid", "nvec")
+    val q = bucketedByTable(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+      "qid", "qvec", tables, bits, dim)
+    val c = bucketedByTable(
+      corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")),
+      "nid", "nvec", tables, bits, dim)
     val cand = q
       .join(c, Seq("table", "bucket"))
       .filter(col("qid") =!= col("nid"))

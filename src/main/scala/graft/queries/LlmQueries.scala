@@ -103,6 +103,27 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Approximate paths (no oracle — results are recall-bounded, not
+    // exact; the driver records the weaker rows-only check and the
+    // recall contracts live in SimilaritySpec).
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annTopK(
+          emb, emb.filter(col("vec_id") < simQueryIds), "vec_id", "embedding",
+          simK, dim = embeddingDim, tables = 8, bits = 4)
+        .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim_r"))
+        .orderBy("qid", "rank")
+    }),
+
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+          emb, emb.filter(col("vec_id") < simQueryIds), "vec_id", "embedding",
+          simK, nCentroids = 16, nProbe = 4)
+        .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim_r"))
+        .orderBy("qid", "rank")
+    }),
+
     // Full curation pipeline composed end-to-end: quality filter ∩
     // near-dup survivors → per-language corpus stats. The shape a real
     // training-data run executes: each stage is one of the
