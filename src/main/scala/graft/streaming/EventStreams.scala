@@ -61,6 +61,23 @@ object EventStreams {
         col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** Streaming exact-dedup: drop records whose `keyCols` fingerprint
+    * was already seen within the event-time watermark horizon
+    * (`dropDuplicatesWithinWatermark` expires per-key state past the
+    * horizon, so state is bounded). The streaming counterpart of
+    * [[graft.ops.Dedup.dedupExact]] — content-hash the payload into a
+    * key column upstream for content dedup. On a batch frame this is
+    * plain `dropDuplicates`.
+    */
+  def dedupStream(
+      events: DataFrame,
+      tsCol: String,
+      watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   /** Event-time sessionization: events for a user belong to one
     * session until a gap larger than `gapSeconds`. Emits a [[Session]]
     * row when a gap closes a session; remaining state flushes on

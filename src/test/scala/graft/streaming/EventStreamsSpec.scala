@@ -57,6 +57,25 @@ class EventStreamsSpec extends SparkSpec {
       (ts("2024-01-01 11:00:00"), "view", 1L, 3.0)))
   }
 
+  test("dedupStream drops duplicate fingerprints within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = dedupStream(
+      input.toDF().withColumn("fp", md5(col("event_type"))),
+      "ts", "10 minutes", Seq("fp"))
+    val query = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    input.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:01:00", 2, "click", 2.0), // dup fingerprint
+      ev(3, "2024-01-01 10:02:00", 3, "view", 3.0))
+    query.processAllAvailable()
+    query.stop()
+    val kept = spark.table("dedup_stream").select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"kept=$kept")
+  }
+
   test("sessionize splits on gaps and emits closed sessions (batch-mode run)") {
     // flatMapGroupsWithState executes on batch Datasets too (state
     // starts empty, timeouts never fire) — this pins the gap-splitting
