@@ -26,6 +26,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // shared intermediate caches (dedup signatures/shingles) are
+    // reused ACROSS queries above, then released here
+    CachedFrames.unpersistAll()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

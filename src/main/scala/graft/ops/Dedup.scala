@@ -1,8 +1,9 @@
 package graft.ops
 
+import graft.CachedFrames
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.TextAnalysis.{baseHash, h64, shingles}
+import graft.ops.TextAnalysis.{fastBaseHash, fastH64, shinglesOfTokens, tokens}
 
 /** Corpus deduplication for LLM training-data pipelines: exact
   * (content-hash groupBy), near-dup (MinHash + LSH banding), SimHash,
@@ -16,14 +17,27 @@ import graft.ops.TextAnalysis.{baseHash, h64, shingles}
   *    band hash and only ever compares documents that share a bucket —
   *    never all pairs. Candidate volume is controlled by (k, bands):
   *    P(candidate) = 1 − (1 − J^r)^b for true Jaccard J, r = k/bands.
+  *  - `maxBucketSize` caps the B² pair blow-up from pathologically
+  *    common content (boilerplate, empty docs): oversized buckets are
+  *    anti-joined away before pairing, trading recall on ultra-common
+  *    content for a bounded shuffle; [[oversizedBuckets]] reports
+  *    exactly what a cap would drop.
   *  - SimHash is explode → groupBy(id) with 64 tiny sums — partial
   *    aggregation makes the shuffle per-doc, not per-token.
   *  - All-pairs exact Jaccard exists only as the *verification* step
   *    over LSH candidates (or an explicitly bounded id range); the
   *    engine never plans an unbounded cross join.
   *
-  * Hashing defaults to the oracle-reproducible [[TextAnalysis.h64]];
-  * pass `TextAnalysis.fastH64` for production throughput.
+  * Hashing defaults to the production-speed xxhash64 forms
+  * ([[TextAnalysis.fastBaseHash]]/[[TextAnalysis.fastH64]]); pass the
+  * md5-derived [[TextAnalysis.baseHash]]/[[TextAnalysis.h64]] only
+  * where an external SQL engine must reproduce results bit-for-bit
+  * (the oracle queries do).
+  *
+  * Shared intermediate frames (shingles, signatures) persist through
+  * [[graft.CachedFrames]]: each distinct plan caches once across
+  * queries, and the caller releases them via
+  * `CachedFrames.unpersistAll()` when the batch completes.
   */
 object Dedup {
 
@@ -51,14 +65,50 @@ object Dedup {
   // -------------------------------------------------------------- minhash
 
   /** MinHash permutation family: `h_i(x) = (a_i · base(x) + b_i) mod P`
-    * with deterministic 30-bit constants, so the expensive md5 base
-    * hash is computed once per shingle and the k permutations are two
-    * integer ops each. An external oracle reproduces the constants
-    * from the same formulas.
+    * with deterministic constants, so the expensive base hash is
+    * computed once per shingle and the k permutations are two integer
+    * ops each. The oracle SQL generator embeds the constants as
+    * numeric literals, so any engine reproduces the signatures.
+    *
+    * The (a_i, b_i) MUST be mutually independent: an earlier
+    * `a_i = (i+1)·c mod P, b_i = (i+1)·d mod P` family made every
+    * permutation the scalar multiple `h_i = (i+1)·h_1 mod P` of one
+    * function — all k slots then shared a single argmin whenever the
+    * multiples didn't wrap past P, collapsing the k-slot estimator to
+    * k ≈ 1 with huge variance (caught when a hasher change flipped
+    * slot agreement of a Jaccard-0.6 pair from 11/16 to 3/16; both
+    * are far from the 9.6 a sound estimator expects). Deriving each
+    * constant from an independent md5 stream fixes the family;
+    * `a_i · base < 2^30 · 2^28 = 2^58` still never overflows signed
+    * 64-bit arithmetic in any engine.
     */
   val minhashP: Long = 1000000007L
-  def minhashA(i: Int): Long = ((i + 1).toLong * 2654435761L) % minhashP
-  def minhashB(i: Int): Long = ((i + 1).toLong * 40503L) % minhashP
+  def minhashA(i: Int): Long =
+    1L + graft.functions.Md5PrefixLongExpr.hashPrefix(s"minhash-a|$i", 15) % (minhashP - 1)
+  def minhashB(i: Int): Long =
+    graft.functions.Md5PrefixLongExpr.hashPrefix(s"minhash-b|$i", 15) % minhashP
+
+  /** (id, sh: array<string>) — the word-`shingleN`-gram sets every
+    * MinHash/verification stage derives from. Tokenization runs in its
+    * own projection so the per-shingle lambda slices a materialized
+    * attribute (the single-Column form re-tokenizes per element —
+    * O(tokens²) per doc; see [[TextAnalysis.shingles]]). The explicit
+    * keyed pre-repartition parallelizes shingling from single-split
+    * sources and pre-satisfies downstream per-id aggregations.
+    */
+  def shingleFrame(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(
+        col(idCol),
+        tokens(col(textCol)).as("__toks"),
+        lower(col(textCol)).as("__lt"))
+      .select(
+        col(idCol),
+        shinglesOfTokens(col("__toks"), col("__lt"), shingleN).as("sh"))
 
   /** id → k-slot MinHash signature of the word-`shingleN`-gram set.
     *
@@ -67,10 +117,9 @@ object Dedup {
     * hash aggregate is plain codegen'd arithmetic (no array lambdas —
     * an earlier nested `transform`/`array_min` formulation spent
     * several seconds in codegen and risked per-reference re-evaluation
-    * of the md5 array), partial aggregation combines map-side, and the
-    * explicit keyed pre-repartition parallelizes hashing from
-    * single-split sources while pre-satisfying the groupBy
-    * distribution (no post-explode shuffle).
+    * of the hash array), and partial aggregation combines map-side.
+    * Built on [[shingleFrame]], so a persisted shingle frame (the
+    * verification path caches one) is substituted automatically.
     */
   def signatures(
       df: DataFrame,
@@ -78,10 +127,9 @@ object Dedup {
       idCol: String,
       k: Int = 16,
       shingleN: Int = 3,
-      baseHasher: Column => Column = baseHash): DataFrame = {
-    val exploded = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__sh"))
+      baseHasher: Column => Column = fastBaseHash): DataFrame = {
+    val exploded = shingleFrame(df, textCol, idCol, shingleN)
+      .select(col(idCol), explode(col("sh")).as("__sh"))
       .select(col(idCol), baseHasher(col("__sh")).as("__b"))
     val mins = (0 until k).map { i =>
       min((col("__b") * lit(minhashA(i)) + lit(minhashB(i))) % lit(minhashP)).as(s"__m$i")
@@ -107,19 +155,42 @@ object Dedup {
       .drop("sig")
   }
 
+  /** Buckets larger than `maxBucketSize` — the accounting frame for a
+    * capped run: `(band, band_hash, bucket_size)` of everything
+    * [[candidatePairs]] would drop. A production job counts/logs this
+    * (it is a tiny aggregate) alongside the capped pairing.
+    */
+  def oversizedBuckets(bandsDf: DataFrame, maxBucketSize: Int): DataFrame =
+    bandsDf.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
+
   /** Candidate pairs (a < b) sharing any LSH bucket. The join key is
     * (band, band_hash), so comparisons happen only within buckets.
     *
-    * Skew note: a bucket of B docs contributes B² intermediate pairs.
-    * If a corpus has pathologically common content (boilerplate pages,
-    * empty docs), pre-filter those buckets — `bandsDf.groupBy("band",
-    * "band_hash").count()` and anti-join buckets above a cap — before
-    * calling this; the cap trades recall on ultra-common content for a
-    * bounded shuffle.
+    * Skew guard: a bucket of B docs contributes B² intermediate pairs,
+    * and dedup corpora by definition contain pathologically common
+    * content. With `maxBucketSize` > 0, buckets above the cap are
+    * removed (one map-side-combined count + a semi join — cost
+    * proportional to the bands frame, never to B²) before pairing;
+    * recall on ultra-common content is traded for a bounded shuffle.
+    * Use [[oversizedBuckets]] to audit what a cap drops. 0 disables
+    * the cap (the bit-exact oracle configuration).
     */
-  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val x = bandsDf.select(col(idCol).as("a"), col("band"), col("band_hash"))
-    val y = bandsDf.select(col(idCol).as("b"), col("band"), col("band_hash"))
+  def candidatePairs(
+      bandsDf: DataFrame,
+      idCol: String,
+      maxBucketSize: Int = 0): DataFrame = {
+    val bounded =
+      if (maxBucketSize > 0) {
+        val keep = bandsDf.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucketSize)
+          .select("band", "band_hash")
+        bandsDf.join(keep, Seq("band", "band_hash"), "left_semi")
+      } else bandsDf
+    val x = bounded.select(col(idCol).as("a"), col("band"), col("band_hash"))
+    val y = bounded.select(col(idCol).as("b"), col("band"), col("band_hash"))
     x.join(y, Seq("band", "band_hash"))
       .filter(col("a") < col("b"))
       .select("a", "b")
@@ -133,6 +204,10 @@ object Dedup {
   /** Near-duplicate pairs with signature-estimated Jaccard ≥
     * `threshold` (threshold 0 returns every candidate pair). Shape:
     * signature projection → LSH bucket join → estimate on candidates.
+    * The signature frame feeds four plan branches (two self-join sides
+    * + two estimate re-joins); it persists via [[graft.CachedFrames]]
+    * so the shingle hashing runs once per batch, shared across
+    * queries, released by `CachedFrames.unpersistAll()`.
     */
   def nearDupPairs(
       df: DataFrame,
@@ -142,13 +217,11 @@ object Dedup {
       bands: Int = 8,
       shingleN: Int = 3,
       threshold: Double = 0.5,
-      baseHasher: Column => Column = baseHash): DataFrame = {
-    // The signature frame feeds four plan branches (two self-join
-    // sides + two estimate re-joins); persist so the md5 base hashes
-    // are computed once. Signatures are k longs per doc — tiny
-    // relative to the corpus.
-    val sigDf = signatures(df, textCol, idCol, k, shingleN, baseHasher).persist()
-    val cand = candidatePairs(lshBands(sigDf, idCol, k, bands), idCol)
+      baseHasher: Column => Column = fastBaseHash,
+      maxBucketSize: Int = 0): DataFrame = {
+    val sigDf = CachedFrames.persistOnce(
+      signatures(df, textCol, idCol, k, shingleN, baseHasher))
+    val cand = candidatePairs(lshBands(sigDf, idCol, k, bands), idCol, maxBucketSize)
     val withEst = cand
       .join(sigDf.select(col(idCol).as("a"), col("sig").as("sig_a")), Seq("a"))
       .join(sigDf.select(col(idCol).as("b"), col("sig").as("sig_b")), Seq("b"))
@@ -170,9 +243,11 @@ object Dedup {
       bands: Int = 8,
       shingleN: Int = 3,
       threshold: Double = 0.5,
-      baseHasher: Column => Column = baseHash): DataFrame = {
-    val losers = nearDupPairs(df, textCol, idCol, k, bands, shingleN, threshold, baseHasher)
-      .select(col("b").as(idCol)).distinct()
+      baseHasher: Column => Column = fastBaseHash,
+      maxBucketSize: Int = 0): DataFrame = {
+    val losers =
+      nearDupPairs(df, textCol, idCol, k, bands, shingleN, threshold, baseHasher, maxBucketSize)
+        .select(col("b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -187,7 +262,11 @@ object Dedup {
   }
 
   /** Near-dup pairs re-verified with exact shingle Jaccard (the
-    * production-quality path: LSH recall, exact precision).
+    * production-quality path: LSH recall, exact precision). The
+    * shingle frame persists once and serves BOTH the signature
+    * pipeline (CacheManager substitutes the cached fragment into the
+    * signature plan) and the verification joins — documents are
+    * tokenized and shingled exactly once.
     */
   def verifiedNearDupPairs(
       df: DataFrame,
@@ -197,11 +276,11 @@ object Dedup {
       bands: Int = 8,
       shingleN: Int = 3,
       threshold: Double = 0.5,
-      baseHasher: Column => Column = baseHash): DataFrame = {
-    val cand = nearDupPairs(df, textCol, idCol, k, bands, shingleN, 0.0, baseHasher)
-    val sh = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+      baseHasher: Column => Column = fastBaseHash,
+      maxBucketSize: Int = 0): DataFrame = {
+    val sh = CachedFrames.persistOnce(shingleFrame(df, textCol, idCol, shingleN))
+    val cand =
+      nearDupPairs(df, textCol, idCol, k, bands, shingleN, 0.0, baseHasher, maxBucketSize)
     cand
       .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), Seq("b"))
@@ -212,7 +291,7 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** SimHash fingerprint (`bits` ≤ 60 with the default hasher): token
+  /** SimHash fingerprint (`bits` ≤ 60 with the oracle hasher): token
     * hashes vote per bit position; bit j is 1 iff the +1/−1 vote sum is
     * positive. Explode → groupBy(id) keeps the shuffle per-doc via
     * partial aggregation.
@@ -222,7 +301,7 @@ object Dedup {
       textCol: String,
       idCol: String,
       bits: Int = 60,
-      hasher: Hasher = h64): DataFrame = {
+      hasher: Hasher = fastH64): DataFrame = {
     // pre-explode repartition: parallelize token hashing across cores
     // even from a single input split, and pre-satisfy the groupBy
     // distribution (see TextAnalysis.winnowingFingerprints)

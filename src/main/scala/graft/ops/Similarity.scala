@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import scala.util.hashing.MurmurHash3
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -75,14 +74,19 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1),
-    * derived from MurmurHash3 of (table, bit, dim) — no RNG state, so
-    * signatures are reproducible across runs and engines that share
-    * the constant table.
+    * derived from the md5 of "table|bit|dim" exactly as
+    * [[graft.functions.Md5PrefixLongExpr]] hashes strings: first 15
+    * hex chars as a 60-bit long, scaled by 2^59 and shifted. No RNG
+    * state, and — unlike a JVM-only hash — ANY engine with md5 can
+    * re-derive the planes, which is what makes the ANN queries
+    * oracle-checkable in DuckDB
+    * (`('0x' || substr(md5(t || '|' || b || '|' || d), 1, 15))::BIGINT
+    *  / 2^59 - 1`).
     */
-  private[ops] def hyperplane(table: Int, bit: Int, dim: Int): Array[Double] =
+  private[graft] def hyperplane(table: Int, bit: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { d =>
-      val h = MurmurHash3.productHash((table, bit, d))
-      (h.toDouble / Int.MaxValue.toDouble)
+      val h = graft.functions.Md5PrefixLongExpr.hashPrefix(s"$table|$bit|$d", 15)
+      h.toDouble / (1L << 59).toDouble - 1.0
     }
 
   /** Attach one LSH bucket column per table: each table's `bits`
@@ -224,6 +228,18 @@ object Similarity {
   /** Near-dup vector pairs via LSH buckets + exact re-check: only
     * same-bucket pairs are scored. Recall depends on (tables, bits)
     * exactly as in [[annTopK]].
+    *
+    * Scale shape: candidate generation moves ONLY (id, table, bucket)
+    * rows — vectors never enter the self-join or the dedup shuffle.
+    * The raw (table, bucket) key space is just `tables × 2^bits`
+    * values, which would cap join parallelism regardless of cluster
+    * size, so a deterministic salt sub-key multiplies the key
+    * cardinality by `saltBuckets`: the left side carries
+    * `hash(id) % saltBuckets`, the right side replicates each id-only
+    * row across all salts (both sides are 3-int rows — the replication
+    * is noise next to moving vectors). Candidate (a, b) id pairs
+    * dedupe on a high-cardinality key, and full vectors are re-joined
+    * exactly once per surviving pair.
     */
   def annNearDupPairs(
       df: DataFrame,
@@ -232,15 +248,24 @@ object Similarity {
       threshold: Double,
       dim: Int,
       tables: Int = 8,
-      bits: Int = 4): DataFrame = {
-    def bucketed(alias: String): DataFrame =
-      bucketedByTable(
-        df.select(col(idCol).as(alias), col(vecCol).as(s"${alias}vec")),
-        alias, s"${alias}vec", tables, bits, dim)
-    bucketed("a").join(bucketed("b"), Seq("table", "bucket"))
+      bits: Int = 4,
+      saltBuckets: Int = 16): DataFrame = {
+    val vecs = df.select(col(idCol).as("__vid"), col(vecCol).as("__vec"))
+    val b = bucketedByTable(vecs, "__vid", "__vec", tables, bits, dim)
+      .select("__vid", "table", "bucket")
+    val x = b.select(
+      col("__vid").as("a"), col("table"), col("bucket"),
+      pmod(hash(col("__vid")), lit(saltBuckets)).as("__salt"))
+    val y = b.select(
+      col("__vid").as("b"), col("table"), col("bucket"),
+      explode(sequence(lit(0), lit(saltBuckets - 1))).as("__salt"))
+    val candIds = x.join(y, Seq("table", "bucket", "__salt"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "avec", "bvec")
+      .select("a", "b")
       .distinct()
+    candIds
+      .join(vecs.select(col("__vid").as("a"), col("__vec").as("avec")), Seq("a"))
+      .join(vecs.select(col("__vid").as("b"), col("__vec").as("bvec")), Seq("b"))
       .withColumn("sim", cosine(col("avec"), col("bvec")))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), col("sim"))
@@ -266,6 +291,15 @@ object Similarity {
     * bits; candidates = distinct corpus vectors sharing any table
     * bucket with the query; exact cosine re-ranks candidates. Recall
     * rises with L, candidate volume with 2^-bits — tune per corpus.
+    *
+    * Scale shape (same query-set assumption as [[bruteForceTopK]]:
+    * queries are small, the corpus is not): the query buckets
+    * broadcast, so candidate generation is a map-side broadcast join
+    * over id-only corpus bucket rows — no shuffle touches a vector.
+    * Candidate (qid, nid) id pairs dedupe on their own
+    * high-cardinality key, then corpus vectors join back once per
+    * surviving pair (shuffle of small id pairs + the corpus rows that
+    * actually matched) and query vectors re-attach by broadcast.
     */
   def annTopK(
       corpus: DataFrame,
@@ -276,17 +310,20 @@ object Similarity {
       dim: Int,
       tables: Int = 8,
       bits: Int = 4): DataFrame = {
-    val q = bucketedByTable(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
-      "qid", "qvec", tables, bits, dim)
-    val c = bucketedByTable(
-      corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")),
-      "nid", "nvec", tables, bits, dim)
-    val cand = q
-      .join(c, Seq("table", "bucket"))
+    val qvecs = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val cvecs = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val qb = bucketedByTable(qvecs, "qid", "qvec", tables, bits, dim)
+      .select("qid", "table", "bucket")
+    val cb = bucketedByTable(cvecs, "nid", "nvec", tables, bits, dim)
+      .select("nid", "table", "bucket")
+    val candIds = cb.join(broadcast(qb), Seq("table", "bucket"))
       .filter(col("qid") =!= col("nid"))
-      .select("qid", "qvec", "nid", "nvec")
+      .select("qid", "nid")
       .distinct()
-    rankTopK(cand.withColumn("sim", cosine(col("qvec"), col("nvec"))), k)
+    val scored = candIds
+      .join(cvecs, Seq("nid"))
+      .join(broadcast(qvecs), Seq("qid"))
+      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+    rankTopK(scored, k)
   }
 }

@@ -28,8 +28,16 @@ object TextAnalysis {
 
   /** Deterministic cross-engine 60-bit hash (md5 hex prefix → long).
     * 15 hex chars = 60 bits, always non-negative, fits a long.
+    * Implemented as the fused [[graft.functions.Md5PrefixLongExpr]] —
+    * bit-identical to `conv(substring(md5(..), 1, 15), 16, 10)` (the
+    * DuckDB-reproducible formula) without the hex-string round trip.
     */
   def h64(seed: Column, x: Column): Column =
+    graft.functions.Md5PrefixLongExpr.md5PrefixLong(
+      concat(seed.cast("string"), lit("|"), x), 15)
+
+  /** Composed built-in form of [[h64]] (equivalence-spec reference). */
+  private[graft] def h64Composed(seed: Column, x: Column): Column =
     conv(substring(md5(concat(seed.cast("string"), lit("|"), x)), 1, 15), 16, 10)
       .cast("long")
 
@@ -44,6 +52,10 @@ object TextAnalysis {
     * overflow in either engine's 64-bit signed arithmetic.
     */
   def baseHash(x: Column): Column =
+    graft.functions.Md5PrefixLongExpr.md5PrefixLong(x, 7)
+
+  /** Composed built-in form of [[baseHash]] (equivalence-spec reference). */
+  private[graft] def baseHashComposed(x: Column): Column =
     conv(substring(md5(x), 1, 7), 16, 10).cast("long")
 
   /** Production-speed base hash: xxhash64 folded to 28 bits. */
@@ -53,15 +65,28 @@ object TextAnalysis {
   /** Word n-gram shingles. Documents shorter than `n` tokens collapse
     * to a single whole-text shingle so every doc has ≥1 shingle (an
     * empty shingle set would make MinHash undefined).
+    *
+    * PERFORMANCE TRAP: this single-Column form embeds the full
+    * `split(lower(text))` subtree inside the `transform` lambda, so
+    * Catalyst re-evaluates the tokenization once per shingle element —
+    * O(tokens²) work per document. Hot paths must tokenize in a
+    * separate projection and call [[shinglesOfTokens]] on the
+    * materialized attribute instead (see [[graft.ops.Dedup.signatures]]).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array(lower(text)))
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), lower(text), n)
+
+  /** [[shingles]] over an already-materialized token-array column.
+    * `toks` and `lowered` should be plain attribute references (or
+    * cheap expressions): inside the per-element lambda only `slice` on
+    * the attribute runs, so tokenization happens once per row.
+    */
+  def shinglesOfTokens(toks: Column, lowered: Column, n: Int): Column =
+    when(size(toks) < n, array(lowered))
       .otherwise(
         transform(
-          sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws(" ", slice(t, i, lit(n)))))
-  }
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
 
   /** BPE-ish token count: alpha runs, digit runs, and single
     * punctuation marks each count as one token — a cheap proxy for
@@ -104,16 +129,24 @@ object TextAnalysis {
       alphaRatio >= 0.5 &&
       avgTokenLen >= 2.0 && avgTokenLen <= 20.0
 
+  /** Character k-grams of an already-lowered text column. `lowered`
+    * should be a materialized attribute: the per-element lambda then
+    * runs one `substr` per gram instead of re-lowering the whole text
+    * per gram (same re-evaluation trap as [[shingles]]).
+    */
+  def charGramsOfLowered(lowered: Column, k: Int): Column =
+    when(length(lowered) < k, array(lowered))
+      .otherwise(transform(
+        sequence(lit(1), length(lowered) - (k - 1)),
+        i => lowered.substr(i, lit(k))))
+
   /** Character k-grams of the lower-cased text (the winnowing input
     * unit — robust to word-boundary edits, unlike word shingles).
+    * Hot paths should lower in a separate projection and call
+    * [[charGramsOfLowered]].
     */
-  def charGrams(text: Column, k: Int): Column = {
-    val t = lower(text)
-    when(length(t) < k, array(t))
-      .otherwise(transform(
-        sequence(lit(1), length(t) - (k - 1)),
-        i => t.substr(i, lit(k))))
-  }
+  def charGrams(text: Column, k: Int): Column =
+    charGramsOfLowered(lower(text), k)
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003)
     * as (id, fp) pairs: hash every char `k`-gram, slide a window of
@@ -135,7 +168,7 @@ object TextAnalysis {
       textCol: String,
       k: Int = 8,
       w: Int = 4,
-      hasher: Column => Column = baseHash): DataFrame = {
+      hasher: Column => Column = fastBaseHash): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Hash-partition by id BEFORE the ~len-fold explode: the shuffle
     // moves one row per doc (not per gram), spreads the gram hashing
@@ -144,10 +177,13 @@ object TextAnalysis {
     // the exploded rows are never shuffled at all. The explicit
     // partition count matters: AQE would coalesce a bytes-small
     // pre-explode shuffle to one partition, blind to the ~len-fold
-    // row fanout the explode is about to apply.
+    // row fanout the explode is about to apply. Lowering happens in
+    // its own projection so the per-gram lambda substrings an
+    // attribute instead of re-lowering the text per gram.
     val grams = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol), posexplode(charGrams(col(textCol), k)).as(Seq("pos", "gram")))
+      .select(col(idCol), lower(col(textCol)).as("__lt"))
+      .select(col(idCol), posexplode(charGramsOfLowered(col("__lt"), k)).as(Seq("pos", "gram")))
       .select(col(idCol), col("pos"), hasher(col("gram")).as("h"))
     val byPos = Window.partitionBy(idCol).orderBy("pos")
     val frame = byPos.rowsBetween(Window.currentRow, w - 1)

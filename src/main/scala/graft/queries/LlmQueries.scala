@@ -20,6 +20,16 @@ object LlmQueries {
   private val simK = 5
   private val simQueryIds = 100 // query set = vec_id < 100
   private val embeddingDim = 64
+  private val annTables = 8
+  private val annBits = 4
+  private val ivfCentroids = 16
+  private val ivfProbe = 4
+
+  // Oracle queries pass the md5-derived hashers EXPLICITLY: the ops
+  // default to xxhash64 for production throughput, and cross-engine
+  // bit-reproducibility is a property only the oracle layer needs.
+  private val oracleBaseHash = TextAnalysis.baseHash _
+  private val oracleH64: Dedup.Hasher = TextAnalysis.h64
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = scala.collection.immutable.ListMap(
 
@@ -45,7 +55,8 @@ object LlmQueries {
     // Winnowing fingerprints, exploded to (doc_id, fp) rows.
     "q_fingerprint" -> ((s, dir) => {
       TextAnalysis.winnowingFingerprints(
-          Tables.documents(s, dir), "doc_id", "text", k = 8, w = 4)
+          Tables.documents(s, dir), "doc_id", "text", k = 8, w = 4,
+          hasher = oracleBaseHash)
         .orderBy("doc_id", "fp")
     }),
 
@@ -58,14 +69,16 @@ object LlmQueries {
     "q_dedup_near" -> ((s, dir) => {
       Dedup.nearDupPairs(
           Tables.documents(s, dir), "text", "doc_id",
-          k = 16, bands = 8, shingleN = 3, threshold = 0.0)
+          k = 16, bands = 8, shingleN = 3, threshold = 0.0,
+          baseHasher = oracleBaseHash)
         .orderBy("a", "b")
     }),
 
     "q_dedup_survivors" -> ((s, dir) => {
       Dedup.dedupNear(
           Tables.documents(s, dir), "text", "doc_id",
-          k = 16, bands = 8, shingleN = 3, threshold = 0.5)
+          k = 16, bands = 8, shingleN = 3, threshold = 0.5,
+          baseHasher = oracleBaseHash)
         .select("doc_id")
         .orderBy("doc_id")
     }),
@@ -73,7 +86,8 @@ object LlmQueries {
     "q_dedup_verified" -> ((s, dir) => {
       Dedup.verifiedNearDupPairs(
           Tables.documents(s, dir), "text", "doc_id",
-          k = 16, bands = 8, shingleN = 3, threshold = 0.4)
+          k = 16, bands = 8, shingleN = 3, threshold = 0.4,
+          baseHasher = oracleBaseHash)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard_r"))
         .orderBy("a", "b")
     }),
@@ -90,7 +104,8 @@ object LlmQueries {
     }),
 
     "q_simhash" -> ((s, dir) => {
-      Dedup.simhash(Tables.documents(s, dir), "text", "doc_id", bits = 60)
+      Dedup.simhash(Tables.documents(s, dir), "text", "doc_id", bits = 60,
+          hasher = oracleH64)
         .orderBy("doc_id")
     }),
 
@@ -103,14 +118,17 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
-    // Approximate paths (no oracle — results are recall-bounded, not
-    // exact; the driver records the weaker rows-only check and the
-    // recall contracts live in SimilaritySpec).
+    // Approximate paths — approximate in RECALL, but fully
+    // deterministic: the hyperplanes/centroids derive from md5-based
+    // constants both engines can compute, so DuckDB replays the exact
+    // bucket → candidate → re-rank pipeline and the results
+    // hash-match like every exact query (recall contracts additionally
+    // live in SimilaritySpec).
     "q_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.annTopK(
           emb, emb.filter(col("vec_id") < simQueryIds), "vec_id", "embedding",
-          simK, dim = embeddingDim, tables = 8, bits = 4)
+          simK, dim = embeddingDim, tables = annTables, bits = annBits)
         .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim_r"))
         .orderBy("qid", "rank")
     }),
@@ -119,7 +137,7 @@ object LlmQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(
           emb, emb.filter(col("vec_id") < simQueryIds), "vec_id", "embedding",
-          simK, nCentroids = 16, nProbe = 4)
+          simK, nCentroids = ivfCentroids, nProbe = ivfProbe)
         .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim_r"))
         .orderBy("qid", "rank")
     }),
@@ -134,7 +152,8 @@ object LlmQueries {
       val stats = d.select(col("doc_id") +: col("lang") +: statCols: _*)
       val quality = stats.filter(TextAnalysis.qualityPredicate(
         col("n_tokens"), col("alpha_ratio"), col("avg_token_len")))
-      val survivors = Dedup.dedupNear(d, "text", "doc_id", threshold = 0.5)
+      val survivors = Dedup.dedupNear(d, "text", "doc_id", threshold = 0.5,
+          baseHasher = oracleBaseHash)
         .select("doc_id")
       quality.join(survivors, Seq("doc_id"), "left_semi")
         .groupBy("lang")
@@ -290,7 +309,93 @@ object LlmQueries {
        |FROM ranked WHERE rank <= $simK ORDER BY qid, rank""".stripMargin
   }
 
+  /** Shared DuckDB fragment: exact double-fold dot product. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${embeddingDim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  /** Shared DuckDB fragment: exact cosine + top-k re-rank over a
+    * `cand(qid, nid)` CTE — identical to the brute-force oracle's
+    * scoring, applied to the candidate set.
+    */
+  private def rerankSql: String =
+    s""", scored AS (
+       |  SELECT cand.qid, cand.nid,
+       |    ${dotSql("qv.embedding", "nv.embedding")} /
+       |    (sqrt(${dotSql("qv.embedding", "qv.embedding")}) * sqrt(${dotSql("nv.embedding", "nv.embedding")})) AS sim
+       |  FROM cand
+       |  JOIN embeddings qv ON qv.vec_id = cand.qid
+       |  JOIN embeddings nv ON nv.vec_id = cand.nid
+       |), ranked AS (
+       |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(sim, 4) AS sim_r
+       |FROM ranked WHERE rank <= $simK ORDER BY qid, rank""".stripMargin
+
+  /** LSH ANN oracle: re-derives the md5-based hyperplanes
+    * ([[Similarity.hyperplane]]: first 15 md5 hex chars of
+    * "table|bit|dim" scaled to [-1, 1)), replays signature → bucket →
+    * candidate generation, then exact-cosine re-ranks — the same
+    * deterministic pipeline the engine runs.
+    */
+  private def annOracle: String =
+    s"""WITH hp AS (
+       |  SELECT t.t, b.b,
+       |    list_transform(generate_series(0, ${embeddingDim - 1}),
+       |      d -> (('0x' || substr(md5(t.t::VARCHAR || '|' || b.b::VARCHAR || '|' || d::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+       |           / ${1L << 59}.0 - 1.0) AS w
+       |  FROM (SELECT unnest(generate_series(0, ${annTables - 1})) AS t) t,
+       |       (SELECT unnest(generate_series(0, ${annBits - 1})) AS b) b
+       |), buck AS (
+       |  SELECT e.vec_id, hp.t AS tbl,
+       |    sum(CASE WHEN list_sum(list_transform(range(1, ${embeddingDim + 1}),
+       |                    i -> hp.w[i] * e.embedding[i]::DOUBLE)) >= 0
+       |             THEN (1 << hp.b) ELSE 0 END)::INTEGER AS bucket
+       |  FROM embeddings e CROSS JOIN hp
+       |  GROUP BY e.vec_id, hp.t
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE q.vec_id < $simQueryIds AND q.vec_id <> c.vec_id
+       |)""".stripMargin + rerankSql
+
+  /** IVF oracle: centroids = the `ivfCentroids` lowest-vec_id corpus
+    * vectors (the engine's deterministic quantizer seed), corpus rows
+    * assign to their best-dot centroid (first index wins ties),
+    * queries probe their `ivfProbe` best centroids, exact cosine
+    * re-ranks — replaying [[Similarity.ivfTopK]] step for step.
+    */
+  private def ivfOracle: String =
+    s"""WITH cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS idx,
+       |    embedding AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $ivfCentroids)
+       |), cd AS (
+       |  SELECT e.vec_id, c.idx,
+       |    ${dotSql("c.cvec", "e.embedding")} AS d
+       |  FROM embeddings e CROSS JOIN cent c
+       |), assign AS (
+       |  SELECT vec_id AS nid, idx AS centroid FROM (
+       |    SELECT vec_id, idx,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, idx) AS rn
+       |    FROM cd
+       |  ) WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS qid, idx AS centroid FROM (
+       |    SELECT vec_id, idx,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, idx) AS rn
+       |    FROM cd WHERE vec_id < $simQueryIds
+       |  ) WHERE rn <= $ivfProbe
+       |), cand AS (
+       |  SELECT p.qid, a.nid
+       |  FROM probes p JOIN assign a ON a.centroid = p.centroid
+       |  WHERE p.qid <> a.nid
+       |)""".stripMargin + rerankSql
+
   def oracleSql: Map[String, String] = Map(
+    "q_ann_topk" -> annOracle,
+    "q_ivf_topk" -> ivfOracle,
     "q_fingerprint" ->
       """WITH t AS (
         |  SELECT doc_id, lower(text) AS t FROM documents
