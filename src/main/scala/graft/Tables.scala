@@ -27,12 +27,17 @@ object Tables {
     * DuckDB oracle's nanos→micros truncation, and safe for the
     * ~1.7e18 nanosecond epoch values (fits in Long; a double division
     * would lose precision past 2^53).
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the
+    * session (events.ts is parquet TIMESTAMP(NANOS), unreadable
+    * natively) — set at session BUILD, as Verify/Bench/EntrySmoke and
+    * the test harness do. This loader deliberately does not mutate
+    * session conf: a conf write here would silently affect every
+    * other parquet read on the session and race concurrent queries.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "events")
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

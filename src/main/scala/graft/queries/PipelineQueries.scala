@@ -19,6 +19,8 @@ object PipelineQueries {
 
   val businessFixture = "/root/repo/fixtures/business.ndjson"
   val checkinFixture = "/root/repo/fixtures/checkin.ndjson"
+  val reviewFixture = "/root/repo/fixtures/review.ndjson"
+  val tipFixture = "/root/repo/fixtures/tip.ndjson"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = scala.collection.immutable.ListMap(
 
@@ -59,6 +61,45 @@ object PipelineQueries {
         col("date_month"),
         col("date_year"))
         .orderBy("checkin_id")
+    }),
+
+    // The review clean branch (`clean.py:131-146`): date-feature
+    // bundle over "yyyy-MM-dd" dates, source column dropped. Fixture
+    // includes a NULL and a malformed date to pin the try_* NULL
+    // semantics end-to-end.
+    "q_clean_review" -> ((s, _) => {
+      val cleaned = Pipelines.cleanTransform(s.read.json(reviewFixture), "review")
+      cleaned.select(
+        col("review_id"),
+        col("business_id"),
+        col("stars"),
+        col("useful"),
+        col("date_ts").cast("timestamp_ntz").as("date_ts"),
+        col("date_date"),
+        col("date_week_start_date"),
+        col("date_week"),
+        col("date_quarter"),
+        col("date_dayofweek"),
+        col("date_month"),
+        col("date_year"))
+        .orderBy("review_id")
+    }),
+
+    // The tip clean branch — same date-feature path as review, with
+    // the tip schema (no surrogate key; (business_id, user_id) is
+    // unique in the fixture and serves as the sort key).
+    "q_clean_tip" -> ((s, _) => {
+      val cleaned = Pipelines.cleanTransform(s.read.json(tipFixture), "tip")
+      cleaned.select(
+        col("user_id"),
+        col("business_id"),
+        col("compliment_count"),
+        col("date_ts").cast("timestamp_ntz").as("date_ts"),
+        col("date_date"),
+        col("date_dayofweek"),
+        col("date_month"),
+        col("date_year"))
+        .orderBy("business_id", "user_id")
     }))
 
   /** The 6-step repair chain (`clean.py:69-94`) as nested DuckDB SQL —
@@ -122,5 +163,38 @@ object PipelineQueries {
          |  CAST(dayofweek(ts) + 1 AS INTEGER) AS date_dayofweek,
          |  CAST(month(ts) AS INTEGER) AS date_month,
          |  CAST(year(ts) AS INTEGER) AS date_year
-         |FROM t ORDER BY checkin_id""".stripMargin)
+         |FROM t ORDER BY checkin_id""".stripMargin,
+    "q_clean_review" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_json('$reviewFixture', format='newline_delimited')
+         |), t AS (
+         |  SELECT review_id, business_id, stars, useful,
+         |    TRY_CAST(date AS TIMESTAMP) AS ts
+         |  FROM raw
+         |)
+         |SELECT review_id, business_id, stars, useful,
+         |  ts AS date_ts,
+         |  ts::DATE AS date_date,
+         |  date_trunc('week', ts)::DATE AS date_week_start_date,
+         |  CAST(weekofyear(ts) AS INTEGER) AS date_week,
+         |  CAST(quarter(ts) AS INTEGER) AS date_quarter,
+         |  CAST(dayofweek(ts) + 1 AS INTEGER) AS date_dayofweek,
+         |  CAST(month(ts) AS INTEGER) AS date_month,
+         |  CAST(year(ts) AS INTEGER) AS date_year
+         |FROM t ORDER BY review_id""".stripMargin,
+    "q_clean_tip" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_json('$tipFixture', format='newline_delimited')
+         |), t AS (
+         |  SELECT user_id, business_id, compliment_count,
+         |    TRY_CAST(date AS TIMESTAMP) AS ts
+         |  FROM raw
+         |)
+         |SELECT user_id, business_id, compliment_count,
+         |  ts AS date_ts,
+         |  ts::DATE AS date_date,
+         |  CAST(dayofweek(ts) + 1 AS INTEGER) AS date_dayofweek,
+         |  CAST(month(ts) AS INTEGER) AS date_month,
+         |  CAST(year(ts) AS INTEGER) AS date_year
+         |FROM t ORDER BY business_id, user_id""".stripMargin)
 }

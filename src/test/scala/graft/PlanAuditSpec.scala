@@ -43,6 +43,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), "top-k must prune before the rank shuffle")
   }
 
+  test("q_ann_topk candidates move ids only — no vector-carrying dedup") {
+    val plan = planOf("q_ann_topk")
+    assert(plan.contains("BroadcastHashJoin"), "query buckets must broadcast")
+    // The candidate distinct must aggregate (qid, nid) id pairs; an
+    // embedding column in any aggregate grouping key means the r2
+    // scale-killer (dedup shuffling 64-float vectors per candidate)
+    // has returned.
+    val keyLines = plan.linesIterator.filter(_.trim.startsWith("Keys")).toSeq
+    assert(keyLines.nonEmpty, "expected HashAggregate keys in the plan")
+    assert(keyLines.forall(l => !l.contains("vec")),
+      s"vector column in aggregate keys:\n${keyLines.mkString("\n")}")
+  }
+
   test("q1_pricing_summary aggregates with a map-side partial phase") {
     val plan = planOf("q1_pricing_summary")
     assert(plan.contains("HashAggregate"))
