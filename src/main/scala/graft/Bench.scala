@@ -34,20 +34,22 @@ object Bench {
     Tables.events(spark, sfDir).count()
     val names = SparkEntry.queries.keys.toSeq
     val best = scala.collection.mutable.LinkedHashMap(names.map(_ -> Double.MaxValue): _*)
+    val worst = scala.collection.mutable.LinkedHashMap(names.map(_ -> 0.0): _*)
     for (_ <- 1 to runs) {
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         val sec = (System.nanoTime() - t0) / 1e9
         if (sec < best(name)) best(name) = sec
+        if (sec > worst(name)) worst(name) = sec
       }
       CachedFrames.unpersistAll()
     }
-    val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def obj(m: collection.Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
     val par = spark.sparkContext.defaultParallelism
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","parallelism":$par,"runs":$runs,"loadavg_start":$load0,"loadavg_end":$loadavg}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(best)},"queries_max":${obj(worst)},"sf":"$sfDir","parallelism":$par,"runs":$runs,"loadavg_start":$load0,"loadavg_end":$loadavg}""")
     spark.stop()
   }
 }
