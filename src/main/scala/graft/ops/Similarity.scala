@@ -170,6 +170,78 @@ object Similarity {
     ivfTopK(corpus, queries, idCol, vecCol, k, centroids.toSeq, nProbe)
   }
 
+  /** Deterministic spherical k-means trainer for the IVF quantizer.
+    *
+    * Scale shape: seeding happens on a bounded driver-side sample (the
+    * `seedSample` lowest-id vectors — farthest-point traversal by
+    * cosine, so well-separated clusters each contribute a seed);
+    * each Lloyd iteration is ONE distributed pass — assignment via the
+    * fused [[graft.functions.MatVecDotsExpr]] argmax (map-side, no
+    * join) and a groupBy(centroid) with `dim` avg aggregates (map-side
+    * partial combine, k×dim-cell shuffle) — followed by a k-row
+    * collect. Centroid means are L2-normalized, so the max-DOT
+    * assignment [[ivfTopK]] uses is exactly max-cosine assignment.
+    * Empty clusters keep their previous centroid. Deterministic for a
+    * fixed corpus: seeds come from id order, iteration count is fixed
+    * (per-dimension `avg` is order-insensitive up to double rounding).
+    *
+    * Everything here is public-textbook k-means (Lloyd 1957) arranged
+    * for Spark; cost is `iters` corpus scans, driver memory
+    * O(seedSample × dim).
+    */
+  def trainCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      dim: Int,
+      iters: Int = 3,
+      seedSample: Int = 256): Seq[Seq[Float]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    // ---- farthest-point seeding on a bounded sample
+    val sample = corpus
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(seedSample)
+      .collect().map(r => normalize(r.getSeq[Float](1).map(_.toDouble).toArray))
+    require(sample.nonEmpty, "corpus is empty")
+    def dotArr(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (seeds.size < math.min(nCentroids, sample.length)) {
+      // next seed = sample point whose best similarity to any existing
+      // seed is smallest (ties: first in id order)
+      val next = sample.minBy(v => seeds.map(s => dotArr(v, s)).max)
+      seeds += next
+    }
+    var centroids: Array[Array[Double]] = seeds.toArray
+
+    // ---- Lloyd iterations, one distributed pass each
+    val vecs = corpus.select(col(vecCol).as("__vec"))
+    for (_ <- 1 to iters) {
+      val cd = vecs.withColumn(
+        "__cd", graft.functions.MatVecDotsExpr.matVecDots(col("__vec"), centroids))
+      val assign = (array_position(col("__cd"), array_max(col("__cd"))).cast("int") - 1).as("__c")
+      val avgs = (0 until dim).map(d =>
+        avg(element_at(col("__vec"), d + 1).cast("double")).as(s"__d$d"))
+      val rows = cd.select(assign, col("__vec"))
+        .groupBy("__c").agg(avgs.head, avgs.tail: _*)
+        .collect()
+      val next = centroids.map(identity)
+      rows.foreach { r =>
+        val c = r.getInt(0)
+        if (c >= 0 && c < next.length)
+          next(c) = normalize(Array.tabulate(dim)(d => r.getDouble(d + 1)))
+      }
+      centroids = next
+    }
+    centroids.map(_.map(_.toFloat).toSeq).toSeq
+  }
+
   /** IVF with caller-provided centroid vectors. */
   def ivfTopK(
       corpus: DataFrame,

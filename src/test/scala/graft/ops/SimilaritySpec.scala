@@ -80,6 +80,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall with per-cluster centroids")
   }
 
+  test("trainCentroids: k-means quantizer beats the naive lowest-id seed") {
+    val df = clustered(nClusters = 8, perCluster = 8, dim = 16).cache()
+    val queries = df.filter(col("vec_id") % 8 === 3)
+    val k = 4
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recallOf(centroids: Seq[Seq[Float]]): Double = {
+      val got = Similarity.ivfTopK(df, queries, "vec_id", "embedding", k, centroids, nProbe = 2)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    // naive quantizer: the 8 lowest-id vectors — ALL from cluster 0, a
+    // pathologically bad codebook for this fixture
+    val naive = df.orderBy("vec_id").limit(8)
+      .select("embedding").as[Seq[Float]].collect().toSeq
+    // farthest-point seeding must pick ~one seed per separated cluster
+    // and Lloyd refinement keeps them there
+    val trained = Similarity.trainCentroids(df, "vec_id", "embedding",
+      nCentroids = 8, dim = 16, iters = 3)
+    assert(trained.size == 8)
+    val (rNaive, rTrained) = (recallOf(naive), recallOf(trained))
+    assert(rTrained >= 0.9, s"trained recall $rTrained")
+    assert(rTrained >= rNaive, s"trained $rTrained < naive $rNaive")
+  }
+
   test("embedding near-dup: exact and ANN paths find the seeded dup, dedup keeps min id") {
     val base = clustered(nClusters = 6, perCluster = 4, dim = 16)
     // ids within a cluster are near-identical vectors (center + 1% noise)
