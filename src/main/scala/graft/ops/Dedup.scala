@@ -88,13 +88,18 @@ object Dedup {
   def minhashB(i: Int): Long =
     graft.functions.Md5PrefixLongExpr.hashPrefix(s"minhash-b|$i", 15) % minhashP
 
-  /** (id, sh: array<string>) — the word-`shingleN`-gram sets every
-    * MinHash/verification stage derives from. Tokenization runs in its
-    * own projection so the per-shingle lambda slices a materialized
-    * attribute (the single-Column form re-tokenizes per element —
-    * O(tokens²) per doc; see [[TextAnalysis.shingles]]). The explicit
-    * keyed pre-repartition parallelizes shingling from single-split
-    * sources and pre-satisfies downstream per-id aggregations.
+  /** (id, sh: array<string>) — the word-`shingleN`-gram sets as one
+    * array per document. Tokenization runs in its own projection so
+    * the per-shingle lambda slices a materialized attribute (the
+    * single-Column form re-tokenizes per element — O(tokens²) per doc;
+    * see [[TextAnalysis.shingles]]).
+    *
+    * NOTE the array-lambda `transform` inside still evaluates
+    * INTERPRETED per element (Spark higher-order functions have no
+    * codegen) — ~16µs/shingle measured. Use this only on bounded
+    * inputs (the verification path calls it on candidate-pair docs
+    * only); full-corpus pipelines go through the codegen'd
+    * [[shinglesExploded]].
     */
   def shingleFrame(
       df: DataFrame,
@@ -110,6 +115,50 @@ object Dedup {
         col(idCol),
         shinglesOfTokens(col("__toks"), col("__lt"), shingleN).as("sh"))
 
+  /** (id, __sh) exploded word-shingle rows, built RELATIONALLY:
+    * posexplode tokens → per-doc `lead(tok, j)` window → `concat_ws` —
+    * codegen'd end to end. The array-lambda alternative
+    * (`transform(sequence(...), i => concat_ws(slice(...)))`) runs
+    * interpreted per element and measured as the dominant cost of the
+    * whole MinHash pipeline (4.1s to explode 260k shingles at sf0.1 vs
+    * hashing's 0.7s). Short docs (< `shingleN` tokens) contribute one
+    * whole-text shingle, exactly like [[TextAnalysis.shingles]].
+    *
+    * The keyed pre-repartition (explicit count — AQE would coalesce
+    * the bytes-small exchange) spreads token fanout across cores and
+    * pre-satisfies both the window distribution here and the
+    * downstream per-id signature aggregation: exploded rows never
+    * shuffle.
+    */
+  def shinglesExploded(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(
+        col(idCol),
+        tokens(col(textCol)).as("__toks"),
+        lower(col(textCol)).as("__lt"))
+    val short = base.filter(size(col("__toks")) < shingleN)
+      .select(col(idCol), col("__lt").as("__sh"))
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    val leadCols = (1 until shingleN).map(j => s"__l$j")
+    val long = base.filter(size(col("__toks")) >= shingleN)
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .select(
+        col(idCol) +: col("__tok") +:
+          (1 until shingleN).map(j => lead(col("__tok"), j).over(w).as(s"__l$j")): _*)
+      // rows whose last lead is null are truncated trailing windows
+      .filter(col(leadCols.last).isNotNull)
+      .select(
+        col(idCol),
+        concat_ws(" ", col("__tok") +: leadCols.map(col): _*).as("__sh"))
+    long.union(short)
+  }
+
   /** id → k-slot MinHash signature of the word-`shingleN`-gram set.
     *
     * Relational shape: explode shingles → base-hash each once →
@@ -118,8 +167,9 @@ object Dedup {
     * an earlier nested `transform`/`array_min` formulation spent
     * several seconds in codegen and risked per-reference re-evaluation
     * of the hash array), and partial aggregation combines map-side.
-    * Built on [[shingleFrame]], so a persisted shingle frame (the
-    * verification path caches one) is substituted automatically.
+    * Built on the fully codegen'd [[shinglesExploded]]; the exploded
+    * rows arrive pre-partitioned by id, so the groupBy shuffles
+    * nothing.
     */
   def signatures(
       df: DataFrame,
@@ -128,8 +178,7 @@ object Dedup {
       k: Int = 16,
       shingleN: Int = 3,
       baseHasher: Column => Column = fastBaseHash): DataFrame = {
-    val exploded = shingleFrame(df, textCol, idCol, shingleN)
-      .select(col(idCol), explode(col("sh")).as("__sh"))
+    val exploded = shinglesExploded(df, textCol, idCol, shingleN)
       .select(col(idCol), baseHasher(col("__sh")).as("__b"))
     val mins = (0 until k).map { i =>
       min((col("__b") * lit(minhashA(i)) + lit(minhashB(i))) % lit(minhashP)).as(s"__m$i")
@@ -262,11 +311,15 @@ object Dedup {
   }
 
   /** Near-dup pairs re-verified with exact shingle Jaccard (the
-    * production-quality path: LSH recall, exact precision). The
-    * shingle frame persists once and serves BOTH the signature
-    * pipeline (CacheManager substitutes the cached fragment into the
-    * signature plan) and the verification joins — documents are
-    * tokenized and shingled exactly once.
+    * production-quality path: LSH recall, exact precision).
+    *
+    * Shingle ARRAYS are materialized only for documents that actually
+    * appear in a candidate pair (semi-join on the persisted candidate
+    * frame): the verification cost scales with the candidate set —
+    * already bucket-bounded and cappable — never with the corpus. The
+    * full corpus is only ever touched by the codegen'd exploded
+    * pipeline inside [[signatures]] (shared with [[nearDupPairs]] via
+    * the cache registry).
     */
   def verifiedNearDupPairs(
       df: DataFrame,
@@ -278,9 +331,13 @@ object Dedup {
       threshold: Double = 0.5,
       baseHasher: Column => Column = fastBaseHash,
       maxBucketSize: Int = 0): DataFrame = {
-    val sh = CachedFrames.persistOnce(shingleFrame(df, textCol, idCol, shingleN))
-    val cand =
-      nearDupPairs(df, textCol, idCol, k, bands, shingleN, 0.0, baseHasher, maxBucketSize)
+    val cand = CachedFrames.persistOnce(
+      nearDupPairs(df, textCol, idCol, k, bands, shingleN, 0.0, baseHasher, maxBucketSize))
+    val candIds = cand.select(col("a").as(idCol))
+      .union(cand.select(col("b").as(idCol)))
+      .distinct()
+    val sh = shingleFrame(
+      df.join(candIds, Seq(idCol), "left_semi"), textCol, idCol, shingleN)
     cand
       .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), Seq("b"))

@@ -177,13 +177,24 @@ object TextAnalysis {
     // the exploded rows are never shuffled at all. The explicit
     // partition count matters: AQE would coalesce a bytes-small
     // pre-explode shuffle to one partition, blind to the ~len-fold
-    // row fanout the explode is about to apply. Lowering happens in
-    // its own projection so the per-gram lambda substrings an
-    // attribute instead of re-lowering the text per gram.
-    val grams = df
+    // row fanout the explode is about to apply.
+    //
+    // Grams are built RELATIONALLY (explode a position sequence, then
+    // substr — both codegen'd) rather than with the array-lambda
+    // charGrams form: Spark higher-order functions evaluate
+    // interpreted per element, which measured as the dominant cost of
+    // this operator (same finding as Dedup.shinglesExploded).
+    val base = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol), lower(col(textCol)).as("__lt"))
-      .select(col(idCol), posexplode(charGramsOfLowered(col("__lt"), k)).as(Seq("pos", "gram")))
+    val short = base.filter(length(col("__lt")) < k)
+      .select(col(idCol), lit(0).as("pos"), col("__lt").as("gram"))
+    val long = base.filter(length(col("__lt")) >= k)
+      .select(col(idCol), col("__lt"),
+        explode(sequence(lit(1), length(col("__lt")) - (k - 1))).as("__p"))
+      .select(col(idCol), (col("__p") - 1).as("pos"),
+        col("__lt").substr(col("__p"), lit(k)).as("gram"))
+    val grams = long.union(short)
       .select(col(idCol), col("pos"), hasher(col("gram")).as("h"))
     val byPos = Window.partitionBy(idCol).orderBy("pos")
     val frame = byPos.rowsBetween(Window.currentRow, w - 1)
