@@ -45,6 +45,7 @@ object SparkEntry {
     scala.collection.immutable.ListMap.empty[String, (SparkSession, String) => DataFrame] ++
     graft.queries.ParityQueries.queries ++
     graft.queries.LlmQueries.queries ++
+    graft.queries.CurationQueries.queries ++
     graft.queries.PipelineQueries.queries ++ Map(
     // F11–F14 + P2/P3: the reference's most reused compound operator
     // (create_date_features, clean.py:213-233) over the events table.
@@ -85,6 +86,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.ParityQueries.oracleSql ++
     graft.queries.LlmQueries.oracleSql ++
+    graft.queries.CurationQueries.oracleSql ++
     graft.queries.PipelineQueries.oracleSql ++ Map(
     "q_date_features" ->
       """SELECT event_id,

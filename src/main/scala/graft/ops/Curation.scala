@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * split assignment, stratified sampling, PII redaction, benchmark
+  * decontamination, token-budget sequence packing, and vocabulary
+  * building.
+  *
+  * The reference stops at cleaning/enrichment
+  * (`/root/reference/yelp_etl/pipeline/clean.py`,
+  * `enrich.py`); these are the operations a pre-training data run
+  * applies AFTER that stage, designed Spark-first:
+  *
+  *   - split/sample/redact are pure codegen'd projections — zero
+  *     shuffle, cost is one map pass at any scale;
+  *   - decontamination broadcasts the (small by definition) benchmark
+  *     side and streams the corpus;
+  *   - packing pays exactly one range shuffle — the unavoidable price
+  *     of a globally ordered layout — plus a per-partition-offsets
+  *     count job (bounded driver data: numPartitions longs);
+  *   - vocabulary is a map-side-combined hash agg + bounded top-k
+  *     (TakeOrderedAndProject — no global sort).
+  *
+  * Hashing follows the repo-wide convention ([[TextAnalysis.h64]]):
+  * callers default to the fast `xxhash64` path; oracle queries pass
+  * the md5-derived cross-engine hasher explicitly.
+  */
+object Curation {
+
+  /** 0..9999 deterministic bucket for a row id — the basis of split
+    * assignment and sampling. Same id + seed → same bucket on any
+    * cluster, any partitioning, any engine (with the md5 hasher).
+    */
+  def bucket10k(
+      seed: Long,
+      id: Column,
+      hasher: (Column, Column) => Column = TextAnalysis.fastH64): Column =
+    pmod(hasher(lit(seed), id.cast("string")), lit(10000L))
+
+  /** Assign each row to a named split ("train"/"val"/"test"/…) by
+    * cumulative weight over the deterministic [[bucket10k]]. Weights
+    * need not sum to 1 — they are normalized. Pure projection: no
+    * shuffle, no RNG state, reproducible under retries/speculative
+    * execution (a `rand()`-based split is not: a re-executed task
+    * re-draws and rows silently change splits mid-job).
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[(String, Double)],
+      seed: Long = 42L,
+      hasher: (Column, Column) => Column = TextAnalysis.fastH64): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail.map(w => (w / total * 10000).round)
+    val b = bucket10k(seed, col(idCol), hasher)
+    val expr = weights.map(_._1).zip(cuts).init
+      .foldRight(lit(weights.last._1): Column) { case ((name, cut), acc) =>
+        when(b < lit(cut), lit(name)).otherwise(acc)
+      }
+    df.withColumn("bucket", b).withColumn("split", expr)
+  }
+
+  /** Keep each row with a per-stratum probability, deterministically:
+    * row survives iff its [[bucket10k]] falls under `rate × 10000` for
+    * its stratum. Unlike `df.stat.sampleBy`, the decision is a pure
+    * function of (id, seed) — stable across retries, partitionings,
+    * and engines — and the filter is codegen'd, so down-sampling a
+    * 100 TB corpus is one scan with no shuffle.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Seq[(String, Double)],
+      defaultRate: Double = 0.0,
+      seed: Long = 7L,
+      hasher: (Column, Column) => Column = TextAnalysis.fastH64): DataFrame = {
+    val b = bucket10k(seed, col(idCol), hasher)
+    val cut = rates.foldRight(lit((defaultRate * 10000).round): Column) {
+      case ((stratum, rate), acc) =>
+        when(col(strataCol) === lit(stratum), lit((rate * 10000).round)).otherwise(acc)
+    }
+    df.filter(b < cut)
+  }
+
+  /** PII patterns: conservative ASCII regexes that Java and RE2 (DuckDB)
+    * interpret identically — no lookaround, no unicode classes.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val ipPattern = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+
+  /** Redact emails, then IPs, then phone numbers (emails first so a
+    * digits-in-domain address can't leave a partial match for the
+    * narrower patterns). One codegen'd projection, no shuffle.
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, emailPattern, "[EMAIL]")
+    val i = regexp_replace(e, ipPattern, "[IP]")
+    regexp_replace(i, phonePattern, "[PHONE]")
+  }
+
+  /** Per-category PII hit counts (audit columns for a redaction job). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(emailPattern)).cast("long"),
+    "n_ips" -> regexp_count(text, lit(ipPattern)).cast("long"),
+    "n_phones" -> regexp_count(text, lit(phonePattern)).cast("long"))
+
+  /** Benchmark decontamination: (doc_id, bench_id, n_shared) for every
+    * corpus document sharing ≥ `minShared` distinct word-`shingleN`-gram
+    * shingles with a benchmark document — the standard n-gram-overlap
+    * contamination check run before training on scraped corpora.
+    *
+    * Scale shape: both sides shingle through the codegen'd
+    * [[Dedup.shinglesExploded]]; per-doc duplicate grams collapse
+    * WITHOUT a new shuffle (the exploded rows are already partitioned
+    * by doc id, which satisfies the distinct's clustering); the
+    * benchmark side — small by definition — broadcasts, so the corpus
+    * is never shuffled by content; the (doc, bench) overlap counts
+    * aggregate with map-side partials. Corpus cost: one scan + one
+    * bounded aggregation, no corpus-sized shuffle.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      minShared: Long = 1L): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      Dedup.shinglesExploded(df, textCol, idCol, shingleN)
+        .select(col(idCol).as(as), col("__sh")).distinct()
+    grams(corpus, "doc_id")
+      .join(broadcast(grams(bench, "bench_id")), "__sh")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Token-budget sequence packing (concat-and-chunk): documents are
+    * laid out in `idCol` order, token counts accumulate, and each doc
+    * is stamped with the `budget`-sized pack it starts in
+    * (`pack_id = floor(tokens_before / budget)`) and its offset within
+    * that pack — the deterministic "concatenate the corpus and cut
+    * every `budget` tokens" layout pre-training batch assembly uses
+    * (documents may straddle a boundary; the consumer splits or drops
+    * the remainder).
+    *
+    * Same two-pass partition-offset shape as
+    * [[Surrogate.withSequentialId]] — a prefix sum, NOT a global
+    * window: range-shuffle by id, per-partition token totals (one
+    * lightweight job, numPartitions longs to the driver), then each
+    * partition computes its running sum independently from its
+    * offset. No single-task bottleneck at any scale.
+    *
+    * `tokenCol` must be a non-null LongType column (e.g.
+    * [[TextAnalysis.bpeTokenCount]] materialized by the caller).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+    val rdd = sorted.rdd
+    val tokIdx = sorted.schema.fieldIndex(tokenCol)
+    val partSums = rdd
+      .mapPartitions(it => Iterator.single(it.foldLeft(0L)(_ + _.getLong(tokIdx))))
+      .collect()
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val packed = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var cum = offsets(pi)
+      it.map { row =>
+        val out = Row.fromSeq(row.toSeq :+ (cum / budget) :+ (cum % budget))
+        cum += row.getLong(tokIdx)
+        out
+      }
+    }
+    spark.createDataFrame(
+      packed,
+      sorted.schema
+        .add("pack_id", LongType, nullable = false)
+        .add("pack_offset", LongType, nullable = false))
+  }
+
+  /** Top-`k` whitespace-token vocabulary by corpus frequency, ranked
+    * with a total order (freq desc, then token) so the cut is
+    * deterministic. explode → map-side-combined hash agg → bounded
+    * top-k (`orderBy.limit` lowers to TakeOrderedAndProject: each
+    * partition keeps k rows, no global sort); the rank window runs
+    * over the k collected survivors only.
+    */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+  }
+}

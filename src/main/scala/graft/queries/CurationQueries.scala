@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Curation, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the corpus-curation operators
+  * ([[graft.ops.Curation]]): split assignment, stratified sampling,
+  * PII redaction, benchmark decontamination, sequence packing, and
+  * vocabulary building over the `documents` table.
+  *
+  * Conventions as everywhere: md5-derived hashers passed explicitly
+  * (ops default to xxhash64), unique ORDER BY keys, identical column
+  * names in both engines.
+  */
+object CurationQueries {
+
+  private val benchCut = 25 // doc_id < benchCut plays the "benchmark set"
+  private val packBudget = 512L
+  private val vocabK = 100
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = scala.collection.immutable.ListMap(
+
+    // Deterministic hash split: every doc gets a bucket and a named
+    // split; re-running on any partitioning reproduces it exactly.
+    "q_split_assign" -> ((s, dir) => {
+      Curation.assignSplit(
+          Tables.documents(s, dir),
+          "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          seed = 42L,
+          hasher = TextAnalysis.h64)
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    }),
+
+    // Per-language down-sampling at deterministic rates.
+    "q_stratified_sample" -> ((s, dir) => {
+      Curation.stratifiedSample(
+          Tables.documents(s, dir),
+          "doc_id", "lang",
+          Seq("en" -> 0.5, "fr" -> 0.25),
+          defaultRate = 0.1,
+          seed = 7L,
+          hasher = TextAnalysis.h64)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub over text with deterministically synthesized PII (the
+    // same build-the-junk-then-repair pattern as q_string_repair: the
+    // redaction chain is what's compared, constructed identically in
+    // both engines).
+    "q_pii_redact" -> ((s, dir) => {
+      val raw = concat(
+        col("text"), lit(" contact "), col("lang"), lit(".user"),
+        col("doc_id").cast("string"), lit("@mail"),
+        col("doc_id").cast("string"), lit(".example.org or 555-123-4567 at 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0.99 now"))
+      val countCols = Curation.piiCounts(col("raw")).map { case (n, c) => c.as(n) }
+      Tables.documents(s, dir)
+        .withColumn("raw", raw)
+        .select(
+          col("doc_id") +: Curation.redactPii(col("raw")).as("redacted") +: countCols: _*)
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: corpus docs sharing >= 2 distinct
+    // word-trigram shingles with a "benchmark" doc (doc_id < 25).
+    "q_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Curation.decontaminate(
+          d.filter(col("doc_id") >= benchCut),
+          d.filter(col("doc_id") < benchCut),
+          "text", "doc_id", shingleN = 3, minShared = 2L)
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // Concat-and-chunk packing by BPE-ish token budget.
+    "q_pack_sequences" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_tokens"))
+      Curation.packSequences(d, "doc_id", "n_tokens", packBudget)
+        .select("doc_id", "n_tokens", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    }),
+
+    // Corpus vocabulary: top-100 tokens by frequency, total-ordered.
+    "q_vocab_topk" -> ((s, dir) => {
+      Curation.vocabulary(Tables.documents(s, dir), "text", vocabK)
+        .select("token", "freq", "rank")
+        .orderBy("rank")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 8000 THEN 'train'
+        |       WHEN bucket < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('7|' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bkt
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang FROM b
+        |WHERE bkt < CASE WHEN lang = 'en' THEN 5000
+        |                 WHEN lang = 'fr' THEN 2500
+        |                 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    text || ' contact ' || lang || '.user' || doc_id::VARCHAR || '@mail'
+        |      || doc_id::VARCHAR || '.example.org or 555-123-4567 at 10.'
+        |      || (doc_id % 200)::VARCHAR || '.0.99 now' AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '[IP]', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g') AS redacted,
+        |  len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(raw, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b'))::BIGINT AS n_ips,
+        |  len(regexp_extract_all(raw, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))::BIGINT AS n_phones
+        |FROM raw ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lower(text) AS t FROM documents
+         |), tok AS (
+         |  SELECT doc_id, t, string_split(t, ' ') AS toks FROM docs
+         |), sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN [t]
+         |         ELSE list_transform(generate_series(1, len(toks)-2),
+         |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shingles
+         |  FROM tok
+         |), ex AS (
+         |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM sh
+         |), hits AS (
+         |  SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+         |  FROM ex c JOIN ex b ON c.sh = b.sh
+         |  WHERE c.doc_id >= $benchCut AND b.doc_id < $benchCut
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_id, bench_id, n_shared FROM hits
+         |WHERE n_shared >= 2 ORDER BY doc_id, bench_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, cum // 512 AS pack_id, cum % 512 AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+        |), f AS (
+        |  SELECT token, count(*) AS freq FROM tok WHERE token <> '' GROUP BY token
+        |), r AS (
+        |  SELECT token, freq,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, token) AS INTEGER) AS rank
+        |  FROM f
+        |)
+        |SELECT token, freq, rank FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin)
+}

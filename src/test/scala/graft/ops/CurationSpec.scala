@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.range(0, 1000).select(
+    col("id").as("doc_id"),
+    concat(lit("doc number "), col("id").cast("string"), lit(" content words here")).as("text"),
+    when(col("id") % 3 === 0, "en").when(col("id") % 3 === 1, "fr").otherwise("de").as("lang"))
+
+  test("assignSplit covers every row, respects weights, and is deterministic") {
+    val split = Curation.assignSplit(
+      docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 1000)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // hash buckets over 1000 ids: expect each split within a loose
+    // band of its weight (binomial 3-sigma is ~±38 for train)
+    assert(counts("train") > 700 && counts("train") < 900, counts.toString)
+    assert(counts("val") > 40 && counts("val") < 180, counts.toString)
+    // pure function of (id, seed): re-running reproduces exactly
+    val again = Curation.assignSplit(
+      docs.repartition(7), "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.select("doc_id", "split").except(again.select("doc_id", "split")).isEmpty)
+    // different seed → different assignment (not a constant function)
+    val reseeded = Curation.assignSplit(
+      docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 99L)
+    assert(split.select("doc_id", "split").except(reseeded.select("doc_id", "split")).count() > 0)
+  }
+
+  test("stratifiedSample keeps roughly rate-per-stratum, deterministically") {
+    val kept = Curation.stratifiedSample(
+      docs, "doc_id", "lang", Seq("en" -> 0.5, "fr" -> 0.2), defaultRate = 0.0)
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // strata have ~333 rows each; 3-sigma bands
+    assert(byLang("en") > 110 && byLang("en") < 220, byLang.toString)
+    assert(byLang("fr") > 30 && byLang("fr") < 110, byLang.toString)
+    assert(!byLang.contains("de")) // defaultRate 0 drops the rest
+    // subset of input, stable across partitionings
+    assert(kept.join(docs, Seq("doc_id"), "left_anti").isEmpty)
+    val again = Curation.stratifiedSample(
+      docs.repartition(5), "doc_id", "lang", Seq("en" -> 0.5, "fr" -> 0.2), defaultRate = 0.0)
+    assert(kept.select("doc_id").except(again.select("doc_id")).isEmpty)
+  }
+
+  test("redactPii removes every match and counts agree with the pre-scan") {
+    val dirty = Seq(
+      (1L, "mail me at some.user+tag@sub.example.org thanks"),
+      (2L, "call 555-123-4567 or visit 192.168.0.1 today"),
+      (3L, "no pii here at all"),
+      (4L, "two mails a@b.co and c.d@e-f.org plus 10.0.0.255")
+    ).toDF("id", "text")
+    val out = dirty.select(
+      col("id") +: Curation.redactPii(col("text")).as("red") +:
+        Curation.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getAs[String]("red") == "mail me at [EMAIL] thanks")
+    assert(rows(1).getAs[String]("red") == "call [PHONE] or visit [IP] today")
+    assert(rows(2).getAs[String]("red") == "no pii here at all")
+    assert(rows(3).getAs[String]("red") == "two mails [EMAIL] and [EMAIL] plus [IP]")
+    assert(rows.map(_.getAs[Long]("n_emails")).toSeq == Seq(1L, 0L, 0L, 2L))
+    assert(rows.map(_.getAs[Long]("n_phones")).toSeq == Seq(0L, 1L, 0L, 0L))
+    assert(rows.map(_.getAs[Long]("n_ips")).toSeq == Seq(0L, 1L, 0L, 1L))
+    // redacted text has no residual matches
+    val residual = out.filter(
+      col("red").rlike(Curation.emailPattern) ||
+      col("red").rlike(Curation.phonePattern) ||
+      col("red").rlike(Curation.ipPattern))
+    assert(residual.isEmpty)
+  }
+
+  test("decontaminate flags overlap with the benchmark side only") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then the quick brown fox jumps over the lazy dog and more"),
+      (2L, "entirely unrelated content about database query optimizers"),
+      (3L, "the quick brown fox appears briefly here") // only 2 shared trigrams
+    ).toDF("doc_id", "text")
+    val hits = Curation.decontaminate(corpus, bench, "text", "doc_id", minShared = 3L)
+      .as[(Long, Long, Long)].collect().map { case (d, _, n) => d -> n }.toMap
+    assert(hits.keySet == Set(1L))
+    // "the quick brown fox jumps over the lazy dog" has 7 trigrams,
+    // all present in doc 1
+    assert(hits(1L) == 7L)
+    val loose = Curation.decontaminate(corpus, bench, "text", "doc_id", minShared = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(loose == Set(1L, 3L))
+  }
+
+  test("packSequences: offsets are exclusive prefix sums in id order") {
+    val d = docs.limit(100)
+      .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_tokens"))
+    val packed = Curation.packSequences(d, "doc_id", "n_tokens", budget = 17L)
+      .select("doc_id", "n_tokens", "pack_id", "pack_offset")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    var cum = 0L
+    packed.foreach { case (_, n, packId, off) =>
+      assert(packId == cum / 17, s"pack_id mismatch at cum=$cum")
+      assert(off == cum % 17, s"pack_offset mismatch at cum=$cum")
+      cum += n
+    }
+    // nondecreasing pack ids in id order
+    assert(packed.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+  }
+
+  test("vocabulary is the deterministic top-k by (freq desc, token)") {
+    val d = Seq(
+      "a a a b b c", "a b d", "e"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val v = Curation.vocabulary(d, "text", 3)
+      .as[(String, Long, Int)].collect().toSeq
+    assert(v == Seq(("a", 4L, 1), ("b", 3L, 2), ("c", 1L, 3)))
+  }
+}
