@@ -62,4 +62,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_sum") || plan.contains("Partial"),
       "aggregation must combine map-side")
   }
+
+  test("q_split_assign and q_stratified_sample are single-pass projections") {
+    for (name <- Seq("q_split_assign", "q_stratified_sample")) {
+      val plan = planOf(name)
+      // one range exchange for the oracle orderBy is allowed; any hash
+      // exchange means the pure-projection claim broke
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name must not shuffle:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"),
+        s"$name must stay a projection/filter")
+    }
+  }
+
+  test("q_decontaminate broadcasts the bench side and never reshuffles exploded grams") {
+    val plan = planOf("q_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), "bench grams must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "corpus must not shuffle by content")
+    // the only hash exchanges allowed are the keyed pre-explode
+    // repartitions (partitioning on the doc id alone); the per-doc
+    // distinct and the overlap count must reuse that distribution
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "expected the keyed pre-explode repartitions")
+    assert(exchanges.forall(l => !l.contains("__sh")),
+      s"gram-keyed exchange found — distinct/count reshuffles content:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q_vocab_topk bounds the cut without a global sort") {
+    val plan = planOf("q_vocab_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must lower to TakeOrderedAndProject, not Sort+Limit")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      "token counts must combine map-side")
+  }
 }
