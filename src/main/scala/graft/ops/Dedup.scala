@@ -146,16 +146,21 @@ object Dedup {
       .select(col(idCol), col("__lt").as("__sh"))
     val w = Window.partitionBy(idCol).orderBy("__pos")
     val leadCols = (1 until shingleN).map(j => s"__l$j")
-    val long = base.filter(size(col("__toks")) >= shingleN)
-      .select(col(idCol), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
-      .select(
-        col(idCol) +: col("__tok") +:
-          (1 until shingleN).map(j => lead(col("__tok"), j).over(w).as(s"__l$j")): _*)
-      // rows whose last lead is null are truncated trailing windows
-      .filter(col(leadCols.last).isNotNull)
-      .select(
-        col(idCol),
-        concat_ws(" ", col("__tok") +: leadCols.map(col): _*).as("__sh"))
+    val long =
+      if (shingleN == 1)
+        // degenerate 1-gram: every token is a shingle, no window needed
+        base.filter(size(col("__toks")) >= 1)
+          .select(col(idCol), explode(col("__toks")).as("__sh"))
+      else base.filter(size(col("__toks")) >= shingleN)
+        .select(col(idCol), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+        .select(
+          col(idCol) +: col("__tok") +:
+            (1 until shingleN).map(j => lead(col("__tok"), j).over(w).as(s"__l$j")): _*)
+        // rows whose last lead is null are truncated trailing windows
+        .filter(col(leadCols.last).isNotNull)
+        .select(
+          col(idCol),
+          concat_ws(" ", col("__tok") +: leadCols.map(col): _*).as("__sh"))
     long.union(short)
   }
 

@@ -211,6 +211,52 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Per-document n-gram occurrence summary: total grams, distinct
+    * grams, and the top gram's count — the raw material of
+    * repetition-based quality filters. Built on the codegen'd
+    * relational [[Dedup.shinglesExploded]] (n=1 degenerates to plain
+    * tokens); the exploded rows arrive pre-partitioned by id, so BOTH
+    * groupBys run without any further shuffle — one exchange total,
+    * then purely local aggregation at any scale.
+    */
+  def gramStats(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    Dedup.shinglesExploded(df, textCol, idCol, n)
+      .groupBy(col(idCol), col("__sh"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("total"),
+        count(lit(1)).as("n_distinct"),
+        max(col("__c")).as("top"))
+
+  /** Repetition profile per document — the Gopher-style "repetitive
+    * content" signals over tokens and bigrams:
+    * `top_token_frac` / `top_bigram_frac` (share of the most frequent
+    * gram) and `dup_token_frac` / `dup_bigram_frac` (share of gram
+    * occurrences that are repeats), plus the composite
+    * `is_repetitive` flag. Both gram pipelines are pre-partitioned by
+    * id, so the final join needs no exchange either.
+    */
+  def repetitionProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def fracs(n: Int, label: String) =
+      gramStats(df, textCol, idCol, n).select(
+        col(idCol),
+        round(col("top") / col("total"), 4).as(s"top_${label}_frac"),
+        round((col("total") - col("n_distinct")) / col("total"), 4).as(s"dup_${label}_frac"))
+    fracs(1, "token")
+      .join(fracs(2, "bigram"), Seq(idCol))
+      .withColumn("is_repetitive",
+        repetitivePredicate(col("dup_token_frac"), col("dup_bigram_frac")))
+  }
+
+  /** Repetition cut on the duplicate-mass fractions (length-robust: a
+    * short all-distinct doc scores 0, unlike top-gram share, which is
+    * 1/n even for perfectly varied text): heavy token reuse or
+    * repeated bigrams mark boilerplate/spam candidates.
+    */
+  def repetitivePredicate(dupTokenFrac: Column, dupBigramFrac: Column): Column =
+    dupTokenFrac > 0.3 || dupBigramFrac > 0.15
+
   /** Stopword profiles for the n-gram-free language-ID heuristic.
     * Order matters: ties resolve to the earlier language.
     */

@@ -52,6 +52,12 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition signals (top/dup gram fractions).
+    "q_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionProfile(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprints, exploded to (doc_id, fp) rows.
     "q_fingerprint" -> ((s, dir) => {
       TextAnalysis.winnowingFingerprints(
@@ -418,6 +424,41 @@ object LlmQueries {
         |FROM m ORDER BY doc_id, fp""".stripMargin,
     "q_text_stats" -> statsOracle,
     "q_lang_id" -> langOracle,
+    "q_repetition" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |), tok AS (
+        |  SELECT doc_id, t, string_split(t, ' ') AS toks FROM docs
+        |), t1 AS (
+        |  SELECT doc_id, unnest(toks) AS g FROM tok
+        |), c1 AS (
+        |  SELECT doc_id, g, count(*) AS c FROM t1 GROUP BY 1, 2
+        |), s1 AS (
+        |  SELECT doc_id, sum(c) AS total, count(*) AS dist, max(c) AS top
+        |  FROM c1 GROUP BY 1
+        |), bg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 2 THEN [t]
+        |         ELSE list_transform(generate_series(1, len(toks)-1),
+        |                i -> toks[i] || ' ' || toks[i+1]) END AS grams
+        |  FROM tok
+        |), t2 AS (
+        |  SELECT doc_id, unnest(grams) AS g FROM bg
+        |), c2 AS (
+        |  SELECT doc_id, g, count(*) AS c FROM t2 GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT doc_id, sum(c) AS total, count(*) AS dist, max(c) AS top
+        |  FROM c2 GROUP BY 1
+        |)
+        |SELECT s1.doc_id,
+        |  round(s1.top::DOUBLE / s1.total::DOUBLE, 4) AS top_token_frac,
+        |  round((s1.total - s1.dist)::DOUBLE / s1.total::DOUBLE, 4) AS dup_token_frac,
+        |  round(s2.top::DOUBLE / s2.total::DOUBLE, 4) AS top_bigram_frac,
+        |  round((s2.total - s2.dist)::DOUBLE / s2.total::DOUBLE, 4) AS dup_bigram_frac,
+        |  (round((s1.total - s1.dist)::DOUBLE / s1.total::DOUBLE, 4) > 0.3
+        |   OR round((s2.total - s2.dist)::DOUBLE / s2.total::DOUBLE, 4) > 0.15) AS is_repetitive
+        |FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id
+        |ORDER BY s1.doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS survivor_id,
         |  count(*) AS n_copies

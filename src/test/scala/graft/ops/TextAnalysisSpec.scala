@@ -86,6 +86,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(short.length == 1)
   }
 
+  test("repetitionProfile: hand-computed fractions and the repetitive cut") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),             // one token 4×, one bigram 3×
+      (2L, "all four words differ")            // no repetition at all
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionProfile(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getAs[Double]("top_token_frac") == 1.0)
+    assert(rows(0).getAs[Double]("dup_token_frac") == 0.75)    // 4 occurrences, 1 distinct
+    assert(rows(0).getAs[Double]("top_bigram_frac") == 1.0)    // "spam spam" 3×
+    assert(rows(0).getAs[Double]("dup_bigram_frac") == round2(2.0 / 3.0))
+    assert(rows(0).getAs[Boolean]("is_repetitive"))
+    assert(rows(1).getAs[Double]("top_token_frac") == 0.25)
+    assert(rows(1).getAs[Double]("dup_token_frac") == 0.0)
+    assert(rows(1).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(!rows(1).getAs[Boolean]("is_repetitive"))
+  }
+
+  private def round2(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("h64 and baseHash are stable and non-negative") {
     val df = Seq(Tuple1("hello")).toDF("x")
     val r1 = df.select(
