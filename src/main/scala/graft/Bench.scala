@@ -45,11 +45,19 @@ object Bench {
       }
       CachedFrames.unpersistAll()
     }
+    // Two lines: a verbose diagnostics line first (max-of-N, loadavg),
+    // then the canonical compact line LAST. The driver parses the
+    // canonical line from a bounded tail of the output — round-3's
+    // single line carried both maps at full double precision (~4 KB)
+    // and was truncated past parseability, so keep the canonical line
+    // minimal and 3-decimal rounded (~1 KB for 40 queries).
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def obj(m: collection.Map[String, Double]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
     val par = spark.sparkContext.defaultParallelism
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(best)},"queries_max":${obj(worst)},"sf":"$sfDir","parallelism":$par,"runs":$runs,"loadavg_start":$load0,"loadavg_end":$loadavg}""")
+    println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"parallelism":$par,"runs":$runs,"loadavg_start":${r3(load0)},"loadavg_end":${r3(loadavg)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(best)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
