@@ -46,6 +46,7 @@ object SparkEntry {
     graft.queries.ParityQueries.queries ++
     graft.queries.LlmQueries.queries ++
     graft.queries.CurationQueries.queries ++
+    graft.queries.AnalyticsQueries.queries ++
     graft.queries.PipelineQueries.queries ++ Map(
     // F11–F14 + P2/P3: the reference's most reused compound operator
     // (create_date_features, clean.py:213-233) over the events table.
@@ -87,6 +88,7 @@ object SparkEntry {
     graft.queries.ParityQueries.oracleSql ++
     graft.queries.LlmQueries.oracleSql ++
     graft.queries.CurationQueries.oracleSql ++
+    graft.queries.AnalyticsQueries.oracleSql ++
     graft.queries.PipelineQueries.oracleSql ++ Map(
     "q_date_features" ->
       """SELECT event_id,

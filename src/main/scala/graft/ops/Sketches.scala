@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis.h64
+
+/** Deterministic streaming-style sketches as relational plans:
+  * KMV (k-minimum-values) distinct-count estimation, a CountMin
+  * frequency sketch with heavy-hitter extraction, and grouped
+  * quantiles.
+  *
+  * Spark ships HLL++ (`approx_count_distinct`) and KLL-ish
+  * (`approx_percentile`) aggregates; these exist alongside them for
+  * two reasons: (1) the estimate is REPRODUCIBLE — hash-derived, no
+  * engine-private sketch state — so an external SQL engine replays it
+  * bit-for-bit (the DuckDB oracle does), which matters when training
+  * pipelines must audit exactly what a filter kept; (2) the sketch
+  * intermediates (k smallest hashes, d×w counter grid) are plain
+  * DataFrames a caller can persist, merge across days, or diff.
+  *
+  * 100 TB design notes:
+  *  - KMV: the rank ≤ k filter after a per-group window triggers
+  *    Spark's WindowGroupLimit rewrite — each map task retains only k
+  *    rows per group before the shuffle, so the exchange moves
+  *    O(groups × k) rows regardless of input size.
+  *  - CountMin: the sketch is a d×w counter grid built by one
+  *    map-side-combined aggregation over d codegen'd hash projections;
+  *    estimation joins candidates to the grid on (row, bucket) — the
+  *    grid side is tiny and broadcasts.
+  *  - Quantiles: exact `percentile` shuffles every value to its
+  *    group — fine for bounded groups; pass `exact=false` to use
+  *    `approx_percentile` (bounded-memory KLL-style, not
+  *    oracle-reproducible) at corpus scale.
+  */
+object Sketches {
+
+  /** Per-group KMV distinct-count estimate from the k smallest
+    * distinct 60-bit hashes of `valueCol`: estimate = (k−1) / U_k
+    * where U_k is the k-th minimum normalized to (0, 1]; groups with
+    * fewer than k distinct hashes report their exact distinct count.
+    *
+    * Output: group cols, `n_kept` (min(k, distinct)), `kth_hash`,
+    * `est_distinct`.
+    */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      k: Int,
+      hasher: (Column, Column) => Column = h64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "KMV needs k >= 2")
+    val domain = math.pow(2, 60) // h64 range: [0, 2^60)
+    val hashed = df
+      .select(groupCols.map(col) :+ hasher(lit("kmv"), valueCol).as("__h"): _*)
+      .distinct()
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__h"))
+    hashed
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("kth_hash"))
+      .withColumn(
+        "est_distinct",
+        round(
+          when(col("n_kept") < k, col("n_kept").cast("double"))
+            .otherwise(lit((k - 1) * domain) / col("kth_hash")),
+          4))
+  }
+
+  /** CountMin sketch counter grid: `(row, bucket, cnt)` with `d`
+    * hash rows × `w` buckets. Point estimates are
+    * `min over rows of cnt[row][bucket_row(x)]` — always ≥ the true
+    * count, within `εN` with probability depending on (d, w).
+    */
+  def countMinSketch(
+      df: DataFrame,
+      itemCol: Column,
+      d: Int,
+      w: Int,
+      hasher: (Column, Column) => Column = h64): DataFrame =
+    df.select(
+        explode(array((0 until d).map(lit): _*)).as("row"),
+        itemCol.as("__x"))
+      .select(
+        col("row"),
+        pmod(hasher(concat(lit("cm"), col("row")), col("__x")), lit(w)).as("bucket"))
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Heavy hitters: CountMin point-estimates for `candidates` (one
+    * column named like `itemCol`'s alias `item`), top `k` by estimated
+    * count (count desc, item asc — a total order). The candidate set
+    * bounds driver-visible output; at corpus scale feed it a sample
+    * or a prior round's survivors, never the full distinct domain.
+    */
+  def countMinTopK(
+      df: DataFrame,
+      itemCol: Column,
+      candidates: DataFrame,
+      k: Int,
+      d: Int = 3,
+      w: Int = 256,
+      hasher: (Column, Column) => Column = h64): DataFrame = {
+    val sketch = countMinSketch(df, itemCol, d, w, hasher)
+    candidates
+      .select(col("item"))
+      .distinct()
+      .select(
+        col("item"),
+        explode(array((0 until d).map(lit): _*)).as("row"))
+      .withColumn(
+        "bucket",
+        pmod(hasher(concat(lit("cm"), col("row")), col("item")), lit(w)))
+      .join(sketch, Seq("row", "bucket"))
+      .groupBy("item")
+      .agg(min(col("cnt")).as("est_count"))
+      .orderBy(col("est_count").desc, col("item"))
+      .limit(k)
+  }
+
+  /** Grouped quantiles at the given probabilities. `exact=true` uses
+    * linear-interpolated `percentile` (oracle-reproducible, shuffles
+    * group values); `exact=false` uses `approx_percentile`
+    * (bounded-memory, estimate).
+    */
+  def quantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      probs: Seq[Double],
+      exact: Boolean = true): DataFrame = {
+    val qs = probs.zipWithIndex.map { case (p, i) =>
+      val q =
+        if (exact) percentile(valueCol, lit(p))
+        else percentile_approx(valueCol, lit(p), lit(10000))
+      round(q, 4).as(s"q_$i")
+    }
+    df.groupBy(groupCols.map(col): _*).agg(qs.head, qs.tail: _*)
+  }
+}

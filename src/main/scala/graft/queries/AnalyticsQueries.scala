@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Joins, Sketches, TextAnalysis}
+
+/** Oracle-checked queries for the temporal-join and sketch operators
+  * ([[graft.ops.Joins]], [[graft.ops.Sketches]]) — engine capabilities
+  * beyond the reference's batch-ETL surface, same driver contract as
+  * every other query family: identical column names/ORDER BY in the
+  * Spark plan and the DuckDB SQL.
+  */
+object AnalyticsQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // As-of join: each purchase event picks up the most recent view
+    // by the same user (inclusive backward match). The right side is
+    // pre-deduped to one row per (user_id, ts) with max_by/arg_max so
+    // tie resolution is engine-independent.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts")
+        .agg(
+          max("event_id").as("view_event_id"),
+          max_by(col("value"), col("event_id")).as("view_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      Joins.asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
+          inclusive = true, rightPrefix = "last_")
+        .orderBy("event_id")
+    }),
+
+    // Range join: lineitem ship dates against 7-day promo windows
+    // derived from a keyed subset of orders; per-promo aggregate.
+    // Bin width = interval width, so each interval covers ≤ 2 bins.
+    "q_range_join" -> ((s, dir) => {
+      val promos = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 500 === 0)
+        .select(
+          col("o_orderkey").as("promo_id"),
+          col("o_orderdate").as("promo_start"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("promo_end"))
+      val pts = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_shipdate", "l_extendedprice")
+      Joins.pointInIntervalJoin(
+          pts, "l_shipdate", promos, "promo_start", "promo_end",
+          Joins.timeBin(7L * 86400 * 1000000L))
+        .groupBy("promo_id")
+        .agg(
+          count(lit(1)).as("n_ship"),
+          round(sum("l_extendedprice"), 2).as("sum_price_r"))
+        .orderBy("promo_id")
+    }),
+
+    // KMV distinct-count sketch: estimated distinct users per
+    // event_type from the 64 smallest md5-derived hashes.
+    "q_kmv_distinct" -> ((s, dir) => {
+      Sketches.kmvDistinct(
+          Tables.events(s, dir), Seq("event_type"),
+          col("user_id").cast("string"), k = 64)
+        .orderBy("event_type")
+    }),
+
+    // CountMin heavy hitters over document tokens (d=3 rows × w=256
+    // buckets), top 20 by estimated count.
+    "q_cms_topk" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      Sketches.countMinTopK(
+        tok, col("tok"), tok.select(col("tok").as("item")), k = 20)
+    }),
+
+    // Exact interpolated quantiles of event value per type (the
+    // oracle-reproducible path; approx_percentile is the scale path).
+    "q_quantiles" -> ((s, dir) => {
+      Sketches.quantiles(
+          Tables.events(s, dir), Seq("event_type"), col("value"),
+          Seq(0.5, 0.9, 0.99))
+        .orderBy("event_type")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts,
+        |         max(event_id) AS view_event_id,
+        |         arg_max(value, event_id) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |), p AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |       v.ts AS last_ts, v.view_event_id AS last_view_event_id,
+        |       v.view_value AS last_view_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH promo AS (
+        |  SELECT o_orderkey AS promo_id, o_orderdate AS promo_start,
+        |         o_orderdate + INTERVAL 7 DAY AS promo_end
+        |  FROM orders WHERE o_orderkey % 500 = 0
+        |)
+        |SELECT promo_id, count(*) AS n_ship,
+        |       round(sum(l_extendedprice), 2) AS sum_price_r
+        |FROM lineitem l JOIN promo p
+        |  ON l.l_shipdate >= p.promo_start AND l.l_shipdate < p.promo_end
+        |GROUP BY 1 ORDER BY promo_id""".stripMargin,
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5('kmv|' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        |  FROM h
+        |)
+        |SELECT event_type, count(*) AS n_kept, max(h) AS kth_hash,
+        |  round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+        |             ELSE 63.0 * 1152921504606846976.0 / max(h) END, 4) AS est_distinct
+        |FROM r WHERE rk <= 64 GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_cms_topk" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+        |), cell AS (
+        |  SELECT t.r AS row,
+        |         ('0x' || substr(md5('cm' || t.r::VARCHAR || '|' || tok), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM tok CROSS JOIN range(3) t(r)
+        |), sk AS (
+        |  SELECT row, bucket, count(*) AS cnt FROM cell GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT tok AS item FROM tok
+        |), est AS (
+        |  SELECT c.item, min(s.cnt) AS est_count
+        |  FROM cand c CROSS JOIN range(3) t(r)
+        |  JOIN sk s ON s.row = t.r
+        |    AND s.bucket = ('0x' || substr(md5('cm' || t.r::VARCHAR || '|' || c.item), 1, 15))::BIGINT % 256
+        |  GROUP BY 1
+        |)
+        |SELECT item, est_count FROM est
+        |ORDER BY est_count DESC, item LIMIT 20""".stripMargin,
+    "q_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS q_0,
+        |  round(quantile_cont(value, 0.9), 4) AS q_1,
+        |  round(quantile_cont(value, 0.99), 4) AS q_2
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+  )
+}

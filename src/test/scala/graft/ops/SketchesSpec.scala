@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmvDistinct is exact below k and within error above k") {
+    val small = (1 to 30).map(i => ("g1", s"v$i")).toDF("g", "v")
+    val exact = Sketches.kmvDistinct(small, Seq("g"), $"v", k = 64)
+      .select($"n_kept", $"est_distinct").as[(Long, Double)].head()
+    assert(exact == ((30L, 30.0))) // below k: exact count
+
+    val big = (1 to 5000).map(i => ("g1", s"v$i")).toDF("g", "v")
+    val est = Sketches.kmvDistinct(big, Seq("g"), $"v", k = 256)
+      .select($"est_distinct").as[Double].head()
+    // KMV std error ~ n/sqrt(k-1) = 5000/16 ≈ 313; allow 4 sigma
+    assert(math.abs(est - 5000) < 1300, s"estimate $est too far from 5000")
+  }
+
+  test("kmvDistinct ignores duplicate values") {
+    val dup = ((1 to 100) ++ (1 to 100)).map(i => ("g", s"v${i % 40}")).toDF("g", "v")
+    val out = Sketches.kmvDistinct(dup, Seq("g"), $"v", k = 64)
+      .select($"n_kept", $"est_distinct").as[(Long, Double)].head()
+    assert(out == ((40L, 40.0)))
+  }
+
+  test("kmvDistinct plans a WindowGroupLimit partial top-k") {
+    val df = (1 to 100).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
+    val plan = Sketches.kmvDistinct(df, Seq("g"), $"v", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
+
+  test("countMin estimates are upper bounds and exact without collisions") {
+    val items = (Seq.fill(50)("hot") ++ (1 to 20).map(i => s"cold$i")).toDF("x")
+    val top = Sketches.countMinTopK(items, $"x", items.select($"x".as("item")),
+        k = 5, d = 3, w = 512)
+      .as[(String, Long)].collect()
+    assert(top.head == (("hot", 50L))) // large w: no collisions, exact
+    assert(top.tail.forall(_._2 == 1L))
+  }
+
+  test("countMin never underestimates under forced collisions") {
+    val items = (1 to 300).map(i => s"item${i % 60}").toDF("x") // 60 items × 5
+    val est = Sketches.countMinTopK(items, $"x", items.select($"x".as("item")),
+        k = 60, d = 3, w = 16) // heavy collisions
+      .as[(String, Long)].collect()
+    assert(est.length == 60)
+    assert(est.forall(_._2 >= 5L), "CMS must never underestimate")
+  }
+
+  test("quantiles: exact path interpolates, approx path stays close") {
+    val df = (1 to 101).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val ex = Sketches.quantiles(df, Seq("g"), $"v", Seq(0.5, 0.9))
+      .select($"q_0", $"q_1").as[(Double, Double)].head()
+    assert(ex == ((51.0, 91.0)))
+    val ap = Sketches.quantiles(df, Seq("g"), $"v", Seq(0.5, 0.9), exact = false)
+      .select($"q_0", $"q_1").as[(Double, Double)].head()
+    assert(math.abs(ap._1 - 51.0) <= 2 && math.abs(ap._2 - 91.0) <= 2)
+  }
+}
