@@ -351,6 +351,88 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  // ------------------------------------------------------------- clusters
+
+  /** Connected components over an undirected pair list: every vertex
+    * gets the MINIMUM id reachable from it as its `component` label —
+    * the exact cluster structure the greedy keep-min-id policy of
+    * [[dedupNear]] approximates (greedy can drop a doc whose only
+    * near-dup link is to another dropped doc; component labels never
+    * mis-cluster).
+    *
+    * Min-label propagation: each iteration every vertex takes the min
+    * of its own label and its neighbors' labels — one equi-join + one
+    * map-side-combined min aggregation per iteration, converging in
+    * (distance to the component's min vertex) iterations. Near-dup
+    * clusters are dense and shallow, so 3–5 iterations is typical;
+    * `maxIter` bounds adversarial chains (the remaining chain simply
+    * stays split into ≥2 labels — still a valid refinement, never a
+    * wrong merge).
+    *
+    * Scale notes: the iterated frames are `localCheckpoint`ed each
+    * round, truncating both lineage and the analyzer plan (the
+    * standard Spark iterative-algorithm pattern; a production job with
+    * an HDFS checkpoint dir can swap in reliable `checkpoint`). The
+    * per-iteration convergence `count` is a bounded aggregate action,
+    * like the IVF trainer's Lloyd step. Edges persist once for the
+    * whole loop and are released before returning.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id"))
+        .localCheckpoint()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("component").as("__nl")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("__nl")).as("__nbr"))
+        val next = labels
+          .join(nbrMin, Seq("id"), "left")
+          .select(
+            col("id"),
+            least(col("component"), coalesce(col("__nbr"), col("component")))
+              .as("component"),
+            (col("__nbr") < col("component")).as("__chg"))
+          .localCheckpoint()
+        converged = next.filter(col("__chg")).isEmpty
+        labels = next.drop("__chg")
+        i += 1
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
+  /** (id, component) cluster assignment for every doc that appears in
+    * a near-dup pair at `threshold` — [[nearDupPairs]] piped through
+    * [[connectedComponents]]. Docs with no near-dup simply don't
+    * appear (their component is themselves).
+    */
+  def nearDupClusters(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      baseHasher: Column => Column = fastBaseHash,
+      maxBucketSize: Int = 0): DataFrame =
+    connectedComponents(
+      nearDupPairs(df, textCol, idCol, k, bands, shingleN, threshold, baseHasher, maxBucketSize)
+        .select("a", "b"))
+      .withColumnRenamed("id", idCol)
+
   // -------------------------------------------------------------- simhash
 
   /** SimHash fingerprint (`bits` ≤ 60 with the oracle hasher): token

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis.tokens
+
+/** Corpus-level term statistics: TF-IDF keyword extraction and
+  * unigram-language-model surprisal scoring — the corpus-statistics
+  * complement to [[TextAnalysis]]'s per-document signals (a
+  * training-data pipeline uses these for keyword indexing and for
+  * "looks like nothing else in the corpus" quality cuts).
+  *
+  * 100 TB design notes: corpus aggregates (document frequencies,
+  * unigram counts) are map-side-combined `groupBy` aggregations whose
+  * result is vocabulary-sized, not corpus-sized; they re-join to
+  * per-document rows BY TERM — a broadcast when the vocabulary is
+  * small, one hash shuffle when it isn't — and the scalar corpus
+  * totals ride along as a 1-row cross join (Catalyst broadcasts it),
+  * never a driver `collect`. Per-doc top-k uses a rank-filter window,
+  * which Spark rewrites to WindowGroupLimit (partial top-k before the
+  * shuffle).
+  */
+object TfIdf {
+
+  /** (term, df) document frequencies: number of docs containing each
+    * term. One explode + distinct + count — vocabulary-sized output.
+    */
+  def docFrequencies(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"))
+
+  /** Per-document top-`topK` terms by smoothed TF-IDF:
+    * `tf · (ln((N+1)/(df+1)) + 1)`, tf = term count / doc length.
+    * Scores are rounded to 4 decimals BEFORE ranking (ties then break
+    * on the term string) so rankings are reproducible across engines —
+    * `ln` is not exactly rounded in every math library, and an
+    * ulp-level difference must not reorder the cut.
+    *
+    * Output: (id, term, tfidf, rk), rk in 1..topK.
+    */
+  def topTerms(df: DataFrame, textCol: String, idCol: String, topK: Int): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("__n"))
+    val dfreq = docFrequencies(df, textCol, idCol)
+    val tc = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__c"))
+    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("__len"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    tc.join(dl, Seq(idCol))
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "tfidf",
+        round(
+          (col("__c").cast("double") / col("__len")) *
+            (log((col("__n").cast("double") + 1) / (col("df") + 1)) + 1),
+          4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col(idCol), col("term"), col("tfidf"), col("rk"))
+  }
+
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram model: `avg over tokens of ln(count(term) / total)`.
+    * More negative = more surprising relative to the corpus; a cheap
+    * outlier/garbage signal that needs no external model.
+    */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val counts = tok.groupBy("term").agg(count(lit(1)).as("__tc"))
+    val total = tok.select(count(lit(1)).as("__total"))
+    tok
+      .join(counts, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        round(avg(log(col("__tc").cast("double") / col("__total"))), 4)
+          .as("avg_logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
+}

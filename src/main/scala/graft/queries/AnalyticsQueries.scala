@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Joins, Sketches, TextAnalysis}
+import graft.ops.{Joins, Sketches, TextAnalysis, TfIdf}
 
 /** Oracle-checked queries for the temporal-join and sketch operators
   * ([[graft.ops.Joins]], [[graft.ops.Sketches]]) — engine capabilities
@@ -80,6 +80,39 @@ object AnalyticsQueries {
           Tables.events(s, dir), Seq("event_type"), col("value"),
           Seq(0.5, 0.9, 0.99))
         .orderBy("event_type")
+    }),
+
+    // Per-doc top-3 TF-IDF terms (scores rounded before ranking so
+    // the cut is reproducible across engines).
+    "q_tfidf_topk" -> ((s, dir) => {
+      TfIdf.topTerms(Tables.documents(s, dir), "text", "doc_id", topK = 3)
+        .orderBy("doc_id", "rk")
+    }),
+
+    // Mean unigram log-probability of each doc under the corpus's own
+    // unigram model.
+    "q_unigram_logprob" -> ((s, dir) => {
+      TfIdf.unigramLogProb(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // The custom Catalyst kernels through the SQL surface: register
+    // via GraftFunctions (same triples SparkSessionExtensions
+    // injects) and call them from spark.sql — proving the
+    // FunctionRegistry path end-to-end against the composed-form
+    // oracle.
+    "q_sql_kernels" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
+      Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+      s.sql(
+        """SELECT d.doc_id,
+          |  graft_md5_long(d.text, 15) AS text_h,
+          |  round(graft_cosine(e.embedding, e2.embedding), 4) AS cos_next
+          |FROM graft_documents d
+          |JOIN graft_embeddings e ON e.vec_id = d.doc_id
+          |JOIN graft_embeddings e2 ON e2.vec_id = d.doc_id + 1
+          |ORDER BY d.doc_id""".stripMargin)
     })
   )
 
@@ -149,6 +182,54 @@ object AnalyticsQueries {
         |  round(quantile_cont(value, 0.5), 4) AS q_0,
         |  round(quantile_cont(value, 0.9), 4) AS q_1,
         |  round(quantile_cont(value, 0.99), 4) AS q_2
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+        |), nd AS (
+        |  SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents
+        |), dfreq AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        |), tc AS (
+        |  SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS len FROM tok GROUP BY 1
+        |), scored AS (
+        |  SELECT tc.doc_id, tc.term,
+        |    round((tc.c::DOUBLE / dl.len) * (ln((nd.n + 1) / (dfreq.df + 1)) + 1), 4) AS tfidf
+        |  FROM tc JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd
+        |), ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tfidf, rk FROM ranked
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+        |), c AS (
+        |  SELECT term, count(*) AS tc FROM tok GROUP BY 1
+        |), t AS (
+        |  SELECT count(*) AS total FROM tok
+        |)
+        |SELECT doc_id, round(avg(ln(tc::DOUBLE / total)), 4) AS avg_logprob,
+        |       count(*) AS n_tokens
+        |FROM tok JOIN c USING (term) CROSS JOIN t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_sql_kernels" ->
+      """SELECT d.doc_id,
+        |  ('0x' || substr(md5(d.text), 1, 15))::BIGINT AS text_h,
+        |  round(
+        |    list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> e.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(range(1, len(e2.embedding)+1),
+        |      i -> e2.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE)))), 4) AS cos_next
+        |FROM documents d
+        |JOIN embeddings e ON e.vec_id = d.doc_id
+        |JOIN embeddings e2 ON e2.vec_id = d.doc_id + 1
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

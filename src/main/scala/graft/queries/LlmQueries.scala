@@ -89,6 +89,18 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Connected-components cluster labels over the 0.5-threshold
+    // near-dup graph: every doc in a near-dup pair gets the minimum
+    // reachable doc_id as its cluster id (exact transitive closure,
+    // vs the greedy keep-min-id survivor policy).
+    "q_dedup_clusters" -> ((s, dir) => {
+      Dedup.nearDupClusters(
+          Tables.documents(s, dir), "text", "doc_id",
+          k = 16, bands = 8, shingleN = 3, threshold = 0.5,
+          baseHasher = oracleBaseHash)
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_verified" -> ((s, dir) => {
       Dedup.verifiedNearDupPairs(
           Tables.documents(s, dir), "text", "doc_id",
@@ -494,6 +506,19 @@ object LlmQueries {
           |  round(avg(n_tokens), 4) AS avg_tokens,
           |  sum(bpe_tokens)::BIGINT AS total_bpe_tokens
           |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE " + minhashCtes(16, 8).stripPrefix("WITH ") +
+        """, near AS (
+          |  SELECT a, b FROM est WHERE est_jaccard >= 0.5
+          |), edges AS (
+          |  SELECT a AS src, b AS dst FROM near UNION SELECT b, a FROM near
+          |), reach(v, l) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, r.l FROM edges e JOIN reach r ON r.v = e.dst
+          |)
+          |SELECT v AS doc_id, min(l) AS component
+          |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
     "q_dedup_verified" ->
       (minhashCtes(16, 8) +
         """, shx AS (

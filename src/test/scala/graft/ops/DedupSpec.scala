@@ -144,4 +144,39 @@ class DedupSpec extends SparkSpec {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
   }
+
+  test("connectedComponents labels every vertex with its component minimum") {
+    val pairs = Seq((2L, 3L), (3L, 4L), (9L, 8L), (5L, 2L), (20L, 21L))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L,   // chain 5-2-3-4
+      8L -> 8L, 9L -> 8L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents converges on a long chain (propagation depth)") {
+    // path 0-1-2-...-15: min label must walk the full diameter
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(got.length == 16 && got.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents never merges separate components under maxIter") {
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    // too few iterations: labels refine but never cross components
+    val truncated = Dedup.connectedComponents(chain, maxIter = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(truncated.values.toSet.size >= 1)
+    assert(truncated.forall { case (id, c) => c <= id }) // labels only decrease
+  }
+
+  test("nearDupClusters groups transitively, beyond the greedy survivor view") {
+    val cl = Dedup.nearDupClusters(corpus, "text", "doc_id", threshold = 0.3)
+      .as[(Long, Long)].collect().toMap
+    // the seeded near-dup pair lands in one cluster keyed by its min id
+    assert(cl.get(1L).contains(0L))
+    assert(cl(0L) == 0L)
+  }
 }

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TfIdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry durian")
+  ).toDF("doc_id", "text")
+
+  test("docFrequencies counts docs containing each term, not occurrences") {
+    val dfreq = TfIdf.docFrequencies(docs, "text", "doc_id")
+      .as[(String, Long)].collect().toMap
+    assert(dfreq == Map("apple" -> 1L, "banana" -> 2L, "cherry" -> 2L, "durian" -> 1L))
+  }
+
+  test("topTerms ranks rare terms above common ones") {
+    val top1 = TfIdf.topTerms(docs, "text", "doc_id", topK = 1)
+      .select($"doc_id", $"term").as[(Long, String)].collect().toMap
+    // doc 1: apple appears 2/3 with df=1 — beats banana (df=2)
+    assert(top1(1L) == "apple")
+    // doc 3: cherry tf=2/3 df=2 vs durian tf=1/3 df=1:
+    // cherry: (2/3)(ln(4/3)+1) ≈ 0.858, durian: (1/3)(ln(4/2)+1) ≈ 0.564
+    assert(top1(3L) == "cherry")
+  }
+
+  test("topTerms emits at most topK rows per doc with contiguous ranks") {
+    val out = TfIdf.topTerms(docs, "text", "doc_id", topK = 2)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("rk").as("mx"))
+      .as[(Long, Long, Int)].collect()
+    assert(out.forall { case (_, n, mx) => n <= 2 && mx <= 2 })
+  }
+
+  test("unigramLogProb: docs of common tokens score higher than rare-token docs") {
+    val corpus = (Seq.fill(20)((0L, "common common common")) ++
+      Seq((100L, "common common common"), (101L, "weird tokens here")))
+      .zipWithIndex.map { case ((_, t), i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TfIdf.unigramLogProb(corpus, "text", "doc_id")
+      .select($"doc_id", $"avg_logprob").as[(Long, Double)].collect().toMap
+    assert(out(20L) > out(21L), s"common-token doc should be less surprising: $out")
+  }
+
+  test("unigramLogProb n_tokens matches tokenization") {
+    val out = TfIdf.unigramLogProb(docs, "text", "doc_id")
+      .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 3L))
+  }
+}
