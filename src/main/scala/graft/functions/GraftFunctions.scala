@@ -52,10 +52,20 @@ object GraftFunctions {
     all.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+
+  /** Install the optimizer rewrites on an existing session (idempotent). */
+  def installOptimizations(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.Md5FusionRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.Md5FusionRule
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: SQL functions + optimizer
+  * rewrites in one injection.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.Md5FusionRule)
+  }
 }

@@ -78,6 +78,45 @@ object EventStreams {
       events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  /** Stream-stream attribution join: each left event (e.g. purchase)
+    * picks up every right event (e.g. view) by the same user within
+    * `lookback` BEFORE it — the streaming counterpart of the batch
+    * [[graft.ops.Joins.asofJoin]] family (stream-stream joins can't
+    * rank "the latest", so this emits all in-window matches; aggregate
+    * downstream if one-row-per-left is needed).
+    *
+    * Both sides carry watermarks and the join condition carries the
+    * time bound, which is what lets Spark expire join state: buffered
+    * rows older than watermark + lookback are dropped, so state is
+    * bounded by rate × horizon, never stream length. `leftOuter`
+    * emits unmatched left rows (with nulls) once the watermark passes
+    * their window. Works identically on batch frames (plain
+    * condition join, no watermark).
+    *
+    * Right columns come back prefixed `matched_`.
+    */
+  def attributionJoin(
+      left: DataFrame,
+      right: DataFrame,
+      watermark: String = "10 minutes",
+      lookback: String = "30 minutes",
+      joinType: String = "leftOuter"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left)
+      .alias("l")
+    val renamed = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"matched_$c")
+    }
+    val r = (if (renamed.isStreaming) renamed.withWatermark("matched_ts", watermark)
+             else renamed).alias("r")
+    l.join(
+      r,
+      expr(
+        s"""l.user_id = r.matched_user_id
+           |AND r.matched_ts <= l.ts
+           |AND r.matched_ts >= l.ts - INTERVAL $lookback""".stripMargin),
+      joinType)
+  }
+
   /** Event-time sessionization: events for a user belong to one
     * session until a gap larger than `gapSeconds`. Emits a [[Session]]
     * row when a gap closes a session; remaining state flushes on

@@ -33,6 +33,35 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(math.abs(sql - 10.0 / 14.0) < 1e-12)
   }
 
+  test("Md5FusionRule rewrites the composed idiom to the fused kernel") {
+    val s = spark.newSession()
+    GraftFunctions.installOptimizations(s)
+    import s.implicits._
+    // range source: non-foldable, so ConstantFolding can't pre-empt the plan check
+    val df = s.range(3).selectExpr("CAST(id AS STRING) AS t")
+      .selectExpr("t", "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) AS h")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("md5prefixlongexpr"), s"not fused:\n$optimized")
+    assert(!optimized.contains("conv("), s"conv survived:\n$optimized")
+    // same values as the unrewritten form on the base session
+    val base = spark.range(3).selectExpr("CAST(id AS STRING) AS t")
+      .selectExpr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) AS h")
+      .as[Long].collect().toSeq
+    assert(df.select($"h").as[Long].collect().toSeq == base)
+  }
+
+  test("Md5FusionRule leaves non-matching conv/substring expressions alone") {
+    val s = spark.newSession()
+    GraftFunctions.installOptimizations(s)
+    // n=16 could overflow a long: must NOT fuse; base-8 conv: must not fuse
+    val df = s.range(1).selectExpr("CAST(id AS STRING) AS t").selectExpr(
+      "CAST(conv(substring(md5(t), 1, 16), 16, 10) AS BIGINT) AS h16",
+      "CAST(conv(substring(md5(t), 1, 5), 8, 10) AS BIGINT) AS h8",
+      "conv(substring(md5(t), 1, 5), 16, 10) AS raw")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("md5prefixlongexpr"), s"over-fused:\n$optimized")
+  }
+
   test("registration is per-session, not global") {
     val s1 = spark.newSession()
     GraftFunctions.register(s1)

@@ -76,6 +76,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L), s"kept=$kept")
   }
 
+  test("attributionJoin (stream-stream) matches in-window views and expires state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = attributionJoin(
+      purchases.toDF(), views.toDF(),
+      watermark = "5 minutes", lookback = "30 minutes", joinType = "inner")
+      .select(col("event_id"), col("matched_event_id"))
+    val query = joined.writeStream.format("memory").queryName("attr_join")
+      .outputMode("append").start()
+    views.addData(
+      ev(100, "2024-01-01 10:00:00", 1, "view", 0.0),
+      ev(101, "2024-01-01 10:20:00", 1, "view", 0.0),
+      ev(102, "2024-01-01 09:00:00", 1, "view", 0.0), // outside 30-min lookback
+      ev(103, "2024-01-01 10:15:00", 2, "view", 0.0)) // other user
+    purchases.addData(
+      ev(1, "2024-01-01 10:25:00", 1, "purchase", 9.99))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("attr_join").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (1L, 101L)), s"got=$got")
+  }
+
+  test("attributionJoin same plan works on batch frames") {
+    import spark.implicits._
+    val p = Seq(ev(1, "2024-01-01 10:25:00", 1, "purchase", 9.99)).toDF()
+    val v = Seq(
+      ev(100, "2024-01-01 10:00:00", 1, "view", 0.0),
+      ev(102, "2024-01-01 09:00:00", 1, "view", 0.0)).toDF()
+    val got = attributionJoin(p, v, joinType = "leftOuter")
+      .select(col("event_id"), col("matched_event_id")).as[(Long, Option[Long])]
+      .collect().toSet
+    assert(got == Set((1L, Some(100L))))
+  }
+
   test("sessionize splits on gaps and emits closed sessions (batch-mode run)") {
     // flatMapGroupsWithState executes on batch Datasets too (state
     // starts empty, timeouts never fire) — this pins the gap-splitting
