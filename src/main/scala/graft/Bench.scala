@@ -35,10 +35,18 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     val best = scala.collection.mutable.LinkedHashMap(names.map(_ -> Double.MaxValue): _*)
     val worst = scala.collection.mutable.LinkedHashMap(names.map(_ -> 0.0): _*)
+    // A failing query must not masquerade as a fast one: record it and
+    // surface the list in the diagnostics line.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     for (_ <- 1 to runs) {
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try fn(spark, sfDir).count()
+        catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         if (sec < best(name)) best(name) = sec
         if (sec > worst(name)) worst(name) = sec
@@ -56,7 +64,8 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
     val par = spark.sparkContext.defaultParallelism
-    println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"parallelism":$par,"runs":$runs,"loadavg_start":${r3(load0)},"loadavg_end":${r3(loadavg)}}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"failed":$failedJson,"parallelism":$par,"runs":$runs,"loadavg_start":${r3(load0)},"loadavg_end":${r3(loadavg)}}""")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(best)},"sf":"$sfDir"}""")
     spark.stop()
   }

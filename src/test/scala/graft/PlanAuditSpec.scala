@@ -96,4 +96,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("Partial"),
       "token counts must combine map-side")
   }
+
+  test("q_range_join stays an equi-join on the bin key — no nested loop") {
+    val plan = planOf("q_range_join")
+    assert(plan.contains("BroadcastHashJoin"), "binned intervals must broadcast")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join regressed to a theta join:\n$plan")
+  }
+
+  test("q_asof_join plans the union+window shape with no join node") {
+    val plan = planOf("q_asof_join")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      "expected the running-window resolution")
+  }
+
+  test("q_kmv_distinct prunes to k rows per group before the rank shuffle") {
+    val plan = planOf("q_kmv_distinct")
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
+
+  test("q_cms_topk broadcasts the sketch grid and bounds the cut") {
+    val plan = planOf("q_cms_topk")
+    assert(plan.contains("BroadcastHashJoin"), "d×w grid must broadcast")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("q_tfidf_topk broadcasts corpus scalars and prunes per-doc top-k map-side") {
+    val plan = planOf("q_tfidf_topk")
+    assert(plan.contains("WindowGroupLimit"), "rank cut must prune before the shuffle")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the 1-row corpus-size frame must broadcast")
+  }
 }
