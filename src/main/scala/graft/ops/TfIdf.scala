@@ -23,11 +23,23 @@ import graft.ops.TextAnalysis.tokens
   */
 object TfIdf {
 
+  /** (id, term) exploded token rows behind a keyed pre-explode
+    * repartition with an EXPLICIT partition count: from a single-file
+    * (or few-split) source, AQE coalesces the bytes-small pre-explode
+    * exchange to one partition — it can't see the fanout — and the
+    * whole tokenization serializes (measured 25.3s → 4.5s on a
+    * 50k-doc 10× stress corpus). The keyed exchange also
+    * pre-satisfies every downstream per-id aggregation and window.
+    */
+  private def tokenRows(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+
   /** (term, df) document frequencies: number of docs containing each
     * term. One explode + distinct + count — vocabulary-sized output.
     */
   def docFrequencies(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    tokenRows(df, textCol, idCol)
       .distinct()
       .groupBy("term")
       .agg(count(lit(1)).as("df"))
@@ -42,7 +54,7 @@ object TfIdf {
     * Output: (id, term, tfidf, rk), rk in 1..topK.
     */
   def topTerms(df: DataFrame, textCol: String, idCol: String, topK: Int): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tok = tokenRows(df, textCol, idCol)
     val nDocs = df.select(countDistinct(col(idCol)).as("__n"))
     val dfreq = docFrequencies(df, textCol, idCol)
     val tc = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__c"))
@@ -69,7 +81,7 @@ object TfIdf {
     * outlier/garbage signal that needs no external model.
     */
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tok = tokenRows(df, textCol, idCol)
     val counts = tok.groupBy("term").agg(count(lit(1)).as("__tc"))
     val total = tok.select(count(lit(1)).as("__total"))
     tok
