@@ -87,6 +87,30 @@ object Curation {
     df.filter(b < cut)
   }
 
+  /** Deterministic k-per-group sample: the k rows with the smallest
+    * seeded id-hash within each group — a reservoir sample whose
+    * "random" order is a hash, so it is retry-stable, partitioning-
+    * independent, and reproducible by any engine (unlike
+    * `rand()`-ranked reservoirs). The rank ≤ k filter rewrites to
+    * WindowGroupLimit: each map task keeps at most k rows per group
+    * before the shuffle, so the exchange moves O(groups × k) rows at
+    * any corpus size.
+    */
+  def samplePerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int,
+      seed: Long = 11L,
+      hasher: (Column, Column) => Column = TextAnalysis.fastH64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hasher(lit(seed.toString), col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** PII patterns: conservative ASCII regexes that Java and RE2 (DuckDB)
     * interpret identically — no lookaround, no unicode classes.
     */

@@ -58,6 +58,10 @@ object Joins {
     * evaluation, no buffering of the whole partition) → filter to left
     * rows. The right payload rides inside ONE struct column so a
     * genuinely-null right attribute is not confused with "no match".
+    *
+    * `forward = true` flips the direction: each left row matches the
+    * EARLIEST right row at-or-after (strictly after when
+    * `inclusive=false`) its time — same plan, descending traversal.
     */
   def asofJoin(
       left: DataFrame,
@@ -67,11 +71,13 @@ object Joins {
       rightTs: String,
       inclusive: Boolean = true,
       tolerance: Option[String] = None,
-      rightPrefix: String = "asof_"): DataFrame = {
+      rightPrefix: String = "asof_",
+      forward: Boolean = false): DataFrame = {
     require(on.nonEmpty, "asofJoin requires at least one equi key")
     val payloadCols = right.columns.toSeq.filterNot(c => on.contains(c) || c == rightTs)
     // At equal times an inclusive join must see the right row (sort it
-    // before the left row), a strict one must not (sort it after).
+    // before the left row in traversal order), a strict one must not
+    // (sort it after).
     val (rightSide, leftSide) = if (inclusive) (0, 1) else (1, 0)
     val payload = struct(
       col(rightTs).as("__t") +: payloadCols.map(col): _*)
@@ -89,15 +95,17 @@ object Joins {
         lit(null).cast(rightU.schema("__p").dataType).as("__p")) ++
         left.columns.filterNot(c => on.contains(c)).toSeq.map(c =>
           col(c).as(s"__l_$c")): _*)
+    val timeOrder = if (forward) col("__time").desc else col("__time").asc
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__time"), col("__side"))
+      .orderBy(timeOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = leftU.unionByName(rightU)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === leftSide)
-    val inTolerance = tolerance match {
-      case Some(t) => col("__m.__t") >= col("__time") - expr(s"INTERVAL $t")
-      case None    => col("__m").isNotNull
+    val inTolerance = (tolerance, forward) match {
+      case (Some(t), false) => col("__m.__t") >= col("__time") - expr(s"INTERVAL $t")
+      case (Some(t), true)  => col("__m.__t") <= col("__time") + expr(s"INTERVAL $t")
+      case (None, _)        => col("__m").isNotNull
     }
     val gated = matched.withColumn(
       "__mt", when(inTolerance, col("__m")))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Joins, Sketches, TextAnalysis, TfIdf}
+import graft.ops.{Curation, Joins, Sketches, TextAnalysis, TfIdf}
 
 /** Oracle-checked queries for the temporal-join and sketch operators
   * ([[graft.ops.Joins]], [[graft.ops.Sketches]]) — engine capabilities
@@ -31,6 +31,29 @@ object AnalyticsQueries {
       Joins.asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
           inclusive = true, rightPrefix = "last_")
         .orderBy("event_id")
+    }),
+
+    // Forward as-of: each purchase picks up the NEXT view at-or-after
+    // it (same plan, descending traversal).
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("view_event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      Joins.asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
+          inclusive = true, rightPrefix = "next_", forward = true)
+        .orderBy("event_id")
+    }),
+
+    // Deterministic k-per-group sample over documents by language.
+    "q_sample_group" -> ((s, dir) => {
+      Curation.samplePerGroup(
+          Tables.documents(s, dir).select("doc_id", "lang"),
+          "doc_id", "lang", k = 5, seed = 11L,
+          hasher = TextAnalysis.h64)
+        .orderBy("lang", "doc_id")
     }),
 
     // Range join: lineitem ship dates against 7-day promo windows
@@ -132,6 +155,29 @@ object AnalyticsQueries {
         |       v.view_value AS last_view_value
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q_asof_forward" ->
+      """WITH v AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts,
+        |         max(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |), p AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       v.ts AS next_ts, v.view_event_id AS next_view_event_id
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_sample_group" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      ('0x' || substr(md5('11|' || doc_id::VARCHAR), 1, 15))::BIGINT,
+        |      doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang FROM r WHERE rk <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
     "q_range_join" ->
       """WITH promo AS (
         |  SELECT o_orderkey AS promo_id, o_orderdate AS promo_start,

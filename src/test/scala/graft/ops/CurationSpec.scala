@@ -117,4 +117,31 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long, Int)].collect().toSeq
     assert(v == Seq(("a", 4L, 1), ("b", 3L, 2), ("c", 1L, 3)))
   }
+
+  test("samplePerGroup keeps exactly k per group, deterministically") {
+    val d = (1 to 200).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "g")
+    val s1 = Curation.samplePerGroup(d, "id", "g", k = 7)
+      .as[(Long, String)].collect().toSet
+    assert(s1.size == 28)
+    assert(s1.groupBy(_._2).forall(_._2.size == 7))
+    // retry-stable: identical on recompute
+    val s2 = Curation.samplePerGroup(d, "id", "g", k = 7)
+      .as[(Long, String)].collect().toSet
+    assert(s1 == s2)
+    // a different seed draws a different sample
+    val s3 = Curation.samplePerGroup(d, "id", "g", k = 7, seed = 99L)
+      .as[(Long, String)].collect().toSet
+    assert(s1 != s3)
+    // groups smaller than k keep everything
+    val tiny = Curation.samplePerGroup(d.filter($"id" <= 3), "id", "g", k = 7)
+      .as[(Long, String)].collect().toSet
+    assert(tiny.map(_._1) == Set(1L, 2L, 3L))
+  }
+
+  test("samplePerGroup prunes map-side via WindowGroupLimit") {
+    val d = (1 to 50).map(i => (i.toLong, s"g${i % 2}")).toDF("id", "g")
+    val plan = Curation.samplePerGroup(d, "id", "g", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
 }

@@ -50,6 +50,22 @@ class JoinsSpec extends SparkSpec {
     assert(out(3L).contains("c"))    // 0 min gap
   }
 
+  test("asofJoin forward picks the earliest right row at or after each left time") {
+    val out = Joins.asofJoin(left, right, Seq("key"), "t", "t", forward = true)
+      .select($"id", $"asof_tag").as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("b"))    // u1 10:00 -> next is 11:00
+    assert(out(2L).isEmpty)          // u1 12:00 -> nothing after
+    assert(out(3L).contains("c"))    // u2 09:00 matches equal time inclusively
+  }
+
+  test("asofJoin forward tolerance bounds the lookahead") {
+    val out = Joins.asofJoin(left, right, Seq("key"), "t", "t",
+        forward = true, tolerance = Some("30 minutes"))
+      .select($"id", $"asof_tag").as[(Long, Option[String])].collect().toMap
+    assert(out(1L).isEmpty)          // 10:00 -> 11:00 is 60 min: too far ahead
+    assert(out(3L).contains("c"))    // 0 min gap
+  }
+
   test("asofJoin distinguishes a null right attribute from no match") {
     val r = Seq(("u1", ts("2024-01-01 09:00:00"), Option.empty[String], 9.0))
       .toDF("key", "t", "tag", "v")
