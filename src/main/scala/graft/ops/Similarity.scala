@@ -44,6 +44,28 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarityExpr.cosineSimilarity(a, b)
 
+  /** Per-label mean embedding (class centroids / mean pooling), in
+    * long form `(label, dim, n, centroid)`: posexplode the vector and
+    * hash-aggregate by (label, dim) — partial aggregation combines
+    * map-side, so the shuffle moves `labels × dims` rows regardless
+    * of corpus size. The keyed pre-explode repartition spreads the
+    * dims× fanout from few-split sources (AQE can't see it) and keys
+    * on the ROW id, not the label — labels are few and would skew.
+    * Centroids round to 6 decimals: per-partition double-sum order is
+    * not reproducible across engines (or runs) at the last ulp.
+    */
+  def labelCentroids(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      vecCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy("label", "dim")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("__v").cast("double")), 6).as("centroid"))
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * @param corpus  (idCol, vecCol) frame — arbitrarily large

@@ -119,6 +119,13 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-label embedding centroids (mean pooling) in long form.
+    "q_embedding_centroids" -> ((s, dir) => {
+      graft.ops.Similarity.labelCentroids(
+          Tables.embeddings(s, dir), "vec_id", "label", "embedding")
+        .orderBy("label", "dim")
+    }),
+
     // The custom Catalyst kernels through the SQL surface: register
     // via GraftFunctions (same triples SparkSessionExtensions
     // injects) and call them from spark.sql — proving the
@@ -263,6 +270,14 @@ object AnalyticsQueries {
         |       count(*) AS n_tokens
         |FROM tok JOIN c USING (term) CROSS JOIN t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_embedding_centroids" ->
+      """WITH d AS (
+        |  SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding
+        |  FROM embeddings
+        |)
+        |SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
+        |       round(avg(embedding[i]::DOUBLE), 6) AS centroid
+        |FROM d GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
     "q_sql_kernels" ->
       """SELECT d.doc_id,
         |  ('0x' || substr(md5(d.text), 1, 15))::BIGINT AS text_h,

@@ -147,4 +147,18 @@ class SimilaritySpec extends SparkSpec {
       .select(Similarity.dot(col("a"), col("b"))).head().getDouble(0)
     assert(r == 1.0) // double fold keeps the 1; a float fold would drop it
   }
+
+  test("labelCentroids averages each dimension per label") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), "a"),
+      (2L, Seq(3.0f, 6.0f), "a"),
+      (3L, Seq(10.0f, 20.0f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(df, "vec_id", "label", "embedding")
+      .orderBy("label", "dim")
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 0, 2L, 2.0), ("a", 1, 2L, 4.0),
+      ("b", 0, 1L, 10.0), ("b", 1, 1L, 20.0)))
+  }
 }
