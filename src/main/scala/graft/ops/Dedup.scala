@@ -357,6 +357,59 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Cross-table fuzzy text join (entity resolution / record linkage):
+    * candidate pairs from LSH bucket collisions BETWEEN two corpora,
+    * verified with exact shingle Jaccard — `(left_id, right_id,
+    * jaccard ≥ threshold)`. Never all-pairs: comparisons happen only
+    * inside shared buckets, with the same (k, bands) recall knobs as
+    * [[nearDupPairs]] and the same per-side `maxBucketSize` cap (a
+    * bucket with L left × R right rows yields L·R candidates, so both
+    * sides cap independently). Shingle arrays materialize only for
+    * docs that appear in a candidate pair.
+    */
+  def fuzzyTextJoin(
+      left: DataFrame,
+      leftText: String,
+      leftId: String,
+      right: DataFrame,
+      rightText: String,
+      rightId: String,
+      k: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      baseHasher: Column => Column = fastBaseHash,
+      maxBucketSize: Int = 0): DataFrame = {
+    def sideBands(df: DataFrame, textCol: String, idCol: String) = {
+      val b = lshBands(signatures(df, textCol, idCol, k, shingleN, baseHasher), idCol, k, bands)
+      if (maxBucketSize > 0) {
+        val keep = b.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucketSize)
+          .select("band", "band_hash")
+        b.join(keep, Seq("band", "band_hash"), "left_semi")
+      } else b
+    }
+    val bl = sideBands(left, leftText, leftId)
+      .select(col(leftId).as("left_id"), col("band"), col("band_hash"))
+    val br = sideBands(right, rightText, rightId)
+      .select(col(rightId).as("right_id"), col("band"), col("band_hash"))
+    val cand = CachedFrames.persistOnce(
+      bl.join(br, Seq("band", "band_hash")).select("left_id", "right_id").distinct())
+    val shL = shingleFrame(
+      left.join(cand.select(col("left_id").as(leftId)).distinct(), Seq(leftId), "left_semi"),
+      leftText, leftId, shingleN)
+    val shR = shingleFrame(
+      right.join(cand.select(col("right_id").as(rightId)).distinct(), Seq(rightId), "left_semi"),
+      rightText, rightId, shingleN)
+    cand
+      .join(shL.select(col(leftId).as("left_id"), col("sh").as("sh_l")), Seq("left_id"))
+      .join(shR.select(col(rightId).as("right_id"), col("sh").as("sh_r")), Seq("right_id"))
+      .withColumn("jaccard", jaccard(col("sh_l"), col("sh_r")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
   // ------------------------------------------------------------- clusters
 
   /** Connected components over an undirected pair list: every vertex

@@ -89,6 +89,21 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Cross-table fuzzy join: even-id docs matched against odd-id
+    // docs via LSH buckets + exact-Jaccard verification (entity
+    // resolution between two corpora).
+    "q_fuzzy_join" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.fuzzyTextJoin(
+          docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+          docs.filter(col("doc_id") % 2 === 1), "text", "doc_id",
+          k = 16, bands = 8, shingleN = 3, threshold = 0.4,
+          baseHasher = oracleBaseHash)
+        .select(col("left_id"), col("right_id"),
+          round(col("jaccard"), 4).as("jaccard_r"))
+        .orderBy("left_id", "right_id")
+    }),
+
     // Connected-components cluster labels over the 0.5-threshold
     // near-dup graph: every doc in a near-dup pair gets the minimum
     // reachable doc_id as its cluster id (exact transitive closure,
@@ -506,6 +521,25 @@ object LlmQueries {
           |  round(avg(n_tokens), 4) AS avg_tokens,
           |  sum(bpe_tokens)::BIGINT AS total_bpe_tokens
           |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
+    "q_fuzzy_join" ->
+      (minhashCtes(16, 8) +
+        """, cand2 AS (
+          |  SELECT DISTINCT x.doc_id AS left_id, y.doc_id AS right_id
+          |  FROM bands x JOIN bands y
+          |    ON x.band = y.band AND x.band_hash = y.band_hash
+          |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+          |), shx AS (
+          |  SELECT doc_id, list_distinct(shingles) AS s FROM sh
+          |), jac AS (
+          |  SELECT c.left_id, c.right_id,
+          |    len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+          |      / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE AS jaccard
+          |  FROM cand2 c
+          |  JOIN shx sa ON sa.doc_id = c.left_id
+          |  JOIN shx sb ON sb.doc_id = c.right_id
+          |)
+          |SELECT left_id, right_id, round(jaccard, 4) AS jaccard_r
+          |FROM jac WHERE jaccard >= 0.4 ORDER BY left_id, right_id""".stripMargin),
     "q_dedup_clusters" ->
       ("WITH RECURSIVE " + minhashCtes(16, 8).stripPrefix("WITH ") +
         """, near AS (

@@ -78,6 +78,21 @@ object EventStreams {
       events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  /** Stream-static enrichment: join a stream to a (small) static
+    * dimension frame by equi-key. The static side broadcasts, so each
+    * micro-batch is a map-side hash join — no streaming state at all
+    * (contrast [[attributionJoin]], which must buffer both sides).
+    * The static frame is re-read per micro-batch by Spark when it is
+    * file-backed, which is what makes slowly-changing dims pick up
+    * updates without restarting the query.
+    */
+  def enrichStream(
+      stream: DataFrame,
+      dim: DataFrame,
+      on: Seq[String],
+      joinType: String = "left"): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), on, joinType)
+
   /** Stream-stream attribution join: each left event (e.g. purchase)
     * picks up every right event (e.g. view) by the same user within
     * `lookback` BEFORE it — the streaming counterpart of the batch

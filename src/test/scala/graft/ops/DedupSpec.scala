@@ -145,6 +145,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("fuzzyTextJoin links near-identical records across two corpora") {
+    val l = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about database engines")
+    ).toDF("lid", "ltext")
+    val r = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (20L, "another unrelated snippet regarding weather patterns")
+    ).toDF("rid", "rtext")
+    val out = Dedup.fuzzyTextJoin(l, "ltext", "lid", r, "rtext", "rid",
+        threshold = 0.3)
+      .select($"left_id", $"right_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)), s"got $out")
+  }
+
   test("connectedComponents labels every vertex with its component minimum") {
     val pairs = Seq((2L, 3L), (3L, 4L), (9L, 8L), (5L, 2L), (20L, 21L))
       .toDF("a", "b")

@@ -100,6 +100,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Set((1L, 100L), (1L, 101L)), s"got=$got")
   }
 
+  test("enrichStream joins a stream to a broadcast static dim, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val query = enrichStream(input.toDF(), dim, Seq("user_id"))
+      .select(col("event_id"), col("tier"))
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("append").start()
+    input.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:01:00", 2, "click", 2.0),
+      ev(3, "2024-01-01 10:02:00", 9, "view", 3.0)) // no dim row
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("enrich_stream")
+      .as[(Long, Option[String])].collect().toSet
+    assert(got == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+  }
+
   test("attributionJoin same plan works on batch frames") {
     import spark.implicits._
     val p = Seq(ev(1, "2024-01-01 10:25:00", 1, "purchase", 9.99)).toDF()
