@@ -68,6 +68,67 @@ object Sketches {
           4))
   }
 
+  /** Materialized KMV sketch: `(group cols..., kmv: array<long>)` —
+    * the sorted k smallest distinct hashes per group. This is the
+    * MERGEABLE form: sketches of disjoint (or overlapping) corpus
+    * partitions combine losslessly via [[kmvMerge]], so daily partials
+    * union into an exact whole-corpus sketch without rescanning —
+    * the property that makes a sketch useful at warehouse scale.
+    */
+  def kmvSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      k: Int,
+      hasher: (Column, Column) => Column = h64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df
+      .select(groupCols.map(col) :+ hasher(lit("kmv"), valueCol).as("__h"): _*)
+      .distinct()
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__h"))
+    hashed
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("__h"))).as("kmv"))
+  }
+
+  /** Merge two KMV sketch frames (same group columns, same hasher):
+    * per group, the k smallest of the distinct union of both hash
+    * sets — exactly the sketch a single pass over the combined data
+    * would produce (property-specced). Groups present in only one
+    * side pass through.
+    */
+  def kmvMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = a.unionByName(b)
+      .select(groupCols.map(col) :+ explode(col("kmv")).as("__h"): _*)
+      .distinct()
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__h"))
+    exploded
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("__h"))).as("kmv"))
+  }
+
+  /** Distinct-count estimate from a sketch frame ([[kmvSketch]] /
+    * [[kmvMerge]] output): same estimator as [[kmvDistinct]].
+    */
+  def kmvEstimate(sketch: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    val domain = math.pow(2, 60)
+    sketch.select(
+      groupCols.map(col) ++ Seq(
+        size(col("kmv")).cast("long").as("n_kept"),
+        element_at(col("kmv"), -1).as("kth_hash")): _*)
+      .withColumn(
+        "est_distinct",
+        round(
+          when(col("n_kept") < k, col("n_kept").cast("double"))
+            .otherwise(lit((k - 1) * domain) / col("kth_hash")),
+          4))
+  }
+
   /** CountMin sketch counter grid: `(row, bucket, cnt)` with `d`
     * hash rows × `w` buckets. Point estimates are
     * `min over rows of cnt[row][bucket_row(x)]` — always ≥ the true

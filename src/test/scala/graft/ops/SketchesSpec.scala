@@ -33,6 +33,33 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
   }
 
+  test("kmvSketch merges losslessly: partial sketches == whole-corpus sketch") {
+    val all = (1 to 3000).map(i => (s"g${i % 2}", s"v$i")).toDF("g", "v")
+    val half1 = all.filter(expr("substring(v, 2) % 3 != 0"))
+    val half2 = all.filter(expr("substring(v, 2) % 3 = 0"))
+    // overlap too: re-add some of half1 into half2 (merge must dedupe)
+    val part2 = half2.union(half1.limit(100))
+    val whole = Sketches.kmvSketch(all, Seq("g"), $"v", k = 64)
+      .as[(String, Seq[Long])].collect().toMap
+    val merged = Sketches.kmvMerge(
+        Sketches.kmvSketch(half1, Seq("g"), $"v", k = 64),
+        Sketches.kmvSketch(part2, Seq("g"), $"v", k = 64),
+        Seq("g"), k = 64)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged == whole)
+    // and the estimate off the merged sketch equals the direct one
+    val estDirect = Sketches.kmvDistinct(all, Seq("g"), $"v", k = 64)
+      .select($"g", $"est_distinct").as[(String, Double)].collect().toMap
+    val estMerged = Sketches.kmvEstimate(
+        Sketches.kmvMerge(
+          Sketches.kmvSketch(half1, Seq("g"), $"v", k = 64),
+          Sketches.kmvSketch(part2, Seq("g"), $"v", k = 64),
+          Seq("g"), k = 64),
+        Seq("g"), k = 64)
+      .select($"g", $"est_distinct").as[(String, Double)].collect().toMap
+    assert(estMerged == estDirect)
+  }
+
   test("countMin estimates are upper bounds and exact without collisions") {
     val items = (Seq.fill(50)("hot") ++ (1 to 20).map(i => s"cold$i")).toDF("x")
     val top = Sketches.countMinTopK(items, $"x", items.select($"x".as("item")),
