@@ -21,6 +21,7 @@ object PipelineQueries {
   val checkinFixture = "/root/repo/fixtures/checkin.ndjson"
   val reviewFixture = "/root/repo/fixtures/review.ndjson"
   val tipFixture = "/root/repo/fixtures/tip.ndjson"
+  val userFixture = "/root/repo/fixtures/user.ndjson"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = scala.collection.immutable.ListMap(
 
@@ -100,6 +101,30 @@ object PipelineQueries {
         col("date_month"),
         col("date_year"))
         .orderBy("business_id", "user_id")
+    }),
+
+    // The user clean branch (`clean.py:138-139`): the one entity whose
+    // date features come from `yelping_since` (format "yyyy-MM-dd",
+    // `clean.py:134`) instead of `date`. Fixture includes a malformed
+    // date, an empty string, and a JSON null to pin try_to_timestamp's
+    // NULL propagation through all 8 derived columns.
+    "q_clean_user" -> ((s, _) => {
+      val cleaned = Pipelines.cleanTransform(s.read.json(userFixture), "user")
+      cleaned.select(
+        col("user_id"),
+        col("name"),
+        col("review_count"),
+        col("fans"),
+        col("average_stars"),
+        col("yelping_since_ts").cast("timestamp_ntz").as("yelping_since_ts"),
+        col("yelping_since_date"),
+        col("yelping_since_week_start_date"),
+        col("yelping_since_week"),
+        col("yelping_since_quarter"),
+        col("yelping_since_dayofweek"),
+        col("yelping_since_month"),
+        col("yelping_since_year"))
+        .orderBy("user_id")
     }))
 
   /** The 6-step repair chain (`clean.py:69-94`) as nested DuckDB SQL —
