@@ -33,6 +33,28 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Internal column names [[asofJoin]] stages through the union;
+    * user columns may not shadow them (the guard below rejects). */
+  private val asofReserved = Set("__time", "__side", "__p", "__m", "__mt")
+
+  /** Whitelist for [[asofJoin]]'s `tolerance`: one or more
+    * `<count> <unit>` terms, ANSI interval units only. Validated
+    * BEFORE splicing into `expr(s"INTERVAL ...")` so a malformed (or
+    * hostile) string fails with a clear message instead of an opaque
+    * parser error — the string otherwise reaches the SQL parser
+    * verbatim. */
+  private val tolerancePattern =
+    """(?i)^\s*\d+\s+(year|month|week|day|hour|minute|second|millisecond|microsecond)s?(\s+\d+\s+(year|month|week|day|hour|minute|second|millisecond|microsecond)s?)*\s*$""".r
+
+  /** Shared guard for APIs that splice a duration string into
+    * `expr(s"INTERVAL ...")` ([[asofJoin]]'s tolerance,
+    * [[graft.streaming.EventStreams.attributionJoin]]'s lookback). */
+  private[graft] def requireIntervalLiteral(t: String, what: String): Unit =
+    require(
+      tolerancePattern.pattern.matcher(t).matches,
+      s"$what must be '<count> <unit>' interval terms " +
+        s"(e.g. \"30 minutes\", \"1 day 12 hours\"); got: \"$t\"")
+
   /** Backward as-of join: for each left row, attach the single most
     * recent right row with the same `on` keys and right time ≤ left
     * time (strictly < when `inclusive=false`) — the standard
@@ -74,6 +96,13 @@ object Joins {
       rightPrefix: String = "asof_",
       forward: Boolean = false): DataFrame = {
     require(on.nonEmpty, "asofJoin requires at least one equi key")
+    val shadowing = (left.columns ++ right.columns)
+      .filter(c => asofReserved(c) || c.startsWith("__l_")).distinct
+    require(
+      shadowing.isEmpty,
+      s"asofJoin reserves column names ${asofReserved.mkString("/")} and the " +
+        s"__l_ prefix for internal staging; rename: ${shadowing.mkString(", ")}")
+    tolerance.foreach(requireIntervalLiteral(_, "asofJoin tolerance"))
     val payloadCols = right.columns.toSeq.filterNot(c => on.contains(c) || c == rightTs)
     // At equal times an inclusive join must see the right row (sort it
     // before the left row in traversal order), a strict one must not

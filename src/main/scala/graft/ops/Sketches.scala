@@ -164,6 +164,11 @@ object Sketches {
       w: Int = 256,
       hasher: (Column, Column) => Column = h64): DataFrame = {
     val sketch = countMinSketch(df, itemCol, d, w, hasher)
+    // LEFT join + coalesce(cnt, 0): a grid cell no input item hashed to
+    // simply has count 0 — canonical CountMin estimates an absent
+    // candidate as 0, it doesn't drop it (an inner join would, and
+    // would also take the min over only the populated subset of a
+    // candidate's d cells). The grid is at most d×w rows — broadcast.
     candidates
       .select(col("item"))
       .distinct()
@@ -173,9 +178,9 @@ object Sketches {
       .withColumn(
         "bucket",
         pmod(hasher(concat(lit("cm"), col("row")), col("item")), lit(w)))
-      .join(sketch, Seq("row", "bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
       .groupBy("item")
-      .agg(min(col("cnt")).as("est_count"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
       .orderBy(col("est_count").desc, col("item"))
       .limit(k)
   }

@@ -222,9 +222,9 @@ object AnalyticsQueries {
         |), cand AS (
         |  SELECT DISTINCT tok AS item FROM tok
         |), est AS (
-        |  SELECT c.item, min(s.cnt) AS est_count
+        |  SELECT c.item, min(COALESCE(s.cnt, 0)) AS est_count
         |  FROM cand c CROSS JOIN range(3) t(r)
-        |  JOIN sk s ON s.row = t.r
+        |  LEFT JOIN sk s ON s.row = t.r
         |    AND s.bucket = ('0x' || substr(md5('cm' || t.r::VARCHAR || '|' || c.item), 1, 15))::BIGINT % 256
         |  GROUP BY 1
         |)

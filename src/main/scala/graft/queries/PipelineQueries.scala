@@ -221,5 +221,27 @@ object PipelineQueries {
          |  CAST(dayofweek(ts) + 1 AS INTEGER) AS date_dayofweek,
          |  CAST(month(ts) AS INTEGER) AS date_month,
          |  CAST(year(ts) AS INTEGER) AS date_year
-         |FROM t ORDER BY business_id, user_id""".stripMargin)
+         |FROM t ORDER BY business_id, user_id""".stripMargin,
+    // The user branch: same date-feature bundle as review, keyed off
+    // `yelping_since` (format "yyyy-MM-dd", clean.py:134,138-139).
+    // DuckDB TRY_CAST NULLs the fixture's malformed rows ("2016-13-45",
+    // "", JSON null) exactly like Spark's try_to_timestamp.
+    "q_clean_user" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_json('$userFixture', format='newline_delimited')
+         |), t AS (
+         |  SELECT user_id, name, review_count, fans, average_stars,
+         |    TRY_CAST(yelping_since AS TIMESTAMP) AS ts
+         |  FROM raw
+         |)
+         |SELECT user_id, name, review_count, fans, average_stars,
+         |  ts AS yelping_since_ts,
+         |  ts::DATE AS yelping_since_date,
+         |  date_trunc('week', ts)::DATE AS yelping_since_week_start_date,
+         |  CAST(weekofyear(ts) AS INTEGER) AS yelping_since_week,
+         |  CAST(quarter(ts) AS INTEGER) AS yelping_since_quarter,
+         |  CAST(dayofweek(ts) + 1 AS INTEGER) AS yelping_since_dayofweek,
+         |  CAST(month(ts) AS INTEGER) AS yelping_since_month,
+         |  CAST(year(ts) AS INTEGER) AS yelping_since_year
+         |FROM t ORDER BY user_id""".stripMargin)
 }

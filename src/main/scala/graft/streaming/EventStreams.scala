@@ -108,27 +108,39 @@ object EventStreams {
     * their window. Works identically on batch frames (plain
     * condition join, no watermark).
     *
-    * Right columns come back prefixed `matched_`.
+    * Right columns come back prefixed with `rightPrefix`. Key and
+    * timestamp column names are parameters (the events-table shape is
+    * only the default); both sides must carry all `on` keys and their
+    * own timestamp column.
     */
   def attributionJoin(
       left: DataFrame,
       right: DataFrame,
+      on: Seq[String] = Seq("user_id"),
+      leftTs: String = "ts",
+      rightTs: String = "ts",
       watermark: String = "10 minutes",
       lookback: String = "30 minutes",
-      joinType: String = "leftOuter"): DataFrame = {
-    val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left)
+      joinType: String = "leftOuter",
+      rightPrefix: String = "matched_"): DataFrame = {
+    require(on.nonEmpty, "attributionJoin requires at least one equi key")
+    graft.ops.Joins.requireIntervalLiteral(lookback, "attributionJoin lookback")
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, watermark) else left)
       .alias("l")
     val renamed = right.columns.foldLeft(right) { (df, c) =>
-      df.withColumnRenamed(c, s"matched_$c")
+      df.withColumnRenamed(c, s"$rightPrefix$c")
     }
-    val r = (if (renamed.isStreaming) renamed.withWatermark("matched_ts", watermark)
+    val r = (if (renamed.isStreaming)
+               renamed.withWatermark(s"$rightPrefix$rightTs", watermark)
              else renamed).alias("r")
+    val keysEqual = on
+      .map(k => col(s"l.$k") === col(s"r.$rightPrefix$k"))
+      .reduce(_ && _)
+    val lt = col(s"l.$leftTs")
+    val rt = col(s"r.$rightPrefix$rightTs")
     l.join(
       r,
-      expr(
-        s"""l.user_id = r.matched_user_id
-           |AND r.matched_ts <= l.ts
-           |AND r.matched_ts >= l.ts - INTERVAL $lookback""".stripMargin),
+      keysEqual && rt <= lt && rt >= lt - expr(s"INTERVAL $lookback"),
       joinType)
   }
 

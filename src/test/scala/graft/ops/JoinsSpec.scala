@@ -74,6 +74,32 @@ class JoinsSpec extends SparkSpec {
     assert(out.head == (None, Some(9.0))) // matched: v present, tag genuinely null
   }
 
+  test("asofJoin rejects user columns shadowing its internal names") {
+    val clashTime = left.withColumnRenamed("id", "__time")
+    val e1 = intercept[IllegalArgumentException] {
+      Joins.asofJoin(clashTime, right, Seq("key"), "t", "t")
+    }
+    assert(e1.getMessage.contains("__time"))
+    val clashPrefix = right.withColumnRenamed("tag", "__l_tag")
+    val e2 = intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, clashPrefix, Seq("key"), "t", "t")
+    }
+    assert(e2.getMessage.contains("__l_tag"))
+  }
+
+  test("asofJoin rejects a malformed tolerance before it reaches the parser") {
+    val e = intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, right, Seq("key"), "t", "t",
+        tolerance = Some("30 parsecs) OR 1=1"))
+    }
+    assert(e.getMessage.contains("tolerance"))
+    // multi-term intervals stay accepted
+    val ok = Joins.asofJoin(left, right, Seq("key"), "t", "t",
+        tolerance = Some("1 hour 30 minutes"))
+      .select($"id", $"asof_tag").as[(Long, Option[String])].collect().toMap
+    assert(ok(2L).contains("b"))
+  }
+
   test("asofJoin plans one exchange on the equi keys and no join node") {
     val plan = Joins.asofJoin(left, right, Seq("key"), "t", "t")
       .queryExecution.executedPlan.toString

@@ -78,6 +78,16 @@ class SketchesSpec extends SparkSpec {
     assert(est.forall(_._2 >= 5L), "CMS must never underestimate")
   }
 
+  test("countMin estimates an absent candidate as 0, not dropped") {
+    val items = Seq.fill(10)("present").toDF("x")
+    val cands = Seq("present", "absent").toDF("item")
+    val est = Sketches.countMinTopK(items, $"x", cands, k = 10, d = 3, w = 512)
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == Set("present", "absent"), "absent candidate must survive")
+    assert(est("present") == 10L)
+    assert(est("absent") == 0L)
+  }
+
   test("quantiles: exact path interpolates, approx path stays close") {
     val df = (1 to 101).map(i => ("g", i.toDouble)).toDF("g", "v")
     val ex = Sketches.quantiles(df, Seq("g"), $"v", Seq(0.5, 0.9))

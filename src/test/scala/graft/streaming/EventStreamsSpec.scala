@@ -132,6 +132,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Set((1L, Some(100L))))
   }
 
+  test("attributionJoin is schema-agnostic: custom key/ts columns") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val installs = Seq(
+      ("devA", "appX", t("2024-01-01 10:25:00")),
+      ("devB", "appX", t("2024-01-01 10:25:00")))
+      .toDF("device_id", "app", "install_time")
+    val ads = Seq(
+      (100L, "devA", "appX", t("2024-01-01 10:00:00")),
+      (101L, "devA", "appX", t("2024-01-01 09:00:00")), // outside lookback
+      (102L, "devA", "appY", t("2024-01-01 10:10:00"))) // other app key
+      .toDF("ad_id", "device_id", "app", "impression_time")
+    val got = attributionJoin(
+        installs, ads,
+        on = Seq("device_id", "app"),
+        leftTs = "install_time", rightTs = "impression_time",
+        lookback = "30 minutes", joinType = "leftOuter")
+      .select(col("device_id"), col("matched_ad_id"))
+      .as[(String, Option[Long])].collect().toSet
+    assert(got == Set(("devA", Some(100L)), ("devB", None)))
+  }
+
+  test("attributionJoin rejects a malformed lookback before the parser") {
+    import spark.implicits._
+    val df = Seq(ev(1, "2024-01-01 10:00:00", 1, "x", 0.0)).toDF()
+    val e = intercept[IllegalArgumentException] {
+      attributionJoin(df, df, lookback = "5 furlongs'; DROP TABLE")
+    }
+    assert(e.getMessage.contains("lookback"))
+  }
+
   test("sessionize splits on gaps and emits closed sessions (batch-mode run)") {
     // flatMapGroupsWithState executes on batch Datasets too (state
     // starts empty, timeouts never fire) — this pins the gap-splitting
