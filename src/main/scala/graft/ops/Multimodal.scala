@@ -1,6 +1,10 @@
 package graft.ops
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.security.MessageDigest
+import javax.imageio.ImageIO
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,12 +13,17 @@ import org.apache.spark.sql.functions._
   * decode / feature-extraction runs per partition so a real codec
   * would be initialized once per task, not once per row.
   *
-  * The decode step is a clearly-marked deterministic STUB — this
-  * container has no image/audio libraries — but the Spark-side
-  * plumbing is real: BinaryType schema, case-class Encoders,
-  * `Dataset.mapPartitions` batch shape (the Scala analogue of
-  * `mapInPandas`), and partition-preserving narrow execution (no
-  * shuffle is introduced by decode).
+  * Two decode tiers:
+  *   - [[decodeImage]] / [[resizeImage]] / [[sampleImageFrames]] are
+  *     REAL decodes via pure-JVM `javax.imageio` (PNG/JPEG/GIF/BMP —
+  *     no external native libs). Undecodable payloads degrade to
+  *     sentinel dimensions instead of failing the task.
+  *   - [[decodeStub]] / [[frameSampleStub]] / [[resizeStub]] remain
+  *     for formats the JVM can't decode (video/audio): deterministic
+  *     fakes with the real plumbing — BinaryType schema, case-class
+  *     Encoders, `Dataset.mapPartitions` batch shape (the Scala
+  *     analogue of `mapInPandas`), partition-preserving narrow
+  *     execution (no shuffle is introduced by decode).
   */
 object Multimodal {
 
@@ -52,11 +61,144 @@ object Multimodal {
       .when(hex(substring(bin, 1, 4)) === "52494646", "riff")
       .otherwise("bin")
 
-  /** STUB decode: where a real pipeline would decode the image and
-    * measure it, we derive deterministic fake dimensions from the md5
-    * of the payload (hex chars 1-4 → width, 5-8 → height, each mapped
-    * to 16..255). Deterministic ⇒ oracle-checkable; swap the body for
-    * a real codec when one is available.
+  /** JVM-side twin of [[sniffFormat]] for per-partition decode code. */
+  private def sniffBytes(b: Array[Byte]): String =
+    if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff) "jpeg"
+    else if (b.length >= 4 && (b(0) & 0xff) == 0x89 &&
+      b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' &&
+      b(2) == 'F' && b(3) == 'F') "riff"
+    else "bin"
+
+  /** `ImageIO.read` that maps every decode failure to None: no reader
+    * registered, corrupt stream, truncated payload. `setUseCache(false)`
+    * keeps decode on-heap — executor tasks must not spill codec temp
+    * files to local disk.
+    */
+  private def tryReadImage(bytes: Array[Byte]): Option[BufferedImage] = {
+    ImageIO.setUseCache(false)
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** md5 over the decoded sRGB raster (`getRGB` normalizes the color
+    * model, so the fingerprint is stable across palette/band layouts).
+    */
+  private def pixelMd5(img: BufferedImage, digest: MessageDigest): String = {
+    digest.reset()
+    val pixels = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+    val buf = java.nio.ByteBuffer.allocate(pixels.length * 4)
+    buf.asIntBuffer().put(pixels)
+    digest.digest(buf.array()).map("%02x".format(_)).mkString
+  }
+
+  /** REAL image decode (pure-JVM `javax.imageio`: PNG/JPEG/GIF/BMP).
+    * Width/height come from the actually-decoded raster; payloads the
+    * JVM can't decode get the sentinel `(-1, -1)` with the magic-byte
+    * format sniff preserved — a 100 TB ingest must quarantine bad
+    * media rows, not die on them. Narrow (per-partition), no shuffle.
+    */
+  def decodeImage(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      val digest = MessageDigest.getInstance("MD5")
+      records.map { r =>
+        digest.reset()
+        val hexDigest = digest.digest(r.content).map("%02x".format(_)).mkString
+        val dims = tryReadImage(r.content)
+          .map(img => (img.getWidth, img.getHeight))
+          .getOrElse((-1, -1))
+        DecodedMedia(r.id, r.content.length, hexDigest, sniffBytes(r.content),
+          dims._1, dims._2)
+      }
+    }
+  }
+
+  /** REAL resize: decode → bilinear `Graphics2D` scale to
+    * `targetW`×`targetH` → PNG re-encode. Undecodable payloads pass
+    * through unchanged (same quarantine stance as [[decodeImage]]).
+    */
+  def resizeImage(
+      media: Dataset[MediaRecord],
+      targetW: Int,
+      targetH: Int): Dataset[MediaRecord] = {
+    require(targetW > 0 && targetH > 0, s"target dims must be positive: ${targetW}x$targetH")
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        tryReadImage(r.content) match {
+          case None => r
+          case Some(img) =>
+            val scaled = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            try {
+              g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+                RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, targetW, targetH, null)
+            } finally g.dispose()
+            val out = new ByteArrayOutputStream()
+            ImageIO.write(scaled, "png", out)
+            r.copy(content = out.toByteArray, media_type = "image/png")
+        }
+      }
+    }
+  }
+
+  /** One really-decoded frame of a multi-frame container (GIF). */
+  final case class DecodedFrame(
+      id: Long,
+      frame_index: Int,
+      width: Int,
+      height: Int,
+      pixel_md5: String)
+
+  /** REAL frame sampling: opens an `ImageReader` on the container,
+    * counts frames (GIF animations have many; still formats have 1),
+    * and decodes up to `maxFrames` equal-spaced frames. One input row
+    * fans out to ≤`maxFrames` typed rows; reader state is per-row but
+    * the digest is per-partition. Undecodable payloads yield no rows.
+    */
+  def sampleImageFrames(
+      media: Dataset[MediaRecord],
+      maxFrames: Int = 4): Dataset[DecodedFrame] = {
+    require(maxFrames > 0, s"maxFrames must be positive: $maxFrames")
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      ImageIO.setUseCache(false)
+      val digest = MessageDigest.getInstance("MD5")
+      records.flatMap { r =>
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.content))
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); Seq.empty[DecodedFrame] }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = math.max(1, reader.getNumImages(true))
+            val k = math.min(maxFrames, n)
+            (0 until k).map { i =>
+              val frameIdx = ((n.toLong * i) / k).toInt
+              val img = reader.read(frameIdx)
+              DecodedFrame(r.id, frameIdx, img.getWidth, img.getHeight,
+                pixelMd5(img, digest))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => Seq.empty[DecodedFrame]
+          } finally {
+            reader.dispose()
+            iis.close()
+          }
+        }
+      }
+    }
+  }
+
+  /** STUB decode for non-image media (video/audio codecs aren't in the
+    * JVM): derives deterministic fake dimensions from the md5 of the
+    * payload (hex chars 1-4 → width, 5-8 → height, each mapped to
+    * 16..255). Deterministic ⇒ oracle-checkable. For images, use the
+    * real [[decodeImage]].
     */
   def decodeStub(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
@@ -67,20 +209,11 @@ object Multimodal {
       records.map { r =>
         digest.reset()
         val hexDigest = digest.digest(r.content).map("%02x".format(_)).mkString
-        val fmt =
-          if (r.content.length >= 3 &&
-            (r.content(0) & 0xff) == 0xff && (r.content(1) & 0xff) == 0xd8 &&
-            (r.content(2) & 0xff) == 0xff) "jpeg"
-          else if (r.content.length >= 4 && (r.content(0) & 0xff) == 0x89 &&
-            r.content(1) == 'P' && r.content(2) == 'N' && r.content(3) == 'G') "png"
-          else if (r.content.length >= 4 && r.content(0) == 'R' && r.content(1) == 'I' &&
-            r.content(2) == 'F' && r.content(3) == 'F') "riff"
-          else "bin"
         DecodedMedia(
           id = r.id,
           byte_len = r.content.length,
           content_md5 = hexDigest,
-          format = fmt,
+          format = sniffBytes(r.content),
           width = 16 + Integer.parseInt(hexDigest.substring(0, 4), 16) % 240,
           height = 16 + Integer.parseInt(hexDigest.substring(4, 8), 16) % 240)
       }

@@ -212,7 +212,23 @@ object LlmQueries {
       Multimodal.frameSampleStub(media, nFrames = 4, frameBytes = 64)
         .toDF()
         .orderBy("id", "frame_index")
+    }),
+
+    // REAL image decode over the checked-in PNG fixture: Spark decodes
+    // the full raster via javax.imageio; the oracle independently reads
+    // width/height from the PNG IHDR header bytes. The non-image row
+    // pins the (-1, -1) quarantine path.
+    "q_image_decode" -> ((s, _) => {
+      import s.implicits._
+      val media = Multimodal.ingestBase64(
+        s.read.json(imagesFixture), "id", "b64", "image")
+        .as[Multimodal.MediaRecord]
+      Multimodal.decodeImage(media)
+        .select("id", "byte_len", "format", "width", "height")
+        .orderBy("id")
     }))
+
+  val imagesFixture = "/root/repo/fixtures/images.ndjson"
 
   // ---- oracle SQL ------------------------------------------------------
 
@@ -604,5 +620,28 @@ object LlmQueries {
         |  'bin' AS format,
         |  (16 + ('0x' || substr(md5(text),1,4))::INTEGER % 240)::INTEGER AS width,
         |  (16 + ('0x' || substr(md5(text),5,4))::INTEGER % 240)::INTEGER AS height
-        |FROM documents ORDER BY id""".stripMargin)
+        |FROM documents ORDER BY id""".stripMargin,
+    // PNG dims from the IHDR header: width/height are big-endian u32 at
+    // byte offsets 17-20 / 21-24 → hex-string offsets 33 / 41. The
+    // engine decodes the whole raster (ImageIO), so matching the header
+    // proves the real decode agrees with the container metadata.
+    "q_image_decode" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_json('$imagesFixture', format='newline_delimited')
+         |), b AS (
+         |  SELECT id, from_base64(b64) AS blob FROM raw
+         |), h AS (
+         |  SELECT id, blob, hex(blob) AS hx FROM b
+         |)
+         |SELECT id,
+         |  octet_length(blob)::INTEGER AS byte_len,
+         |  CASE WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+         |       WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+         |       WHEN substr(hx, 1, 8) = '52494646' THEN 'riff'
+         |       ELSE 'bin' END AS format,
+         |  CASE WHEN substr(hx, 1, 8) = '89504E47'
+         |       THEN ('0x' || substr(hx, 33, 8))::INTEGER ELSE -1 END AS width,
+         |  CASE WHEN substr(hx, 1, 8) = '89504E47'
+         |       THEN ('0x' || substr(hx, 41, 8))::INTEGER ELSE -1 END AS height
+         |FROM h ORDER BY id""".stripMargin)
 }

@@ -85,6 +85,109 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(resized.content.take(10), "UTF-8").startsWith("RSZ:64x64:"))
   }
 
+  // ---- real javax.imageio decode ---------------------------------------
+
+  /** Encode a deterministic gradient image via ImageIO. */
+  private def makeImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 7 + y * 13) % 256) << 16 | ((x * 3) % 256) << 8 | (y % 256))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  private def mediaOf(rows: (Long, Array[Byte])*) = {
+    import spark.implicits._
+    rows.toSeq.map { case (id, bytes) => Multimodal.MediaRecord(id, bytes, "image") }
+      .toDS()
+  }
+
+  test("decodeImage really decodes PNG/GIF/BMP dims; non-images quarantine to -1") {
+    val decoded = Multimodal.decodeImage(mediaOf(
+      1L -> makeImage(37, 21, "png"),
+      2L -> makeImage(5, 9, "gif"),
+      3L -> makeImage(12, 4, "bmp"),
+      4L -> "definitely not an image".getBytes("UTF-8"),
+      5L -> (Array[Byte](0x89.toByte, 'P', 'N', 'G') ++ Array.fill[Byte](16)(0))))
+      .collect().map(d => d.id -> d).toMap
+    assert((decoded(1L).width, decoded(1L).height) == (37, 21))
+    assert(decoded(1L).format == "png")
+    assert((decoded(2L).width, decoded(2L).height) == (5, 9))
+    assert((decoded(3L).width, decoded(3L).height) == (12, 4))
+    // non-image and truncated-PNG rows quarantine instead of failing the task
+    assert((decoded(4L).width, decoded(4L).height) == (-1, -1))
+    assert(decoded(4L).format == "bin")
+    assert((decoded(5L).width, decoded(5L).height) == (-1, -1))
+    assert(decoded(5L).format == "png") // sniff still sees the magic bytes
+  }
+
+  test("resizeImage produces a real PNG at the target dims; non-images pass through") {
+    val payload = "not an image".getBytes("UTF-8")
+    val resized = Multimodal.resizeImage(
+      mediaOf(1L -> makeImage(40, 30, "png"), 2L -> payload), 8, 8)
+      .collect().map(r => r.id -> r).toMap
+    val redecoded = Multimodal.decodeImage(mediaOf(1L -> resized(1L).content)).head()
+    assert((redecoded.width, redecoded.height) == (8, 8))
+    assert(redecoded.format == "png")
+    assert(resized(2L).content.sameElements(payload))
+  }
+
+  /** Animated GIF via ImageIO's sequence writer. */
+  private def makeAnimatedGif(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until frames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x + y + f * 40) % 256) << 16)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  test("sampleImageFrames decodes real GIF frames; stills yield one frame") {
+    val frames = Multimodal.sampleImageFrames(mediaOf(
+      1L -> makeAnimatedGif(6, 4, 3),
+      2L -> makeImage(10, 8, "png"),
+      3L -> "junk".getBytes("UTF-8")), maxFrames = 4)
+      .collect().groupBy(_.id)
+    assert(frames(1L).map(_.frame_index).sorted.sameElements(Seq(0, 1, 2)))
+    assert(frames(1L).forall(f => f.width == 6 && f.height == 4))
+    // frames have different pixel content → different fingerprints
+    assert(frames(1L).map(_.pixel_md5).distinct.length == 3)
+    assert(frames(2L).length == 1 && frames(2L).head.width == 10)
+    assert(!frames.contains(3L)) // undecodable yields no rows
+  }
+
+  test("sampleImageFrames equal-spaces when frames exceed maxFrames") {
+    val frames = Multimodal.sampleImageFrames(
+      mediaOf(1L -> makeAnimatedGif(4, 4, 6)), maxFrames = 3).collect()
+    assert(frames.map(_.frame_index).sorted.sameElements(Seq(0, 2, 4)))
+  }
+
+  test("decodeImage matches the checked-in fixture oracle expectations") {
+    import spark.implicits._
+    val media = Multimodal.ingestBase64(
+      spark.read.json("/root/repo/fixtures/images.ndjson"), "id", "b64", "image")
+      .as[Multimodal.MediaRecord]
+    val d = Multimodal.decodeImage(media).collect().map(x => x.id -> x).toMap
+    assert((d(1L).width, d(1L).height) == (37, 21))
+    assert((d(2L).width, d(2L).height) == (1, 1))
+    assert((d(3L).width, d(3L).height) == (128, 3))
+    assert((d(4L).width, d(4L).height) == (255, 17))
+    assert((d(5L).width, d(5L).height) == (64, 48))
+    assert((d(6L).width, d(6L).height, d(6L).format) == (-1, -1, "bin"))
+  }
+
   test("decode is narrow: partition count is preserved (no shuffle)") {
     val df = Seq.tabulate(8)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
       .repartition(3)
