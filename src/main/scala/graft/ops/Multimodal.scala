@@ -145,6 +145,51 @@ object Multimodal {
     }
   }
 
+  /** Really-decoded audio stream metadata (javax.sound.sampled). */
+  final case class DecodedAudio(
+      id: Long,
+      byte_len: Int,
+      format: String,
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      n_frames: Long,
+      duration_ms: Double)
+
+  /** REAL audio decode (pure-JVM `javax.sound.sampled`: WAV/AIFF/AU).
+    * Opens the stream, reads the negotiated `AudioFormat`, and counts
+    * frames from the container. Same quarantine stance as
+    * [[decodeImage]]: undecodable payloads get `-1` sentinels (and
+    * `n_frames = -1`, `duration_ms = -1.0`), never a task failure.
+    * Narrow (per-partition), no shuffle.
+    */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        val decoded =
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(r.content))
+            try {
+              val fmt = in.getFormat
+              val frames = in.getFrameLength
+              val durMs =
+                if (frames >= 0 && fmt.getSampleRate > 0)
+                  math.round(frames * 1000000.0 / fmt.getSampleRate) / 1000.0
+                else -1.0
+              Some((fmt.getSampleRate.toInt, fmt.getChannels,
+                fmt.getSampleSizeInBits, frames, durMs))
+            } finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        val (rate, ch, bits, frames, durMs) =
+          decoded.getOrElse((-1, -1, -1, -1L, -1.0))
+        DecodedAudio(r.id, r.content.length, sniffBytes(r.content),
+          rate, ch, bits, frames, durMs)
+      }
+    }
+  }
+
   /** One really-decoded frame of a multi-frame container (GIF). */
   final case class DecodedFrame(
       id: Long,

@@ -226,9 +226,22 @@ object LlmQueries {
       Multimodal.decodeImage(media)
         .select("id", "byte_len", "format", "width", "height")
         .orderBy("id")
+    }),
+
+    // REAL audio decode over the checked-in WAV fixture: Spark opens
+    // the stream via javax.sound.sampled; the oracle independently
+    // reads rate/channels/bits/frames from the RIFF header bytes
+    // (little-endian, so hex byte pairs are swapped before casting).
+    "q_audio_decode" -> ((s, _) => {
+      import s.implicits._
+      val media = Multimodal.ingestBase64(
+        s.read.json(audioFixture), "id", "b64", "audio")
+        .as[Multimodal.MediaRecord]
+      Multimodal.decodeAudio(media).toDF().orderBy("id")
     }))
 
   val imagesFixture = "/root/repo/fixtures/images.ndjson"
+  val audioFixture = "/root/repo/fixtures/audio.ndjson"
 
   // ---- oracle SQL ------------------------------------------------------
 
@@ -643,5 +656,48 @@ object LlmQueries {
          |       THEN ('0x' || substr(hx, 33, 8))::INTEGER ELSE -1 END AS width,
          |  CASE WHEN substr(hx, 1, 8) = '89504E47'
          |       THEN ('0x' || substr(hx, 41, 8))::INTEGER ELSE -1 END AS height
-         |FROM h ORDER BY id""".stripMargin)
+         |FROM h ORDER BY id""".stripMargin,
+    // Canonical 44-byte PCM WAV header (fixture generator emits no
+    // extra chunks): channels @ bytes 23-24, rate @ 25-28, block align
+    // @ 33-34, bits @ 35-36, data size @ 41-44 — all little-endian u16/
+    // u32, byte N = hex chars (2N-1, 2N).
+    "q_audio_decode" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_json('$audioFixture', format='newline_delimited')
+         |), b AS (
+         |  SELECT id, from_base64(b64) AS blob FROM raw
+         |), h AS (
+         |  SELECT id, blob, hex(blob) AS hx,
+         |    (substr(hex(blob), 1, 8) = '52494646') AS is_riff
+         |  FROM b
+         |), p AS (
+         |  SELECT id, blob, is_riff,
+         |    CASE WHEN is_riff THEN
+         |      ('0x' || substr(hx, 47, 2) || substr(hx, 45, 2))::INTEGER
+         |    ELSE -1 END AS channels,
+         |    CASE WHEN is_riff THEN
+         |      ('0x' || substr(hx, 55, 2) || substr(hx, 53, 2)
+         |            || substr(hx, 51, 2) || substr(hx, 49, 2))::INTEGER
+         |    ELSE -1 END AS sample_rate,
+         |    CASE WHEN is_riff THEN
+         |      ('0x' || substr(hx, 67, 2) || substr(hx, 65, 2))::INTEGER
+         |    ELSE 1 END AS block_align,
+         |    CASE WHEN is_riff THEN
+         |      ('0x' || substr(hx, 71, 2) || substr(hx, 69, 2))::INTEGER
+         |    ELSE -1 END AS bits_per_sample,
+         |    CASE WHEN is_riff THEN
+         |      ('0x' || substr(hx, 87, 2) || substr(hx, 85, 2)
+         |            || substr(hx, 83, 2) || substr(hx, 81, 2))::BIGINT
+         |    ELSE -1 END AS data_size
+         |  FROM h
+         |)
+         |SELECT id,
+         |  octet_length(blob)::INTEGER AS byte_len,
+         |  CASE WHEN is_riff THEN 'riff' ELSE 'bin' END AS format,
+         |  sample_rate, channels, bits_per_sample,
+         |  CASE WHEN is_riff THEN data_size // block_align ELSE -1 END::BIGINT AS n_frames,
+         |  CASE WHEN is_riff
+         |       THEN round((data_size // block_align) * 1000.0 / sample_rate, 3)
+         |       ELSE -1.0 END AS duration_ms
+         |FROM p ORDER BY id""".stripMargin)
 }

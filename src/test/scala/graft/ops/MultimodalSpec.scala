@@ -188,6 +188,53 @@ class MultimodalSpec extends SparkSpec {
     assert((d(6L).width, d(6L).height, d(6L).format) == (-1, -1, "bin"))
   }
 
+  /** Encode a deterministic PCM WAV via javax.sound itself. */
+  private def makeWav(rate: Float, channels: Int, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+    val data = Array.tabulate(frames * channels * 2)(i => (i % 251).toByte)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeAudio really reads WAV format metadata; non-audio quarantines") {
+    val decoded = Multimodal.decodeAudio(mediaOf(
+      1L -> makeWav(8000f, 1, 1600),
+      2L -> makeWav(44100f, 2, 441),
+      3L -> "definitely not audio".getBytes("UTF-8")))
+      .collect().map(d => d.id -> d).toMap
+    assert(decoded(1L).sample_rate == 8000 && decoded(1L).channels == 1)
+    assert(decoded(1L).bits_per_sample == 16 && decoded(1L).n_frames == 1600L)
+    assert(decoded(1L).duration_ms == 200.0)
+    assert(decoded(2L).sample_rate == 44100 && decoded(2L).channels == 2)
+    assert(decoded(2L).n_frames == 441L && decoded(2L).duration_ms == 10.0)
+    assert(decoded(1L).format == "riff" && decoded(2L).format == "riff")
+    assert((decoded(3L).sample_rate, decoded(3L).n_frames, decoded(3L).duration_ms)
+      == (-1, -1L, -1.0))
+    assert(decoded(3L).format == "bin")
+  }
+
+  test("decodeAudio matches the checked-in fixture oracle expectations") {
+    import spark.implicits._
+    val media = Multimodal.ingestBase64(
+      spark.read.json("/root/repo/fixtures/audio.ndjson"), "id", "b64", "audio")
+      .as[Multimodal.MediaRecord]
+    val d = Multimodal.decodeAudio(media).collect().map(x => x.id -> x).toMap
+    assert((d(1L).sample_rate, d(1L).channels, d(1L).bits_per_sample, d(1L).n_frames)
+      == (8000, 1, 16, 1600L))
+    assert((d(2L).sample_rate, d(2L).channels, d(2L).bits_per_sample, d(2L).n_frames)
+      == (44100, 2, 16, 441L))
+    assert((d(3L).sample_rate, d(3L).channels, d(3L).bits_per_sample, d(3L).n_frames)
+      == (11025, 1, 8, 500L))
+    assert(d(3L).duration_ms == 45.351)
+    assert((d(4L).sample_rate, d(4L).channels, d(4L).bits_per_sample, d(4L).n_frames)
+      == (22050, 2, 8, 123L))
+    assert((d(5L).sample_rate, d(5L).n_frames, d(5L).format) == (-1, -1L, "bin"))
+  }
+
   test("decode is narrow: partition count is preserved (no shuffle)") {
     val df = Seq.tabulate(8)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
       .repartition(3)
