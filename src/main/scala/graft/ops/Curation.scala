@@ -213,6 +213,88 @@ object Curation {
         .add("pack_offset", LongType, nullable = false))
   }
 
+  /** Source-weighted token-budget mixing: compose a training corpus
+    * from `weights`-proportioned slices of each source. Every source
+    * `s` gets an allocation `floor(tokenBudget × wₛ / Σw)`; within a
+    * source, documents are taken in seeded-hash order (a deterministic
+    * shuffle — retry-stable and partitioning-independent where
+    * `rand()` is not) until the allocation fills. The document that
+    * straddles its source's boundary is kept (same convention as
+    * [[packSequences]]); sources absent from `weights` are dropped.
+    * Appends `mix_tokens_before` — the tokens taken from the row's
+    * source before it — as the audit column.
+    *
+    * Scale shape: the naive form is `sum(tokens) OVER (PARTITION BY
+    * source ORDER BY hash)`, which serializes each source through ONE
+    * window task — with 5-20 sources over 100 TB that is 5-20 tasks
+    * doing all the work. Instead this reuses the [[packSequences]]
+    * partition-offset prefix sum, generalized per-source: range-shuffle
+    * by (source, hash), collect per-partition PER-SOURCE token totals
+    * (bounded driver data: ≤ numPartitions × |sources| longs), then
+    * every partition computes its rows' running sums independently
+    * from its offsets. Parallelism stays at numPartitions regardless
+    * of how few sources there are.
+    *
+    * `tokenCol` must be a non-null LongType column (e.g.
+    * [[TextAnalysis.bpeTokenCount]] materialized by the caller).
+    */
+  def mixSources(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokenCol: String,
+      weights: Seq[(String, Double)],
+      tokenBudget: Long,
+      seed: Long = 13L,
+      hasher: (Column, Column) => Column = TextAnalysis.fastH64): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    require(weights.map(_._1).distinct.size == weights.size, "duplicate source in weights")
+    val totalW = weights.map(_._2).sum
+    val allocs = weights.map { case (s, w) =>
+      s -> math.floor(tokenBudget * w / totalW).toLong
+    }.toMap
+    val spark = df.sparkSession
+
+    val keyed = df
+      .filter(col(sourceCol).isin(weights.map(_._1): _*))
+      .withColumn("__mix_h", hasher(lit(seed.toString), col(idCol).cast("string")))
+    val sorted = keyed
+      .repartitionByRange(col(sourceCol), col("__mix_h"), col(idCol))
+      .sortWithinPartitions(col(sourceCol), col("__mix_h"), col(idCol))
+    val rdd = sorted.rdd
+    val srcIdx = sorted.schema.fieldIndex(sourceCol)
+    val tokIdx = sorted.schema.fieldIndex(tokenCol)
+
+    // Lightweight pre-pass: per-partition, per-source token totals.
+    val partSums: Array[Map[String, Long]] = rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r =>
+        val s = r.getString(srcIdx)
+        m.update(s, m.getOrElse(s, 0L) + r.getLong(tokIdx))
+      }
+      Iterator.single(m.toMap)
+    }.collect()
+    // offsets(pi)(src) = tokens of `src` in partitions before pi.
+    val offsets: Array[Map[String, Long]] = partSums.scanLeft(Map.empty[String, Long]) {
+      (acc, m) => m.foldLeft(acc) { case (a, (s, t)) => a.updated(s, a.getOrElse(s, 0L) + t) }
+    }.init
+
+    val allocB = spark.sparkContext.broadcast(allocs)
+    val mixed = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val cum = scala.collection.mutable.Map[String, Long](offsets(pi).toSeq: _*)
+      it.flatMap { row =>
+        val s = row.getString(srcIdx)
+        val before = cum.getOrElse(s, 0L)
+        cum.update(s, before + row.getLong(tokIdx))
+        if (before < allocB.value(s)) Some(Row.fromSeq(row.toSeq :+ before)) else None
+      }
+    }
+    spark.createDataFrame(
+        mixed, sorted.schema.add("mix_tokens_before", LongType, nullable = false))
+      .drop("__mix_h")
+  }
+
   /** Top-`k` whitespace-token vocabulary by corpus frequency, ranked
     * with a total order (freq desc, then token) so the cut is
     * deterministic. explode → map-side-combined hash agg → bounded

@@ -91,7 +91,23 @@ object CurationQueries {
       Curation.vocabulary(Tables.documents(s, dir), "text", vocabK)
         .select("token", "freq", "rank")
         .orderBy("rank")
+    }),
+
+    // Source-weighted token-budget mixing: 50/25/25 over three sources,
+    // 2000-token budget (allocations 1000/500/500).
+    "q_mix_sources" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      Curation.mixSources(
+          d, "doc_id", "source", "n_tokens",
+          Seq("src0" -> 0.5, "src1" -> 0.25, "src7" -> 0.25),
+          tokenBudget = mixBudget, seed = 13L, hasher = TextAnalysis.h64)
+        .select("doc_id", "source", "n_tokens", "mix_tokens_before")
+        .orderBy("doc_id")
     }))
+
+  private val mixBudget = 2000L
 
   def oracleSql: Map[String, String] = Map(
     "q_split_assign" ->
@@ -177,5 +193,29 @@ object CurationQueries {
         |    CAST(row_number() OVER (ORDER BY freq DESC, token) AS INTEGER) AS rank
         |  FROM f
         |)
-        |SELECT token, freq, rank FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin)
+        |SELECT token, freq, rank FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    // The window form is the semantic spec: per-source running token
+    // sum in seeded-hash order, keep while the exclusive prefix is
+    // under the source's allocation (straddler kept). The engine
+    // computes the same prefix sums via partition offsets instead of
+    // one window task per source.
+    "q_mix_sources" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+         |    ('0x' || substr(md5('13|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM documents
+         |  WHERE source IN ('src0', 'src1', 'src7')
+         |), c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS mix_tokens_before
+         |  FROM t
+         |)
+         |SELECT doc_id, source, n_tokens, mix_tokens_before FROM c
+         |WHERE mix_tokens_before <
+         |  CASE source WHEN 'src0' THEN 1000 ELSE 500 END
+         |ORDER BY doc_id""".stripMargin)
 }

@@ -144,4 +144,63 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
   }
+
+  // id-ordered hasher so expected survivors are hand-computable
+  private val idOrderHasher: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+    org.apache.spark.sql.Column = (_, x) => x.cast("long")
+
+  test("mixSources fills each source's allocation in hash order, keeping the straddler") {
+    // source a: ids 1-4 with 10 tokens each; source b: ids 5-6 with 40;
+    // source c (unweighted): dropped. budget 100, a:0.25 b:0.75 →
+    // alloc a=25, b=75.
+    val d = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L), (4L, "a", 10L),
+      (5L, "b", 40L), (6L, "b", 40L),
+      (7L, "c", 99L)).toDF("doc_id", "source", "n_tokens")
+    val mixed = Curation.mixSources(
+        d, "doc_id", "source", "n_tokens",
+        Seq("a" -> 0.25, "b" -> 0.75), tokenBudget = 100L, hasher = idOrderHasher)
+      .select("doc_id", "source", "n_tokens", "mix_tokens_before")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // a: before = 0,10,20 → ids 1,2 kept outright, 3 straddles 25 → kept, 4 dropped
+    // b: before = 0,40 → id 5 kept, 6 straddles 75 → kept
+    assert(mixed == Seq(
+      (1L, "a", 10L, 0L), (2L, "a", 10L, 10L), (3L, "a", 10L, 20L),
+      (5L, "b", 40L, 0L), (6L, "b", 40L, 40L)))
+  }
+
+  test("mixSources is partitioning-independent and retry-stable") {
+    val d = docs.limit(300)
+      .select(col("doc_id"), col("lang").as("source"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_tokens"))
+    val w = Seq("en" -> 0.6, "fr" -> 0.4)
+    val base = Curation.mixSources(d, "doc_id", "source", "n_tokens", w, 800L)
+      .select("doc_id", "mix_tokens_before")
+      .as[(Long, Long)].collect().toSet
+    val repartitioned = Curation.mixSources(
+        d.repartition(13), "doc_id", "source", "n_tokens", w, 800L)
+      .select("doc_id", "mix_tokens_before")
+      .as[(Long, Long)].collect().toSet
+    assert(base == repartitioned)
+    assert(base.nonEmpty)
+    // every source's take is allocation-bounded: before < alloc
+    val taken = Curation.mixSources(d, "doc_id", "source", "n_tokens", w, 800L)
+      .groupBy("source").agg(max("mix_tokens_before")).as[(String, Long)].collect().toMap
+    assert(taken("en") < 480 && taken("fr") < 320)
+  }
+
+  test("mixSources validates inputs") {
+    val d = Seq((1L, "a", 10L)).toDF("doc_id", "source", "n_tokens")
+    intercept[IllegalArgumentException] {
+      Curation.mixSources(d, "doc_id", "source", "n_tokens", Seq("a" -> 0.5), 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.mixSources(d, "doc_id", "source", "n_tokens",
+        Seq("a" -> 0.5, "a" -> 0.5), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.mixSources(d, "doc_id", "source", "n_tokens", Seq("a" -> -1.0), 10L)
+    }
+  }
 }
