@@ -365,6 +365,59 @@ object Similarity {
       .select(col("a"), col("b"), col("sim"))
   }
 
+  /** SemDeDup-style semantic duplicate pairs (cluster-then-prune;
+    * Abbas et al. 2023, arXiv:2303.09540): assign every vector to its
+    * max-dot centroid — a map-side fused-kernel argmax
+    * ([[graft.functions.MatVecDotsExpr]]), no join — then compute
+    * exact pairwise cosine ONLY within a cluster and emit `(a < b)`
+    * pairs with `sim ≥ threshold`. Cross-cluster near-dups are missed
+    * by design; that approximation is what makes the op scale.
+    *
+    * Centroids come from [[trainCentroids]] (or any quantizer); the
+    * centroid count is the scale knob: the quadratic term is
+    * Σ_clusters n_c², so k grows with the corpus to keep clusters
+    * bounded — the published recipe. The self-join shuffles
+    * (id, vec, cluster) rows hash-partitioned by cluster; for skewed
+    * corpora raise k or route hot clusters through [[annNearDupPairs]].
+    */
+  def semanticDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Float]],
+      threshold: Double): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val cm = centroids.map(_.map(_.toDouble).toArray).toArray
+    val assigned = df
+      .select(col(idCol).as("__sid"), col(vecCol).as("__svec"))
+      .withColumn("__cd", graft.functions.MatVecDotsExpr.matVecDots(col("__svec"), cm))
+      // first max index wins ties — same rule as ivfTopK
+      .withColumn("cluster",
+        (array_position(col("__cd"), array_max(col("__cd"))) - 1).cast("int"))
+      .select("__sid", "__svec", "cluster")
+    val a = assigned.select(col("cluster"), col("__sid").as("a"), col("__svec").as("avec"))
+    val b = assigned.select(col("cluster"), col("__sid").as("b"), col("__svec").as("bvec"))
+    a.join(b, Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim", cosine(col("avec"), col("bvec")))
+      .filter(col("sim") >= threshold)
+      .select(col("cluster"), col("a"), col("b"), col("sim"))
+  }
+
+  /** SemDeDup keep-set: drop the larger id of every semantic-dup pair
+    * (greedy keep-first, same policy as [[dedupByEmbedding]]).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Float]],
+      threshold: Double): DataFrame = {
+    val losers = semanticDedupPairs(df, idCol, vecCol, centroids, threshold)
+      .select(col("b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Keep one vector (minimum id) per near-dup group — greedy
     * keep-first, same policy as [[graft.ops.Dedup.dedupNear]].
     */
