@@ -237,6 +237,14 @@ object Curation {
     *
     * `tokenCol` must be a non-null LongType column (e.g.
     * [[TextAnalysis.bpeTokenCount]] materialized by the caller).
+    *
+    * FP convention: allocations are `floor(tokenBudget × wₛ / Σw)`
+    * evaluated in double precision. For weight ratios that are not
+    * exactly representable (0.1 + 0.2 …), double rounding can move an
+    * allocation boundary by ±1 token versus exact rational arithmetic
+    * — pass integer-valued weights (2.0/1.0 rather than 0.2/0.1) when
+    * exact boundaries matter. Any external oracle must derive
+    * allocations with the same double math to agree.
     */
   def mixSources(
       df: DataFrame,
@@ -250,6 +258,12 @@ object Curation {
     require(tokenBudget > 0, "tokenBudget must be positive")
     require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
     require(weights.map(_._1).distinct.size == weights.size, "duplicate source in weights")
+    val mixReserved = Seq("__mix_h", "mix_tokens_before")
+    val shadowing = df.columns.filter(mixReserved.contains)
+    require(
+      shadowing.isEmpty,
+      s"mixSources reserves column names ${mixReserved.mkString("/")} for " +
+        s"internal staging and output; rename: ${shadowing.mkString(", ")}")
     val totalW = weights.map(_._2).sum
     val allocs = weights.map { case (s, w) =>
       s -> math.floor(tokenBudget * w / totalW).toLong

@@ -380,6 +380,11 @@ object Similarity {
     * (id, vec, cluster) rows hash-partitioned by cluster; for skewed
     * corpora raise k or route hot clusters through [[annNearDupPairs]].
     */
+  /** Internal staging + output column names [[semanticDedupPairs]]
+    * uses; input frames may not carry them (same guard pattern as
+    * [[Joins.asofJoin]]). */
+  private val semanticReserved = Set("__sid", "__svec", "__cd", "cluster")
+
   def semanticDedupPairs(
       df: DataFrame,
       idCol: String,
@@ -387,6 +392,11 @@ object Similarity {
       centroids: Seq[Seq[Float]],
       threshold: Double): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
+    val shadowing = df.columns.filter(semanticReserved)
+    require(
+      shadowing.isEmpty,
+      s"semanticDedupPairs reserves column names ${semanticReserved.mkString("/")} " +
+        s"for internal staging and output; rename: ${shadowing.mkString(", ")}")
     val cm = centroids.map(_.map(_.toDouble).toArray).toArray
     val assigned = df
       .select(col(idCol).as("__sid"), col(vecCol).as("__svec"))

@@ -24,6 +24,9 @@ object LlmQueries {
   private val annBits = 4
   private val ivfCentroids = 16
   private val ivfProbe = 4
+  private val semClusters = 8
+  private val semSubsetIds = 500 // SemDeDup check set = vec_id < 500
+  private val semThreshold = 0.4
 
   // Oracle queries pass the md5-derived hashers EXPLICITLY: the ops
   // default to xxhash64 for production throughput, and cross-engine
@@ -133,6 +136,21 @@ object LlmQueries {
           Tables.embeddings(s, dir).filter(col("vec_id") < 500),
           "vec_id", "embedding", threshold = 0.4)
         .select(col("a"), col("b"), round(col("sim"), 4).as("sim_r"))
+        .orderBy("a", "b")
+    }),
+
+    // SemDeDup (Abbas et al. 2023) semantic-dup pairs on a bounded id
+    // subset: centroid assignment is max-DOT argmax over a
+    // deterministic quantizer (the `semClusters` lowest-id vectors —
+    // same oracle-replayable seed as q_ivf_topk), pairwise cosine only
+    // within a cluster. The trained-quantizer composition
+    // (trainCentroids → semanticDedup) is covered in SimilaritySpec.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < semSubsetIds)
+      val centroids = emb.orderBy("vec_id").limit(semClusters)
+        .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
+      Similarity.semanticDedupPairs(emb, "vec_id", "embedding", centroids, semThreshold)
+        .select(col("cluster"), col("a"), col("b"), round(col("sim"), 4).as("sim_r"))
         .orderBy("a", "b")
     }),
 
@@ -455,9 +473,47 @@ object LlmQueries {
        |  WHERE p.qid <> a.nid
        |)""".stripMargin + rerankSql
 
+  /** SemDeDup oracle: replays [[Similarity.semanticDedupPairs]] —
+    * lowest-id quantizer (as q_ivf_topk), max-dot assignment with
+    * first-index tie-break (`ORDER BY d DESC, idx`), within-cluster
+    * `a < b` pairs, exact double-fold cosine filtered at the UNROUNDED
+    * threshold, then 4-decimal rounding for display.
+    */
+  private def semanticDedupOracle: String =
+    s"""WITH sub AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $semSubsetIds
+       |), cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS idx,
+       |    embedding AS cvec
+       |  FROM (SELECT vec_id, embedding FROM sub ORDER BY vec_id LIMIT $semClusters)
+       |), cd AS (
+       |  SELECT e.vec_id, c.idx,
+       |    ${dotSql("c.cvec", "e.embedding")} AS d
+       |  FROM sub e CROSS JOIN cent c
+       |), assign AS (
+       |  SELECT vec_id, idx AS cluster FROM (
+       |    SELECT vec_id, idx,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, idx) AS rn
+       |    FROM cd
+       |  ) WHERE rn = 1
+       |), pr AS (
+       |  SELECT x.cluster, x.vec_id AS a, y.vec_id AS b
+       |  FROM assign x JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |), scored AS (
+       |  SELECT p.cluster, p.a, p.b,
+       |    ${dotSql("av.embedding", "bv.embedding")} /
+       |    (sqrt(${dotSql("av.embedding", "av.embedding")}) * sqrt(${dotSql("bv.embedding", "bv.embedding")})) AS sim
+       |  FROM pr p
+       |  JOIN sub av ON av.vec_id = p.a
+       |  JOIN sub bv ON bv.vec_id = p.b
+       |)
+       |SELECT cluster, a, b, round(sim, 4) AS sim_r
+       |FROM scored WHERE sim >= $semThreshold ORDER BY a, b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_ann_topk" -> annOracle,
     "q_ivf_topk" -> ivfOracle,
+    "q_semantic_dedup" -> semanticDedupOracle,
     "q_fingerprint" ->
       """WITH t AS (
         |  SELECT doc_id, lower(text) AS t FROM documents

@@ -203,4 +203,17 @@ class CurationSpec extends SparkSpec {
       Curation.mixSources(d, "doc_id", "source", "n_tokens", Seq("a" -> -1.0), 10L)
     }
   }
+
+  test("mixSources rejects frames carrying its reserved staging/output columns") {
+    val staged = Seq((1L, "a", 10L, 7L)).toDF("doc_id", "source", "n_tokens", "__mix_h")
+    val e1 = intercept[IllegalArgumentException] {
+      Curation.mixSources(staged, "doc_id", "source", "n_tokens", Seq("a" -> 1.0), 10L)
+    }
+    assert(e1.getMessage.contains("__mix_h"))
+    val out = Seq((1L, "a", 10L, 7L)).toDF("doc_id", "source", "n_tokens", "mix_tokens_before")
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.mixSources(out, "doc_id", "source", "n_tokens", Seq("a" -> 1.0), 10L)
+    }
+    assert(e2.getMessage.contains("mix_tokens_before"))
+  }
 }

@@ -148,6 +148,89 @@ class SimilaritySpec extends SparkSpec {
     assert(r == 1.0) // double fold keeps the 1; a float fold would drop it
   }
 
+  /** Two hand-computable clusters around orthogonal centroids, plus a
+    * cross-cluster near-dup pair that SemDeDup must MISS by design:
+    * ids 4/5 have cosine ≈ 0.9998 but straddle the decision boundary
+    * between the centroids, so they are never compared.
+    */
+  private val semCentroids = Seq(Seq(1f, 0f), Seq(0f, 1f))
+  private def semFixture = Seq(
+    (0L, Seq(1f, 0.1f)),  // cluster 0
+    (1L, Seq(1f, 0.12f)), // cluster 0, near-dup of 0 (cos ≈ 0.9999)
+    (2L, Seq(0.1f, 1f)),  // cluster 1
+    (3L, Seq(0.12f, 1f)), // cluster 1, near-dup of 2
+    (4L, Seq(1f, 0.98f)), // cluster 0 ┐ cross-cluster near-dup pair
+    (5L, Seq(0.98f, 1f))  // cluster 1 ┘ (cos ≈ 0.9998, never compared)
+  ).toDF("vec_id", "embedding")
+
+  test("semanticDedupPairs: within-cluster pairs found, cross-cluster near-dups missed by design") {
+    val pairs = Similarity.semanticDedupPairs(semFixture, "vec_id", "embedding", semCentroids, 0.99)
+      .select("cluster", "a", "b").as[(Int, Long, Long)].collect().toSet
+    assert(pairs == Set((0, 0L, 1L), (1, 2L, 3L)))
+    // (4,5) IS a genuine near-dup — the exact all-pairs path finds it…
+    val exact = Similarity.exactNearDupPairs(semFixture, "vec_id", "embedding", 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((4L, 5L)))
+    // …and the SemDeDup approximation skips it (the documented trade)
+    assert(!pairs.exists { case (_, a, b) => (a, b) == ((4L, 5L)) })
+  }
+
+  test("semanticDedupPairs argmax tie-break: first centroid index wins") {
+    val df = Seq(
+      (6L, Seq(1f, 1f)),   // equal dot to both centroids → cluster 0
+      (7L, Seq(1f, 0.99f)) // cluster 0, near-dup of 6 (cos ≈ 0.99997)
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticDedupPairs(df, "vec_id", "embedding", semCentroids, 0.99)
+      .select("cluster", "a", "b").as[(Int, Long, Long)].collect().toSet
+    // a last-index tie rule would strand 6 in cluster 1 and emit nothing
+    assert(pairs == Set((0, 6L, 7L)))
+  }
+
+  test("semanticDedupPairs threshold is inclusive (sim >= threshold)") {
+    // identical vectors score exactly 1.0 (4 / (2·2)) — kept at threshold 1.0
+    val df = Seq((0L, Seq(2f, 0f)), (1L, Seq(2f, 0f))).toDF("vec_id", "embedding")
+    val at = Similarity.semanticDedupPairs(df, "vec_id", "embedding", Seq(Seq(1f, 0f)), 1.0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(at == Set((0L, 1L)))
+  }
+
+  test("semanticDedup keeps the minimum id of each semantic-dup pair") {
+    val kept = Similarity.semanticDedup(semFixture, "vec_id", "embedding", semCentroids, 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    // pairs (0,1) and (2,3) drop the larger id; boundary pair 4/5 both survive
+    assert(kept == Set(0L, 2L, 4L, 5L))
+  }
+
+  test("semanticDedupPairs rejects frames carrying reserved column names") {
+    val df = Seq((0L, Seq(1f, 0f), 9)).toDF("vec_id", "embedding", "cluster")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupPairs(df, "vec_id", "embedding", semCentroids, 0.5)
+    }
+    assert(e.getMessage.contains("cluster"))
+  }
+
+  test("trainCentroids → semanticDedup composition: cluster minima survive, dups drop") {
+    val df = clustered(nClusters = 6, perCluster = 4, dim = 16).drop("cluster").cache()
+    val trained = Similarity.trainCentroids(df, "vec_id", "embedding",
+      nCentroids = 6, dim = 16, iters = 3)
+    val semPairs = Similarity.semanticDedupPairs(df, "vec_id", "embedding", trained, 0.999)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // SemDeDup only restricts the candidate set: its pairs must be a
+    // non-empty subset of the exact all-pairs near-dups
+    val exactPairs = Similarity.exactNearDupPairs(df, "vec_id", "embedding", 0.999)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(semPairs.nonEmpty, "trained quantizer co-located no near-dup pair")
+    assert(semPairs.subsetOf(exactPairs), s"phantom pairs: ${semPairs -- exactPairs}")
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding", trained, 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    // a cluster minimum can only drop via a smaller id from ANOTHER
+    // cluster — cross-cluster sims are far below threshold, so minima
+    // always survive
+    val minima = (0 until 6).map(c => (c * 4).toLong).toSet
+    assert(minima.subsetOf(kept), s"cluster minima missing from $kept")
+    assert(kept.size < 24, "no semantic dups dropped")
+  }
+
   test("labelCentroids averages each dimension per label") {
     val df = Seq(
       (1L, Seq(1.0f, 2.0f), "a"),
