@@ -72,15 +72,14 @@ object Multimodal {
     else "bin"
 
   /** `ImageIO.read` that maps every decode failure to None: no reader
-    * registered, corrupt stream, truncated payload. `setUseCache(false)`
-    * keeps decode on-heap — executor tasks must not spill codec temp
-    * files to local disk.
+    * registered, corrupt stream, truncated payload. Callers hoist
+    * `ImageIO.setUseCache(false)` to once per partition (it mutates
+    * JVM-global state; keeping decode on-heap stops executor tasks
+    * spilling codec temp files to local disk).
     */
-  private def tryReadImage(bytes: Array[Byte]): Option[BufferedImage] = {
-    ImageIO.setUseCache(false)
+  private def tryReadImage(bytes: Array[Byte]): Option[BufferedImage] =
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
-  }
 
   /** md5 over the decoded sRGB raster (`getRGB` normalizes the color
     * model, so the fingerprint is stable across palette/band layouts).
@@ -102,6 +101,7 @@ object Multimodal {
   def decodeImage(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
+      ImageIO.setUseCache(false)
       val digest = MessageDigest.getInstance("MD5")
       records.map { r =>
         digest.reset()
@@ -126,6 +126,7 @@ object Multimodal {
     require(targetW > 0 && targetH > 0, s"target dims must be positive: ${targetW}x$targetH")
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
+      ImageIO.setUseCache(false)
       records.map { r =>
         tryReadImage(r.content) match {
           case None => r
@@ -213,12 +214,18 @@ object Multimodal {
       ImageIO.setUseCache(false)
       val digest = MessageDigest.getInstance("MD5")
       records.flatMap { r =>
-        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.content))
-        val readers = ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) { iis.close(); Seq.empty[DecodedFrame] }
-        else {
-          val reader = readers.next()
-          try {
+        // Stream creation and reader lookup sit INSIDE the quarantine
+        // scope too — an unexpected throw there must yield zero rows,
+        // not a task failure — and the finally closes the stream on
+        // every path.
+        var iis: javax.imageio.stream.ImageInputStream = null
+        var reader: javax.imageio.ImageReader = null
+        try {
+          iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.content))
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Seq.empty[DecodedFrame]
+          else {
+            reader = readers.next()
             reader.setInput(iis)
             val n = math.max(1, reader.getNumImages(true))
             val k = math.min(maxFrames, n)
@@ -228,12 +235,14 @@ object Multimodal {
               DecodedFrame(r.id, frameIdx, img.getWidth, img.getHeight,
                 pixelMd5(img, digest))
             }
-          } catch {
-            case scala.util.control.NonFatal(_) => Seq.empty[DecodedFrame]
-          } finally {
-            reader.dispose()
-            iis.close()
           }
+        } catch {
+          case scala.util.control.NonFatal(_) => Seq.empty[DecodedFrame]
+        } finally {
+          if (reader != null) reader.dispose()
+          if (iis != null)
+            try iis.close()
+            catch { case scala.util.control.NonFatal(_) => () }
         }
       }
     }

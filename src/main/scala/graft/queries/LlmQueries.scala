@@ -246,6 +246,33 @@ object LlmQueries {
         .orderBy("id")
     }),
 
+    // REAL multi-frame pipeline over the checked-in animated-GIF
+    // fixture, two composed stages in one result:
+    //   'sample'        — sampleImageFrames(gif, 4): equal-spaced REAL
+    //                     frame decodes; the oracle derives the
+    //                     expected indices from the generator's frame
+    //                     count and the dims from the GIF logical-
+    //                     screen header bytes.
+    //   'resize_sample' — resizeImage(gif, 16, 16) → sampleImageFrames:
+    //                     the re-encoded PNG is a single 16×16 frame;
+    //                     the non-image quarantine row passes through
+    //                     resize unchanged and yields no rows.
+    "q_gif_frames" -> ((s, _) => {
+      import s.implicits._
+      val media = Multimodal.ingestBase64(
+        s.read.json(gifsFixture), "id", "b64", "image/gif")
+        .as[Multimodal.MediaRecord]
+      def stageOf(name: String, frames: org.apache.spark.sql.Dataset[Multimodal.DecodedFrame]) =
+        frames.toDF().select(
+          lit(name).as("stage"), col("id"), col("frame_index"),
+          col("width"), col("height"))
+      stageOf("sample", Multimodal.sampleImageFrames(media, maxFrames = 4))
+        .unionByName(stageOf("resize_sample",
+          Multimodal.sampleImageFrames(
+            Multimodal.resizeImage(media, 16, 16), maxFrames = 4)))
+        .orderBy("stage", "id", "frame_index")
+    }),
+
     // REAL audio decode over the checked-in WAV fixture: Spark opens
     // the stream via javax.sound.sampled; the oracle independently
     // reads rate/channels/bits/frames from the RIFF header bytes
@@ -260,6 +287,7 @@ object LlmQueries {
 
   val imagesFixture = "/root/repo/fixtures/images.ndjson"
   val audioFixture = "/root/repo/fixtures/audio.ndjson"
+  val gifsFixture = "/root/repo/fixtures/gifs.ndjson"
 
   // ---- oracle SQL ------------------------------------------------------
 
@@ -713,6 +741,36 @@ object LlmQueries {
          |  CASE WHEN substr(hx, 1, 8) = '89504E47'
          |       THEN ('0x' || substr(hx, 41, 8))::INTEGER ELSE -1 END AS height
          |FROM h ORDER BY id""".stripMargin,
+    // GIF logical-screen width/height are little-endian u16 at byte
+    // offsets 7-8 / 9-10 (after the 6-byte 'GIF89a' signature) → hex
+    // chars 13-16 / 17-20 with the byte pair swapped. Frame count
+    // comes from the generator's ground truth (`n_frames` in the
+    // fixture); the engine must recover it via ImageReader. The
+    // resize_sample stage is fully predicted: one 16×16 frame per
+    // decodable GIF, nothing for the quarantine row.
+    "q_gif_frames" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_json('$gifsFixture', format='newline_delimited')
+         |), h AS (
+         |  SELECT id, n_frames, hex(from_base64(b64)) AS hx FROM raw
+         |), gif AS (
+         |  SELECT id, n_frames,
+         |    ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::INTEGER AS w,
+         |    ('0x' || substr(hx, 19, 2) || substr(hx, 17, 2))::INTEGER AS h
+         |  FROM h WHERE substr(hx, 1, 8) = '47494638'
+         |), sampled AS (
+         |  SELECT 'sample' AS stage, id,
+         |    CAST((n_frames * u.i) // least(4, n_frames) AS INTEGER) AS frame_index,
+         |    w AS width, h AS height
+         |  FROM gif,
+         |    LATERAL (SELECT unnest(generate_series(0, least(4, n_frames) - 1)) AS i) u
+         |), resized AS (
+         |  SELECT 'resize_sample' AS stage, id,
+         |    0::INTEGER AS frame_index, 16::INTEGER AS width, 16::INTEGER AS height
+         |  FROM gif
+         |)
+         |SELECT * FROM sampled UNION ALL SELECT * FROM resized
+         |ORDER BY stage, id, frame_index""".stripMargin,
     // Canonical 44-byte PCM WAV header (fixture generator emits no
     // extra chunks): channels @ bytes 23-24, rate @ 25-28, block align
     // @ 33-34, bits @ 35-36, data size @ 41-44 — all little-endian u16/
