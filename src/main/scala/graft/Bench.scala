@@ -10,7 +10,11 @@ import org.apache.spark.sql.SparkSession
   * warm (steady-state, as on a long-lived cluster) but no pass reads
   * another pass's materialized caches. `loadavg_start`/`loadavg_end`
   * record host contention (this VM shows 3-4× noise under load;
-  * compare loadavg before believing a regression).
+  * compare loadavg before believing a regression). When the host is
+  * hot at start (loadavg > 2.5) the bench sleeps
+  * `SPARK_GRAFT_BENCH_RETRY_WAIT_MS` (default 60 s) and runs one extra
+  * pass; min-of-passes reports the cleaner number and the
+  * `contaminated` flag survives only if the retry started hot too.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,7 +42,7 @@ object Bench {
     // A failing query must not masquerade as a fast one: record it and
     // surface the list in the diagnostics line.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    for (_ <- 1 to runs) {
+    def runPass(): Unit = {
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -59,6 +63,18 @@ object Bench {
       }
       CachedFrames.unpersistAll()
     }
+    for (_ <- 1 to runs) runPass()
+    // Retry-once on contamination: a hot host at start (driver's own
+    // prep, a neighbor VM) inflates every pass 2-4×. Wait for the load
+    // to drain and run ONE more full pass — min-of-passes then reports
+    // the cleaner number. The flag stays only if the host is STILL hot
+    // when the retry pass starts.
+    var loadRetry = load0
+    if (load0 > 2.5) {
+      Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_WAIT_MS", "60000").toLong)
+      loadRetry = loadavg
+      runPass()
+    }
     // Queries that never succeeded would otherwise report Double.MaxValue.
     failed.foreach { n => if (best(n) == Double.MaxValue) best(n) = 0.0 }
     // Two lines: a verbose diagnostics line first (max-of-N, loadavg),
@@ -76,10 +92,12 @@ object Bench {
     // Contamination flag: three rounds of driver benches started at
     // loadavg ≈4.9 and came back 2×+ inflated vs clean re-runs that
     // started ≤1.2 on this 32-cpu host — mark the canonical line so a
-    // hot-host number is never mistaken for a regression.
-    val contaminated = load0 > 2.5
+    // hot-host number is never mistaken for a regression. After the
+    // retry pass above, the flag means "still hot at retry start".
+    val contaminated = load0 > 2.5 && loadRetry > 2.5
     val contaminatedJson = if (contaminated) ""","contaminated":true""" else ""
-    println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"failed":$failedJson,"parallelism":$par,"runs":$runs,"loadavg_start":${r3(load0)},"loadavg_end":${r3(loadavg)}}""")
+    val retryJson = if (load0 > 2.5) s""","loadavg_retry":${r3(loadRetry)}""" else ""
+    println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"failed":$failedJson,"parallelism":$par,"runs":$runs,"loadavg_start":${r3(load0)},"loadavg_end":${r3(loadavg)}$retryJson}""")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(best)},"sf":"$sfDir"$contaminatedJson}""")
     spark.stop()
   }
