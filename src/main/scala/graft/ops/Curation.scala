@@ -191,7 +191,14 @@ object Curation {
       budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+    // Both passes (the offsets pre-pass collect below and the caller's
+    // eventual action on the packed frame) scan this sorted frame:
+    // persist it once so the shuffle+sort is paid once, not twice
+    // (measured 2× end-to-end on the MixProbe replica corpus). The
+    // plan-keyed registry dedupes repeated calls; the caller releases
+    // via CachedFrames.unpersistAll() as everywhere else.
+    val sorted = graft.CachedFrames.persistOnce(
+      df.repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol)))
     val rdd = sorted.rdd
     val tokIdx = sorted.schema.fieldIndex(tokenCol)
     val partSums = rdd
@@ -273,9 +280,14 @@ object Curation {
     val keyed = df
       .filter(col(sourceCol).isin(weights.map(_._1): _*))
       .withColumn("__mix_h", hasher(lit(seed.toString), col(idCol).cast("string")))
-    val sorted = keyed
+    // Persist across the two passes (per-source offsets pre-pass + the
+    // caller's action): without it the range shuffle + sort runs twice
+    // — measured 2× end-to-end slower than even the single-task-window
+    // form at 5M rows (MixProbe). Plan-keyed, released by
+    // CachedFrames.unpersistAll().
+    val sorted = graft.CachedFrames.persistOnce(keyed
       .repartitionByRange(col(sourceCol), col("__mix_h"), col(idCol))
-      .sortWithinPartitions(col(sourceCol), col("__mix_h"), col(idCol))
+      .sortWithinPartitions(col(sourceCol), col("__mix_h"), col(idCol)))
     val rdd = sorted.rdd
     val srcIdx = sorted.schema.fieldIndex(sourceCol)
     val tokIdx = sorted.schema.fieldIndex(tokenCol)

@@ -51,6 +51,26 @@ object SafeCast {
     case other => c.try_cast(other)
   }
 
+  /** The one-job null-count frame behind [[chooseTypes]]: for every
+    * column its base null count and the null count under every
+    * candidate conversion, as ONE wide aggregation (plan-pinned in
+    * PlanAuditSpec: two HashAggregates — partial then final — and a
+    * single single-partition exchange, nothing else).
+    */
+  private[graft] def nullCountAgg(
+      df: DataFrame,
+      columns: Seq[String],
+      candidates: Seq[DataType]): DataFrame = {
+    val aggs = columns.flatMap { name =>
+      val base = count(when(col(name).isNull, 1)).as(s"${name}__base")
+      val tried = candidates.zipWithIndex.map { case (t, i) =>
+        count(when(convert(col(name), t).isNull, 1)).as(s"${name}__c$i")
+      }
+      base +: tried
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Chosen type per column (None = stays string), decided by one
     * aggregation job over all columns × candidates.
     */
@@ -59,16 +79,7 @@ object SafeCast {
       columns: Seq[String],
       candidates: Seq[DataType]): Map[String, Option[DataType]] = {
     if (columns.isEmpty) return Map.empty
-    // One wide agg row: for every column its base null count, and the
-    // null count under every candidate conversion.
-    val aggs = columns.flatMap { name =>
-      val base = count(when(col(name).isNull, 1)).as(s"${name}__base")
-      val tried = candidates.zipWithIndex.map { case (t, i) =>
-        count(when(convert(col(name), t).isNull, 1)).as(s"${name}__c$i")
-      }
-      base +: tried
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = nullCountAgg(df, columns, candidates).head()
     columns.map { name =>
       val base = row.getAs[Long](s"${name}__base")
       val winner = candidates.zipWithIndex.find { case (_, i) =>

@@ -44,7 +44,11 @@ object Surrogate {
     */
   def withSequentialId(df: DataFrame, name: String, keys: Column*): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+    // zipWithIndex's internal count job and the caller's action both
+    // scan the sorted frame — persist once so the range shuffle + sort
+    // is paid once (plan-keyed; released by CachedFrames.unpersistAll).
+    val sorted = graft.CachedFrames.persistOnce(
+      df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*))
     val rdd = sorted.rdd
     // zipWithIndex = count job over all-but-last partition + broadcast
     // of the cumulative offsets; indices follow partition order, which

@@ -111,6 +111,31 @@ class PlanAuditSpec extends SparkSpec {
       "expected the running-window resolution")
   }
 
+  test("safeCast type choice is ONE aggregation pass: partial+final agg, single exchange") {
+    // The q_safe_cast driver query feeds chooseTypes a repaired events
+    // projection; pin that exact agg shape (r7 watch item: 1.5s→3.2s
+    // bench drift — clean re-measure returned 1.51s, plan unchanged;
+    // this pin makes any future real plan change fail loudly).
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf001).select(
+      col("event_id"),
+      when(col("value").isNotNull,
+        when(col("value") > 50, lit("True")).otherwise(lit("False"))).as("flag"),
+      col("event_type").as("label"))
+    val repaired = ev.withColumn("flag", graft.ops.StringRepair.repair(col("flag")))
+    val agg = graft.ops.SafeCast.nullCountAgg(
+      repaired, Seq("flag", "label"), graft.ops.SafeCast.yelpAttributeCandidates)
+    val plan = agg.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val nAggs = plan.linesIterator.count(_.trim.matches("""\(\d+\) HashAggregate.*"""))
+    assert(nAggs == 2, s"expected exactly partial+final HashAggregate, got $nAggs:\n$plan")
+    // count detail-section headers only — the formatted explain prints
+    // each node once in the tree and once as a "(n) Node" detail block
+    val exchanges = plan.linesIterator.filter(_.trim.matches("""\(\d+\) Exchange.*""")).toSeq
+    assert(exchanges.size == 1, s"expected one exchange:\n${exchanges.mkString("\n")}")
+    assert(plan.contains("SinglePartition"), "the one exchange must be the global-agg gather")
+    assert(!plan.contains("Join"), "null-count agg must not join")
+  }
+
   test("q_kmv_distinct prunes to k rows per group before the rank shuffle") {
     val plan = planOf("q_kmv_distinct")
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
