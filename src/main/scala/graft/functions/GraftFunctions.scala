@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 
 /** SQL registration for the library's custom Catalyst expressions, so
   * `spark.sql("SELECT graft_md5_long(x, 15) ...")` works alongside the
@@ -33,6 +34,31 @@ object GraftFunctions {
       "graft_cosine(array<float>, array<float>) takes 2 arguments")
   }
 
+  /** `graft_matvec_dots(vec, matrix)` — the matrix argument must be a
+    * FOLDABLE array<array<numeric>> (e.g. `array(array(1.0, 0.0), ...)`):
+    * [[MatVecDotsExpr]] ships the matrix to executors as one constant
+    * flat double[] reference object, so it is evaluated once at
+    * registration-builder time (cast through array<array<double>> to
+    * accept decimal/float literals), never per row.
+    */
+  private def matVecBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(vec, m) if m.foldable =>
+      val data = Cast(m, ArrayType(ArrayType(DoubleType)))
+        .eval().asInstanceOf[ArrayData]
+      require(data != null && data.numElements() > 0,
+        "graft_matvec_dots matrix must be a non-null, non-empty array literal")
+      val matrix = Array.tabulate(data.numElements()) { i =>
+        val row = data.getArray(i)
+        require(row != null, s"graft_matvec_dots matrix row $i is null")
+        row.toDoubleArray()
+      }
+      MatVecDotsExpr(vec, matrix)
+    case Seq(_, _) => throw new IllegalArgumentException(
+      "graft_matvec_dots(array<float>, matrix) requires a foldable matrix literal")
+    case _ => throw new IllegalArgumentException(
+      "graft_matvec_dots(array<float>, array<array<double>>) takes 2 arguments")
+  }
+
   /** (identifier, info, builder) triples — the exact shape both
     * `SparkSessionExtensions.injectFunction` and
     * `FunctionRegistry.registerFunction` consume.
@@ -45,7 +71,11 @@ object GraftFunctions {
     (
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "graft_cosine"),
-      cosineBuilder _))
+      cosineBuilder _),
+    (
+      FunctionIdentifier("graft_matvec_dots"),
+      new ExpressionInfo(classOf[MatVecDotsExpr].getName, "graft_matvec_dots"),
+      matVecBuilder _))
 
   /** Register every graft function on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -135,10 +135,17 @@ object AnalyticsQueries {
       graft.functions.GraftFunctions.register(s)
       Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
       Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+      // graft_matvec_dots takes a foldable matrix literal (here 2×3 —
+      // the kernel dots against the first 3 vector dims); decimal SQL
+      // literals are cast to double by the registration builder.
       s.sql(
         """SELECT d.doc_id,
           |  graft_md5_long(d.text, 15) AS text_h,
-          |  round(graft_cosine(e.embedding, e2.embedding), 4) AS cos_next
+          |  round(graft_cosine(e.embedding, e2.embedding), 4) AS cos_next,
+          |  round(element_at(graft_matvec_dots(e.embedding,
+          |    array(array(1.0, -2.0, 0.5), array(0.25, 0.0, -1.0))), 1), 4) AS mv1,
+          |  round(element_at(graft_matvec_dots(e.embedding,
+          |    array(array(1.0, -2.0, 0.5), array(0.25, 0.0, -1.0))), 2), 4) AS mv2
           |FROM graft_documents d
           |JOIN graft_embeddings e ON e.vec_id = d.doc_id
           |JOIN graft_embeddings e2 ON e2.vec_id = d.doc_id + 1
@@ -287,7 +294,11 @@ object AnalyticsQueries {
         |    (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
         |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
         |     sqrt(list_sum(list_transform(range(1, len(e2.embedding)+1),
-        |      i -> e2.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE)))), 4) AS cos_next
+        |      i -> e2.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE)))), 4) AS cos_next,
+        |  round(e.embedding[1]::DOUBLE * 1.0 + e.embedding[2]::DOUBLE * -2.0
+        |        + e.embedding[3]::DOUBLE * 0.5, 4) AS mv1,
+        |  round(e.embedding[1]::DOUBLE * 0.25 + e.embedding[2]::DOUBLE * 0.0
+        |        + e.embedding[3]::DOUBLE * -1.0, 4) AS mv2
         |FROM documents d
         |JOIN embeddings e ON e.vec_id = d.doc_id
         |JOIN embeddings e2 ON e2.vec_id = d.doc_id + 1

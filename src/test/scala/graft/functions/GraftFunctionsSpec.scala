@@ -33,6 +33,45 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(math.abs(sql - 10.0 / 14.0) < 1e-12)
   }
 
+  test("graft_matvec_dots via SQL equals the fused Column API and the composed fold form") {
+    val s = spark.newSession()
+    GraftFunctions.register(s)
+    import s.implicits._
+    val matrix = Array(Array(1.0, 0.0, -1.0), Array(0.5, 0.5, 0.5))
+    Seq(Array(1.0f, 2.0f, 4.0f), Array(-1.0f, 0.0f, 1.0f))
+      .toDF("v").createOrReplaceTempView("vecs")
+    // decimal literals in the SQL matrix: the builder casts to double
+    val sql = s.sql(
+      """SELECT graft_matvec_dots(v, array(array(1.0, 0.0, -1.0),
+        |                                  array(0.5, 0.5, 0.5))) AS d
+        |FROM vecs""".stripMargin)
+      .as[Seq[Double]].collect().toSeq
+    val api = s.table("vecs")
+      .select(MatVecDotsExpr.matVecDots(col("v"), matrix).as("d"))
+      .as[Seq[Double]].collect().toSeq
+    assert(sql == api)
+    // composed per-row fold (the form the kernel fuses), bit-identical
+    val composed = s.table("vecs").select(array(matrix.map { row =>
+        aggregate(
+          zip_with(col("v"), lit(row), (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*).as("d"))
+      .as[Seq[Double]].collect().toSeq
+    assert(sql == composed)
+    assert(sql == Seq(Seq(-3.0, 3.5), Seq(-2.0, 0.0)))
+  }
+
+  test("graft_matvec_dots rejects a non-foldable matrix argument") {
+    val s = spark.newSession()
+    GraftFunctions.register(s)
+    import s.implicits._
+    Seq((Array(1.0f), Array(Array(1.0)))).toDF("v", "m").createOrReplaceTempView("vm")
+    val err = intercept[Exception] {
+      s.sql("SELECT graft_matvec_dots(v, m) FROM vm").collect()
+    }
+    assert(err.getMessage.contains("foldable"))
+  }
+
   test("Md5FusionRule rewrites the composed idiom to the fused kernel") {
     val s = spark.newSession()
     GraftFunctions.installOptimizations(s)
