@@ -385,12 +385,13 @@ object Similarity {
     * [[Joins.asofJoin]]). */
   private val semanticReserved = Set("__sid", "__svec", "__cd", "cluster")
 
-  def semanticDedupPairs(
+  /** Centroid-argmax assignment frame `(__sid, __svec, cluster)`
+    * shared by [[semanticDedupPairs]] and [[oversizedClusters]]. */
+  private def semanticAssign(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: Seq[Seq[Float]],
-      threshold: Double): DataFrame = {
+      centroids: Seq[Seq[Float]]): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     val shadowing = df.columns.filter(semanticReserved)
     require(
@@ -398,15 +399,56 @@ object Similarity {
       s"semanticDedupPairs reserves column names ${semanticReserved.mkString("/")} " +
         s"for internal staging and output; rename: ${shadowing.mkString(", ")}")
     val cm = centroids.map(_.map(_.toDouble).toArray).toArray
-    val assigned = df
-      .select(col(idCol).as("__sid"), col(vecCol).as("__svec"))
+    df.select(col(idCol).as("__sid"), col(vecCol).as("__svec"))
       .withColumn("__cd", graft.functions.MatVecDotsExpr.matVecDots(col("__svec"), cm))
       // first max index wins ties — same rule as ivfTopK
       .withColumn("cluster",
         (array_position(col("__cd"), array_max(col("__cd"))) - 1).cast("int"))
       .select("__sid", "__svec", "cluster")
-    val a = assigned.select(col("cluster"), col("__sid").as("a"), col("__svec").as("avec"))
-    val b = assigned.select(col("cluster"), col("__sid").as("b"), col("__svec").as("bvec"))
+  }
+
+  /** Clusters larger than `maxClusterSize` — the accounting frame for
+    * a capped [[semanticDedupPairs]] run: `(cluster, cluster_size)` of
+    * everything the cap would exclude from pairing. A production job
+    * counts/logs this tiny aggregate alongside the capped run (same
+    * audit stance as [[graft.ops.Dedup.oversizedBuckets]]).
+    */
+  def oversizedClusters(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Float]],
+      maxClusterSize: Int): DataFrame =
+    semanticAssign(df, idCol, vecCol, centroids)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") > maxClusterSize)
+
+  def semanticDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Float]],
+      threshold: Double,
+      maxClusterSize: Int = 0): DataFrame = {
+    val assigned = semanticAssign(df, idCol, vecCol, centroids)
+    // Skew guard, same shape as Dedup.candidatePairs' bucket cap: a
+    // cluster of C vectors contributes C² pairs, and k-means clusters
+    // skew on real corpora. With maxClusterSize > 0, clusters above
+    // the cap drop out BEFORE pairing (map-side-combined count + semi
+    // join — cost proportional to rows, never C²); route the audited
+    // hot clusters ([[oversizedClusters]]) through [[annNearDupPairs]]
+    // or re-train with larger k. 0 disables (the oracle configuration).
+    val bounded =
+      if (maxClusterSize > 0) {
+        val keep = assigned.groupBy("cluster")
+          .agg(count(lit(1)).as("__csz"))
+          .filter(col("__csz") <= maxClusterSize)
+          .select("cluster")
+        assigned.join(keep, Seq("cluster"), "left_semi")
+      } else assigned
+    val a = bounded.select(col("cluster"), col("__sid").as("a"), col("__svec").as("avec"))
+    val b = bounded.select(col("cluster"), col("__sid").as("b"), col("__svec").as("bvec"))
     a.join(b, Seq("cluster"))
       .filter(col("a") < col("b"))
       .withColumn("sim", cosine(col("avec"), col("bvec")))
@@ -422,8 +464,9 @@ object Similarity {
       idCol: String,
       vecCol: String,
       centroids: Seq[Seq[Float]],
-      threshold: Double): DataFrame = {
-    val losers = semanticDedupPairs(df, idCol, vecCol, centroids, threshold)
+      threshold: Double,
+      maxClusterSize: Int = 0): DataFrame = {
+    val losers = semanticDedupPairs(df, idCol, vecCol, centroids, threshold, maxClusterSize)
       .select(col("b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }

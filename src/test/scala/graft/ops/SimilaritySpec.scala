@@ -201,6 +201,32 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == Set(0L, 2L, 4L, 5L))
   }
 
+  test("semanticDedupPairs cluster cap excludes hot clusters; oversizedClusters audits them") {
+    // cluster 0: four near-identical members (0,1,4 + the boundary
+    // vector 6 ties to cluster 0) — capped out at maxClusterSize=3;
+    // cluster 1: two members → its pair survives
+    val df = Seq(
+      (0L, Seq(1f, 0.1f)), (1L, Seq(1f, 0.12f)), (4L, Seq(1f, 0.11f)),
+      (6L, Seq(1f, 1f)),
+      (2L, Seq(0.1f, 1f)), (3L, Seq(0.12f, 1f))
+    ).toDF("vec_id", "embedding")
+    val uncapped = Similarity.semanticDedupPairs(df, "vec_id", "embedding", semCentroids, 0.99)
+      .select("cluster", "a", "b").as[(Int, Long, Long)].collect().toSet
+    assert(uncapped.exists(_._1 == 0) && uncapped.contains((1, 2L, 3L)))
+    val capped = Similarity.semanticDedupPairs(
+        df, "vec_id", "embedding", semCentroids, 0.99, maxClusterSize = 3)
+      .select("cluster", "a", "b").as[(Int, Long, Long)].collect().toSet
+    assert(capped == Set((1, 2L, 3L)), s"hot cluster leaked: $capped")
+    val audit = Similarity.oversizedClusters(df, "vec_id", "embedding", semCentroids, 3)
+      .as[(Int, Long)].collect().toSeq
+    assert(audit == Seq((0, 4L)))
+    // the capped keep-set drops only cluster 1's loser
+    val kept = Similarity.semanticDedup(
+        df, "vec_id", "embedding", semCentroids, 0.99, maxClusterSize = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 4L, 6L, 2L))
+  }
+
   test("semanticDedupPairs rejects frames carrying reserved column names") {
     val df = Seq((0L, Seq(1f, 0f), 9)).toDF("vec_id", "embedding", "cluster")
     val e = intercept[IllegalArgumentException] {
