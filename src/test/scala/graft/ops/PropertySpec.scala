@@ -92,4 +92,24 @@ class PropertySpec extends SparkSpec {
       assert(sigs(0) == sigs(1))
     }
   }
+
+  private val vec4 = Gen.listOfN(4, Gen.chooseNum(-1.0f, 1.0f))
+    .suchThat(v => v.exists(_ != 0f)).map(_.toSeq)
+
+  test("semanticDedupPairs is a subset of the exact all-pairs near-dups on any input") {
+    samples(Gen.listOfN(12, vec4), 4).foreach { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val centroids = vecs.take(3)
+      val sem = Similarity.semanticDedupPairs(df, "vec_id", "embedding", centroids, 0.8)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val exact = Similarity.exactNearDupPairs(df, "vec_id", "embedding", 0.8)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(sem.subsetOf(exact), s"phantom pairs ${sem -- exact} on $vecs")
+      // keep-set complement: dropped ids are exactly the pair b's
+      val kept = Similarity.semanticDedup(df, "vec_id", "embedding", centroids, 0.8)
+        .select("vec_id").as[Long].collect().toSet
+      assert(kept == vecs.indices.map(_.toLong).toSet -- sem.map(_._2))
+    }
+  }
 }
