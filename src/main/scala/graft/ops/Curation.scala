@@ -165,6 +165,48 @@ object Curation {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[decontaminate]] with a Bloom pre-filter on the corpus side —
+    * the 100 TB form. The exact path explodes EVERY corpus gram into a
+    * `distinct` shuffle before the bench join; at corpus >> bench that
+    * shuffle is the dominant cost and almost all of it is grams that
+    * cannot match. Here a driver-built Bloom filter over the bench
+    * gram hashes (bounded: ~1.2 MB per million grams at fpp 0.01,
+    * built by one job over the SMALL bench side) is shipped as a plan
+    * constant and probed per corpus gram via the codegen'd
+    * [[graft.functions.BloomMightContainExpr]] BEFORE the distinct —
+    * map-side, pre-shuffle, UDF-free. Bloom false positives survive
+    * the probe but die in the exact gram join, so the output is
+    * BIT-IDENTICAL to [[decontaminate]] (same oracle); false negatives
+    * don't exist by the Bloom contract, so no real overlap is lost.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      minShared: Long = 1L,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    // bench grams feed two consumers (bloom build + exact join):
+    // persist once, released by CachedFrames.unpersistAll
+    val benchGrams = graft.CachedFrames.persistOnce(
+      Dedup.shinglesExploded(bench, textCol, idCol, shingleN)
+        .select(col(idCol).as("bench_id"), col("__sh")).distinct())
+    val hashes = benchGrams.select(xxhash64(col("__sh")).as("__gh")).distinct()
+    val expected = math.max(1L, hashes.count())
+    val bloom = hashes.stat.bloomFilter("__gh", expected, fpp)
+    val pruned = Dedup.shinglesExploded(corpus, textCol, idCol, shingleN)
+      .select(col(idCol).as("doc_id"), col("__sh"))
+      .filter(graft.functions.BloomMightContainExpr.mightContain(
+        xxhash64(col("__sh")), bloom))
+      .distinct()
+    pruned.join(broadcast(benchGrams), "__sh")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Token-budget sequence packing (concat-and-chunk): documents are
     * laid out in `idCol` order, token counts accumulate, and each doc
     * is stamped with the `budget`-sized pack it starts in

@@ -77,6 +77,18 @@ object CurationQueries {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // Same contamination check through the Bloom-prefiltered scale
+    // path: bit-identical output by construction (false positives die
+    // in the exact verify join), so it shares q_decontaminate's oracle.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Curation.decontaminateBloom(
+          d.filter(col("doc_id") >= benchCut),
+          d.filter(col("doc_id") < benchCut),
+          "text", "doc_id", shingleN = 3, minShared = 2L)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // Concat-and-chunk packing by BPE-ish token budget.
     "q_pack_sequences" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -108,6 +120,28 @@ object CurationQueries {
     }))
 
   private val mixBudget = 2000L
+
+  private def decontaminateOracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lower(text) AS t FROM documents
+       |), tok AS (
+       |  SELECT doc_id, t, string_split(t, ' ') AS toks FROM docs
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN [t]
+       |         ELSE list_transform(generate_series(1, len(toks)-2),
+       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shingles
+       |  FROM tok
+       |), ex AS (
+       |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM sh
+       |), hits AS (
+       |  SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+       |  FROM ex c JOIN ex b ON c.sh = b.sh
+       |  WHERE c.doc_id >= $benchCut AND b.doc_id < $benchCut
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_id, bench_id, n_shared FROM hits
+       |WHERE n_shared >= 2 ORDER BY doc_id, bench_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_split_assign" ->
@@ -149,27 +183,9 @@ object CurationQueries {
         |  len(regexp_extract_all(raw, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b'))::BIGINT AS n_ips,
         |  len(regexp_extract_all(raw, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))::BIGINT AS n_phones
         |FROM raw ORDER BY doc_id""".stripMargin,
-    "q_decontaminate" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, lower(text) AS t FROM documents
-         |), tok AS (
-         |  SELECT doc_id, t, string_split(t, ' ') AS toks FROM docs
-         |), sh AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(toks) < 3 THEN [t]
-         |         ELSE list_transform(generate_series(1, len(toks)-2),
-         |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shingles
-         |  FROM tok
-         |), ex AS (
-         |  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM sh
-         |), hits AS (
-         |  SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
-         |  FROM ex c JOIN ex b ON c.sh = b.sh
-         |  WHERE c.doc_id >= $benchCut AND b.doc_id < $benchCut
-         |  GROUP BY 1, 2
-         |)
-         |SELECT doc_id, bench_id, n_shared FROM hits
-         |WHERE n_shared >= 2 ORDER BY doc_id, bench_id""".stripMargin,
+    "q_decontaminate" -> decontaminateOracle,
+    // bit-identical path, same oracle (see the query's comment)
+    "q_decontaminate_bloom" -> decontaminateOracle,
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -92,6 +92,23 @@ class CurationSpec extends SparkSpec {
     assert(loose == Set(1L, 3L))
   }
 
+  test("decontaminateBloom is bit-identical to exact decontaminate, and its probe never false-negatives") {
+    val bench = docs.limit(40).toDF()
+    val corpus = docs.filter(col("doc_id") >= 20 && col("doc_id") < 300).toDF()
+    for (minShared <- Seq(1L, 2L); fpp <- Seq(0.5, 0.01)) { // high fpp: exact join must kill the extra maybes
+      val exact = Curation.decontaminate(corpus, bench, "text", "doc_id", minShared = minShared)
+        .as[(Long, Long, Long)].collect().toSet
+      val bloom = Curation.decontaminateBloom(
+          corpus, bench, "text", "doc_id", minShared = minShared, fpp = fpp)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(bloom == exact, s"minShared=$minShared fpp=$fpp: ${bloom.diff(exact)} / ${exact.diff(bloom)}")
+      assert(exact.nonEmpty) // the overlap range 20-39 must be flagged
+    }
+    intercept[IllegalArgumentException] {
+      Curation.decontaminateBloom(corpus, bench, "text", "doc_id", fpp = 1.5)
+    }
+  }
+
   test("packSequences: offsets are exclusive prefix sums in id order") {
     val d = docs.limit(100)
       .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_tokens"))
