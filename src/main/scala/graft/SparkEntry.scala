@@ -73,6 +73,19 @@ object SparkEntry {
           col("window_start"), col("event_type"), col("n_events"),
           round(col("total_value"), 2).as("total_value_r"))
         .orderBy("window_start", "event_type")
+    }),
+    // Batch gap-sessionization — the relational twin of the streaming
+    // flatMapGroupsWithState sessionize (EventStreamsSpec pins their
+    // agreement on closed sessions); integer-microsecond gap compare
+    // makes the oracle replay exact.
+    "q_sessionize" -> ((s, dir) => {
+      graft.streaming.EventStreams.sessionizeBatch(
+          Tables.events(s, dir), gapSeconds = 1800L)
+        .select(
+          col("user_id"), col("session_idx"), col("n_events"),
+          round(col("total_value"), 2).as("total_value_r"),
+          col("session_start"), col("session_end"))
+        .orderBy("user_id", "session_idx")
     })
   )
 
@@ -109,6 +122,26 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS total_value_r
         |FROM events GROUP BY 1, 2
-        |ORDER BY window_start, event_type""".stripMargin
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), g AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_sess) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
+        |  FROM f
+        |)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value_r,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM g GROUP BY 1, 2
+        |ORDER BY user_id, session_idx""".stripMargin
   )
 }

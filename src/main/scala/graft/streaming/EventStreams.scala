@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -142,6 +143,51 @@ object EventStreams {
       r,
       keysEqual && rt <= lt && rt >= lt - expr(s"INTERVAL $lookback"),
       joinType)
+  }
+
+  /** Batch gap-sessionization, the relational twin of [[sessionize]]:
+    * a session break is a gap > `gapSeconds` between consecutive
+    * events of the same user; `session_idx` is the running count of
+    * breaks (1-based) and sessions aggregate count/sum/min/max. Emits
+    * EVERY session (batch has no open-state notion) with a
+    * deterministic per-user index, where the streaming form emits
+    * closed sessions as gaps arrive.
+    *
+    * Scale shape: both windows partition by the user key, so work
+    * parallelizes across users at any corpus size; ONE user's history
+    * sorts within one task — bounded by per-entity event volume, the
+    * inherent sessionization contract (time-slice or pre-filter
+    * hyperactive synthetic keys upstream). The gap test is an exact
+    * day-time-interval comparison (microsecond precision, timezone-
+    * free — works for TIMESTAMP and TIMESTAMP_NTZ alike), which
+    * external engines replay exactly as integer-microsecond epoch
+    * differences; the running sum uses the default running frame of an
+    * ordered window. (`orderCol` breaks timestamp ties — required for
+    * a total order and thus cross-engine determinism.)
+    */
+  def sessionizeBatch(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      orderCol: String = "event_id",
+      gapSeconds: Long = 1800L): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive: $gapSeconds")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(orderCol))
+    val prevTs = lag(col(tsCol), 1).over(w)
+    // gapSeconds is a validated Long, so the interval literal is safe
+    val isNew = when(
+      prevTs.isNull || col(tsCol) - prevTs > expr(s"INTERVAL '$gapSeconds' SECOND"), 1L)
+      .otherwise(0L)
+    events
+      .withColumn("__new_sess", isNew)
+      .withColumn("session_idx", sum(col("__new_sess")).over(w))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("total_value"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
   }
 
   /** Event-time sessionization: events for a user belong to one

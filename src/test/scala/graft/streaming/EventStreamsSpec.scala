@@ -182,4 +182,50 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       Session(1L, 2L, 3.0, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"))))
   }
+
+  test("sessionizeBatch: gap splits, per-user indices, and exact-gap boundary") {
+    import spark.implicits._
+    val input = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:05:00", 1, "view", 2.0),  // 5 min: same session
+      ev(3, "2024-01-01 10:15:00", 1, "click", 4.0), // EXACTLY the 600s gap: same session (strict >)
+      ev(4, "2024-01-01 12:30:00", 1, "click", 5.0), // 2h15: new session
+      ev(5, "2024-01-01 10:00:00", 2, "click", 7.0)).toDS().toDF()
+    val got = EventStreams.sessionizeBatch(input, gapSeconds = 600)
+      .orderBy("user_id", "session_idx")
+      .as[(Long, Long, Long, Double, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, 7.0, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:15:00")),
+      (1L, 2L, 1L, 5.0, ts("2024-01-01 12:30:00"), ts("2024-01-01 12:30:00")),
+      (2L, 1L, 1L, 7.0, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"))))
+  }
+
+  test("sessionizeBatch agrees with streaming sessionize on closed sessions") {
+    import spark.implicits._
+    // deterministic multi-user fixture: per-user event times with
+    // gaps both under and over the threshold
+    val events = for {
+      u <- 1L to 5L
+      i <- 0 until 12
+    } yield {
+      val base = ts("2024-01-01 08:00:00").getTime
+      // bursts of 3 events 2 min apart, bursts separated by 40 min
+      val t = base + u * 1000 + (i / 3) * 2400000L + (i % 3) * 120000L
+      EventStreams.Event(u * 100 + i, new java.sql.Timestamp(t), u, "click", i.toDouble)
+    }
+    val ds = events.toDS()
+    val closed = sessionize(ds, gapSeconds = 600).collect()
+      .map(s => (s.user_id, s.n_events, s.total_value, s.first_ts, s.last_ts)).toSet
+    val batch = EventStreams.sessionizeBatch(ds.toDF(), gapSeconds = 600)
+      .as[(Long, Long, Long, Double, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect()
+      .map { case (u, _, n, v, a, b) => (u, n, v, a, b) }.toSet
+    // streaming emits only gap-closed sessions (the trailing one per
+    // user stays in state); every one of them must appear in the batch
+    // result, which additionally carries the 5 trailing sessions
+    assert(closed.nonEmpty && closed.subsetOf(batch),
+      s"streaming-closed not in batch: ${closed.diff(batch)}")
+    assert(batch.size == closed.size + 5)
+  }
 }
