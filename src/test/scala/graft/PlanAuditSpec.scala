@@ -136,6 +136,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), "null-count agg must not join")
   }
 
+  test("q_sessionize: one user-key exchange feeds both windows AND the session agg") {
+    val plan = planOf("q_sessionize")
+    // the gap-lag window, the running-sum window, and the
+    // (user, session_idx) aggregation must all reuse the single
+    // hashpartitioning(user_id) exchange — partitioning on a prefix of
+    // the grouping keys satisfies the agg's distribution, so the only
+    // other exchange is the display orderBy's range partitioning
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(hashEx.size == 1, s"expected one hash exchange:\n${hashEx.mkString("\n")}")
+    val windows = plan.linesIterator.count(_.trim.matches("""\(\d+\) Window.*"""))
+    assert(windows == 2, s"expected the lag + running-sum windows, got $windows")
+    assert(!plan.contains("event_type"), "unused columns must not be read")
+  }
+
   test("q_kmv_distinct prunes to k rows per group before the rank shuffle") {
     val plan = planOf("q_kmv_distinct")
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
