@@ -431,7 +431,15 @@ object Similarity {
       centroids: Seq[Seq[Float]],
       threshold: Double,
       maxClusterSize: Int = 0): DataFrame = {
-    val assigned = semanticAssign(df, idCol, vecCol, centroids)
+    // Both self-join sides (and the cap's count) consume the
+    // assignment frame, and the planner does NOT reuse the exchange
+    // across the differently-aliased sides (verified: two
+    // hashpartitioning(cluster) exchanges under SortMergeJoin) —
+    // persist once so the scan + fused argmax run once. The two
+    // cluster-key shuffles of (id, vec) remain; they are secondary to
+    // the Σ n_c² pairwise cosine term that maxClusterSize/k bound.
+    val assigned = graft.CachedFrames.persistOnce(
+      semanticAssign(df, idCol, vecCol, centroids))
     // Skew guard, same shape as Dedup.candidatePairs' bucket cap: a
     // cluster of C vectors contributes C² pairs, and k-means clusters
     // skew on real corpora. With maxClusterSize > 0, clusters above
