@@ -47,6 +47,24 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // The stream-stream attribution join run in batch mode (identical
+    // plan minus watermarks): every view by the same user within the
+    // 30-minute lookback BEFORE each purchase, left-outer so
+    // unattributed purchases survive with nulls. The streaming
+    // execution of the same operator is covered by EventStreamsSpec.
+    "q_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts", "value")
+      graft.streaming.EventStreams.attributionJoin(
+          purchases, views, lookback = "30 minutes")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("matched_event_id"), col("matched_ts"), col("matched_value"))
+        .orderBy("event_id", "matched_event_id")
+    }),
+
     // Deterministic k-per-group sample over documents by language.
     "q_sample_group" -> ((s, dir) => {
       Curation.samplePerGroup(
@@ -182,6 +200,22 @@ object AnalyticsQueries {
         |       v.ts AS next_ts, v.view_event_id AS next_view_event_id
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       v.event_id AS matched_event_id, v.ts AS matched_ts,
+        |       v.value AS matched_value
+        |FROM p LEFT JOIN v
+        |  ON v.user_id = p.user_id
+        | AND v.ts <= p.ts
+        | AND v.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY p.event_id, matched_event_id NULLS FIRST""".stripMargin,
     "q_sample_group" ->
       """WITH r AS (
         |  SELECT doc_id, lang,
