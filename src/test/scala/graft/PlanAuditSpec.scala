@@ -104,6 +104,15 @@ class PlanAuditSpec extends SparkSpec {
       s"range join regressed to a theta join:\n$plan")
   }
 
+  test("q_attribution joins on the user equi-key with the time range as residual") {
+    val plan = planOf("q_attribution")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"expected an equi join on user_id:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"attribution regressed to a theta join:\n$plan")
+  }
+
   test("q_asof_join plans the union+window shape with no join node") {
     val plan = planOf("q_asof_join")
     assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
