@@ -221,6 +221,13 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mixSources with no matching sources yields an empty frame, not a failure") {
+    val d = Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("doc_id", "source", "n_tokens")
+    val out = Curation.mixSources(d, "doc_id", "source", "n_tokens", Seq("z" -> 1.0), 100L)
+    assert(out.count() == 0)
+    assert(out.columns.contains("mix_tokens_before"))
+  }
+
   test("mixSources rejects frames carrying its reserved staging/output columns") {
     val staged = Seq((1L, "a", 10L, 7L)).toDF("doc_id", "source", "n_tokens", "__mix_h")
     val e1 = intercept[IllegalArgumentException] {

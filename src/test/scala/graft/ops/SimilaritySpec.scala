@@ -227,6 +227,14 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == Set(0L, 1L, 4L, 6L, 2L))
   }
 
+  test("semanticDedupPairs edge cases: single vector, empty centroid list") {
+    val one = Seq((0L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.semanticDedupPairs(one, "vec_id", "embedding", semCentroids, 0.5).count() == 0)
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDedupPairs(one, "vec_id", "embedding", Seq.empty, 0.5)
+    }
+  }
+
   test("semanticDedupPairs rejects frames carrying reserved column names") {
     val df = Seq((0L, Seq(1f, 0f), 9)).toDF("vec_id", "embedding", "cluster")
     val e = intercept[IllegalArgumentException] {

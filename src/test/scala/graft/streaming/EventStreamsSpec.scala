@@ -201,6 +201,20 @@ class EventStreamsSpec extends SparkSpec {
       (2L, 1L, 1L, 7.0, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"))))
   }
 
+  test("sessionizeBatch edge cases: empty input, single event, bad gap") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventStreams.sessionizeBatch(empty).count() == 0)
+    val one = Seq(ev(1, "2024-01-01 10:00:00", 1, "click", 2.5)).toDS().toDF()
+    val got = EventStreams.sessionizeBatch(one)
+      .select("user_id", "session_idx", "n_events").as[(Long, Long, Long)].head()
+    assert(got == ((1L, 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      EventStreams.sessionizeBatch(one, gapSeconds = 0)
+    }
+  }
+
   test("sessionizeBatch agrees with streaming sessionize on closed sessions") {
     import spark.implicits._
     // deterministic multi-user fixture: per-user event times with
