@@ -128,6 +128,19 @@ object LlmQueries {
         .orderBy("a", "b")
     }),
 
+    // The bucket-size skew cap — the guard that keeps LSH dedup
+    // bounded on pathologically common content — exercised under the
+    // oracle: buckets with more than 2 docs drop out BEFORE pairing on
+    // both engines, so the verified pair set shrinks identically.
+    "q_dedup_capped" -> ((s, dir) => {
+      Dedup.verifiedNearDupPairs(
+          Tables.documents(s, dir), "text", "doc_id",
+          k = 16, bands = 8, shingleN = 3, threshold = 0.4,
+          baseHasher = oracleBaseHash, maxBucketSize = 2)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard_r"))
+        .orderBy("a", "b")
+    }),
+
     // Embedding-cosine near-dup pairs, exact variant on a bounded id
     // subset (the ANN-bucketed variant is unit-specced; sf-independent
     // subset keeps the all-pairs check bounded at any scale).
@@ -336,9 +349,11 @@ object LlmQueries {
 
   /** Shared CTE prefix replicating shingles → base hashes → MinHash
     * signatures → LSH bands → candidate pairs → estimates, with the
-    * same constants as [[Dedup]].
+    * same constants as [[Dedup]]. With `maxBucket > 0`, buckets above
+    * the cap are removed before pairing — replaying
+    * [[Dedup.candidatePairs]]' skew guard exactly.
     */
-  private def minhashCtes(k: Int, bands: Int): String = {
+  private def minhashCtes(k: Int, bands: Int, maxBucket: Int = 0): String = {
     val r = k / bands
     val mins = (0 until k).map { i =>
       s"list_min(list_transform(bases, x -> (x * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.minhashP}))"
@@ -346,6 +361,14 @@ object LlmQueries {
     val bandConcat = (1 to r)
       .map(j => s"sig[b.band*$r+$j]::VARCHAR")
       .mkString(" || ',' || ")
+    val pairSource =
+      if (maxBucket > 0)
+        s"""), kept AS (
+           |  SELECT band, band_hash FROM bands
+           |  GROUP BY 1, 2 HAVING count(*) <= $maxBucket
+           |), bands_b AS (
+           |  SELECT b.* FROM bands b JOIN kept USING (band, band_hash)""".stripMargin
+      else "), bands_b AS (\n  SELECT * FROM bands"
     s"""WITH docs AS (
        |  SELECT doc_id, lower(text) AS t FROM documents
        |), tok AS (
@@ -365,9 +388,10 @@ object LlmQueries {
        |), bands AS (
        |  SELECT doc_id, b.band, md5($bandConcat) AS band_hash
        |  FROM sig, LATERAL (SELECT unnest(generate_series(0,${bands - 1})) AS band) b
+       |$pairSource
        |), cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |  FROM bands x JOIN bands y
+       |  FROM bands_b x JOIN bands_b y
        |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
        |), est AS (
        |  SELECT c.a, c.b,
@@ -538,6 +562,22 @@ object LlmQueries {
        |SELECT cluster, a, b, round(sim, 4) AS sim_r
        |FROM scored WHERE sim >= $semThreshold ORDER BY a, b""".stripMargin
 
+  /** Exact-Jaccard verification suffix shared by the uncapped and
+    * bucket-capped near-dup oracles. */
+  private def verifiedJacSql: String =
+    """, shx AS (
+      |  SELECT doc_id, list_distinct(shingles) AS s FROM sh
+      |), jac AS (
+      |  SELECT c.a, c.b,
+      |    len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+      |      / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE AS jaccard
+      |  FROM cand c
+      |  JOIN shx sa ON sa.doc_id = c.a
+      |  JOIN shx sb ON sb.doc_id = c.b
+      |)
+      |SELECT a, b, round(jaccard, 4) AS jaccard_r
+      |FROM jac WHERE jaccard >= 0.4 ORDER BY a, b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_ann_topk" -> annOracle,
     "q_ivf_topk" -> ivfOracle,
@@ -667,19 +707,9 @@ object LlmQueries {
           |SELECT v AS doc_id, min(l) AS component
           |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
     "q_dedup_verified" ->
-      (minhashCtes(16, 8) +
-        """, shx AS (
-          |  SELECT doc_id, list_distinct(shingles) AS s FROM sh
-          |), jac AS (
-          |  SELECT c.a, c.b,
-          |    len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
-          |      / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE AS jaccard
-          |  FROM cand c
-          |  JOIN shx sa ON sa.doc_id = c.a
-          |  JOIN shx sb ON sb.doc_id = c.b
-          |)
-          |SELECT a, b, round(jaccard, 4) AS jaccard_r
-          |FROM jac WHERE jaccard >= 0.4 ORDER BY a, b""".stripMargin),
+      (minhashCtes(16, 8) + verifiedJacSql),
+    "q_dedup_capped" ->
+      (minhashCtes(16, 8, maxBucket = 2) + verifiedJacSql),
     "q_embedding_neardup" -> {
       def dotSql(a: String, b: String) =
         s"list_sum(list_transform(range(1, ${embeddingDim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
