@@ -27,6 +27,7 @@ object LlmQueries {
   private val semClusters = 8
   private val semSubsetIds = 500 // SemDeDup check set = vec_id < 500
   private val semThreshold = 0.4
+  private val semClusterCap = 60 // binds: mean cluster size is 500/8 ≈ 62
 
   // Oracle queries pass the md5-derived hashers EXPLICITLY: the ops
   // default to xxhash64 for production throughput, and cross-engine
@@ -163,6 +164,19 @@ object LlmQueries {
       val centroids = emb.orderBy("vec_id").limit(semClusters)
         .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
       Similarity.semanticDedupPairs(emb, "vec_id", "embedding", centroids, semThreshold)
+        .select(col("cluster"), col("a"), col("b"), round(col("sim"), 4).as("sim_r"))
+        .orderBy("a", "b")
+    }),
+
+    // The SemDeDup cluster-size skew cap under the oracle: clusters
+    // above the cap drop out of pairing on both engines identically
+    // (the X44 analogue of q_dedup_capped).
+    "q_semantic_capped" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < semSubsetIds)
+      val centroids = emb.orderBy("vec_id").limit(semClusters)
+        .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
+      Similarity.semanticDedupPairs(emb, "vec_id", "embedding", centroids, semThreshold,
+          maxClusterSize = semClusterCap)
         .select(col("cluster"), col("a"), col("b"), round(col("sim"), 4).as("sim_r"))
         .orderBy("a", "b")
     }),
@@ -531,7 +545,14 @@ object LlmQueries {
     * `a < b` pairs, exact double-fold cosine filtered at the UNROUNDED
     * threshold, then 4-decimal rounding for display.
     */
-  private def semanticDedupOracle: String =
+  private def semanticDedupOracle(maxCluster: Int = 0): String = {
+    val pairSource =
+      if (maxCluster > 0)
+        s"""), kept AS (
+           |  SELECT cluster FROM assign GROUP BY cluster HAVING count(*) <= $maxCluster
+           |), assign_b AS (
+           |  SELECT a.* FROM assign a JOIN kept USING (cluster)""".stripMargin
+      else "), assign_b AS (\n  SELECT * FROM assign"
     s"""WITH sub AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $semSubsetIds
        |), cent AS (
@@ -548,9 +569,10 @@ object LlmQueries {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, idx) AS rn
        |    FROM cd
        |  ) WHERE rn = 1
+       |$pairSource
        |), pr AS (
        |  SELECT x.cluster, x.vec_id AS a, y.vec_id AS b
-       |  FROM assign x JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  FROM assign_b x JOIN assign_b y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
        |), scored AS (
        |  SELECT p.cluster, p.a, p.b,
        |    ${dotSql("av.embedding", "bv.embedding")} /
@@ -561,6 +583,7 @@ object LlmQueries {
        |)
        |SELECT cluster, a, b, round(sim, 4) AS sim_r
        |FROM scored WHERE sim >= $semThreshold ORDER BY a, b""".stripMargin
+  }
 
   /** Exact-Jaccard verification suffix shared by the uncapped and
     * bucket-capped near-dup oracles. */
@@ -581,7 +604,8 @@ object LlmQueries {
   def oracleSql: Map[String, String] = Map(
     "q_ann_topk" -> annOracle,
     "q_ivf_topk" -> ivfOracle,
-    "q_semantic_dedup" -> semanticDedupOracle,
+    "q_semantic_dedup" -> semanticDedupOracle(),
+    "q_semantic_capped" -> semanticDedupOracle(maxCluster = semClusterCap),
     "q_fingerprint" ->
       """WITH t AS (
         |  SELECT doc_id, lower(text) AS t FROM documents
