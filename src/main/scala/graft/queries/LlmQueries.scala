@@ -108,6 +108,24 @@ object LlmQueries {
         .orderBy("left_id", "right_id")
     }),
 
+    // The fuzzy join's PER-SIDE bucket cap under the oracle (each
+    // corpus independently drops its over-cap buckets before the
+    // cross-corpus collision join). At sf0.01 each side's buckets are
+    // singletons so the cap=1 prune is a no-op on the RESULT — the
+    // point is that both engines execute the same prune and still
+    // agree; the binding-cap case is covered by q_dedup_capped.
+    "q_fuzzy_capped" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.fuzzyTextJoin(
+          docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+          docs.filter(col("doc_id") % 2 === 1), "text", "doc_id",
+          k = 16, bands = 8, shingleN = 3, threshold = 0.4,
+          baseHasher = oracleBaseHash, maxBucketSize = 1)
+        .select(col("left_id"), col("right_id"),
+          round(col("jaccard"), 4).as("jaccard_r"))
+        .orderBy("left_id", "right_id")
+    }),
+
     // Connected-components cluster labels over the 0.5-threshold
     // near-dup graph: every doc in a near-dup pair gets the minimum
     // reachable doc_id as its cluster id (exact transitive closure,
@@ -585,6 +603,42 @@ object LlmQueries {
        |FROM scored WHERE sim >= $semThreshold ORDER BY a, b""".stripMargin
   }
 
+  /** Cross-corpus candidate + Jaccard suffix for the fuzzy-join
+    * oracles. With `maxBucket > 0`, each SIDE independently drops its
+    * over-cap buckets before the cross join — replaying
+    * [[Dedup.fuzzyTextJoin]]'s per-side skew guard.
+    */
+  private def fuzzyJoinSuffix(maxBucket: Int): String = {
+    def side(parity: Int) = {
+      val base = s"SELECT * FROM bands WHERE doc_id % 2 = $parity"
+      if (maxBucket > 0)
+        s"""  SELECT b.* FROM ($base) b
+           |  JOIN (SELECT band, band_hash FROM ($base) GROUP BY 1, 2
+           |        HAVING count(*) <= $maxBucket) k USING (band, band_hash)""".stripMargin
+      else s"  $base"
+    }
+    s""", bl AS (
+       |${side(0)}
+       |), br AS (
+       |${side(1)}
+       |), cand2 AS (
+       |  SELECT DISTINCT x.doc_id AS left_id, y.doc_id AS right_id
+       |  FROM bl x JOIN br y
+       |    ON x.band = y.band AND x.band_hash = y.band_hash
+       |), shx AS (
+       |  SELECT doc_id, list_distinct(shingles) AS s FROM sh
+       |), jac AS (
+       |  SELECT c.left_id, c.right_id,
+       |    len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+       |      / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE AS jaccard
+       |  FROM cand2 c
+       |  JOIN shx sa ON sa.doc_id = c.left_id
+       |  JOIN shx sb ON sb.doc_id = c.right_id
+       |)
+       |SELECT left_id, right_id, round(jaccard, 4) AS jaccard_r
+       |FROM jac WHERE jaccard >= 0.4 ORDER BY left_id, right_id""".stripMargin
+  }
+
   /** Exact-Jaccard verification suffix shared by the uncapped and
     * bucket-capped near-dup oracles. */
   private def verifiedJacSql: String =
@@ -698,25 +752,8 @@ object LlmQueries {
           |  round(avg(n_tokens), 4) AS avg_tokens,
           |  sum(bpe_tokens)::BIGINT AS total_bpe_tokens
           |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
-    "q_fuzzy_join" ->
-      (minhashCtes(16, 8) +
-        """, cand2 AS (
-          |  SELECT DISTINCT x.doc_id AS left_id, y.doc_id AS right_id
-          |  FROM bands x JOIN bands y
-          |    ON x.band = y.band AND x.band_hash = y.band_hash
-          |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
-          |), shx AS (
-          |  SELECT doc_id, list_distinct(shingles) AS s FROM sh
-          |), jac AS (
-          |  SELECT c.left_id, c.right_id,
-          |    len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
-          |      / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE AS jaccard
-          |  FROM cand2 c
-          |  JOIN shx sa ON sa.doc_id = c.left_id
-          |  JOIN shx sb ON sb.doc_id = c.right_id
-          |)
-          |SELECT left_id, right_id, round(jaccard, 4) AS jaccard_r
-          |FROM jac WHERE jaccard >= 0.4 ORDER BY left_id, right_id""".stripMargin),
+    "q_fuzzy_join" -> (minhashCtes(16, 8) + fuzzyJoinSuffix(0)),
+    "q_fuzzy_capped" -> (minhashCtes(16, 8) + fuzzyJoinSuffix(1)),
     "q_dedup_clusters" ->
       ("WITH RECURSIVE " + minhashCtes(16, 8).stripPrefix("WITH ") +
         """, near AS (
