@@ -93,6 +93,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sessionizeBatch partitions events exactly: counts conserved, session count matches a direct gap count") {
+    val gapSec = 600L
+    val offsets = Gen.listOfN(30, Gen.chooseNum(0L, 86400L))
+    samples(offsets, 4).foreach { offs =>
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val events = offs.zipWithIndex.map { case (o, i) =>
+        (i.toLong, new java.sql.Timestamp(base + o * 1000), (i % 3).toLong + 1, "e", 1.0)
+      }
+      val df = events.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val sessions = graft.streaming.EventStreams.sessionizeBatch(df, gapSeconds = gapSec)
+        .select("user_id", "n_events").as[(Long, Long)].collect()
+      // every event lands in exactly one session
+      assert(sessions.map(_._2).sum == events.size.toLong)
+      // per-user session count == 1 + number of gaps > gapSec in sorted order
+      val expected = events.groupBy(_._3).map { case (u, evs) =>
+        val ts = evs.map(_._2.getTime).sorted
+        u -> (1 + ts.zip(ts.tail).count { case (a, b) => b - a > gapSec * 1000 })
+      }
+      val got = sessions.groupBy(_._1).map { case (u, ss) => u -> ss.length }
+      assert(got == expected, s"sessions $got != $expected")
+    }
+  }
+
   private val vec4 = Gen.listOfN(4, Gen.chooseNum(-1.0f, 1.0f))
     .suchThat(v => v.exists(_ != 0f)).map(_.toSeq)
 
