@@ -381,7 +381,11 @@ object Dedup {
       baseHasher: Column => Column = fastBaseHash,
       maxBucketSize: Int = 0): DataFrame = {
     def sideBands(df: DataFrame, textCol: String, idCol: String) = {
-      val b = lshBands(signatures(df, textCol, idCol, k, shingleN, baseHasher), idCol, k, bands)
+      // (id, band, band_hash) rows only — small; persisting lets a
+      // capped and an uncapped run over the same corpora share the
+      // shingle→signature→band pipeline (plan-keyed, cap applies after)
+      val b = CachedFrames.persistOnce(
+        lshBands(signatures(df, textCol, idCol, k, shingleN, baseHasher), idCol, k, bands))
       if (maxBucketSize > 0) {
         val keep = b.groupBy("band", "band_hash")
           .agg(count(lit(1)).as("__bsz"))
