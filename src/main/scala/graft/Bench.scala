@@ -42,7 +42,12 @@ object Bench {
     // A failing query must not masquerade as a fast one: record it and
     // surface the list in the diagnostics line.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // Actual executed passes: the contamination retry adds one beyond
+    // `runs`, and best/worst are computed over ALL of them — report the
+    // real count so the diag line never understates the sample.
+    var passesRun = 0
     def runPass(): Unit = {
+      passesRun += 1
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -71,7 +76,12 @@ object Bench {
     // when the retry pass starts.
     var loadRetry = load0
     if (load0 > 2.5) {
-      Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_WAIT_MS", "60000").toLong)
+      // A malformed env value must not throw away the whole run's output
+      // after every pass already completed — fall back to the default.
+      val waitMs = scala.util.Try(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_WAIT_MS", "60000").toLong)
+        .getOrElse(60000L)
+      Thread.sleep(waitMs)
       loadRetry = loadavg
       runPass()
     }
@@ -97,7 +107,7 @@ object Bench {
     val contaminated = load0 > 2.5 && loadRetry > 2.5
     val contaminatedJson = if (contaminated) ""","contaminated":true""" else ""
     val retryJson = if (load0 > 2.5) s""","loadavg_retry":${r3(loadRetry)}""" else ""
-    println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"failed":$failedJson,"parallelism":$par,"runs":$runs,"loadavg_start":${r3(load0)},"loadavg_end":${r3(loadavg)}$retryJson}""")
+    println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"failed":$failedJson,"parallelism":$par,"runs":$passesRun,"loadavg_start":${r3(load0)},"loadavg_end":${r3(loadavg)}$retryJson}""")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(best)},"sf":"$sfDir"$contaminatedJson}""")
     spark.stop()
   }

@@ -50,6 +50,15 @@ object GraftFunctions {
       val matrix = Array.tabulate(data.numElements()) { i =>
         val row = data.getArray(i)
         require(row != null, s"graft_matvec_dots matrix row $i is null")
+        // toDoubleArray on a row with a null element throws a bare NPE;
+        // name the offending position instead.
+        var j = 0
+        while (j < row.numElements()) {
+          require(!row.isNullAt(j),
+            s"graft_matvec_dots matrix element [$i][$j] is null; " +
+              "the matrix literal must be fully non-null")
+          j += 1
+        }
         row.toDoubleArray()
       }
       MatVecDotsExpr(vec, matrix)

@@ -30,6 +30,22 @@ case class MatVecDotsExpr(child: Expression, matrix: Array[Array[Double]])
   private val dim = if (rows == 0) 0 else matrix(0).length
   @transient private lazy val flat: Array[Double] = matrix.flatten
 
+  // Case-class equality on Array is REFERENCE equality, which breaks
+  // plan canonicalization: two expressions built from equal-valued but
+  // separately-allocated matrices (q_semantic_dedup vs
+  // q_semantic_capped, or two graft_matvec_dots SQL calls) would never
+  // compare equal, so exchange reuse, CSE, and the plan-keyed persist
+  // registry all miss. Compare (and hash) the matrix CONTENTS.
+  override def equals(other: Any): Boolean = other match {
+    case m: MatVecDotsExpr =>
+      child == m.child && java.util.Arrays.deepEquals(
+        matrix.asInstanceOf[Array[AnyRef]], m.matrix.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(matrix.asInstanceOf[Array[AnyRef]])
+
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -173,6 +173,17 @@ object EventStreams {
       orderCol: String = "event_id",
       gapSeconds: Long = 1800L): DataFrame = {
     require(gapSeconds > 0, s"gapSeconds must be positive: $gapSeconds")
+    // Same reserved-name stance as mixSources/semanticDedupPairs: the
+    // staging column would silently overwrite an input column of the
+    // same name, and an input column matching an output aggregate name
+    // would silently vanish into the groupBy — refuse both.
+    val reserved = Set("__new_sess", "session_idx",
+      "n_events", "total_value", "session_start", "session_end")
+    val shadowing = events.columns.filter(reserved)
+    require(
+      shadowing.isEmpty,
+      s"sessionizeBatch reserves column names ${reserved.mkString("/")} " +
+        s"for staging and output; rename: ${shadowing.mkString(", ")}")
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(orderCol))
     val prevTs = lag(col(tsCol), 1).over(w)
     // gapSeconds is a validated Long, so the interval literal is safe

@@ -61,6 +61,51 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sql == Seq(Seq(-3.0, 3.5), Seq(-2.0, 0.0)))
   }
 
+  test("MatVecDotsExpr equality is value-based over the matrix contents") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val child = AttributeReference("v", ArrayType(FloatType))()
+    // separately-allocated but equal-valued matrices must compare equal
+    // (case-class Array equality is reference-based and broke plan
+    // canonicalization: two queries building the same kernel from
+    // their own matrix copies never shared exchanges or cache entries)
+    val e1 = MatVecDotsExpr(child, Array(Array(1.0, 2.0), Array(3.0, 4.0)))
+    val e2 = MatVecDotsExpr(child, Array(Array(1.0, 2.0), Array(3.0, 4.0)))
+    val e3 = MatVecDotsExpr(child, Array(Array(1.0, 2.0), Array(3.0, 5.0)))
+    assert(e1 == e2 && e1.hashCode == e2.hashCode)
+    assert(e1 != e3)
+    assert(e1 != Literal(1))
+  }
+
+  test("equal-valued matrices canonicalize to one plan and share a cache entry") {
+    import graft.CachedFrames
+    import spark.implicits._
+    def frame() = {
+      // fresh allocation per call — only value equality can match these
+      val m = Array.tabulate(2, 3)((r, d) => r * 3.0 + d)
+      Seq(Array(1.0f, 2.0f, 3.0f)).toDF("v")
+        .select(MatVecDotsExpr.matVecDots(col("v"), m).as("d"))
+    }
+    assert(frame().queryExecution.analyzed.canonicalized ==
+      frame().queryExecution.analyzed.canonicalized)
+    CachedFrames.unpersistAll()
+    try {
+      CachedFrames.persistOnce(frame())
+      CachedFrames.persistOnce(frame())
+      assert(CachedFrames.size == 1)
+    } finally CachedFrames.unpersistAll()
+  }
+
+  test("graft_matvec_dots names the position of a null matrix element") {
+    val s = spark.newSession()
+    GraftFunctions.register(s)
+    val err = intercept[Exception] {
+      s.sql("SELECT graft_matvec_dots(array(1.0f), " +
+        "array(array(1.0), array(CAST(NULL AS DOUBLE))))").collect()
+    }
+    assert(err.getMessage.contains("[1][0]"), err.getMessage)
+  }
+
   test("graft_matvec_dots rejects a non-foldable matrix argument") {
     val s = spark.newSession()
     GraftFunctions.register(s)

@@ -215,6 +215,19 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("sessionizeBatch refuses inputs shadowing staging/output columns") {
+    import spark.implicits._
+    val one = Seq(ev(1, "2024-01-01 10:00:00", 1, "click", 2.5)).toDS().toDF()
+    // staging name would be silently overwritten; output aggregate name
+    // would silently vanish into the groupBy — both must be refused
+    for (bad <- Seq("__new_sess", "session_idx", "n_events", "session_end")) {
+      val err = intercept[IllegalArgumentException] {
+        EventStreams.sessionizeBatch(one.withColumn(bad, lit(0)))
+      }
+      assert(err.getMessage.contains(bad))
+    }
+  }
+
   test("sessionizeBatch agrees with streaming sessionize on closed sessions") {
     import spark.implicits._
     // deterministic multi-user fixture: per-user event times with
