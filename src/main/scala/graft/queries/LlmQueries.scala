@@ -161,14 +161,46 @@ object LlmQueries {
     }),
 
     // Embedding-cosine near-dup pairs, exact variant on a bounded id
-    // subset (the ANN-bucketed variant is unit-specced; sf-independent
-    // subset keeps the all-pairs check bounded at any scale).
+    // subset (sf-independent subset keeps the all-pairs check bounded
+    // at any scale). The ANN-bucketed scale variant is q_ann_neardup.
     "q_embedding_neardup" -> ((s, dir) => {
       Similarity.exactNearDupPairs(
           Tables.embeddings(s, dir).filter(col("vec_id") < 500),
           "vec_id", "embedding", threshold = 0.4)
         .select(col("a"), col("b"), round(col("sim"), 4).as("sim_r"))
         .orderBy("a", "b")
+    }),
+
+    // The 100 TB embedding-dedup route under the oracle: LSH-bucketed
+    // candidate pairs + exact cosine re-check (annNearDupPairs), same
+    // subset and threshold as q_embedding_neardup so the result is the
+    // recall-limited subset of that exact pair set. DuckDB replays
+    // hyperplane buckets → same-bucket (a < b) candidates → exact
+    // cosine. The salt sub-key is NOT replayed: the left side carries
+    // one salt and the right side is replicated across all of them, so
+    // exactly one salt value matches per same-bucket pair — the salt
+    // multiplies shuffle-key cardinality without changing the candidate
+    // SET (pinned in SimilaritySpec).
+    "q_ann_neardup" -> ((s, dir) => {
+      Similarity.annNearDupPairs(
+          Tables.embeddings(s, dir).filter(col("vec_id") < semSubsetIds),
+          "vec_id", "embedding", threshold = 0.4,
+          dim = embeddingDim, tables = annTables, bits = annBits)
+        .select(col("a"), col("b"), round(col("sim"), 4).as("sim_r"))
+        .orderBy("a", "b")
+    }),
+
+    // Keep-set composition for the ANN route (dedupByEmbedding):
+    // pairs → distinct losers (larger id) → left_anti — the embedding
+    // analogue of q_dedup_survivors, closing the dedup story at the
+    // query surface rather than at pairs.
+    "q_embedding_survivors" -> ((s, dir) => {
+      Similarity.dedupByEmbedding(
+          Tables.embeddings(s, dir).filter(col("vec_id") < semSubsetIds),
+          "vec_id", "embedding", threshold = 0.4,
+          dim = embeddingDim, tables = annTables, bits = annBits)
+        .select("vec_id")
+        .orderBy("vec_id")
     }),
 
     // SemDeDup (Abbas et al. 2023) semantic-dup pairs on a bounded id
@@ -184,6 +216,18 @@ object LlmQueries {
       Similarity.semanticDedupPairs(emb, "vec_id", "embedding", centroids, semThreshold)
         .select(col("cluster"), col("a"), col("b"), round(col("sim"), 4).as("sim_r"))
         .orderBy("a", "b")
+    }),
+
+    // SemDeDup keep-set composition (semanticDedup): the same
+    // pairs → distinct losers → left_anti policy as
+    // q_embedding_survivors, over the cluster-then-prune pair set.
+    "q_semantic_survivors" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < semSubsetIds)
+      val centroids = emb.orderBy("vec_id").limit(semClusters)
+        .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
+      Similarity.semanticDedup(emb, "vec_id", "embedding", centroids, semThreshold)
+        .select("vec_id")
+        .orderBy("vec_id")
     }),
 
     // The SemDeDup cluster-size skew cap under the oracle: clusters
@@ -497,14 +541,14 @@ object LlmQueries {
        |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(sim, 4) AS sim_r
        |FROM ranked WHERE rank <= $simK ORDER BY qid, rank""".stripMargin
 
-  /** LSH ANN oracle: re-derives the md5-based hyperplanes
+  /** Shared DuckDB fragment: md5-derived hyperplanes
     * ([[Similarity.hyperplane]]: first 15 md5 hex chars of
-    * "table|bit|dim" scaled to [-1, 1)), replays signature → bucket →
-    * candidate generation, then exact-cosine re-ranks — the same
-    * deterministic pipeline the engine runs.
+    * "table|bit|dim" scaled to [-1, 1)) and per-(vec, table) LSH sign
+    * buckets over `src` — the signature pipeline both ANN oracles
+    * replay. `src` must expose (vec_id, embedding).
     */
-  private def annOracle: String =
-    s"""WITH hp AS (
+  private def annBucketCtes(src: String): String =
+    s"""hp AS (
        |  SELECT t.t, b.b,
        |    list_transform(generate_series(0, ${embeddingDim - 1}),
        |      d -> (('0x' || substr(md5(t.t::VARCHAR || '|' || b.b::VARCHAR || '|' || d::VARCHAR), 1, 15))::BIGINT)::DOUBLE
@@ -516,13 +560,45 @@ object LlmQueries {
        |    sum(CASE WHEN list_sum(list_transform(range(1, ${embeddingDim + 1}),
        |                    i -> hp.w[i] * e.embedding[i]::DOUBLE)) >= 0
        |             THEN (1 << hp.b) ELSE 0 END)::INTEGER AS bucket
-       |  FROM embeddings e CROSS JOIN hp
+       |  FROM $src e CROSS JOIN hp
        |  GROUP BY e.vec_id, hp.t
-       |), cand AS (
+       |)""".stripMargin
+
+  /** LSH ANN oracle: replays signature → bucket → candidate
+    * generation, then exact-cosine re-ranks — the same deterministic
+    * pipeline the engine runs.
+    */
+  private def annOracle: String =
+    "WITH " + annBucketCtes("embeddings") +
+    s""", cand AS (
        |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
        |  FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
        |  WHERE q.vec_id < $simQueryIds AND q.vec_id <> c.vec_id
        |)""".stripMargin + rerankSql
+
+  /** [[Similarity.annNearDupPairs]] replay over the bounded subset:
+    * same-bucket (a < b) candidate pairs, deduped, then exact cosine.
+    * The engine's salt sub-key needs no replay — the left side carries
+    * ONE salt and the right side replicates across all of them, so
+    * exactly one salt matches per same-bucket pair and the candidate
+    * set is salt-invariant (pinned in SimilaritySpec).
+    */
+  private def annNearDupCtes: String =
+    s"""WITH sub AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $semSubsetIds
+       |), """.stripMargin + annBucketCtes("sub") +
+    s""", cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM buck x JOIN buck y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |), scored AS (
+       |  SELECT c.a, c.b,
+       |    ${dotSql("av.embedding", "bv.embedding")} /
+       |    (sqrt(${dotSql("av.embedding", "av.embedding")}) * sqrt(${dotSql("bv.embedding", "bv.embedding")})) AS sim
+       |  FROM cand c
+       |  JOIN sub av ON av.vec_id = c.a
+       |  JOIN sub bv ON bv.vec_id = c.b
+       |)""".stripMargin
 
   /** IVF oracle: centroids = the `ivfCentroids` lowest-vec_id corpus
     * vectors (the engine's deterministic quantizer seed), corpus rows
@@ -563,7 +639,24 @@ object LlmQueries {
     * `a < b` pairs, exact double-fold cosine filtered at the UNROUNDED
     * threshold, then 4-decimal rounding for display.
     */
-  private def semanticDedupOracle(maxCluster: Int = 0): String = {
+  private def semanticDedupOracle(maxCluster: Int = 0): String =
+    semanticCtes(maxCluster) +
+      s"""
+         |SELECT cluster, a, b, round(sim, 4) AS sim_r
+         |FROM scored WHERE sim >= $semThreshold ORDER BY a, b""".stripMargin
+
+  /** SemDeDup keep-set oracle: drop the larger id of every pair —
+    * replaying [[Similarity.semanticDedup]]'s greedy keep-first policy
+    * over the same pair CTEs as q_semantic_dedup.
+    */
+  private def semanticSurvivorsOracle: String =
+    semanticCtes(0) +
+      s"""
+         |SELECT vec_id FROM sub
+         |WHERE vec_id NOT IN (SELECT b FROM scored WHERE sim >= $semThreshold)
+         |ORDER BY vec_id""".stripMargin
+
+  private def semanticCtes(maxCluster: Int): String = {
     val pairSource =
       if (maxCluster > 0)
         s"""), kept AS (
@@ -598,9 +691,7 @@ object LlmQueries {
        |  FROM pr p
        |  JOIN sub av ON av.vec_id = p.a
        |  JOIN sub bv ON bv.vec_id = p.b
-       |)
-       |SELECT cluster, a, b, round(sim, 4) AS sim_r
-       |FROM scored WHERE sim >= $semThreshold ORDER BY a, b""".stripMargin
+       |)""".stripMargin
   }
 
   /** Cross-corpus candidate + Jaccard suffix for the fuzzy-join
@@ -657,9 +748,21 @@ object LlmQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_ann_topk" -> annOracle,
+    "q_ann_neardup" ->
+      (annNearDupCtes +
+        """
+          |SELECT a, b, round(sim, 4) AS sim_r
+          |FROM scored WHERE sim >= 0.4 ORDER BY a, b""".stripMargin),
+    "q_embedding_survivors" ->
+      (annNearDupCtes +
+        """
+          |SELECT vec_id FROM sub
+          |WHERE vec_id NOT IN (SELECT b FROM scored WHERE sim >= 0.4)
+          |ORDER BY vec_id""".stripMargin),
     "q_ivf_topk" -> ivfOracle,
     "q_semantic_dedup" -> semanticDedupOracle(),
     "q_semantic_capped" -> semanticDedupOracle(maxCluster = semClusterCap),
+    "q_semantic_survivors" -> semanticSurvivorsOracle,
     "q_fingerprint" ->
       """WITH t AS (
         |  SELECT doc_id, lower(text) AS t FROM documents

@@ -121,6 +121,24 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.contains(0L) && kept.size < 24, s"kept=$kept")
   }
 
+  test("annNearDupPairs candidate set is salt-invariant") {
+    // The salt sub-key exists purely to multiply shuffle-key
+    // cardinality: the left side carries ONE salt and the right side
+    // replicates across all of them, so exactly one salt matches per
+    // same-bucket pair. The emitted pair set must therefore be
+    // identical for any saltBuckets — this is what lets the DuckDB
+    // oracle (q_ann_neardup) replay buckets without replaying salts.
+    val base = clustered(nClusters = 6, perCluster = 4, dim = 16)
+    def pairs(salts: Int) =
+      Similarity.annNearDupPairs(base, "vec_id", "embedding", 0.9,
+          dim = 16, saltBuckets = salts)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    val p1 = pairs(1)
+    assert(p1.nonEmpty)
+    assert(pairs(16) == p1)
+    assert(pairs(7) == p1)
+  }
+
   test("fused cosine expression is bit-identical to the composed fold form") {
     val base = clustered(nClusters = 4, perCluster = 4, dim = 16)
     val pairs = base.select(col("vec_id").as("ida"), col("embedding").as("a"))
