@@ -299,6 +299,16 @@ object Similarity {
     rankTopK(cand, k)
   }
 
+  /** Pair-emission threshold guard shared by every near-dup op: a
+    * zero-norm or NaN vector's cosine is NaN (0/0), and Spark ORDERS
+    * NaN GREATER than every number — a bare `sim >= threshold` is TRUE
+    * for NaN, which would mark a degenerate embedding as a duplicate
+    * of its entire cluster/bucket and greedy-drop arbitrarily many
+    * valid rows. Non-finite similarity is "unknown", never "similar".
+    */
+  private def passesThreshold(sim: Column, threshold: Double): Column =
+    sim >= threshold && !isnan(sim)
+
   /** Embedding-cosine near-duplicate pairs (a < b) with sim ≥
     * `threshold`, computed exactly over all pairs — bounded inputs
     * only (a deduplication batch, an LSH bucket, a candidate set). The
@@ -315,7 +325,7 @@ object Similarity {
     a.crossJoin(b)
       .filter(col("a") < col("b"))
       .withColumn("sim", cosine(col("avec"), col("bvec")))
-      .filter(col("sim") >= threshold)
+      .filter(passesThreshold(col("sim"), threshold))
       .select(col("a"), col("b"), col("sim"))
   }
 
@@ -361,7 +371,7 @@ object Similarity {
       .join(vecs.select(col("__vid").as("a"), col("__vec").as("avec")), Seq("a"))
       .join(vecs.select(col("__vid").as("b"), col("__vec").as("bvec")), Seq("b"))
       .withColumn("sim", cosine(col("avec"), col("bvec")))
-      .filter(col("sim") >= threshold)
+      .filter(passesThreshold(col("sim"), threshold))
       .select(col("a"), col("b"), col("sim"))
   }
 
@@ -460,7 +470,7 @@ object Similarity {
     a.join(b, Seq("cluster"))
       .filter(col("a") < col("b"))
       .withColumn("sim", cosine(col("avec"), col("bvec")))
-      .filter(col("sim") >= threshold)
+      .filter(passesThreshold(col("sim"), threshold))
       .select(col("cluster"), col("a"), col("b"), col("sim"))
   }
 

@@ -283,6 +283,80 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.size < 24, "no semantic dups dropped")
   }
 
+  test("trainCentroids degenerate inputs: all-zero corpus, tiny corpus, single row") {
+    // all-zero vectors: norms are 0, normalize is identity, every dot
+    // is 0 and the first-index argmax sends every row to cluster 0 —
+    // must not throw or divide by zero
+    val zeros = (0L until 8L).map(i => (i, Seq.fill(4)(0f))).toDF("vec_id", "embedding")
+    val zc = Similarity.trainCentroids(zeros, "vec_id", "embedding",
+      nCentroids = 3, dim = 4, iters = 2)
+    assert(zc.size == 3)
+    assert(zc.forall(_.forall(_ == 0f)))
+    // corpus smaller than nCentroids: farthest-point seeding can only
+    // produce as many seeds as sample rows — returns corpus-size
+    // centroids, not nCentroids
+    val three = (0L until 3L).map(i =>
+      (i, Seq.tabulate(4)(d => if (d == i) 1f else 0f))).toDF("vec_id", "embedding")
+    val tc = Similarity.trainCentroids(three, "vec_id", "embedding",
+      nCentroids = 8, dim = 4, iters = 2)
+    assert(tc.size == 3)
+    // single-row corpus: one centroid, the row L2-normalized
+    val one = Seq((0L, Seq(3f, 0f, 4f, 0f))).toDF("vec_id", "embedding")
+    val oc = Similarity.trainCentroids(one, "vec_id", "embedding",
+      nCentroids = 4, dim = 4, iters = 1)
+    assert(oc.size == 1)
+    assert(oc.head.zip(Seq(0.6f, 0f, 0.8f, 0f))
+      .forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    // empty corpus is refused up front
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.trainCentroids(empty, "vec_id", "embedding", 2, dim = 4)
+    }
+  }
+
+  test("trainCentroids survives NaN vectors without poisoning clean clusters") {
+    // two clean, well-separated groups plus one all-NaN row: training
+    // must not throw, must return the requested centroid count, and at
+    // least one centroid must stay finite for each clean direction
+    // (the NaN row contaminates at most the cluster it lands in)
+    val rows =
+      (0L until 4L).map(i => (i, Seq(1f, 0f, 0f, 0f))) ++
+      (4L until 8L).map(i => (i, Seq(0f, 0f, 1f, 0f))) :+
+      ((8L, Seq(Float.NaN, 1f, Float.NaN, 1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val c = Similarity.trainCentroids(df, "vec_id", "embedding",
+      nCentroids = 2, dim = 4, iters = 2)
+    assert(c.size == 2)
+    val finite = c.filter(_.forall(v => !v.isNaN))
+    assert(finite.nonEmpty, s"every centroid went NaN: $c")
+  }
+
+  test("semanticAssign degenerate inputs: zero and NaN vectors neither throw nor pair") {
+    // zero vector: all centroid dots are 0 → first-index argmax →
+    // cluster 0, and its cosine against anything is NaN (0/0).
+    // NaN vector: all dots are NaN; Spark orders NaN greatest, so the
+    // argmax resolves (no null assignment) and its sims are NaN.
+    // Spark's NaN ordering makes a bare `sim >= threshold` TRUE for
+    // NaN — without the passesThreshold guard these two rows would
+    // pair with their ENTIRE cluster and greedy-drop valid rows. The
+    // guard makes non-finite similarity mean "unknown", never
+    // "similar": degenerate rows emit no pairs and survive dedup.
+    val df = Seq(
+      (0L, Seq(1f, 0f)),
+      (1L, Seq(1f, 0f)),          // true dup of 0 in cluster 0
+      (2L, Seq(0f, 0f)),          // zero vector
+      (3L, Seq(Float.NaN, 1f))    // NaN vector
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1f, 0f), Seq(0f, 1f))
+    val pairs = Similarity.semanticDedupPairs(df, "vec_id", "embedding", cents, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), s"degenerate rows paired: $pairs")
+    // and the keep-set retains the degenerate rows (they lose no pair)
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding", cents, 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L))
+  }
+
   test("labelCentroids averages each dimension per label") {
     val df = Seq(
       (1L, Seq(1.0f, 2.0f), "a"),
