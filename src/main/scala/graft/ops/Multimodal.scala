@@ -69,6 +69,11 @@ object Multimodal {
       b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
     else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' &&
       b(2) == 'F' && b(3) == 'F') "riff"
+    else if (b.length >= 12 && b(0) == 'F' && b(1) == 'O' &&
+      b(2) == 'R' && b(3) == 'M' &&
+      b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F') "aiff"
+    else if (b.length >= 4 && b(0) == '.' && b(1) == 's' &&
+      b(2) == 'n' && b(3) == 'd') "au"
     else "bin"
 
   /** `ImageIO.read` that maps every decode failure to None: no reader

@@ -965,10 +965,19 @@ object LlmQueries {
          |)
          |SELECT * FROM sampled UNION ALL SELECT * FROM resized
          |ORDER BY stage, id, frame_index""".stripMargin,
-    // Canonical 44-byte PCM WAV header (fixture generator emits no
-    // extra chunks): channels @ bytes 23-24, rate @ 25-28, block align
-    // @ 33-34, bits @ 35-36, data size @ 41-44 — all little-endian u16/
-    // u32, byte N = hex chars (2N-1, 2N).
+    // All three decodeAudio containers parsed independently from their
+    // header bytes (byte N, 0-based = hex chars 2N+1..2N+2):
+    //  - WAV/RIFF: canonical 44-byte header, little-endian (byte pairs
+    //    swapped) — channels @ 22, rate @ 24, block align @ 32,
+    //    bits @ 34, data size @ 40.
+    //  - AIFF: big-endian FORM/AIFF with COMM first — channels @ 20,
+    //    frame count @ 22, bits @ 26, then the sample rate as an
+    //    80-bit extended float @ 28: biased-16383 exponent u16 +
+    //    mantissa with explicit leading 1, so
+    //    rate = mant_hi32 >> (16383 + 31 - exponent).
+    //  - AU: big-endian u32 header — data size @ 8, encoding @ 12
+    //    (2 = 8-bit, 3 = 16-bit linear PCM), rate @ 16, channels @ 20.
+    // The non-audio row pins the -1 quarantine under the oracle.
     "q_audio_decode" ->
       s"""WITH raw AS (
          |  SELECT * FROM read_json('$audioFixture', format='newline_delimited')
@@ -976,36 +985,49 @@ object LlmQueries {
          |  SELECT id, from_base64(b64) AS blob FROM raw
          |), h AS (
          |  SELECT id, blob, hex(blob) AS hx,
-         |    (substr(hex(blob), 1, 8) = '52494646') AS is_riff
+         |    CASE WHEN substr(hex(blob), 1, 8) = '52494646' THEN 'riff'
+         |         WHEN substr(hex(blob), 1, 8) = '464F524D'
+         |          AND substr(hex(blob), 17, 8) = '41494646' THEN 'aiff'
+         |         WHEN substr(hex(blob), 1, 8) = '2E736E64' THEN 'au'
+         |         ELSE 'bin' END AS format
          |  FROM b
          |), p AS (
-         |  SELECT id, blob, is_riff,
-         |    CASE WHEN is_riff THEN
-         |      ('0x' || substr(hx, 47, 2) || substr(hx, 45, 2))::INTEGER
-         |    ELSE -1 END AS channels,
-         |    CASE WHEN is_riff THEN
-         |      ('0x' || substr(hx, 55, 2) || substr(hx, 53, 2)
-         |            || substr(hx, 51, 2) || substr(hx, 49, 2))::INTEGER
-         |    ELSE -1 END AS sample_rate,
-         |    CASE WHEN is_riff THEN
-         |      ('0x' || substr(hx, 67, 2) || substr(hx, 65, 2))::INTEGER
-         |    ELSE 1 END AS block_align,
-         |    CASE WHEN is_riff THEN
-         |      ('0x' || substr(hx, 71, 2) || substr(hx, 69, 2))::INTEGER
-         |    ELSE -1 END AS bits_per_sample,
-         |    CASE WHEN is_riff THEN
-         |      ('0x' || substr(hx, 87, 2) || substr(hx, 85, 2)
-         |            || substr(hx, 83, 2) || substr(hx, 81, 2))::BIGINT
-         |    ELSE -1 END AS data_size
+         |  SELECT id, blob, hx, format,
+         |    CASE format
+         |      WHEN 'riff' THEN ('0x' || substr(hx, 55, 2) || substr(hx, 53, 2)
+         |                             || substr(hx, 51, 2) || substr(hx, 49, 2))::INTEGER
+         |      WHEN 'aiff' THEN ((('0x' || substr(hx, 61, 8))::BIGINT)
+         |                        >> (16414 - ('0x' || substr(hx, 57, 4))::INTEGER))::INTEGER
+         |      WHEN 'au' THEN ('0x' || substr(hx, 33, 8))::INTEGER
+         |      ELSE -1 END AS sample_rate,
+         |    CASE format
+         |      WHEN 'riff' THEN ('0x' || substr(hx, 47, 2) || substr(hx, 45, 2))::INTEGER
+         |      WHEN 'aiff' THEN ('0x' || substr(hx, 41, 4))::INTEGER
+         |      WHEN 'au' THEN ('0x' || substr(hx, 41, 8))::INTEGER
+         |      ELSE -1 END AS channels,
+         |    CASE format
+         |      WHEN 'riff' THEN ('0x' || substr(hx, 71, 2) || substr(hx, 69, 2))::INTEGER
+         |      WHEN 'aiff' THEN ('0x' || substr(hx, 53, 4))::INTEGER
+         |      WHEN 'au' THEN CASE ('0x' || substr(hx, 25, 8))::INTEGER
+         |                       WHEN 2 THEN 8 WHEN 3 THEN 16 ELSE -1 END
+         |      ELSE -1 END AS bits_per_sample
          |  FROM h
+         |), q AS (
+         |  SELECT *,
+         |    CASE format
+         |      WHEN 'riff' THEN ('0x' || substr(hx, 87, 2) || substr(hx, 85, 2)
+         |                             || substr(hx, 83, 2) || substr(hx, 81, 2))::BIGINT
+         |                       // ('0x' || substr(hx, 67, 2) || substr(hx, 65, 2))::BIGINT
+         |      WHEN 'aiff' THEN ('0x' || substr(hx, 45, 8))::BIGINT
+         |      WHEN 'au' THEN ('0x' || substr(hx, 17, 8))::BIGINT
+         |                     // (channels * bits_per_sample // 8)
+         |      ELSE -1 END AS n_frames
+         |  FROM p
          |)
          |SELECT id,
          |  octet_length(blob)::INTEGER AS byte_len,
-         |  CASE WHEN is_riff THEN 'riff' ELSE 'bin' END AS format,
-         |  sample_rate, channels, bits_per_sample,
-         |  CASE WHEN is_riff THEN data_size // block_align ELSE -1 END::BIGINT AS n_frames,
-         |  CASE WHEN is_riff
-         |       THEN round((data_size // block_align) * 1000.0 / sample_rate, 3)
-         |       ELSE -1.0 END AS duration_ms
-         |FROM p ORDER BY id""".stripMargin)
+         |  format, sample_rate, channels, bits_per_sample, n_frames,
+         |  CASE WHEN format = 'bin' THEN -1.0
+         |       ELSE round(n_frames * 1000.0 / sample_rate, 3) END AS duration_ms
+         |FROM q ORDER BY id""".stripMargin)
 }

@@ -233,6 +233,16 @@ class MultimodalSpec extends SparkSpec {
     assert((d(4L).sample_rate, d(4L).channels, d(4L).bits_per_sample, d(4L).n_frames)
       == (22050, 2, 8, 123L))
     assert((d(5L).sample_rate, d(5L).n_frames, d(5L).format) == (-1, -1L, "bin"))
+    // AIFF rows: big-endian COMM metadata, sniffed as 'aiff'
+    assert((d(6L).sample_rate, d(6L).channels, d(6L).bits_per_sample,
+      d(6L).n_frames, d(6L).format) == (8000, 1, 16, 1600L, "aiff"))
+    assert((d(7L).sample_rate, d(7L).channels, d(7L).n_frames, d(7L).duration_ms)
+      == (22050, 2, 441L, 20.0))
+    // AU rows: .snd header, encodings 3 (16-bit) and 2 (8-bit)
+    assert((d(8L).sample_rate, d(8L).channels, d(8L).bits_per_sample,
+      d(8L).n_frames, d(8L).format) == (16000, 1, 16, 800L, "au"))
+    assert((d(9L).sample_rate, d(9L).channels, d(9L).bits_per_sample,
+      d(9L).n_frames, d(9L).duration_ms) == (8000, 2, 8, 123L, 15.375))
   }
 
   test("decode is narrow: partition count is preserved (no shuffle)") {

@@ -35,12 +35,59 @@ def wav(rate: int, channels: int, bits: int, frames: int) -> bytes:
     return hdr + bytes(data)
 
 
+def ext80(rate: int) -> bytes:
+    """Sample rate as the 80-bit IEEE 754 extended float AIFF uses:
+    biased-16383 exponent u16, then a 64-bit mantissa with an explicit
+    leading 1 (both big-endian)."""
+    e = rate.bit_length() - 1
+    return struct.pack(">H", 16383 + e) + struct.pack(">Q", rate << (63 - e))
+
+
+def aiff(rate: int, channels: int, bits: int, frames: int) -> bytes:
+    """Canonical AIFF: FORM/AIFF, an 18-byte COMM chunk, then SSND
+    (offset and block size 0) — all big-endian, signed PCM."""
+    block_align = channels * bits // 8
+    data = bytearray()
+    for i in range(frames):
+        for c in range(channels):
+            v = (i * 37 + c * 101) % 256 - 128
+            if bits == 8:
+                data += struct.pack(">b", v)
+            else:
+                data += struct.pack(">h", v * 256)
+    comm = b"COMM" + struct.pack(">IHIH", 18, channels, frames, bits) + ext80(rate)
+    ssnd = b"SSND" + struct.pack(">III", 8 + len(data), 0, 0) + bytes(data)
+    body = b"AIFF" + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def au(rate: int, channels: int, bits: int, frames: int) -> bytes:
+    """Canonical Sun AU: 24-byte big-endian header (.snd magic, data
+    offset, data size, encoding 2=8-bit/3=16-bit linear PCM, rate,
+    channels), then signed PCM data."""
+    data = bytearray()
+    for i in range(frames):
+        for c in range(channels):
+            v = (i * 37 + c * 101) % 256 - 128
+            if bits == 8:
+                data += struct.pack(">b", v)
+            else:
+                data += struct.pack(">h", v * 256)
+    encoding = 2 if bits == 8 else 3
+    hdr = b".snd" + struct.pack(">IIIII", 24, len(data), encoding, rate, channels)
+    return hdr + bytes(data)
+
+
 ROWS = [
     (1, wav(8000, 1, 16, 1600)),    # 0.2 s mono 16-bit
     (2, wav(44100, 2, 16, 441)),    # 10 ms stereo 16-bit
     (3, wav(11025, 1, 8, 500)),     # mono 8-bit
     (4, wav(22050, 2, 8, 123)),     # stereo 8-bit
     (5, b"this payload is not audio"),  # decode-failure row
+    (6, aiff(8000, 1, 16, 1600)),   # AIFF mono 16-bit
+    (7, aiff(22050, 2, 16, 441)),   # AIFF stereo 16-bit
+    (8, au(16000, 1, 16, 800)),     # AU mono 16-bit
+    (9, au(8000, 2, 8, 123)),       # AU stereo 8-bit
 ]
 
 
