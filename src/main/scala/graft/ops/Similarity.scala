@@ -51,6 +51,10 @@ object Similarity {
     * of corpus size. The keyed pre-explode repartition spreads the
     * dims× fanout from few-split sources (AQE can't see it) and keys
     * on the ROW id, not the label — labels are few and would skew.
+    * `spreadPartitions` sizes that spread explicitly (same knob as the
+    * Dedup family's explicit-count repartitions); the default 0 uses
+    * the session's `defaultParallelism` — right for local/one-executor
+    * runs, while a cluster job sizes it to its executor count.
     * Centroids round to 6 decimals: per-partition double-sum order is
     * not reproducible across engines (or runs) at the last ulp.
     */
@@ -58,13 +62,20 @@ object Similarity {
       df: DataFrame,
       idCol: String,
       labelCol: String,
-      vecCol: String): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      vecCol: String,
+      spreadPartitions: Int = 0): DataFrame = {
+    require(spreadPartitions >= 0,
+      s"spreadPartitions must be >= 0 (0 = defaultParallelism): $spreadPartitions")
+    val n =
+      if (spreadPartitions > 0) spreadPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(n, col(idCol))
       .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "__v")))
       .groupBy("label", "dim")
       .agg(
         count(lit(1)).as("n"),
         round(avg(col("__v").cast("double")), 6).as("centroid"))
+  }
 
   /** Exact top-k cosine neighbors for each query vector.
     *

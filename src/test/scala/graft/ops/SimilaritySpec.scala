@@ -369,5 +369,18 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(
       ("a", 0, 2L, 2.0), ("a", 1, 2L, 4.0),
       ("b", 0, 1L, 10.0), ("b", 1, 1L, 20.0)))
+    // explicit spread: same result, and the pre-explode exchange
+    // hash-partitions by the row id at exactly the requested count
+    val spread = Similarity.labelCentroids(df, "vec_id", "label", "embedding",
+      spreadPartitions = 7)
+    assert(spread.orderBy("label", "dim")
+      .as[(String, Int, Long, Double)].collect().toSeq == got)
+    val plan = spread.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(vec_id") && plan.contains(", 7)"),
+      s"explicit spread count missing from plan:\n$plan")
+    intercept[IllegalArgumentException] {
+      Similarity.labelCentroids(df, "vec_id", "label", "embedding",
+        spreadPartitions = -1)
+    }
   }
 }
