@@ -28,6 +28,7 @@ object LlmQueries {
   private val semSubsetIds = 500 // SemDeDup check set = vec_id < 500
   private val semThreshold = 0.4
   private val semClusterCap = 60 // binds: mean cluster size is 500/8 ≈ 62
+  private val pipelineBenchCut = 25 // same bench split as q_decontaminate
 
   // Oracle queries pass the md5-derived hashers EXPLICITLY: the ops
   // default to xxhash64 for production throughput, and cross-engine
@@ -302,6 +303,44 @@ object LlmQueries {
           round(avg(col("n_tokens")), 4).as("avg_tokens"),
           sum(col("bpe_tokens")).as("total_bpe_tokens"))
         .orderBy("lang")
+    }),
+
+    // The brief's full training-data pipeline as ONE oracle-checked
+    // composition — every stage is an already-verified op, chained
+    // lazily into a single plan exactly as a production curation job
+    // would run it:
+    //   corpus (doc_id >= 25)
+    //     → near-dup dedup (LSH keep-min-id survivors within corpus)
+    //     → quality gate (token/alpha/length predicate)
+    //     → decontaminate vs the bench set (doc_id < 25, ≥2 shared
+    //       trigrams → removed)
+    //     → source-weighted mixing (50/25/25 over src0/src1/src7,
+    //       2000-token budget, seeded-hash order)
+    //     → sequence packing (BPE tokens, 512-token packs, id order).
+    // DuckDB replays each stage over the shared MinHash/shingle CTEs.
+    "q_pipeline_curation" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.filter(col("doc_id") >= pipelineBenchCut)
+      val bench = d.filter(col("doc_id") < pipelineBenchCut)
+      val deduped = Dedup.dedupNear(corpus, "text", "doc_id",
+        k = 16, bands = 8, shingleN = 3, threshold = 0.5,
+        baseHasher = oracleBaseHash)
+      val statCols = TextAnalysis.stats(col("text")).map { case (n, c) => c.as(n) }
+      val stats = deduped.select(
+        col("doc_id") +: col("source") +: col("text") +: statCols: _*)
+      val quality = stats.filter(TextAnalysis.qualityPredicate(
+        col("n_tokens"), col("alpha_ratio"), col("avg_token_len")))
+      val contaminated = Curation.decontaminate(quality, bench, "text", "doc_id",
+          shingleN = 3, minShared = 2L)
+        .select("doc_id").distinct()
+      val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
+      val mixed = Curation.mixSources(clean, "doc_id", "source", "n_tokens",
+        Seq("src0" -> 0.5, "src1" -> 0.25, "src7" -> 0.25),
+        tokenBudget = 2000L, seed = 13L, hasher = TextAnalysis.h64)
+      Curation.packSequences(mixed, "doc_id", "bpe_tokens", 512L)
+        .select("doc_id", "source", "n_tokens", "bpe_tokens",
+          "mix_tokens_before", "pack_id", "pack_offset")
+        .orderBy("doc_id")
     }),
 
     // ---- multimodal ----------------------------------------------------
@@ -855,6 +894,61 @@ object LlmQueries {
           |  round(avg(n_tokens), 4) AS avg_tokens,
           |  sum(bpe_tokens)::BIGINT AS total_bpe_tokens
           |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
+    // Full curation pipeline: dedup survivors (within-corpus pairs
+    // only, a >= cut), quality gate (same idiom as q_curation),
+    // trigram decontamination off the shared `sh` CTE, per-source
+    // seeded-hash prefix sums under the 1000/500/500 allocations, then
+    // the id-ordered BPE prefix sum cut into 512-token packs.
+    "q_pipeline_curation" ->
+      (minhashCtes(16, 8) +
+        s""", surv AS (
+           |  SELECT doc_id FROM documents
+           |  WHERE doc_id >= $pipelineBenchCut
+           |    AND doc_id NOT IN (
+           |      SELECT b FROM est WHERE est_jaccard >= 0.5 AND a >= $pipelineBenchCut)
+           |), stats AS (
+           |  SELECT doc_id, source,
+           |    len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+           |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+           |      / length(text)::DOUBLE AS alpha_ratio,
+           |    list_sum(list_transform(string_split(lower(text), ' '), x -> length(x)))::DOUBLE
+           |      / len(string_split(lower(text), ' '))::DOUBLE AS avg_token_len,
+           |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
+           |  FROM documents
+           |), kept AS (
+           |  SELECT st.* FROM stats st JOIN surv USING (doc_id)
+           |  WHERE n_tokens >= 5 AND n_tokens <= 5000 AND alpha_ratio >= 0.5
+           |    AND avg_token_len >= 2.0 AND avg_token_len <= 20.0
+           |), ex AS (
+           |  SELECT doc_id, unnest(list_distinct(shingles)) AS g FROM sh
+           |), contaminated AS (
+           |  SELECT c.doc_id FROM ex c JOIN ex b ON c.g = b.g
+           |  WHERE c.doc_id >= $pipelineBenchCut AND b.doc_id < $pipelineBenchCut
+           |  GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 2
+           |), clean AS (
+           |  SELECT k.* FROM kept k
+           |  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM contaminated)
+           |), mix AS (
+           |  SELECT *,
+           |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |      AS mix_tokens_before
+           |  FROM (
+           |    SELECT *, ('0x' || substr(md5('13|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+           |    FROM clean WHERE source IN ('src0', 'src1', 'src7')
+           |  )
+           |), mixkept AS (
+           |  SELECT * FROM mix
+           |  WHERE mix_tokens_before < CASE source WHEN 'src0' THEN 1000 ELSE 500 END
+           |), packed AS (
+           |  SELECT *,
+           |    CAST(COALESCE(sum(bpe_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+           |  FROM mixkept
+           |)
+           |SELECT doc_id, source, n_tokens, bpe_tokens, mix_tokens_before,
+           |  cum // 512 AS pack_id, cum % 512 AS pack_offset
+           |FROM packed ORDER BY doc_id""".stripMargin),
     "q_fuzzy_join" -> (minhashCtes(16, 8) + fuzzyJoinSuffix(0)),
     "q_fuzzy_capped" -> (minhashCtes(16, 8) + fuzzyJoinSuffix(1)),
     "q_dedup_clusters" ->
