@@ -23,6 +23,18 @@ import org.apache.spark.util.sketch.BloomFilter
 case class BloomMightContainExpr(child: Expression, bloom: BloomFilter)
     extends UnaryExpression {
 
+  // Keep equals/hashCode consistent whatever BloomFilter's own
+  // equality is (the sketch impl may or may not override equals, and
+  // does not pair it with hashCode): delegate equality to the filter,
+  // hash only what equality implies — same pattern and reason as
+  // MatVecDotsExpr's value-based identity.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContainExpr => child == b.child && bloom == b.bloom
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.lang.Long.hashCode(bloom.bitSize())
+
   override def dataType: DataType = BooleanType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -47,4 +59,22 @@ object BloomMightContainExpr {
   def mightContain(hash: Column, bloom: BloomFilter): Column =
     GraftExpressionBridge.column(
       BloomMightContainExpr(GraftExpressionBridge.expression(hash), bloom))
+
+  /** Base64 of the filter's standard serialized form — the literal
+    * binding that lets SQL text carry a driver-built Bloom filter:
+    * `graft_bloom_might_contain(hash, '<serialize(bloom)>')`. A
+    * million-key filter at fpp 0.01 is ~1.6 MB base64 — large for SQL
+    * text but well under plan-size limits; prefer the Column API when
+    * not constrained to SQL strings.
+    */
+  def serialize(bloom: BloomFilter): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+  }
+
+  /** Inverse of [[serialize]]. */
+  def deserialize(b64: String): BloomFilter =
+    BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(b64)))
 }

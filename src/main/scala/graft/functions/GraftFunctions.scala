@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringType}
 
 /** SQL registration for the library's custom Catalyst expressions, so
   * `spark.sql("SELECT graft_md5_long(x, 15) ...")` works alongside the
@@ -68,6 +68,34 @@ object GraftFunctions {
       "graft_matvec_dots(array<float>, array<array<double>>) takes 2 arguments")
   }
 
+  /** `graft_bloom_might_contain(hash, filter)` — the filter argument
+    * must be a FOLDABLE base64 STRING literal of the standard
+    * serialized [[org.apache.spark.util.sketch.BloomFilter]] form
+    * ([[BloomMightContainExpr.serialize]] produces it). It is decoded
+    * once at registration-builder time and ships to executors as a
+    * plan reference object, never per row — the same literal-binding
+    * story as graft_matvec_dots' foldable matrix.
+    */
+  private def bloomBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(hash, b64) if b64.foldable && b64.dataType == StringType =>
+      val lit = b64.eval()
+      require(lit != null,
+        "graft_bloom_might_contain filter literal must be non-null")
+      val bloom =
+        try BloomMightContainExpr.deserialize(lit.toString)
+        catch {
+          case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
+            "graft_bloom_might_contain filter literal is not a base64 " +
+              s"serialized BloomFilter: ${e.getMessage}", e)
+        }
+      BloomMightContainExpr(hash, bloom)
+    case Seq(_, _) => throw new IllegalArgumentException(
+      "graft_bloom_might_contain(hash BIGINT, filter) requires a foldable " +
+        "base64 STRING literal filter (BloomMightContainExpr.serialize)")
+    case _ => throw new IllegalArgumentException(
+      "graft_bloom_might_contain(hash BIGINT, filter VARCHAR) takes 2 arguments")
+  }
+
   /** (identifier, info, builder) triples — the exact shape both
     * `SparkSessionExtensions.injectFunction` and
     * `FunctionRegistry.registerFunction` consume.
@@ -84,7 +112,11 @@ object GraftFunctions {
     (
       FunctionIdentifier("graft_matvec_dots"),
       new ExpressionInfo(classOf[MatVecDotsExpr].getName, "graft_matvec_dots"),
-      matVecBuilder _))
+      matVecBuilder _),
+    (
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContainExpr].getName, "graft_bloom_might_contain"),
+      bloomBuilder _))
 
   /** Register every graft function on an existing session. */
   def register(spark: SparkSession): Unit =

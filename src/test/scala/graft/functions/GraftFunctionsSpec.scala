@@ -117,6 +117,44 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("foldable"))
   }
 
+  test("graft_bloom_might_contain via SQL equals the Column-API probe") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val s = spark.newSession()
+    GraftFunctions.register(s)
+    import s.implicits._
+    val bloom = BloomFilter.create(100, 0.01)
+    (1L to 50L).foreach(bloom.putLong)
+    val b64 = BloomMightContainExpr.serialize(bloom)
+    (1L to 100L).toDF("h").createOrReplaceTempView("hs")
+    val viaSql = s.sql(
+      s"SELECT h FROM hs WHERE graft_bloom_might_contain(h, '$b64') ORDER BY h")
+      .as[Long].collect().toSeq
+    val viaApi = s.table("hs")
+      .filter(BloomMightContainExpr.mightContain(col("h"), bloom))
+      .orderBy("h").as[Long].collect().toSeq
+    assert(viaSql == viaApi)
+    // no false negatives by the Bloom contract
+    assert((1L to 50L).toSet.subsetOf(viaSql.toSet))
+    // round trip preserves probe behavior exactly
+    val back = BloomMightContainExpr.deserialize(b64)
+    assert((1L to 100L).forall(h => back.mightContainLong(h) == bloom.mightContainLong(h)))
+  }
+
+  test("graft_bloom_might_contain rejects non-foldable and malformed filters") {
+    val s = spark.newSession()
+    GraftFunctions.register(s)
+    import s.implicits._
+    Seq((1L, "notbase64!")).toDF("h", "f").createOrReplaceTempView("hf")
+    val nonFoldable = intercept[Exception] {
+      s.sql("SELECT graft_bloom_might_contain(h, f) FROM hf").collect()
+    }
+    assert(nonFoldable.getMessage.contains("foldable"))
+    val malformed = intercept[Exception] {
+      s.sql("SELECT graft_bloom_might_contain(CAST(1 AS BIGINT), 'AAAA')").collect()
+    }
+    assert(malformed.getMessage.contains("serialized BloomFilter"))
+  }
+
   test("Md5FusionRule rewrites the composed idiom to the fused kernel") {
     val s = spark.newSession()
     GraftFunctions.installOptimizations(s)
