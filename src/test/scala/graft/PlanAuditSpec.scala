@@ -56,6 +56,50 @@ class PlanAuditSpec extends SparkSpec {
       s"vector column in aggregate keys:\n${keyLines.mkString("\n")}")
   }
 
+  test("q_ann_neardup candidates move ids only and never plan a cross join") {
+    val plan = planOf("q_ann_neardup")
+    // same scale contract as q_ann_topk: the self-join + candidate
+    // distinct operate on (table, bucket, salt, id) rows; a vector in
+    // any aggregate grouping key or a cartesian node means the
+    // all-pairs/vector-shuffling regression returned
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"ANN near-dup regressed to all-pairs:\n$plan")
+    val keyLines = plan.linesIterator.filter(_.trim.startsWith("Keys")).toSeq
+    assert(keyLines.nonEmpty, "expected HashAggregate keys in the plan")
+    assert(keyLines.forall(l => !l.contains("vec")),
+      s"vector column in aggregate keys:\n${keyLines.mkString("\n")}")
+  }
+
+  test("q_pipeline_curation's relational prefix broadcasts small sides, no cartesian") {
+    // The full query's explain is opaque — mixSources/packSequences
+    // materialize through partition-offset RDD passes, so the final
+    // plan is one Scan ExistingRDD. Audit the relational prefix
+    // (dedup → quality → decontaminate-anti) that feeds them, built
+    // exactly as the query builds it.
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Curation, Dedup, TextAnalysis}
+    val d = Tables.documents(spark, sf001)
+    val corpus = d.filter(col("doc_id") >= 25)
+    val bench = d.filter(col("doc_id") < 25)
+    val deduped = Dedup.dedupNear(corpus, "text", "doc_id",
+      k = 16, bands = 8, shingleN = 3, threshold = 0.5,
+      baseHasher = TextAnalysis.baseHash _)
+    val statCols = TextAnalysis.stats(col("text")).map { case (n, c) => c.as(n) }
+    val stats = deduped.select(
+      col("doc_id") +: col("source") +: col("text") +: statCols: _*)
+    val quality = stats.filter(TextAnalysis.qualityPredicate(
+      col("n_tokens"), col("alpha_ratio"), col("avg_token_len")))
+    val contaminated = Curation.decontaminate(quality, bench, "text", "doc_id",
+        shingleN = 3, minShared = 2L)
+      .select("doc_id").distinct()
+    val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
+    val plan = clean.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "bench grams / anti joins must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      s"pipeline stage regressed to a cartesian join:\n$plan")
+  }
+
   test("q1_pricing_summary aggregates with a map-side partial phase") {
     val plan = planOf("q1_pricing_summary")
     assert(plan.contains("HashAggregate"))
