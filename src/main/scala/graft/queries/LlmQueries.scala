@@ -328,8 +328,15 @@ object LlmQueries {
       val statCols = TextAnalysis.stats(col("text")).map { case (n, c) => c.as(n) }
       val stats = deduped.select(
         col("doc_id") +: col("source") +: col("text") +: statCols: _*)
-      val quality = stats.filter(TextAnalysis.qualityPredicate(
-        col("n_tokens"), col("alpha_ratio"), col("avg_token_len")))
+      // The quality frame feeds TWO consumers — the decontamination
+      // gram side and the anti-join left — and everything upstream
+      // (LSH dedup + stats) would otherwise execute twice. persistOnce
+      // materializes the dedup+quality prefix exactly once (plan-keyed,
+      // released by Verify/Bench's unpersistAll like every other
+      // shared frame).
+      val quality = graft.CachedFrames.persistOnce(
+        stats.filter(TextAnalysis.qualityPredicate(
+          col("n_tokens"), col("alpha_ratio"), col("avg_token_len"))))
       val contaminated = Curation.decontaminate(quality, bench, "text", "doc_id",
           shingleN = 3, minShared = 2L)
         .select("doc_id").distinct()
