@@ -204,6 +204,27 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // int8 embedding quantization (X46): per-vector max-abs scale,
+    // round-to-nearest codes, reconstruction. Every step is IEEE
+    // double arithmetic + ties-away-from-zero rounding, so DuckDB
+    // replays the scale, the exact code values (checked via exact sum
+    // and L1 aggregates), and the reconstruction cosine of the
+    // dequantized vector against the original.
+    "q_quantize_embeddings" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < semSubsetIds)
+      val deq = Quantize.dequantize(col("q8"), col("q_scale"))
+      Quantize.quantizeEmbeddings(emb, "embedding").select(
+          col("vec_id"),
+          round(col("q_scale"), 6).as("scale_r"),
+          aggregate(col("q8"), lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
+          aggregate(col("q8"), lit(0L), (acc, x) => acc + abs(x.cast("long"))).as("q_l1"),
+          round(
+            Similarity.dot(col("embedding"), deq) /
+              (sqrt(Similarity.dot(col("embedding"), col("embedding"))) *
+                sqrt(Similarity.dot(deq, deq))), 4).as("recon_cos_r"))
+        .orderBy("vec_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023) semantic-dup pairs on a bounded id
     // subset: centroid assignment is max-DOT argmax over a
     // deterministic quantizer (the `semClusters` lowest-id vectors —
@@ -806,6 +827,35 @@ object LlmQueries {
           |WHERE vec_id NOT IN (SELECT b FROM scored WHERE sim >= 0.4)
           |ORDER BY vec_id""".stripMargin),
     "q_ivf_topk" -> ivfOracle,
+    // X46 int8 quantization replay: identical IEEE scale/division and
+    // ties-away-from-zero rounding make the CODES exact cross-engine;
+    // the sum/L1 aggregates pin them without array-typed compare.
+    "q_quantize_embeddings" ->
+      s"""WITH sub AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $semSubsetIds
+         |), s AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, v -> abs(v::DOUBLE))) / 127.0 AS scale
+         |  FROM sub
+         |), q AS (
+         |  SELECT vec_id, embedding, scale,
+         |    CASE WHEN scale = 0 THEN list_transform(embedding, v -> 0)
+         |         ELSE list_transform(embedding,
+         |                v -> CAST(round(v::DOUBLE / scale) AS INTEGER)) END AS q8
+         |  FROM s
+         |), d AS (
+         |  SELECT vec_id, embedding, scale, q8,
+         |    list_transform(q8, x -> x::DOUBLE * scale) AS deq
+         |  FROM q
+         |)
+         |SELECT vec_id,
+         |  round(scale, 6) AS scale_r,
+         |  list_sum(q8)::BIGINT AS q_sum,
+         |  list_sum(list_transform(q8, x -> abs(x)))::BIGINT AS q_l1,
+         |  round(${dotSql("embedding", "deq")} /
+         |    (sqrt(${dotSql("embedding", "embedding")}) * sqrt(${dotSql("deq", "deq")})), 4)
+         |    AS recon_cos_r
+         |FROM d ORDER BY vec_id""".stripMargin,
     "q_semantic_dedup" -> semanticDedupOracle(),
     "q_semantic_capped" -> semanticDedupOracle(maxCluster = semClusterCap),
     "q_semantic_survivors" -> semanticSurvivorsOracle,
