@@ -295,6 +295,24 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // The X46 + X9 composition a quantized 100 TB corpus actually
+    // runs: embeddings stored int8, reconstructed on read
+    // (dequantizeFloat), then LSH ANN top-k over the reconstruction —
+    // queries come from the same quantized store (store-once reality).
+    // Still oracle-exact: the double→float cast in dequantizeFloat is
+    // IEEE round-to-nearest-even in both engines.
+    "q_ann_topk_q8" -> ((s, dir) => {
+      val deq = Quantize.quantizeEmbeddings(
+          Tables.embeddings(s, dir), "embedding")
+        .select(col("vec_id"),
+          Quantize.dequantizeFloat(col("q8"), col("q_scale")).as("embedding"))
+      Similarity.annTopK(
+          deq, deq.filter(col("vec_id") < simQueryIds), "vec_id", "embedding",
+          simK, dim = embeddingDim, tables = annTables, bits = annBits)
+        .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim_r"))
+        .orderBy("qid", "rank")
+    }),
+
     "q_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(
@@ -667,6 +685,45 @@ object LlmQueries {
        |  JOIN sub bv ON bv.vec_id = c.b
        |)""".stripMargin
 
+  /** Quantized-store ANN oracle: DuckDB replays quantize → int8 →
+    * dequantize-to-REAL (IEEE round-to-nearest-even, matching the
+    * JVM's double→float cast) and then the same bucket → candidate →
+    * exact-cosine pipeline as [[annOracle]], scoring against the
+    * RECONSTRUCTED vectors on both sides.
+    */
+  private def annQ8Oracle: String =
+    s"""WITH dq AS (
+       |  SELECT vec_id,
+       |    list_transform(q8, x -> CAST(x::DOUBLE * scale AS REAL)) AS embedding
+       |  FROM (
+       |    SELECT vec_id, scale,
+       |      CASE WHEN scale = 0 THEN list_transform(embedding, v -> 0)
+       |           ELSE list_transform(embedding,
+       |                  v -> CAST(round(v::DOUBLE / scale) AS INTEGER)) END AS q8
+       |    FROM (
+       |      SELECT vec_id, embedding,
+       |        list_max(list_transform(embedding, v -> abs(v::DOUBLE))) / 127.0 AS scale
+       |      FROM embeddings))
+       |), """.stripMargin + annBucketCtes("dq") +
+    s""", cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE q.vec_id < $simQueryIds AND q.vec_id <> c.vec_id
+       |), scored AS (
+       |  SELECT cand.qid, cand.nid,
+       |    ${dotSql("qv.embedding", "nv.embedding")} /
+       |    (sqrt(${dotSql("qv.embedding", "qv.embedding")}) * sqrt(${dotSql("nv.embedding", "nv.embedding")})) AS sim
+       |  FROM cand
+       |  JOIN dq qv ON qv.vec_id = cand.qid
+       |  JOIN dq nv ON nv.vec_id = cand.nid
+       |), ranked AS (
+       |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(sim, 4) AS sim_r
+       |FROM ranked WHERE rank <= $simK ORDER BY qid, rank""".stripMargin
+
   /** IVF oracle: centroids = the `ivfCentroids` lowest-vec_id corpus
     * vectors (the engine's deterministic quantizer seed), corpus rows
     * assign to their best-dot centroid (first index wins ties),
@@ -826,6 +883,7 @@ object LlmQueries {
           |SELECT vec_id FROM sub
           |WHERE vec_id NOT IN (SELECT b FROM scored WHERE sim >= 0.4)
           |ORDER BY vec_id""".stripMargin),
+    "q_ann_topk_q8" -> annQ8Oracle,
     "q_ivf_topk" -> ivfOracle,
     // X46 int8 quantization replay: identical IEEE scale/division and
     // ties-away-from-zero rounding make the CODES exact cross-engine;
