@@ -311,6 +311,44 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware near-dup dedup: of every near-dup pair, drop the
+    * member with the LOWER `priorityCol` value (ties: the larger id
+    * loses, so the policy is total and deterministic) — "keep the best
+    * copy", the selection real curation wants when duplicates differ
+    * in quality/length/recency, where [[dedupNear]] keeps whichever
+    * copy happens to carry the smaller id. Same greedy one-pass
+    * semantics and the same pair pipeline (pairs persist via
+    * [[graft.CachedFrames]] and are shared with sibling queries).
+    *
+    * Scale shape: identical to [[dedupNear]] plus two id-keyed joins
+    * attaching the (id, priority) projection to the id-only pair frame
+    * — the priorities join BEFORE any distinct, so the shuffle still
+    * moves 2-column rows, never documents.
+    */
+  def dedupNearBy(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      priorityCol: String,
+      k: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      baseHasher: Column => Column = fastBaseHash,
+      maxBucketSize: Int = 0): DataFrame = {
+    val pairs = CachedFrames.persistOnce(
+      nearDupPairs(df, textCol, idCol, k, bands, shingleN, threshold, baseHasher, maxBucketSize))
+    val pr = df.select(col(idCol), col(priorityCol))
+    val withPr = pairs
+      .join(pr.select(col(idCol).as("a"), col(priorityCol).as("__pa")), Seq("a"))
+      .join(pr.select(col(idCol).as("b"), col(priorityCol).as("__pb")), Seq("b"))
+    val loser = when(col("__pa") < col("__pb"), col("a"))
+      .when(col("__pb") < col("__pa"), col("b"))
+      .otherwise(greatest(col("a"), col("b")))
+    val losers = withPr.select(loser.as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard between two shingle-set columns (distinct
     * semantics). Verification-step primitive — run on LSH candidates,
     * not all pairs.

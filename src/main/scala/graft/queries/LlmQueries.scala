@@ -94,6 +94,20 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Quality-aware dedup (X47): of each near-dup pair, the LOWER-
+    // priority copy drops (priority = BPE token count here — keep the
+    // longer document; ties lose the larger id). Contrast with
+    // q_dedup_survivors' keep-min-id policy over the same pair set.
+    "q_dedup_best" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("prio", TextAnalysis.bpeTokenCount(col("text")))
+      Dedup.dedupNearBy(d, "text", "doc_id", "prio",
+          k = 16, bands = 8, shingleN = 3, threshold = 0.5,
+          baseHasher = oracleBaseHash)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Cross-table fuzzy join: even-id docs matched against odd-id
     // docs via LSH buckets + exact-Jaccard verification (entity
     // resolution between two corpora).
@@ -985,6 +999,25 @@ object LlmQueries {
         """
           |SELECT doc_id FROM documents
           |WHERE doc_id NOT IN (SELECT b FROM est WHERE est_jaccard >= 0.5)
+          |ORDER BY doc_id""".stripMargin),
+    "q_dedup_best" ->
+      (minhashCtes(16, 8) +
+        """, pr AS (
+          |  SELECT doc_id,
+          |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS prio
+          |  FROM documents
+          |), losers AS (
+          |  SELECT DISTINCT CASE
+          |    WHEN pa.prio < pb.prio THEN e.a
+          |    WHEN pb.prio < pa.prio THEN e.b
+          |    ELSE greatest(e.a, e.b) END AS doc_id
+          |  FROM est e
+          |  JOIN pr pa ON pa.doc_id = e.a
+          |  JOIN pr pb ON pb.doc_id = e.b
+          |  WHERE e.est_jaccard >= 0.5
+          |)
+          |SELECT doc_id FROM documents
+          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
           |ORDER BY doc_id""".stripMargin),
     "q_simhash" -> simhashOracle(60),
     "q_similarity_topk" -> similarityOracle,

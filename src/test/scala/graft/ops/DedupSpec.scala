@@ -55,6 +55,28 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(0L, 3L, 4L))
   }
 
+  test("dedupNearBy keeps the highest-priority copy, not the min id") {
+    // priorities invert the id order inside the near-dup cluster
+    // {0,1,2}: doc 2 is "best", so 0 and 1 must drop where dedupNear
+    // would keep 0. Unrelated docs keep their rows regardless of
+    // priority.
+    val withPrio = corpus.withColumn("prio",
+      when(col("doc_id") === 2, lit(100L))
+        .when(col("doc_id") === 1, lit(50L))
+        .otherwise(lit(10L)))
+    val kept = Dedup.dedupNearBy(withPrio, "text", "doc_id", "prio", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L), s"kept=$kept")
+    // equal priorities: the larger id of each pair loses — reduces to
+    // keep-min-id, matching dedupNear on the same corpus
+    val flat = corpus.withColumn("prio", lit(1L))
+    val keptFlat = Dedup.dedupNearBy(flat, "text", "doc_id", "prio", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val keptMin = Dedup.dedupNear(corpus, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptFlat == keptMin)
+  }
+
   test("verifiedNearDupPairs reports exact jaccard on candidates") {
     val got = Dedup.verifiedNearDupPairs(corpus, "text", "doc_id", threshold = 0.3)
       .orderBy("a", "b").collect()
