@@ -320,6 +320,12 @@ object Dedup {
     * semantics and the same pair pipeline (pairs persist via
     * [[graft.CachedFrames]] and are shared with sibling queries).
     *
+    * NULL policy (explicit, not incidental): a NULL priority is LOWEST
+    * — a document of unknown quality loses to any document of known
+    * quality, and a NULL-vs-NULL pair falls through to the id tie
+    * rule. Encoded as its own two branches below so the policy reads
+    * (and tests) as intent rather than as CASE-falls-through-on-null.
+    *
     * Scale shape: identical to [[dedupNear]] plus two id-keyed joins
     * attaching the (id, priority) projection to the id-only pair frame
     * — the priorities join BEFORE any distinct, so the shuffle still
@@ -342,7 +348,9 @@ object Dedup {
     val withPr = pairs
       .join(pr.select(col(idCol).as("a"), col(priorityCol).as("__pa")), Seq("a"))
       .join(pr.select(col(idCol).as("b"), col(priorityCol).as("__pb")), Seq("b"))
-    val loser = when(col("__pa") < col("__pb"), col("a"))
+    val loser = when(col("__pa").isNull && col("__pb").isNotNull, col("a"))
+      .when(col("__pb").isNull && col("__pa").isNotNull, col("b"))
+      .when(col("__pa") < col("__pb"), col("a"))
       .when(col("__pb") < col("__pa"), col("b"))
       .otherwise(greatest(col("a"), col("b")))
     val losers = withPr.select(loser.as(idCol)).distinct()

@@ -54,11 +54,16 @@ object Multimodal {
       unbase64(col(b64Col)).as("content"),
       lit(mediaType).as("media_type"))
 
-  /** Container-format sniff from magic bytes (pure Column expr). */
+  /** Container-format sniff from magic bytes (pure Column expr).
+    * Must stay in lock-step with [[sniffBytes]] — the expr-vs-stub
+    * agreement spec covers every branch of both. */
   def sniffFormat(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(hex(substring(bin, 1, 3)) === "FFD8FF", "jpeg")
       .when(hex(substring(bin, 1, 4)) === "89504E47", "png")
       .when(hex(substring(bin, 1, 4)) === "52494646", "riff")
+      .when(hex(substring(bin, 1, 4)) === "464F524D" &&
+        hex(substring(bin, 9, 4)) === "41494646", "aiff") // "FORM"…"AIFF"
+      .when(hex(substring(bin, 1, 4)) === "2E736E64", "au") // ".snd"
       .otherwise("bin")
 
   /** JVM-side twin of [[sniffFormat]] for per-partition decode code. */

@@ -775,13 +775,17 @@ object LlmQueries {
     * lowest-id quantizer (as q_ivf_topk), max-dot assignment with
     * first-index tie-break (`ORDER BY d DESC, idx`), within-cluster
     * `a < b` pairs, exact double-fold cosine filtered at the UNROUNDED
-    * threshold, then 4-decimal rounding for display.
+    * threshold, then 4-decimal rounding for display. The `NOT isnan`
+    * guard mirrors the engine's `Similarity.passesThreshold`: DuckDB,
+    * like Spark, orders NaN above every number, so a bare `sim >= t`
+    * would call a zero-norm/NaN embedding similar to its whole cluster.
     */
   private def semanticDedupOracle(maxCluster: Int = 0): String =
     semanticCtes(maxCluster) +
       s"""
          |SELECT cluster, a, b, round(sim, 4) AS sim_r
-         |FROM scored WHERE sim >= $semThreshold ORDER BY a, b""".stripMargin
+         |FROM scored WHERE sim >= $semThreshold AND NOT isnan(sim)
+         |ORDER BY a, b""".stripMargin
 
   /** SemDeDup keep-set oracle: drop the larger id of every pair —
     * replaying [[Similarity.semanticDedup]]'s greedy keep-first policy
@@ -791,7 +795,8 @@ object LlmQueries {
     semanticCtes(0) +
       s"""
          |SELECT vec_id FROM sub
-         |WHERE vec_id NOT IN (SELECT b FROM scored WHERE sim >= $semThreshold)
+         |WHERE vec_id NOT IN (
+         |  SELECT b FROM scored WHERE sim >= $semThreshold AND NOT isnan(sim))
          |ORDER BY vec_id""".stripMargin
 
   private def semanticCtes(maxCluster: Int): String = {
@@ -890,12 +895,14 @@ object LlmQueries {
       (annNearDupCtes +
         """
           |SELECT a, b, round(sim, 4) AS sim_r
-          |FROM scored WHERE sim >= 0.4 ORDER BY a, b""".stripMargin),
+          |FROM scored WHERE sim >= 0.4 AND NOT isnan(sim)
+          |ORDER BY a, b""".stripMargin),
     "q_embedding_survivors" ->
       (annNearDupCtes +
         """
           |SELECT vec_id FROM sub
-          |WHERE vec_id NOT IN (SELECT b FROM scored WHERE sim >= 0.4)
+          |WHERE vec_id NOT IN (
+          |  SELECT b FROM scored WHERE sim >= 0.4 AND NOT isnan(sim))
           |ORDER BY vec_id""".stripMargin),
     "q_ann_topk_q8" -> annQ8Oracle,
     "q_ivf_topk" -> ivfOracle,
@@ -1128,7 +1135,7 @@ object LlmQueries {
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id
          |)
          |SELECT a, b, round(sim, 4) AS sim_r FROM p
-         |WHERE sim >= 0.4 ORDER BY a, b""".stripMargin
+         |WHERE sim >= 0.4 AND NOT isnan(sim) ORDER BY a, b""".stripMargin
     },
     // documents text is ASCII, so DuckDB's char-based substr matches
     // the engine's byte-range frames exactly

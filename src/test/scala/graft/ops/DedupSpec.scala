@@ -77,6 +77,25 @@ class DedupSpec extends SparkSpec {
     assert(keptFlat == keptMin)
   }
 
+  test("dedupNearBy treats NULL priority as lowest, by policy not accident") {
+    // Cluster {0,1,2}: doc 0 has NULL priority and must lose to BOTH
+    // known-priority docs even though the 1-vs-2 comparison alone
+    // would drop 1 — doc 0's unknown quality cannot win a pair.
+    val nullLoses = corpus.withColumn("prio",
+      when(col("doc_id") === 0, lit(null).cast("long"))
+        .when(col("doc_id") === 2, lit(100L))
+        .otherwise(lit(50L)))
+    val kept = Dedup.dedupNearBy(nullLoses, "text", "doc_id", "prio", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L), s"kept=$kept")
+    // All-NULL priorities: every pair falls to the id tie rule, so the
+    // op degrades to dedupNear's keep-min-id — never to "drop nothing".
+    val allNull = corpus.withColumn("prio", lit(null).cast("long"))
+    val keptAllNull = Dedup.dedupNearBy(allNull, "text", "doc_id", "prio", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptAllNull == Set(0L, 3L, 4L), s"kept=$keptAllNull")
+  }
+
   test("verifiedNearDupPairs reports exact jaccard on candidates") {
     val got = Dedup.verifiedNearDupPairs(corpus, "text", "doc_id", threshold = 0.3)
       .orderBy("a", "b").collect()
