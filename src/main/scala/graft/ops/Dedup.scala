@@ -460,6 +460,130 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
+  // ---------------------------------------------------------- incremental
+
+  /** X48: near-dup pairs of a NEW document increment against a
+    * PERSISTED signature store — `(old_id, new_id, est_jaccard)` —
+    * without ever touching historical text.
+    *
+    * The store is the stable `(storeIdCol, sig)` projection produced
+    * by [[signatures]] on a previous run (typically written to parquet
+    * via `io.Sink` and read back; `sig` must be an `array<long>` of
+    * the same `k` produced with the same `baseHasher`/`shingleN` —
+    * signatures are only comparable within one hash configuration).
+    * Band hashes for the store side derive from the stored arrays via
+    * the pure projection [[lshBands]]: history is never re-tokenized,
+    * re-shingled or re-hashed, so a continuous crawl pipeline pays
+    * shingling cost proportional to the INCREMENT, not the corpus.
+    * This is the store-shaped counterpart of [[fuzzyTextJoin]] (which
+    * needs both corpora's text for exact-Jaccard verification);
+    * similarity here is the signature-estimated Jaccard, the same
+    * estimator [[nearDupPairs]] thresholds on.
+    *
+    * `maxBucketSize` caps each side's bucket independently (a bucket
+    * with O old × N new rows yields O·N candidates), exactly like
+    * [[fuzzyTextJoin]]. Candidate rows are id-only; signature arrays
+    * join back onto the deduplicated candidate pairs.
+    */
+  def nearDupPairsAgainst(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      store: DataFrame,
+      storeIdCol: String,
+      k: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      baseHasher: Column => Column = fastBaseHash,
+      maxBucketSize: Int = 0): DataFrame = {
+    def capped(b: DataFrame): DataFrame =
+      if (maxBucketSize > 0) {
+        val keep = b.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucketSize)
+          .select("band", "band_hash")
+        b.join(keep, Seq("band", "band_hash"), "left_semi")
+      } else b
+    val newSigs = CachedFrames.persistOnce(
+      signatures(newDocs, textCol, idCol, k, shingleN, baseHasher))
+    val storeSigs = store.select(col(storeIdCol).as("old_id"), col("sig"))
+    val bOld = capped(lshBands(storeSigs, "old_id", k, bands))
+      .select(col("old_id"), col("band"), col("band_hash"))
+    val bNew = capped(lshBands(newSigs, idCol, k, bands))
+      .select(col(idCol).as("new_id"), col("band"), col("band_hash"))
+    val cand = bOld.join(bNew, Seq("band", "band_hash"))
+      .select("old_id", "new_id")
+      .distinct()
+    cand
+      .join(storeSigs.select(col("old_id"), col("sig").as("sig_a")), Seq("old_id"))
+      .join(newSigs.select(col(idCol).as("new_id"), col("sig").as("sig_b")), Seq("new_id"))
+      .withColumn("est_jaccard", estimatedJaccard(col("sig_a"), col("sig_b"), k))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("old_id"), col("new_id"), col("est_jaccard"))
+  }
+
+  /** Keep-old-drop-new incremental dedup: the increment's survivors —
+    * every new doc whose signature-estimated Jaccard against ALL
+    * stored documents stays below `threshold`. The store always wins a
+    * match (its copies are already curated/trained-on); within-
+    * increment duplicates are [[dedupNear]]'s job, composed by the
+    * caller — the two concerns stay separate so a pipeline can order
+    * them (dedup the increment first, then screen against history).
+    */
+  def dedupIncrement(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      store: DataFrame,
+      storeIdCol: String,
+      k: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      baseHasher: Column => Column = fastBaseHash,
+      maxBucketSize: Int = 0): DataFrame = {
+    val dropped = nearDupPairsAgainst(
+        newDocs, textCol, idCol, store, storeIdCol,
+        k, bands, shingleN, threshold, baseHasher, maxBucketSize)
+      .select(col("new_id").as(idCol)).distinct()
+    newDocs.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** The signature store after absorbing an increment: old store ∪ the
+    * surviving new docs' signatures — one call closes the crawl cycle
+    * (`nextStore = updatedSignatureStore(store, …, newDocs, …)`; write
+    * it back via `io.Sink` for the next run). The increment's
+    * signature frame is the SAME persistOnce'd plan
+    * [[nearDupPairsAgainst]] builds, so a pipeline that also asks for
+    * the pair list or the survivor rows shingles the increment exactly
+    * once; survivors are selected by semi-joining that frame rather
+    * than re-signing a filtered corpus. The store only ever grows by
+    * survivor rows, so its size tracks the deduplicated corpus.
+    */
+  def updatedSignatureStore(
+      store: DataFrame,
+      storeIdCol: String,
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      baseHasher: Column => Column = fastBaseHash,
+      maxBucketSize: Int = 0): DataFrame = {
+    val newSigs = CachedFrames.persistOnce(
+      signatures(newDocs, textCol, idCol, k, shingleN, baseHasher))
+    val dropped = nearDupPairsAgainst(
+        newDocs, textCol, idCol, store, storeIdCol,
+        k, bands, shingleN, threshold, baseHasher, maxBucketSize)
+      .select(col("new_id").as(idCol)).distinct()
+    val survivorSigs = newSigs.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol).as(storeIdCol), col("sig"))
+    store.select(col(storeIdCol), col("sig")).union(survivorSigs)
+  }
+
   // ------------------------------------------------------------- clusters
 
   /** Connected components over an undirected pair list: every vertex

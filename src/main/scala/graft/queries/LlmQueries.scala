@@ -29,6 +29,10 @@ object LlmQueries {
   private val semThreshold = 0.4
   private val semClusterCap = 60 // binds: mean cluster size is 500/8 ≈ 62
   private val pipelineBenchCut = 25 // same bench split as q_decontaminate
+  // X48 history/increment boundary: doc_id < split is the persisted
+  // corpus (signature store), >= split the new crawl — 300 puts seeded
+  // near-dup pairs on both sides of the cut and across it.
+  private val incrementalSplit = 300L
 
   // Oracle queries pass the md5-derived hashers EXPLICITLY: the ops
   // default to xxhash64 for production throughput, and cross-engine
@@ -92,6 +96,23 @@ object LlmQueries {
           baseHasher = oracleBaseHash)
         .select("doc_id")
         .orderBy("doc_id")
+    }),
+
+    // Incremental dedup (X48): docs below the split are the already-
+    // curated corpus, represented ONLY by their persisted MinHash
+    // signatures (the store — history text never re-shingles); docs at
+    // or above it are the new crawl increment screened against it.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val store = Dedup.signatures(
+        d.filter(col("doc_id") < incrementalSplit), "text", "doc_id",
+        k = 16, shingleN = 3, baseHasher = oracleBaseHash)
+      Dedup.nearDupPairsAgainst(
+          d.filter(col("doc_id") >= incrementalSplit), "text", "doc_id",
+          store, "doc_id",
+          k = 16, bands = 8, shingleN = 3, threshold = 0.5,
+          baseHasher = oracleBaseHash)
+        .orderBy("old_id", "new_id")
     }),
 
     // Quality-aware dedup (X47): of each near-dup pair, the LOWER-
@@ -528,7 +549,13 @@ object LlmQueries {
     * the cap are removed before pairing — replaying
     * [[Dedup.candidatePairs]]' skew guard exactly.
     */
-  private def minhashCtes(k: Int, bands: Int, maxBucket: Int = 0): String = {
+  /** The shared MinHash replay prefix: documents → shingles → base
+    * hashes → k-slot `sig` arrays → (doc_id, band, band_hash) `bands`
+    * rows. Ends INSIDE the `bands` CTE (no closing paren) so callers
+    * append their own pairing tail — [[minhashCtes]] for same-corpus
+    * a<b pairs, [[incrementalOracle]] for the store-vs-increment join.
+    */
+  private def minhashBandsCtes(k: Int, bands: Int): String = {
     val r = k / bands
     val mins = (0 until k).map { i =>
       s"list_min(list_transform(bases, x -> (x * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.minhashP}))"
@@ -536,14 +563,6 @@ object LlmQueries {
     val bandConcat = (1 to r)
       .map(j => s"sig[b.band*$r+$j]::VARCHAR")
       .mkString(" || ',' || ")
-    val pairSource =
-      if (maxBucket > 0)
-        s"""), kept AS (
-           |  SELECT band, band_hash FROM bands
-           |  GROUP BY 1, 2 HAVING count(*) <= $maxBucket
-           |), bands_b AS (
-           |  SELECT b.* FROM bands b JOIN kept USING (band, band_hash)""".stripMargin
-      else "), bands_b AS (\n  SELECT * FROM bands"
     s"""WITH docs AS (
        |  SELECT doc_id, lower(text) AS t FROM documents
        |), tok AS (
@@ -562,7 +581,20 @@ object LlmQueries {
        |  SELECT doc_id, [${mins.mkString(",\n    ")}] AS sig FROM bases_t
        |), bands AS (
        |  SELECT doc_id, b.band, md5($bandConcat) AS band_hash
-       |  FROM sig, LATERAL (SELECT unnest(generate_series(0,${bands - 1})) AS band) b
+       |  FROM sig, LATERAL (SELECT unnest(generate_series(0,${bands - 1})) AS band) b""".stripMargin
+  }
+
+  private def minhashCtes(k: Int, bands: Int, maxBucket: Int = 0): String = {
+    val pairSource =
+      if (maxBucket > 0)
+        s"""), kept AS (
+           |  SELECT band, band_hash FROM bands
+           |  GROUP BY 1, 2 HAVING count(*) <= $maxBucket
+           |), bands_b AS (
+           |  SELECT b.* FROM bands b JOIN kept USING (band, band_hash)""".stripMargin
+      else "), bands_b AS (\n  SELECT * FROM bands"
+    minhashBandsCtes(k, bands) +
+      s"""
        |$pairSource
        |), cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -576,6 +608,34 @@ object LlmQueries {
        |  JOIN sig sb ON sb.doc_id = c.b
        |)""".stripMargin
   }
+
+  /** X48 oracle: replays [[Dedup.nearDupPairsAgainst]] — history
+    * (doc_id < `split`) contributes only its signature/band projection
+    * (the store side), the increment (doc_id ≥ `split`) band-joins
+    * against it, and the signature-estimated Jaccard thresholds the
+    * matches. Shares [[minhashBandsCtes]] verbatim with the
+    * same-corpus oracles, so any drift in the MinHash replay shows up
+    * in both query families at once.
+    */
+  private def incrementalOracle(
+      k: Int, bands: Int, split: Long, threshold: Double): String =
+    minhashBandsCtes(k, bands) +
+      s"""
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS old_id, y.doc_id AS new_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_hash = y.band_hash
+       |  WHERE x.doc_id < $split AND y.doc_id >= $split
+       |), est AS (
+       |  SELECT c.old_id, c.new_id,
+       |    len(list_filter(generate_series(1,$k), i -> sa.sig[i] = sb.sig[i])) / $k.0 AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.old_id
+       |  JOIN sig sb ON sb.doc_id = c.new_id
+       |)
+       |SELECT old_id, new_id, est_jaccard
+       |FROM est WHERE est_jaccard >= $threshold
+       |ORDER BY old_id, new_id""".stripMargin
 
   private def simhashOracle(bits: Int): String = {
     val sums = (0 until bits)
@@ -1007,6 +1067,8 @@ object LlmQueries {
           |SELECT doc_id FROM documents
           |WHERE doc_id NOT IN (SELECT b FROM est WHERE est_jaccard >= 0.5)
           |ORDER BY doc_id""".stripMargin),
+    "q_dedup_incremental" ->
+      incrementalOracle(16, 8, incrementalSplit, 0.5),
     "q_dedup_best" ->
       (minhashCtes(16, 8) +
         """, pr AS (

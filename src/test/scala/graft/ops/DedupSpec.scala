@@ -96,6 +96,62 @@ class DedupSpec extends SparkSpec {
     assert(keptAllNull == Set(0L, 3L, 4L), s"kept=$keptAllNull")
   }
 
+  test("incremental dedup screens an increment against a parquet signature store") {
+    // History {0, 1} lives ONLY as persisted signatures; the increment
+    // {2, 3, 4} contains one near-dup of history (doc 2) and two new
+    // docs. The store round-trips through parquet — the actual crawl-
+    // cycle storage — before the band join.
+    val storeDir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    Dedup.signatures(corpus.filter(col("doc_id") < 2), "text", "doc_id")
+      .write.mode("overwrite").parquet(storeDir)
+    val store = spark.read.parquet(storeDir)
+    val increment = corpus.filter(col("doc_id") >= 2)
+    val pairs = Dedup.nearDupPairsAgainst(
+      increment, "text", "doc_id", store, "doc_id", threshold = 0.5)
+    assert(pairs.select("old_id", "new_id").as[(Long, Long)].collect().toSet
+      == Set((0L, 2L), (1L, 2L)))
+    // keep-old-drop-new: the near-dup of history drops, genuinely new
+    // docs survive; history itself is untouched by construction.
+    val kept = Dedup.dedupIncrement(
+        increment, "text", "doc_id", store, "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+    // the updated store absorbs exactly the survivors
+    val next = Dedup.updatedSignatureStore(
+      store, "doc_id", increment, "text", "doc_id", threshold = 0.5)
+    assert(next.select("doc_id").as[Long].collect().toSet == Set(0L, 1L, 3L, 4L))
+  }
+
+  test("incremental dedup never re-shingles the store side") {
+    // The store is an opaque (id, sig) frame — nearDupPairsAgainst may
+    // only derive band hashes from the stored arrays (a pure explode
+    // of the 8-element band sequence), never re-tokenize history. The
+    // increment's one shingle pipeline (the only PosExplode in the
+    // whole op) rides the persistOnce cache, so the optimized plan
+    // must contain ZERO logical PosExplode generates: any that appears
+    // would be an uncached shingle pipeline — i.e. someone started
+    // re-processing text, the exact cost X48 exists to avoid.
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    import org.apache.spark.sql.catalyst.expressions.PosExplode
+    graft.CachedFrames.unpersistAll() // deterministic cache state
+    val store = Dedup.signatures(corpus.filter(col("doc_id") < 2), "text", "doc_id")
+      .localCheckpoint() // sever the signature lineage, as a parquet read would
+    val plan = Dedup.nearDupPairsAgainst(
+        corpus.filter(col("doc_id") >= 2), "text", "doc_id", store, "doc_id")
+      .queryExecution.optimizedPlan
+    val shingleGenerates = plan.collect {
+      case g: Generate if g.generator.isInstanceOf[PosExplode] => g
+    }
+    assert(shingleGenerates.isEmpty,
+      s"found uncached shingle pipeline(s): ${shingleGenerates.map(_.simpleString(60))}")
+    // leaf census pins the whole shape: the store contributes exactly
+    // its two severed-lineage reads (band side + sig_a re-join), the
+    // increment its two cached signature references — nothing else.
+    val leaves = plan.collectLeaves().map(_.getClass.getSimpleName)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(leaves == Map("LogicalRDD" -> 2, "InMemoryRelation" -> 2), s"leaves=$leaves")
+  }
+
   test("verifiedNearDupPairs reports exact jaccard on candidates") {
     val got = Dedup.verifiedNearDupPairs(corpus, "text", "doc_id", threshold = 0.3)
       .orderBy("a", "b").collect()
