@@ -424,6 +424,40 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The SAME composition in its production configuration: the dedup
+    // stage is bucket-capped (maxBucketSize=2 bounds the B² pair
+    // blow-up from boilerplate) and quality-aware (X47 keep-best by
+    // BPE token count, not keep-min-id) — the exact shape a 100 TB
+    // curation job runs. Downstream stages and oracle tail are shared
+    // verbatim with q_pipeline_curation.
+    "q_pipeline_curation_best" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.filter(col("doc_id") >= pipelineBenchCut)
+        .withColumn("__prio", TextAnalysis.bpeTokenCount(col("text")))
+      val bench = d.filter(col("doc_id") < pipelineBenchCut)
+      val deduped = Dedup.dedupNearBy(corpus, "text", "doc_id", "__prio",
+          k = 16, bands = 8, shingleN = 3, threshold = 0.5,
+          baseHasher = oracleBaseHash, maxBucketSize = 2)
+        .drop("__prio")
+      val statCols = TextAnalysis.stats(col("text")).map { case (n, c) => c.as(n) }
+      val stats = deduped.select(
+        col("doc_id") +: col("source") +: col("text") +: statCols: _*)
+      val quality = graft.CachedFrames.persistOnce(
+        stats.filter(TextAnalysis.qualityPredicate(
+          col("n_tokens"), col("alpha_ratio"), col("avg_token_len"))))
+      val contaminated = Curation.decontaminate(quality, bench, "text", "doc_id",
+          shingleN = 3, minShared = 2L)
+        .select("doc_id").distinct()
+      val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
+      val mixed = Curation.mixSources(clean, "doc_id", "source", "n_tokens",
+        Seq("src0" -> 0.5, "src1" -> 0.25, "src7" -> 0.25),
+        tokenBudget = 2000L, seed = 13L, hasher = TextAnalysis.h64)
+      Curation.packSequences(mixed, "doc_id", "bpe_tokens", 512L)
+        .select("doc_id", "source", "n_tokens", "bpe_tokens",
+          "mix_tokens_before", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal ----------------------------------------------------
     "q_multimodal_decode" -> ((s, dir) => {
       Multimodal.decodeDocuments(s, Tables.documents(s, dir), "doc_id", "text")
@@ -636,6 +670,106 @@ object LlmQueries {
        |SELECT old_id, new_id, est_jaccard
        |FROM est WHERE est_jaccard >= $threshold
        |ORDER BY old_id, new_id""".stripMargin
+
+  /** The curation pipeline's stage tail — quality gate →
+    * decontamination → source mixing → sequence packing — shared by
+    * the demo composition (q_pipeline_curation, keep-min-id, uncapped)
+    * and the production one (q_pipeline_curation_best, bucket-capped,
+    * keep-best). Opens by CLOSING the caller's `surv` CTE, which must
+    * select the dedup-surviving corpus doc_ids; references the shared
+    * `sh` shingle CTE from [[minhashBandsCtes]] for decontamination.
+    */
+  private def pipelineTailSql: String =
+    s"""
+       |), stats AS (
+       |  SELECT doc_id, source,
+       |    len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+       |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+       |      / length(text)::DOUBLE AS alpha_ratio,
+       |    list_sum(list_transform(string_split(lower(text), ' '), x -> length(x)))::DOUBLE
+       |      / len(string_split(lower(text), ' '))::DOUBLE AS avg_token_len,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
+       |  FROM documents
+       |), kept AS (
+       |  SELECT st.* FROM stats st JOIN surv USING (doc_id)
+       |  WHERE n_tokens >= 5 AND n_tokens <= 5000 AND alpha_ratio >= 0.5
+       |    AND avg_token_len >= 2.0 AND avg_token_len <= 20.0
+       |), ex AS (
+       |  SELECT doc_id, unnest(list_distinct(shingles)) AS g FROM sh
+       |), contaminated AS (
+       |  SELECT c.doc_id FROM ex c JOIN ex b ON c.g = b.g
+       |  WHERE c.doc_id >= $pipelineBenchCut AND b.doc_id < $pipelineBenchCut
+       |  GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 2
+       |), clean AS (
+       |  SELECT k.* FROM kept k
+       |  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM contaminated)
+       |), mix AS (
+       |  SELECT *,
+       |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS mix_tokens_before
+       |  FROM (
+       |    SELECT *, ('0x' || substr(md5('13|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+       |    FROM clean WHERE source IN ('src0', 'src1', 'src7')
+       |  )
+       |), mixkept AS (
+       |  SELECT * FROM mix
+       |  WHERE mix_tokens_before < CASE source WHEN 'src0' THEN 1000 ELSE 500 END
+       |), packed AS (
+       |  SELECT *,
+       |    CAST(COALESCE(sum(bpe_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |  FROM mixkept
+       |)
+       |SELECT doc_id, source, n_tokens, bpe_tokens, mix_tokens_before,
+       |  cum // 512 AS pack_id, cum % 512 AS pack_offset
+       |FROM packed ORDER BY doc_id""".stripMargin
+
+  /** Production-shape dedup stage for q_pipeline_curation_best: the
+    * bucket cap counts CORPUS-side rows only (the engine caps buckets
+    * of the frame it dedups, so restricting to doc_id ≥ cut must
+    * happen BEFORE the count — [[minhashCtes]]'s full-table cap would
+    * diverge), then keep-best drops the lower-BPE-priority member of
+    * every surviving pair (ties: larger id), replaying
+    * [[Dedup.dedupNearBy]] + `maxBucketSize` inside the composition.
+    * Leaves `surv` open for [[pipelineTailSql]] to close.
+    */
+  private def pipelineBestSurvCtes(cap: Int): String =
+    s"""
+       |), bands_c AS (
+       |  SELECT * FROM bands WHERE doc_id >= $pipelineBenchCut
+       |), keptbk AS (
+       |  SELECT band, band_hash FROM bands_c
+       |  GROUP BY 1, 2 HAVING count(*) <= $cap
+       |), bands_b AS (
+       |  SELECT b.* FROM bands_c b JOIN keptbk USING (band, band_hash)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands_b x JOIN bands_b y
+       |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+       |), est AS (
+       |  SELECT c.a, c.b,
+       |    len(list_filter(generate_series(1,16), i -> sa.sig[i] = sb.sig[i])) / 16.0 AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.a
+       |  JOIN sig sb ON sb.doc_id = c.b
+       |), pr AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS prio
+       |  FROM documents
+       |), losers AS (
+       |  SELECT DISTINCT CASE
+       |    WHEN pa.prio < pb.prio THEN e.a
+       |    WHEN pb.prio < pa.prio THEN e.b
+       |    ELSE greatest(e.a, e.b) END AS doc_id
+       |  FROM est e
+       |  JOIN pr pa ON pa.doc_id = e.a
+       |  JOIN pr pb ON pb.doc_id = e.b
+       |  WHERE e.est_jaccard >= 0.5
+       |), surv AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id >= $pipelineBenchCut
+       |    AND doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
 
   private def simhashOracle(bits: Int): String = {
     val sums = (0 until bits)
@@ -1122,50 +1256,10 @@ object LlmQueries {
            |  SELECT doc_id FROM documents
            |  WHERE doc_id >= $pipelineBenchCut
            |    AND doc_id NOT IN (
-           |      SELECT b FROM est WHERE est_jaccard >= 0.5 AND a >= $pipelineBenchCut)
-           |), stats AS (
-           |  SELECT doc_id, source,
-           |    len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
-           |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
-           |      / length(text)::DOUBLE AS alpha_ratio,
-           |    list_sum(list_transform(string_split(lower(text), ' '), x -> length(x)))::DOUBLE
-           |      / len(string_split(lower(text), ' '))::DOUBLE AS avg_token_len,
-           |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
-           |  FROM documents
-           |), kept AS (
-           |  SELECT st.* FROM stats st JOIN surv USING (doc_id)
-           |  WHERE n_tokens >= 5 AND n_tokens <= 5000 AND alpha_ratio >= 0.5
-           |    AND avg_token_len >= 2.0 AND avg_token_len <= 20.0
-           |), ex AS (
-           |  SELECT doc_id, unnest(list_distinct(shingles)) AS g FROM sh
-           |), contaminated AS (
-           |  SELECT c.doc_id FROM ex c JOIN ex b ON c.g = b.g
-           |  WHERE c.doc_id >= $pipelineBenchCut AND b.doc_id < $pipelineBenchCut
-           |  GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 2
-           |), clean AS (
-           |  SELECT k.* FROM kept k
-           |  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM contaminated)
-           |), mix AS (
-           |  SELECT *,
-           |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           |      AS mix_tokens_before
-           |  FROM (
-           |    SELECT *, ('0x' || substr(md5('13|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
-           |    FROM clean WHERE source IN ('src0', 'src1', 'src7')
-           |  )
-           |), mixkept AS (
-           |  SELECT * FROM mix
-           |  WHERE mix_tokens_before < CASE source WHEN 'src0' THEN 1000 ELSE 500 END
-           |), packed AS (
-           |  SELECT *,
-           |    CAST(COALESCE(sum(bpe_tokens) OVER (ORDER BY doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
-           |  FROM mixkept
-           |)
-           |SELECT doc_id, source, n_tokens, bpe_tokens, mix_tokens_before,
-           |  cum // 512 AS pack_id, cum % 512 AS pack_offset
-           |FROM packed ORDER BY doc_id""".stripMargin),
+           |      SELECT b FROM est WHERE est_jaccard >= 0.5 AND a >= $pipelineBenchCut)""".stripMargin +
+        pipelineTailSql),
+    "q_pipeline_curation_best" ->
+      (minhashBandsCtes(16, 8) + pipelineBestSurvCtes(2) + pipelineTailSql),
     "q_fuzzy_join" -> (minhashCtes(16, 8) + fuzzyJoinSuffix(0)),
     "q_fuzzy_capped" -> (minhashCtes(16, 8) + fuzzyJoinSuffix(1)),
     "q_dedup_clusters" ->
