@@ -232,6 +232,12 @@ object Curation {
       tokenCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    val packReserved = Seq("pack_id", "pack_offset")
+    val packShadowing = df.columns.filter(packReserved.contains)
+    require(
+      packShadowing.isEmpty,
+      s"packSequences appends output columns ${packReserved.mkString("/")}; " +
+        s"rename the existing: ${packShadowing.mkString(", ")}")
     val spark = df.sparkSession
     // Both passes (the offsets pre-pass collect below and the caller's
     // eventual action on the packed frame) scan this sorted frame:

@@ -126,6 +126,15 @@ class CurationSpec extends SparkSpec {
     assert(packed.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
   }
 
+  test("packSequences refuses frames already carrying its output columns") {
+    val d = docs.limit(5)
+      .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_tokens"))
+    val e = intercept[IllegalArgumentException] {
+      Curation.packSequences(d.withColumn("pack_id", lit(0L)), "doc_id", "n_tokens", 17L)
+    }
+    assert(e.getMessage.contains("pack_id"))
+  }
+
   test("vocabulary is the deterministic top-k by (freq desc, token)") {
     val d = Seq(
       "a a a b b c", "a b d", "e"

@@ -78,6 +78,33 @@ class QuantizeSpec extends SparkSpec {
     assert(recall >= 0.7, s"quantized ANN recall $recall below float-path bound")
   }
 
+  test("quantized store round-trips through parquet and serves ANN unchanged") {
+    // The actual storage claim of X46: a production job writes q8 +
+    // q_scale INSTEAD of the float column. Write exactly that store
+    // via Sink.parquetWrite (bucketed by vec_id like a real corpus),
+    // read it back, and ANN over the reconstructed vectors must return
+    // the SAME rows as ANN over the in-memory quantized frame — the
+    // tinyint/double round-trip is lossless, so this is equality, not
+    // a recall bound.
+    val df = clustered(nClusters = 8, perCluster = 8, dim = 16)
+    val queries = df.filter(col("vec_id") % 8 === 0)
+    val store = Quantize.quantizeEmbeddings(df, "embedding")
+      .select("vec_id", "q_scale", "q8") // the float column is GONE
+    val dir = java.nio.file.Files.createTempDirectory("q8store").toString
+    graft.io.Sink.parquetWrite(store, dir,
+      graft.io.Sink.PartitionSpec(bucketColumn = Some("vec_id"), buckets = Some(4)))
+    val readBack = spark.read.parquet(dir)
+    assert(readBack.schema("q8").dataType.simpleString == "array<tinyint>")
+    assert(readBack.schema.fieldNames.toSet == Set("vec_id", "q_scale", "q8"))
+    def ann(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.annTopK(
+          corpus.select(col("vec_id"),
+            Quantize.dequantizeFloat(col("q8"), col("q_scale")).as("embedding")),
+          queries, "vec_id", "embedding", k = 4, dim = 16, tables = 8, bits = 4)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(ann(readBack) == ann(store), "parquet store must serve identical ANN results")
+  }
+
   test("quantization is a narrow projection: no exchange in the plan") {
     val df = clustered(nClusters = 2, perCluster = 4, dim = 8)
     val plan = Quantize.quantizeEmbeddings(df, "embedding")
