@@ -101,6 +101,38 @@ object ParityQueries {
         .orderBy("ts_date", "event_type")
     }),
 
+    // Gold-layer week/quarter rollup over the enriched OBT — the
+    // aggregation the reference's silver layer was explicitly built to
+    // serve (clean.py:31,41 docstrings; gold is the TODO at
+    // run-all-pipelines.sh:239): fact ⋈ broadcast dim → date features
+    // on the dim's date → groupBy the feature columns. ISO week and
+    // calendar year/quarter are per-row functions both engines agree
+    // on, so weeks straddling a quarter boundary bucket identically.
+    "q_gold_weekly" -> ((s, dir) => {
+      val fact = Tables.lineitem(s, dir)
+        .withColumnRenamed("l_orderkey", "orderkey")
+      val dims = Seq(
+        Enrich.Dim("orders", Tables.orders(s, dir)
+          .withColumnRenamed("o_orderkey", "orderkey"), "orderkey"))
+      val obt = DateFeatures.withDateFeatures(
+        Enrich.oneBigTable(fact, dims), "orders_o_orderdate")
+      obt.groupBy(
+          col("orders_o_orderdate_year").as("order_year"),
+          col("orders_o_orderdate_quarter").as("order_quarter"),
+          col("orders_o_orderdate_week").as("order_week"))
+        .agg(
+          countDistinct(col("orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lineitems"),
+          // money as exact integer cents: the per-row product is the
+          // same IEEE double in any engine, per-row rounding is then
+          // deterministic, and integer summation is associative — a
+          // rounded SUM of doubles differs in the last cent across
+          // fold orders (and did, at row 239 of the first cut).
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"))
+        .orderBy("order_year", "order_quarter", "order_week")
+    }),
+
     // Skew-salted join vs a PLAIN-join oracle: proves the salting
     // transform is semantics-preserving (hot keys spread over `salts`
     // reducers; the oracle knows nothing about salt).
@@ -178,6 +210,16 @@ object ParityQueries {
         |  count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY ts_date, event_type""".stripMargin,
+    "q_gold_weekly" ->
+      """SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(quarter(o.o_orderdate) AS INTEGER) AS order_quarter,
+        |  CAST(weekofyear(o.o_orderdate) AS INTEGER) AS order_week,
+        |  count(DISTINCT l.l_orderkey) AS n_orders,
+        |  count(*) AS n_lineitems,
+        |  sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+        |    AS revenue_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_salted_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_name
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey

@@ -14,6 +14,39 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  test("matvec kernels with equal-valued matrices share one cache identity") {
+    // The payoff of MatVecDotsExpr's value-based equals/hashCode:
+    // separately-allocated but equal matrices (two queries each
+    // collecting the same centroids) must canonicalize identically, so
+    // CSE, exchange reuse and the plan-keyed persist registry all hit.
+    import org.apache.spark.sql.functions.col
+    import graft.functions.MatVecDotsExpr
+    def freshMatrix = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+    def frame = {
+      import spark.implicits._
+      Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          MatVecDotsExpr.matVecDots(col("embedding"), freshMatrix).as("dots"))
+    }
+    val (a, b) = (frame, frame) // two builds, two matrix allocations
+    assert(a.queryExecution.analyzed.canonicalized == b.queryExecution.analyzed.canonicalized,
+      "equal-valued matrices must canonicalize to one plan")
+    CachedFrames.unpersistAll()
+    CachedFrames.persistOnce(a)
+    CachedFrames.persistOnce(b)
+    assert(CachedFrames.size == 1, "persist registry must dedupe the two builds")
+    CachedFrames.unpersistAll()
+    // and a genuinely different matrix must NOT collapse
+    val other = {
+      import spark.implicits._
+      Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          MatVecDotsExpr.matVecDots(col("embedding"),
+            Array(Array(9.0, 2.0), Array(3.0, 4.0))).as("dots"))
+    }
+    assert(a.queryExecution.analyzed.canonicalized != other.queryExecution.analyzed.canonicalized)
+  }
+
   test("q_enrich_obt joins its dims by broadcast, never shuffle") {
     val plan = planOf("q_enrich_obt")
     assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
