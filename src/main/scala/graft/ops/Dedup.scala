@@ -312,7 +312,7 @@ object Dedup {
   }
 
   /** Quality-aware near-dup dedup: of every near-dup pair, drop the
-    * member with the LOWER `priorityCol` value (ties: the larger id
+    * member with the LOWER `priority` value (ties: the larger id
     * loses, so the policy is total and deterministic) — "keep the best
     * copy", the selection real curation wants when duplicates differ
     * in quality/length/recency, where [[dedupNear]] keeps whichever
@@ -335,19 +335,27 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      priorityCol: String,
+      priority: Column,
       k: Int = 16,
       bands: Int = 8,
       shingleN: Int = 3,
       threshold: Double = 0.5,
       baseHasher: Column => Column = fastBaseHash,
       maxBucketSize: Int = 0): DataFrame = {
+    // `priority` is an EXPRESSION over df's columns, not a required
+    // column of df: callers pass the plain corpus frame (the same one
+    // sibling dedupNear/nearDupPairs queries use), so the persistOnce
+    // keys of the shared signature and pair pipelines match across the
+    // whole query family. The earlier column-name form made callers
+    // withColumn a priority onto the corpus first, which changed the
+    // analyzed plan and silently forfeited every shared cache (the
+    // composed pipeline re-shingled its corpus; measured ~1s at sf0.1).
     val pairs = CachedFrames.persistOnce(
       nearDupPairs(df, textCol, idCol, k, bands, shingleN, threshold, baseHasher, maxBucketSize))
-    val pr = df.select(col(idCol), col(priorityCol))
+    val pr = df.select(col(idCol), priority.as("__prio"))
     val withPr = pairs
-      .join(pr.select(col(idCol).as("a"), col(priorityCol).as("__pa")), Seq("a"))
-      .join(pr.select(col(idCol).as("b"), col(priorityCol).as("__pb")), Seq("b"))
+      .join(pr.select(col(idCol).as("a"), col("__prio").as("__pa")), Seq("a"))
+      .join(pr.select(col(idCol).as("b"), col("__prio").as("__pb")), Seq("b"))
     val loser = when(col("__pa").isNull && col("__pb").isNotNull, col("a"))
       .when(col("__pb").isNull && col("__pa").isNotNull, col("b"))
       .when(col("__pa") < col("__pb"), col("a"))

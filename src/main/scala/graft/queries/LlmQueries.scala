@@ -120,9 +120,11 @@ object LlmQueries {
     // longer document; ties lose the larger id). Contrast with
     // q_dedup_survivors' keep-min-id policy over the same pair set.
     "q_dedup_best" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .withColumn("prio", TextAnalysis.bpeTokenCount(col("text")))
-      Dedup.dedupNearBy(d, "text", "doc_id", "prio",
+      // priority is an expression over the PLAIN documents frame, so
+      // the pair pipeline genuinely shares its persistOnce entry with
+      // q_dedup_near/q_dedup_survivors (same corpus plan, same params)
+      Dedup.dedupNearBy(Tables.documents(s, dir), "text", "doc_id",
+          TextAnalysis.bpeTokenCount(col("text")),
           k = 16, bands = 8, shingleN = 3, threshold = 0.5,
           baseHasher = oracleBaseHash)
         .select("doc_id")
@@ -432,13 +434,15 @@ object LlmQueries {
     // verbatim with q_pipeline_curation.
     "q_pipeline_curation_best" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
+      // the SAME corpus frame as q_pipeline_curation, so the two
+      // variants share the persistOnce'd signature frame (their pair
+      // frames differ only by the bucket cap applied after it)
       val corpus = d.filter(col("doc_id") >= pipelineBenchCut)
-        .withColumn("__prio", TextAnalysis.bpeTokenCount(col("text")))
       val bench = d.filter(col("doc_id") < pipelineBenchCut)
-      val deduped = Dedup.dedupNearBy(corpus, "text", "doc_id", "__prio",
-          k = 16, bands = 8, shingleN = 3, threshold = 0.5,
-          baseHasher = oracleBaseHash, maxBucketSize = 2)
-        .drop("__prio")
+      val deduped = Dedup.dedupNearBy(corpus, "text", "doc_id",
+        TextAnalysis.bpeTokenCount(col("text")),
+        k = 16, bands = 8, shingleN = 3, threshold = 0.5,
+        baseHasher = oracleBaseHash, maxBucketSize = 2)
       val statCols = TextAnalysis.stats(col("text")).map { case (n, c) => c.as(n) }
       val stats = deduped.select(
         col("doc_id") +: col("source") +: col("text") +: statCols: _*)

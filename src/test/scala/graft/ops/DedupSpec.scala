@@ -64,13 +64,13 @@ class DedupSpec extends SparkSpec {
       when(col("doc_id") === 2, lit(100L))
         .when(col("doc_id") === 1, lit(50L))
         .otherwise(lit(10L)))
-    val kept = Dedup.dedupNearBy(withPrio, "text", "doc_id", "prio", threshold = 0.5)
+    val kept = Dedup.dedupNearBy(withPrio, "text", "doc_id", col("prio"), threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L, 4L), s"kept=$kept")
     // equal priorities: the larger id of each pair loses — reduces to
     // keep-min-id, matching dedupNear on the same corpus
     val flat = corpus.withColumn("prio", lit(1L))
-    val keptFlat = Dedup.dedupNearBy(flat, "text", "doc_id", "prio", threshold = 0.5)
+    val keptFlat = Dedup.dedupNearBy(flat, "text", "doc_id", col("prio"), threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
     val keptMin = Dedup.dedupNear(corpus, "text", "doc_id", threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
@@ -85,15 +85,28 @@ class DedupSpec extends SparkSpec {
       when(col("doc_id") === 0, lit(null).cast("long"))
         .when(col("doc_id") === 2, lit(100L))
         .otherwise(lit(50L)))
-    val kept = Dedup.dedupNearBy(nullLoses, "text", "doc_id", "prio", threshold = 0.5)
+    val kept = Dedup.dedupNearBy(nullLoses, "text", "doc_id", col("prio"), threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L, 4L), s"kept=$kept")
     // All-NULL priorities: every pair falls to the id tie rule, so the
     // op degrades to dedupNear's keep-min-id — never to "drop nothing".
     val allNull = corpus.withColumn("prio", lit(null).cast("long"))
-    val keptAllNull = Dedup.dedupNearBy(allNull, "text", "doc_id", "prio", threshold = 0.5)
+    val keptAllNull = Dedup.dedupNearBy(allNull, "text", "doc_id", col("prio"), threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(keptAllNull == Set(0L, 3L, 4L), s"kept=$keptAllNull")
+  }
+
+  test("dedupNearBy shares the pair pipeline with dedupNear (no new cache entries)") {
+    // priority being an expression (not a pre-added column) keeps the
+    // corpus frame identical across the dedup family, so keep-best
+    // rides the exact persistOnce entries keep-min already registered
+    graft.CachedFrames.unpersistAll()
+    Dedup.dedupNear(corpus, "text", "doc_id", threshold = 0.5).count()
+    val entries = graft.CachedFrames.size
+    Dedup.dedupNearBy(corpus, "text", "doc_id", length(col("text")), threshold = 0.5)
+      .count()
+    assert(graft.CachedFrames.size == entries,
+      "keep-best must reuse the shared signature/pair frames, not re-register them")
   }
 
   test("incremental dedup screens an increment against a parquet signature store") {
