@@ -58,24 +58,28 @@ object IncrementalProbe {
     }
 
     val store = spark.read.parquet(storeDir)
-    val storePairs = timed("A: screen increment vs store") {
-      Dedup.nearDupPairsAgainst(increment, "text", "doc_id", store, "doc_id",
-          threshold = 0.5)
-        .select(col("old_id"), col("new_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
+    // two rounds: round 1 pays JIT/codegen warm-up for whichever route
+    // runs first; round 2 is the steady-state comparison
+    for (round <- 1 to 2) {
+      val storePairs = timed(s"A$round: screen increment vs store") {
+        Dedup.nearDupPairsAgainst(increment, "text", "doc_id", store, "doc_id",
+            threshold = 0.5)
+          .select(col("old_id"), col("new_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
 
-    val naivePairs = timed("B: naive re-shingle history+increment") {
-      Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.5)
-        .filter(col("a") < split && col("b") >= split)
-        .select(col("a"), col("b"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
+      val naivePairs = timed(s"B$round: naive re-shingle history+increment") {
+        Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.5)
+          .filter(col("a") < split && col("b") >= split)
+          .select(col("a"), col("b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
 
-    assert(storePairs == naivePairs,
-      s"route mismatch: onlyA=${(storePairs -- naivePairs).take(5)} " +
-        s"onlyB=${(naivePairs -- storePairs).take(5)}")
-    println(s"[probe] routes agree on ${storePairs.size} cross pairs")
+      assert(storePairs == naivePairs,
+        s"route mismatch: onlyA=${(storePairs -- naivePairs).take(5)} " +
+          s"onlyB=${(naivePairs -- storePairs).take(5)}")
+      println(s"[probe] round $round: routes agree on ${storePairs.size} cross pairs")
+    }
     spark.stop()
   }
 }
