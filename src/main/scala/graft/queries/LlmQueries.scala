@@ -115,6 +115,23 @@ object LlmQueries {
         .orderBy("old_id", "new_id")
     }),
 
+    // X48 keep-set: the increment rows that clear the screen — the
+    // keep-old-drop-new policy surfaced as its own oracle row, the
+    // same pairs/survivors convention as the X4 family.
+    "q_dedup_incremental_survivors" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val store = Dedup.signatures(
+        d.filter(col("doc_id") < incrementalSplit), "text", "doc_id",
+        k = 16, shingleN = 3, baseHasher = oracleBaseHash)
+      Dedup.dedupIncrement(
+          d.filter(col("doc_id") >= incrementalSplit), "text", "doc_id",
+          store, "doc_id",
+          k = 16, bands = 8, shingleN = 3, threshold = 0.5,
+          baseHasher = oracleBaseHash)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Quality-aware dedup (X47): of each near-dup pair, the LOWER-
     // priority copy drops (priority = BPE token count here — keep the
     // longer document; ties lose the larger id). Contrast with
@@ -655,8 +672,7 @@ object LlmQueries {
     * same-corpus oracles, so any drift in the MinHash replay shows up
     * in both query families at once.
     */
-  private def incrementalOracle(
-      k: Int, bands: Int, split: Long, threshold: Double): String =
+  private def incrementalCtes(k: Int, bands: Int, split: Long): String =
     minhashBandsCtes(k, bands) +
       s"""
        |), cand AS (
@@ -670,10 +686,26 @@ object LlmQueries {
        |  FROM cand c
        |  JOIN sig sa ON sa.doc_id = c.old_id
        |  JOIN sig sb ON sb.doc_id = c.new_id
-       |)
+       |)""".stripMargin
+
+  private def incrementalOracle(
+      k: Int, bands: Int, split: Long, threshold: Double): String =
+    incrementalCtes(k, bands, split) +
+      s"""
        |SELECT old_id, new_id, est_jaccard
        |FROM est WHERE est_jaccard >= $threshold
        |ORDER BY old_id, new_id""".stripMargin
+
+  /** X48 keep-set replay: increment docs with no ≥-threshold match in
+    * the store survive (keep-old-drop-new). */
+  private def incrementalSurvivorsOracle(
+      k: Int, bands: Int, split: Long, threshold: Double): String =
+    incrementalCtes(k, bands, split) +
+      s"""
+       |SELECT doc_id FROM documents
+       |WHERE doc_id >= $split
+       |  AND doc_id NOT IN (SELECT new_id FROM est WHERE est_jaccard >= $threshold)
+       |ORDER BY doc_id""".stripMargin
 
   /** The curation pipeline's stage tail — quality gate →
     * decontamination → source mixing → sequence packing — shared by
@@ -1207,6 +1239,8 @@ object LlmQueries {
           |ORDER BY doc_id""".stripMargin),
     "q_dedup_incremental" ->
       incrementalOracle(16, 8, incrementalSplit, 0.5),
+    "q_dedup_incremental_survivors" ->
+      incrementalSurvivorsOracle(16, 8, incrementalSplit, 0.5),
     "q_dedup_best" ->
       (minhashCtes(16, 8) +
         """, pr AS (

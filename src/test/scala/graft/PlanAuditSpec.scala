@@ -14,6 +14,12 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  test("q_dedup_incremental joins store and increment on the band equi-key") {
+    val plan = planOf("q_dedup_incremental")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "cross-store candidates must come from the (band, band_hash) equi-join")
+  }
+
   test("matvec kernels with equal-valued matrices share one cache identity") {
     // The payoff of MatVecDotsExpr's value-based equals/hashCode:
     // separately-allocated but equal matrices (two queries each
