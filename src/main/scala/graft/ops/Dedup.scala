@@ -470,6 +470,36 @@ object Dedup {
 
   // ---------------------------------------------------------- incremental
 
+  /** The exact-route counterpart of the X48 signature store: the
+    * distinct content-fingerprint set of a corpus, the frame a crawl
+    * pipeline persists so the NEXT increment can exact-screen without
+    * re-reading history. One column, one distinct — at 100 TB the
+    * store is orders of magnitude smaller than the corpus (one 16-byte
+    * hash per distinct document).
+    */
+  def exactFingerprintStore(df: DataFrame, textCol: String): DataFrame =
+    df.select(fingerprint(col(textCol)).as("fingerprint")).distinct()
+
+  /** Exact incremental dedup, keep-old-drop-new: drop every new doc
+    * whose content fingerprint already exists in the persisted store.
+    * One fingerprint-keyed anti-join (hash shuffle on the 16-byte
+    * key); history text is never touched. A real pipeline runs this
+    * BEFORE [[nearDupPairsAgainst]] — exact copies are the cheap bulk
+    * of crawl duplication and removing them first shrinks the
+    * shingling the near-dup screen pays. The store for the next cycle
+    * is `store ∪ exactFingerprintStore(survivors)` (a distinct union —
+    * no helper needed).
+    */
+  def dedupExactAgainst(
+      newDocs: DataFrame,
+      textCol: String,
+      store: DataFrame,
+      fingerprintCol: String = "fingerprint"): DataFrame =
+    newDocs.join(
+      store.select(col(fingerprintCol).as("__store_fp")),
+      fingerprint(col(textCol)) === col("__store_fp"),
+      "left_anti")
+
   /** X48: near-dup pairs of a NEW document increment against a
     * PERSISTED signature store — `(old_id, new_id, est_jaccard)` —
     * without ever touching historical text.

@@ -115,6 +115,19 @@ object LlmQueries {
         .orderBy("old_id", "new_id")
     }),
 
+    // X48 exact route: the increment screened against history's
+    // persisted content-fingerprint store — one anti-join on the
+    // 16-byte hash, run before the near-dup screen in a real cycle.
+    "q_dedup_incremental_exact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val store = Dedup.exactFingerprintStore(
+        d.filter(col("doc_id") < incrementalSplit), "text")
+      Dedup.dedupExactAgainst(
+          d.filter(col("doc_id") >= incrementalSplit), "text", store)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // X48 keep-set: the increment rows that clear the screen — the
     // keep-old-drop-new policy surfaced as its own oracle row, the
     // same pairs/survivors convention as the X4 family.
@@ -1241,6 +1254,12 @@ object LlmQueries {
       incrementalOracle(16, 8, incrementalSplit, 0.5),
     "q_dedup_incremental_survivors" ->
       incrementalSurvivorsOracle(16, 8, incrementalSplit, 0.5),
+    "q_dedup_incremental_exact" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE doc_id >= $incrementalSplit
+         |  AND md5(text) NOT IN (
+         |    SELECT md5(text) FROM documents WHERE doc_id < $incrementalSplit)
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_best" ->
       (minhashCtes(16, 8) +
         """, pr AS (

@@ -135,6 +135,25 @@ class DedupSpec extends SparkSpec {
     assert(next.select("doc_id").as[Long].collect().toSet == Set(0L, 1L, 3L, 4L))
   }
 
+  test("exact incremental dedup screens against a parquet fingerprint store") {
+    // History {0, 1} persists only 16-byte fingerprints; the increment
+    // re-crawls doc 0's exact content under a new id (5) plus a near-
+    // dup (2) and fresh docs (3, 4). Exact screening drops ONLY the
+    // exact copy — near-dups are the signature store's job.
+    val recrawl = corpus.union(Seq(
+      (5L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text"))
+    val storeDir = java.nio.file.Files.createTempDirectory("fpstore").toString
+    Dedup.exactFingerprintStore(recrawl.filter(col("doc_id") < 2), "text")
+      .write.mode("overwrite").parquet(storeDir)
+    val store = spark.read.parquet(storeDir)
+    assert(store.columns.toSeq == Seq("fingerprint") && store.count() == 1)
+    val kept = Dedup.dedupExactAgainst(
+        recrawl.filter(col("doc_id") >= 2), "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L), s"kept=$kept")
+  }
+
   test("incremental dedup never re-shingles the store side") {
     // The store is an opaque (id, sig) frame — nearDupPairsAgainst may
     // only derive band hashes from the stored arrays (a pure explode
