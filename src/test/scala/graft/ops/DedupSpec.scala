@@ -154,6 +154,30 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L), s"kept=$kept")
   }
 
+  test("incremental dedup caps store-side buckets independently") {
+    // History carries 3 copies of boilerplate (store-side bucket size
+    // 3) plus one unique doc; the increment re-crawls both. With
+    // maxBucketSize=2 the boilerplate buckets drop BEFORE pairing —
+    // bounding the O×N blow-up — while the size-1 unique-doc buckets
+    // still pair. Same per-side cap semantics as fuzzyTextJoin.
+    val boiler = "click here to accept cookies and continue to the requested page now"
+    val unique = "a thorough treatise on the partitioning of distributed join algorithms"
+    val history = Seq(
+      (0L, boiler), (1L, boiler), (2L, boiler), (3L, unique)
+    ).toDF("doc_id", "text")
+    val increment = Seq(
+      (10L, boiler), (11L, unique)
+    ).toDF("doc_id", "text")
+    val store = Dedup.signatures(history, "text", "doc_id").localCheckpoint()
+    def pairsWith(cap: Int) = Dedup.nearDupPairsAgainst(
+        increment, "text", "doc_id", store, "doc_id",
+        threshold = 0.5, maxBucketSize = cap)
+      .select("old_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(pairsWith(0) == Set((0L, 10L), (1L, 10L), (2L, 10L), (3L, 11L)))
+    assert(pairsWith(2) == Set((3L, 11L)),
+      "oversized store buckets must drop before pairing; small buckets must survive")
+  }
+
   test("incremental dedup never re-shingles the store side") {
     // The store is an opaque (id, sig) frame — nearDupPairsAgainst may
     // only derive band hashes from the stored arrays (a pure explode
