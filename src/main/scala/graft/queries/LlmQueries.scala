@@ -31,8 +31,14 @@ object LlmQueries {
   private val pipelineBenchCut = 25 // same bench split as q_decontaminate
   // X48 history/increment boundary: doc_id < split is the persisted
   // corpus (signature store), >= split the new crawl — 300 puts seeded
-  // near-dup pairs on both sides of the cut and across it.
+  // near-dup pairs on both sides of the cut and across it. The exact
+  // screen's increment additionally re-crawls docs < recrawlIds under
+  // ids shifted by recrawlOffset (the corpus has no byte-identical
+  // docs, so re-keyed history is how exact duplication actually
+  // enters an increment).
   private val incrementalSplit = 300L
+  private val recrawlIds = 20L
+  private val recrawlOffset = 10000L
 
   // Oracle queries pass the md5-derived hashers EXPLICITLY: the ops
   // default to xxhash64 for production throughput, and cross-engine
@@ -118,13 +124,55 @@ object LlmQueries {
     // X48 exact route: the increment screened against history's
     // persisted content-fingerprint store — one anti-join on the
     // 16-byte hash, run before the near-dup screen in a real cycle.
+    // The fixture corpus has no byte-identical docs, so the increment
+    // models how exact dups actually arise: a re-crawl of early
+    // history under fresh ids (re-keyed union) — the screen must drop
+    // exactly those 20 re-crawls and keep all genuinely new docs.
     "q_dedup_incremental_exact" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val store = Dedup.exactFingerprintStore(
         d.filter(col("doc_id") < incrementalSplit), "text")
-      Dedup.dedupExactAgainst(
-          d.filter(col("doc_id") >= incrementalSplit), "text", store)
+      val recrawl = d.filter(col("doc_id") < recrawlIds)
+        .select((col("doc_id") + recrawlOffset).as("doc_id"), col("text"))
+      val increment = d.filter(col("doc_id") >= incrementalSplit)
+        .select("doc_id", "text")
+        .union(recrawl)
+      Dedup.dedupExactAgainst(increment, "text", store)
         .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // The crawl-cycle composition: one lazy plan running the screens a
+    // continuous ingestion pipeline applies to each new increment —
+    // exact fingerprint screen (vs history's md5 store) → near-dup
+    // screen (vs history's signature store) → quality gate — with one
+    // DuckDB oracle replaying all three. Screen order doesn't change
+    // the survivor set (each screen drops an independent subset), so
+    // the oracle screens the full increment; the engine runs them in
+    // the production order (exact first: it is the cheap bulk).
+    "q_pipeline_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val history = d.filter(col("doc_id") < incrementalSplit)
+      // same re-crawl augmentation as q_dedup_incremental_exact, so
+      // every stage of the composition demonstrably drops rows
+      val increment = d.filter(col("doc_id") >= incrementalSplit)
+        .select("doc_id", "source", "text")
+        .union(d.filter(col("doc_id") < recrawlIds)
+          .select((col("doc_id") + recrawlOffset).as("doc_id"),
+            col("source"), col("text")))
+      val exactClean = Dedup.dedupExactAgainst(
+        increment, "text", Dedup.exactFingerprintStore(history, "text"))
+      val sigStore = Dedup.signatures(history, "text", "doc_id",
+        k = 16, shingleN = 3, baseHasher = oracleBaseHash)
+      val nearClean = Dedup.dedupIncrement(
+        exactClean, "text", "doc_id", sigStore, "doc_id",
+        k = 16, bands = 8, shingleN = 3, threshold = 0.5,
+        baseHasher = oracleBaseHash)
+      val statCols = TextAnalysis.stats(col("text")).map { case (n, c) => c.as(n) }
+      nearClean.select(col("doc_id") +: col("source") +: statCols: _*)
+        .filter(TextAnalysis.qualityPredicate(
+          col("n_tokens"), col("alpha_ratio"), col("avg_token_len")))
+        .select("doc_id", "source", "n_tokens", "bpe_tokens")
         .orderBy("doc_id")
     }),
 
@@ -1255,11 +1303,48 @@ object LlmQueries {
     "q_dedup_incremental_survivors" ->
       incrementalSurvivorsOracle(16, 8, incrementalSplit, 0.5),
     "q_dedup_incremental_exact" ->
-      s"""SELECT doc_id FROM documents
-         |WHERE doc_id >= $incrementalSplit
-         |  AND md5(text) NOT IN (
-         |    SELECT md5(text) FROM documents WHERE doc_id < $incrementalSplit)
+      s"""WITH inc AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= $incrementalSplit
+         |  UNION ALL
+         |  SELECT doc_id + $recrawlOffset, text FROM documents
+         |  WHERE doc_id < $recrawlIds
+         |)
+         |SELECT doc_id FROM inc
+         |WHERE md5(text) NOT IN (
+         |  SELECT md5(text) FROM documents WHERE doc_id < $incrementalSplit)
          |ORDER BY doc_id""".stripMargin,
+    "q_pipeline_incremental" ->
+      (incrementalCtes(16, 8, incrementalSplit) +
+        s""", inc AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id >= $incrementalSplit
+           |  UNION ALL
+           |  SELECT doc_id + $recrawlOffset, text FROM documents
+           |  WHERE doc_id < $recrawlIds
+           |), exact_dup AS (
+           |  SELECT doc_id FROM inc
+           |  WHERE md5(text) IN (
+           |    SELECT md5(text) FROM documents WHERE doc_id < $incrementalSplit)
+           |), near_dup AS (
+           |  SELECT DISTINCT new_id AS doc_id FROM est WHERE est_jaccard >= 0.5
+           |), surv AS (
+           |  SELECT doc_id FROM inc
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM exact_dup)
+           |    AND doc_id NOT IN (SELECT doc_id FROM near_dup)
+           |), stats AS (
+           |  SELECT doc_id, source,
+           |    len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+           |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+           |      / length(text)::DOUBLE AS alpha_ratio,
+           |    list_sum(list_transform(string_split(lower(text), ' '), x -> length(x)))::DOUBLE
+           |      / len(string_split(lower(text), ' '))::DOUBLE AS avg_token_len,
+           |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
+           |  FROM documents
+           |)
+           |SELECT st.doc_id, st.source, st.n_tokens, st.bpe_tokens
+           |FROM stats st JOIN surv USING (doc_id)
+           |WHERE n_tokens >= 5 AND n_tokens <= 5000 AND alpha_ratio >= 0.5
+           |  AND avg_token_len >= 2.0 AND avg_token_len <= 20.0
+           |ORDER BY doc_id""".stripMargin),
     "q_dedup_best" ->
       (minhashCtes(16, 8) +
         """, pr AS (
