@@ -121,6 +121,24 @@ object LlmQueries {
         .orderBy("old_id", "new_id")
     }),
 
+    // X48 with the per-side bucket cap engaged (cap=2): history's
+    // exact-copy trios occupy size-3 store buckets, so their cross
+    // pairs must vanish while small-bucket pairs survive — the cap
+    // behavior itself oracle-verified, as for q_dedup_capped /
+    // q_fuzzy_capped / q_semantic_capped.
+    "q_dedup_incremental_capped" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val store = Dedup.signatures(
+        d.filter(col("doc_id") < incrementalSplit), "text", "doc_id",
+        k = 16, shingleN = 3, baseHasher = oracleBaseHash)
+      Dedup.nearDupPairsAgainst(
+          d.filter(col("doc_id") >= incrementalSplit), "text", "doc_id",
+          store, "doc_id",
+          k = 16, bands = 8, shingleN = 3, threshold = 0.5,
+          baseHasher = oracleBaseHash, maxBucketSize = 2)
+        .orderBy("old_id", "new_id")
+    }),
+
     // X48 exact route: the increment screened against history's
     // persisted content-fingerprint store — one anti-join on the
     // 16-byte hash, run before the near-dup screen in a real cycle.
@@ -757,6 +775,39 @@ object LlmQueries {
        |FROM est WHERE est_jaccard >= $threshold
        |ORDER BY old_id, new_id""".stripMargin
 
+  /** X48 capped replay: each side's buckets are counted and capped
+    * INDEPENDENTLY (store rows per bucket, increment rows per bucket)
+    * before the cross join — mirroring the engine's per-side
+    * `capped(lshBands(...))`, the same semantics fuzzyTextJoin caps
+    * carry. */
+  private def incrementalCappedOracle(
+      k: Int, bands: Int, split: Long, threshold: Double, cap: Int): String =
+    minhashBandsCtes(k, bands) +
+      s"""
+       |), bo AS (
+       |  SELECT * FROM bands WHERE doc_id < $split
+       |), bn AS (
+       |  SELECT * FROM bands WHERE doc_id >= $split
+       |), ko AS (
+       |  SELECT band, band_hash FROM bo GROUP BY 1, 2 HAVING count(*) <= $cap
+       |), kn AS (
+       |  SELECT band, band_hash FROM bn GROUP BY 1, 2 HAVING count(*) <= $cap
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS old_id, y.doc_id AS new_id
+       |  FROM (SELECT b.* FROM bo b JOIN ko USING (band, band_hash)) x
+       |  JOIN (SELECT b.* FROM bn b JOIN kn USING (band, band_hash)) y
+       |    ON x.band = y.band AND x.band_hash = y.band_hash
+       |), est AS (
+       |  SELECT c.old_id, c.new_id,
+       |    len(list_filter(generate_series(1,$k), i -> sa.sig[i] = sb.sig[i])) / $k.0 AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.old_id
+       |  JOIN sig sb ON sb.doc_id = c.new_id
+       |)
+       |SELECT old_id, new_id, est_jaccard
+       |FROM est WHERE est_jaccard >= $threshold
+       |ORDER BY old_id, new_id""".stripMargin
+
   /** X48 keep-set replay: increment docs with no ≥-threshold match in
     * the store survive (keep-old-drop-new). */
   private def incrementalSurvivorsOracle(
@@ -1302,6 +1353,8 @@ object LlmQueries {
       incrementalOracle(16, 8, incrementalSplit, 0.5),
     "q_dedup_incremental_survivors" ->
       incrementalSurvivorsOracle(16, 8, incrementalSplit, 0.5),
+    "q_dedup_incremental_capped" ->
+      incrementalCappedOracle(16, 8, incrementalSplit, 0.5, cap = 2),
     "q_dedup_incremental_exact" ->
       s"""WITH inc AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id >= $incrementalSplit
