@@ -20,6 +20,12 @@ class PlanAuditSpec extends SparkSpec {
       "cross-store candidates must come from the (band, band_hash) equi-join")
   }
 
+  test("q_pipeline_incremental screens by equi/anti joins, never a product") {
+    val plan = planOf("q_pipeline_incremental")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "exact fingerprint screen + near screen must both stay keyed joins")
+  }
+
   test("matvec kernels with equal-valued matrices share one cache identity") {
     // The payoff of MatVecDotsExpr's value-based equals/hashCode:
     // separately-allocated but equal matrices (two queries each

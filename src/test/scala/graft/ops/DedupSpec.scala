@@ -154,6 +154,29 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L), s"kept=$kept")
   }
 
+  test("two crawl cycles compose: updated store screens the next increment") {
+    // Cycle 1: history {0,1} absorbs increment {2,3,4} → store gains
+    // survivors {3,4}. Cycle 2: a new increment re-crawls 4's content
+    // (id 20) and brings one fresh doc (21) — the UPDATED store must
+    // drop 20 (near-dup of a cycle-1 survivor, which the ORIGINAL
+    // store could not know) and keep 21. This is the loop a
+    // continuous pipeline actually runs.
+    val store1 = Dedup.signatures(corpus.filter(col("doc_id") < 2), "text", "doc_id")
+      .localCheckpoint()
+    val inc1 = corpus.filter(col("doc_id") >= 2)
+    val store2 = Dedup.updatedSignatureStore(
+      store1, "doc_id", inc1, "text", "doc_id", threshold = 0.5)
+    assert(store2.select("doc_id").as[Long].collect().toSet == Set(0L, 1L, 3L, 4L))
+    val inc2 = Seq(
+      (20L, "yet another unrelated document discussing benchmark design tradeoffs here"),
+      (21L, "entirely novel prose concerning streaming watermarks and state eviction")
+    ).toDF("doc_id", "text")
+    val kept2 = Dedup.dedupIncrement(
+        inc2, "text", "doc_id", store2.localCheckpoint(), "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(21L), s"kept=$kept2")
+  }
+
   test("incremental dedup caps store-side buckets independently") {
     // History carries 3 copies of boilerplate (store-side bucket size
     // 3) plus one unique doc; the increment re-crawls both. With
