@@ -40,6 +40,18 @@ object LlmQueries {
   private val recrawlIds = 20L
   private val recrawlOffset = 10000L
 
+  /** History's signature store, shared by every incremental query in
+    * a batch via the plan-keyed persist registry: the store frame is
+    * referenced twice per query (band side + sig re-join) by four
+    * queries — without this, history shingles eight times per Verify
+    * pass. In production the store is a parquet read and whether to
+    * cache it is the caller's capacity decision; here it is computed
+    * inline, so the batch shares one materialization. */
+  private def incrementalSigStore(d: DataFrame): DataFrame =
+    graft.CachedFrames.persistOnce(Dedup.signatures(
+      d.filter(col("doc_id") < incrementalSplit), "text", "doc_id",
+      k = 16, shingleN = 3, baseHasher = oracleBaseHash))
+
   // Oracle queries pass the md5-derived hashers EXPLICITLY: the ops
   // default to xxhash64 for production throughput, and cross-engine
   // bit-reproducibility is a property only the oracle layer needs.
@@ -110,9 +122,7 @@ object LlmQueries {
     // or above it are the new crawl increment screened against it.
     "q_dedup_incremental" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val store = Dedup.signatures(
-        d.filter(col("doc_id") < incrementalSplit), "text", "doc_id",
-        k = 16, shingleN = 3, baseHasher = oracleBaseHash)
+      val store = incrementalSigStore(d)
       Dedup.nearDupPairsAgainst(
           d.filter(col("doc_id") >= incrementalSplit), "text", "doc_id",
           store, "doc_id",
@@ -128,9 +138,7 @@ object LlmQueries {
     // q_fuzzy_capped / q_semantic_capped.
     "q_dedup_incremental_capped" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val store = Dedup.signatures(
-        d.filter(col("doc_id") < incrementalSplit), "text", "doc_id",
-        k = 16, shingleN = 3, baseHasher = oracleBaseHash)
+      val store = incrementalSigStore(d)
       Dedup.nearDupPairsAgainst(
           d.filter(col("doc_id") >= incrementalSplit), "text", "doc_id",
           store, "doc_id",
@@ -180,8 +188,7 @@ object LlmQueries {
             col("source"), col("text")))
       val exactClean = Dedup.dedupExactAgainst(
         increment, "text", Dedup.exactFingerprintStore(history, "text"))
-      val sigStore = Dedup.signatures(history, "text", "doc_id",
-        k = 16, shingleN = 3, baseHasher = oracleBaseHash)
+      val sigStore = incrementalSigStore(d)
       val nearClean = Dedup.dedupIncrement(
         exactClean, "text", "doc_id", sigStore, "doc_id",
         k = 16, bands = 8, shingleN = 3, threshold = 0.5,
@@ -199,9 +206,7 @@ object LlmQueries {
     // same pairs/survivors convention as the X4 family.
     "q_dedup_incremental_survivors" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val store = Dedup.signatures(
-        d.filter(col("doc_id") < incrementalSplit), "text", "doc_id",
-        k = 16, shingleN = 3, baseHasher = oracleBaseHash)
+      val store = incrementalSigStore(d)
       Dedup.dedupIncrement(
           d.filter(col("doc_id") >= incrementalSplit), "text", "doc_id",
           store, "doc_id",
