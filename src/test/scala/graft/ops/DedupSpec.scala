@@ -154,6 +154,41 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L), s"kept=$kept")
   }
 
+  test("incremental dedup degenerate inputs: empty store, empty increment, tiny docs") {
+    // First crawl ever: the store is empty — nothing can match, the
+    // whole increment survives, and the updated store IS the
+    // increment's signatures. (An empty frame with the right schema,
+    // exactly what reading a just-created store location yields.)
+    val fullStore = Dedup.signatures(corpus, "text", "doc_id").localCheckpoint()
+    val emptyStore = fullStore.limit(0)
+    assert(Dedup.nearDupPairsAgainst(corpus, "text", "doc_id",
+      emptyStore, "doc_id", threshold = 0.5).isEmpty)
+    assert(Dedup.dedupIncrement(corpus, "text", "doc_id",
+        emptyStore, "doc_id", threshold = 0.5).count() == corpus.count())
+    assert(Dedup.updatedSignatureStore(emptyStore, "doc_id", corpus, "text", "doc_id",
+        threshold = 0.5).count() == corpus.count())
+    // Empty increment (a crawl cycle that found nothing): no pairs,
+    // no survivors, store passes through unchanged.
+    val emptyInc = corpus.limit(0)
+    assert(Dedup.nearDupPairsAgainst(emptyInc, "text", "doc_id",
+      fullStore, "doc_id", threshold = 0.5).isEmpty)
+    assert(Dedup.updatedSignatureStore(fullStore, "doc_id", emptyInc, "text", "doc_id",
+        threshold = 0.5).count() == corpus.count())
+    // Docs shorter than the shingle width fall back to the whole-text
+    // shingle (signatures' short-doc rule) — a re-crawled tiny doc
+    // must still match its stored twin exactly.
+    val tinyHist = Seq((0L, "ok bye")).toDF("doc_id", "text")
+    val tinyStore = Dedup.signatures(tinyHist, "text", "doc_id").localCheckpoint()
+    val tinyPairs = Dedup.nearDupPairsAgainst(
+        Seq((10L, "ok bye"), (11L, "totally different words here")).toDF("doc_id", "text"),
+        "text", "doc_id", tinyStore, "doc_id", threshold = 0.5)
+      .select("old_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(tinyPairs == Set((0L, 10L)), s"pairs=$tinyPairs")
+    // Exact route with an empty fingerprint store: everything survives.
+    assert(Dedup.dedupExactAgainst(corpus, "text",
+      Dedup.exactFingerprintStore(corpus, "text").limit(0)).count() == corpus.count())
+  }
+
   test("two crawl cycles compose: updated store screens the next increment") {
     // Cycle 1: history {0,1} absorbs increment {2,3,4} → store gains
     // survivors {3,4}. Cycle 2: a new increment re-crawls 4's content
