@@ -1369,7 +1369,12 @@ object LlmQueries {
          |)
          |SELECT doc_id FROM inc
          |WHERE md5(text) NOT IN (
-         |  SELECT md5(text) FROM documents WHERE doc_id < $incrementalSplit)
+         |  -- text IS NOT NULL guards SQL's NOT-IN-with-NULL trap: one
+         |  -- NULL in the store subquery would empty the result, where
+         |  -- the engine's anti-join (NULL never equals) keeps rows —
+         |  -- same policy, 'unknown content is never a duplicate'
+         |  SELECT md5(text) FROM documents
+         |  WHERE doc_id < $incrementalSplit AND text IS NOT NULL)
          |ORDER BY doc_id""".stripMargin,
     "q_pipeline_incremental" ->
       (incrementalCtes(16, 8, incrementalSplit) +
