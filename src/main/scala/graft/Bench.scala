@@ -56,7 +56,10 @@ object Bench {
       }.getOrElse {
         val l = java.lang.management.ManagementFactory
           .getOperatingSystemMXBean.getSystemLoadAverage
-        (l, l, l)
+        // Only the 1-min figure exists off-/proc; a neutral 0.0 in the
+        // 15-min slot keeps isHot's documented thresholds (duplicating
+        // the burst value there would flag at 2.0 instead of 2.5).
+        (l, l, 0.0)
       }
     val load0 = loadavg
     // Warmup: touch every input table once so JVM/codegen/parquet-footer
@@ -74,8 +77,14 @@ object Bench {
     // `runs`, and best/worst are computed over ALL of them — report the
     // real count so the diag line never understates the sample.
     var passesRun = 0
+    // Per-pass totals (sum of successful query times within one pass):
+    // the r10 throttle diagnosis (52→59→72 s on identical binaries)
+    // needed three separate invocations; with the series in one artifact,
+    // within-invocation drift answers throttle-vs-code by itself.
+    val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
     def runPass(): Unit = {
       passesRun += 1
+      var passTotal = 0.0
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -90,10 +99,12 @@ object Bench {
         // it would deflate the canonical total and mask the failure.
         if (ok) {
           val sec = (System.nanoTime() - t0) / 1e9
+          passTotal += sec
           if (sec < best(name)) best(name) = sec
           if (sec > worst(name)) worst(name) = sec
         }
       }
+      passTotals += passTotal
       CachedFrames.unpersistAll()
     }
     for (_ <- 1 to runs) runPass()
@@ -138,7 +149,8 @@ object Bench {
     def triple(l: (Double, Double, Double)): String =
       s"[${r3(l._1)},${r3(l._2)},${r3(l._3)}]"
     val retryJson = if (isHot(load0)) s""","loadavg_retry":${triple(loadRetry)}""" else ""
-    println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"failed":$failedJson,"parallelism":$par,"runs":$passesRun,"loadavg_start":${triple(load0)},"loadavg_end":${triple(loadavg)}$retryJson}""")
+    val passTotalsJson = passTotals.map(r3).mkString("[", ",", "]")
+    println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"failed":$failedJson,"parallelism":$par,"runs":$passesRun,"pass_totals":$passTotalsJson,"loadavg_start":${triple(load0)},"loadavg_end":${triple(loadavg)}$retryJson}""")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(best)},"sf":"$sfDir"$contaminatedJson}""")
     spark.stop()
   }

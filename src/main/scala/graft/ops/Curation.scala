@@ -373,18 +373,21 @@ object Curation {
     * with a total order (freq desc, then token) so the cut is
     * deterministic. explode → map-side-combined hash agg → bounded
     * top-k (`orderBy.limit` lowers to TakeOrderedAndProject: each
-    * partition keeps k rows, no global sort); the rank window runs
-    * over the k collected survivors only.
+    * partition keeps k rows, no global sort); the rank over the ≤k
+    * survivors is the same partition-offset sequence
+    * [[Surrogate.withSequentialId]] computes everywhere else — no
+    * unpartitioned window, so plans stay WindowExec-warning-free and a
+    * real single-partition window can't hide in the noise.
     */
   def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val topk = df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+    Surrogate.withSequentialId(topk, "__rank0", col("freq").desc, col("token"))
+      .select(col("token"), col("freq"),
+        (col("__rank0") + 1).cast("int").as("rank"))
   }
 }

@@ -497,7 +497,9 @@ object Dedup {
       fingerprintCol: String = "fingerprint"): DataFrame =
     newDocs.join(
       store.select(col(fingerprintCol).as("__store_fp")),
-      fingerprint(col(textCol)) === col("__store_fp"),
+      // qualified against the increment frame: an unqualified col(textCol)
+      // is ambiguous when the store was persisted with its text column too
+      fingerprint(newDocs(textCol)) === col("__store_fp"),
       "left_anti")
 
   /** X48: near-dup pairs of a NEW document increment against a

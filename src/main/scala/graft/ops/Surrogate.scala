@@ -58,13 +58,4 @@ object Surrogate {
     }
     spark.createDataFrame(withId, sorted.schema.add(name, LongType, nullable = false))
   }
-
-  /** Column-form deterministic id for small/test frames. Deprecated in
-    * favor of [[withSequentialId]] — kept only because a bare `Column`
-    * cannot carry the partition-offset computation.
-    */
-  def sequentialId(keys: Column*): Column =
-    row_number()
-      .over(org.apache.spark.sql.expressions.Window.orderBy(keys: _*))
-      .cast("long") - 1
 }

@@ -911,7 +911,11 @@ object LlmQueries {
        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS prio
        |  FROM documents
        |), losers AS (
+       |  -- NULL priority loses to any non-NULL (engine policy,
+       |  -- Dedup.dedupNearBy); both-NULL falls through to the id tie
        |  SELECT DISTINCT CASE
+       |    WHEN pa.prio IS NULL AND pb.prio IS NOT NULL THEN e.a
+       |    WHEN pb.prio IS NULL AND pa.prio IS NOT NULL THEN e.b
        |    WHEN pa.prio < pb.prio THEN e.a
        |    WHEN pb.prio < pa.prio THEN e.b
        |    ELSE greatest(e.a, e.b) END AS doc_id
@@ -1368,11 +1372,14 @@ object LlmQueries {
          |  WHERE doc_id < $recrawlIds
          |)
          |SELECT doc_id FROM inc
-         |WHERE md5(text) NOT IN (
-         |  -- text IS NOT NULL guards SQL's NOT-IN-with-NULL trap: one
-         |  -- NULL in the store subquery would empty the result, where
-         |  -- the engine's anti-join (NULL never equals) keeps rows —
-         |  -- same policy, 'unknown content is never a duplicate'
+         |-- 'unknown content is never a duplicate', on BOTH sides of the
+         |-- screen: a NULL-text increment row has md5(text)=NULL and
+         |-- `NULL NOT IN (...)` would silently drop it in SQL, while the
+         |-- engine's anti-join (NULL never equals) keeps it — so keep it
+         |-- explicitly. The store-side IS NOT NULL guards the other half
+         |-- of the same trap: one NULL in a NOT-IN subquery empties the
+         |-- whole result.
+         |WHERE text IS NULL OR md5(text) NOT IN (
          |  SELECT md5(text) FROM documents
          |  WHERE doc_id < $incrementalSplit AND text IS NOT NULL)
          |ORDER BY doc_id""".stripMargin,
@@ -1415,7 +1422,11 @@ object LlmQueries {
           |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS prio
           |  FROM documents
           |), losers AS (
+          |  -- NULL priority loses to any non-NULL (engine policy,
+          |  -- Dedup.dedupNearBy); both-NULL falls through to the id tie
           |  SELECT DISTINCT CASE
+          |    WHEN pa.prio IS NULL AND pb.prio IS NOT NULL THEN e.a
+          |    WHEN pb.prio IS NULL AND pa.prio IS NOT NULL THEN e.b
           |    WHEN pa.prio < pb.prio THEN e.a
           |    WHEN pb.prio < pa.prio THEN e.b
           |    ELSE greatest(e.a, e.b) END AS doc_id

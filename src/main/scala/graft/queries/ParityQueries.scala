@@ -216,8 +216,12 @@ object ParityQueries {
         |  CAST(weekofyear(o.o_orderdate) AS INTEGER) AS order_week,
         |  count(DISTINCT l.l_orderkey) AS n_orders,
         |  count(*) AS n_lineitems,
-        |  sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
-        |    AS revenue_cents
+        |  -- outer CAST: DuckDB's sum(BIGINT) is HUGEINT (int128), and the
+        |  -- driver's hash encodes HUGEINT != int64 even for equal values
+        |  -- (r10's one red row) — Spark's sum(long) is long, so force the
+        |  -- oracle back to BIGINT for an identical wire type.
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_salted_join" ->

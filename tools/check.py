@@ -10,6 +10,17 @@ by name, sort rows by all columns, compare cell-by-cell (exact for
 non-floats; 1e-9 relative tolerance for floats, since Spark and DuckDB
 may sum doubles in different orders).
 
+Driver-exactness rules (r10 lesson — q_gold_weekly shipped red):
+  * Any HUGEINT/UHUGEINT column in the ORACLE result is an immediate
+    failure: Spark has no int128, so the driver's hash can never match
+    even when every value is equal (DuckDB sums BIGINT into HUGEINT;
+    cast the oracle aggregate back to BIGINT). fetchdf() silently
+    renders HUGEINT as float64, which is how the old tolerance-based
+    compare false-greened it.
+  * Columns that are integer-typed in DuckDB on BOTH sides compare
+    exactly, even when pandas coerces them to float64 (nullable ints);
+    the float tolerance applies only to genuine floating columns.
+
 This is a local feedback loop only — NOT part of the library.
 """
 import json
@@ -21,6 +32,16 @@ import duckdb
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+INT128_TYPES = {"HUGEINT", "UHUGEINT"}
+
+
+def duck_types(con, sql):
+    """Column-name → DuckDB type string for a query, without fetching."""
+    rel = con.sql(sql)
+    return dict(zip(rel.columns, (str(t) for t in rel.types)))
 
 
 def main(sf_dir, out_dir):
@@ -38,12 +59,28 @@ def main(sf_dir, out_dir):
             failures += 1
             continue
         try:
+            wtypes = duck_types(con, sql)
             want = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"[FAIL] {name}: oracle SQL error: {e}")
             failures += 1
             continue
-        got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").fetchdf()
+        spark_sql = f"SELECT * FROM '{res_dir}/*.parquet'"
+        gtypes = duck_types(con, spark_sql)
+        got = con.execute(spark_sql).fetchdf()
+        # int128 never matches the driver's int64 hash encoding even for
+        # equal values — fail loudly before any value compare.
+        drifted = [c for c, t in wtypes.items() if t in INT128_TYPES]
+        if drifted:
+            print(f"[FAIL] {name}: oracle column(s) {drifted} are HUGEINT — "
+                  f"Spark emits int64, driver hash can never match; "
+                  f"CAST the oracle aggregate AS BIGINT")
+            failures += 1
+            continue
+        # integer-on-both-sides columns compare exactly (no tolerance),
+        # even when pandas renders them as float64 because of NULLs.
+        int_cols = {c for c, t in wtypes.items()
+                    if t in INT_TYPES and gtypes.get(c) in INT_TYPES}
         wcols, gcols = sorted(want.columns), sorted(got.columns)
         if wcols != gcols:
             print(f"[FAIL] {name}: columns differ\n  oracle: {wcols}\n  spark:  {gcols}")
@@ -65,7 +102,7 @@ def main(sf_dir, out_dir):
                     pass
                 try:
                     an, bn = float("nan"), float("nan")
-                    if isinstance(a, float) or isinstance(b, float):
+                    if (isinstance(a, float) or isinstance(b, float)) and c not in int_cols:
                         an, bn = float(a), float(b)
                         if math.isnan(an) and math.isnan(bn):
                             continue
@@ -73,7 +110,13 @@ def main(sf_dir, out_dir):
                             continue
                         bad = (c, i, a, b)
                         break
-                    if a != b:
+                    if c in int_cols:
+                        # exact integer semantics regardless of pandas dtype
+                        if (pd.isna(a)) != (pd.isna(b)) or \
+                           (not pd.isna(a) and int(a) != int(b)):
+                            bad = (c, i, a, b)
+                            break
+                    elif a != b:
                         bad = (c, i, a, b)
                         break
                 except (TypeError, ValueError):
