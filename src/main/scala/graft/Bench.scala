@@ -64,15 +64,31 @@ object Bench {
     val load0 = loadavg
     // Warmup: touch every input table once so JVM/codegen/parquet-footer
     // init isn't attributed to whichever query happens to run first.
+    // A broken loader must NOT abort the whole bench (r11/r12 shipped
+    // rc=1 artifacts with zero timings because events failed here):
+    // record the first failure and let the per-query guard in runPass
+    // attribute the breakage to the queries that actually use it.
+    var warmupError: Option[String] = None
+    def warm(name: String)(thunk: => Unit): Unit =
+      try thunk catch {
+        case e: Throwable =>
+          val line = s"warmup:$name ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.next()}"
+          System.err.println(s"[bench] $line")
+          if (warmupError.isEmpty) warmupError = Some(line)
+      }
     Seq("lineitem", "orders", "part", "supplier", "documents", "embeddings")
-      .foreach(t => Tables.load(spark, sfDir, t).count())
-    Tables.events(spark, sfDir).count()
+      .foreach(t => warm(t)(Tables.load(spark, sfDir, t).count()))
+    warm("events")(Tables.events(spark, sfDir).count())
     val names = SparkEntry.queries.keys.toSeq
     val best = scala.collection.mutable.LinkedHashMap(names.map(_ -> Double.MaxValue): _*)
     val worst = scala.collection.mutable.LinkedHashMap(names.map(_ -> 0.0): _*)
     // A failing query must not masquerade as a fast one: record it and
     // surface the list in the diagnostics line.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // First failure line (query name + exception head) for the artifact:
+    // the driver captures only a bounded tail of stderr, which for two
+    // rounds started mid-stack-trace and was undiagnosable.
+    var firstQueryError: Option[String] = None
     // Actual executed passes: the contamination retry adds one beyond
     // `runs`, and best/worst are computed over ALL of them — report the
     // real count so the diag line never understates the sample.
@@ -92,7 +108,9 @@ object Bench {
           catch {
             case e: Throwable =>
               failed += name
-              System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              val line = s"$name ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.next()}"
+              System.err.println(s"[bench] FAILED $line")
+              if (warmupError.isEmpty && firstQueryError.isEmpty) firstQueryError = Some(line)
               false
           }
         // A failed query's fast-fail elapsed must not enter best/worst —
@@ -150,7 +168,14 @@ object Bench {
       s"[${r3(l._1)},${r3(l._2)},${r3(l._3)}]"
     val retryJson = if (isHot(load0)) s""","loadavg_retry":${triple(loadRetry)}""" else ""
     val passTotalsJson = passTotals.map(r3).mkString("[", ",", "]")
-    println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"failed":$failedJson,"parallelism":$par,"runs":$passesRun,"pass_totals":$passTotalsJson,"loadavg_start":${triple(load0)},"loadavg_end":${triple(loadavg)}$retryJson}""")
+    // JSON-escape the error line (exception messages contain quotes).
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val errJson = warmupError.orElse(firstQueryError)
+      .map(e => s""","first_error":${jq(e)}""").getOrElse("")
+    println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"failed":$failedJson,"parallelism":$par,"runs":$passesRun,"pass_totals":$passTotalsJson,"loadavg_start":${triple(load0)},"loadavg_end":${triple(loadavg)}$retryJson$errJson}""")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(best)},"sf":"$sfDir"$contaminatedJson}""")
     spark.stop()
   }

@@ -2,17 +2,18 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Harness-table access for the driver testdata
   * (`/root/testdata/sf*`; see TESTDATA.md).
   *
   * Scale notes: every loader is a plain parquet scan, so Catalyst
   * pushes filters/projections into the file source; at cluster scale
-  * the same loaders work on a directory of many files. `events.ts` is
-  * parquet TIMESTAMP(NANOS), which Spark cannot read natively
-  * (PARQUET_TYPE_ILLEGAL) — we read it as raw nanos via
-  * `spark.sql.legacy.parquet.nanosAsLong` and floor-divide to
-  * microseconds, which matches DuckDB's own nanos→micros truncation.
+  * the same loaders work on a directory of many files. `events.ts`
+  * has shipped as both parquet TIMESTAMP(NANOS) (read as raw nanos
+  * via `spark.sql.legacy.parquet.nanosAsLong`) and native
+  * timestamp[us]; `events` branches on the footer schema so either
+  * vintage yields TIMESTAMP_NTZ micros.
   */
 object Tables {
 
@@ -22,22 +23,34 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(path(sfDir, name))
 
-  /** `events` with `ts` repaired to TIMESTAMP_NTZ microseconds.
-    * `ts div 1000` is integral (floor) division — identical to the
-    * DuckDB oracle's nanos→micros truncation, and safe for the
-    * ~1.7e18 nanosecond epoch values (fits in Long; a double division
-    * would lose precision past 2^53).
+  /** `events` with `ts` normalized to TIMESTAMP_NTZ microseconds,
+    * adapting to how the parquet file encodes the column:
     *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the
-    * session (events.ts is parquet TIMESTAMP(NANOS), unreadable
-    * natively) — set at session BUILD, as Verify/Bench/EntrySmoke and
-    * the test harness do. This loader deliberately does not mutate
-    * session conf: a conf write here would silently affect every
-    * other parquet read on the session and race concurrent queries.
+    *  - `LongType`: raw TIMESTAMP(NANOS) read via
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (older testdata).
+    *    `ts div 1000` is integral (floor) division — identical to the
+    *    DuckDB oracle's nanos→micros truncation, and safe for ~1.7e18
+    *    nanosecond epoch values (fits in Long; a double division would
+    *    lose precision past 2^53).
+    *  - `TimestampNTZType`: native timestamp[us] (current testdata) —
+    *    pass through unchanged.
+    *  - `TimestampType`: session-zoned micros — cast to NTZ so every
+    *    downstream consumer sees one type regardless of file vintage.
+    *
+    * The branch reads only the file footer schema (cheap; no data
+    * scan). This loader deliberately does not mutate session conf:
+    * a conf write here would silently affect every other parquet read
+    * on the session and race concurrent queries.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = load(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case TimestampNTZType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

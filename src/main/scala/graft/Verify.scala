@@ -19,11 +19,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Coverage honesty (VERDICT r12 #3): a throwing query used to
+    // produce *nothing* — no result dir, no entry in the driver's
+    // report — so breakage read as a silently smaller all-green table
+    // (77→65 in r11/r12). Now every failure leaves an explicit
+    // `<name>.ERROR` marker next to the result dirs and the run exits
+    // nonzero, so the round artifact goes red instead of shrinking.
+    var written = 0
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        written += 1
+      } catch { case e: Throwable =>
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg
+        scala.util.Try(Files.writeString(Paths.get(s"$outDir/$name.ERROR"), msg))
       }
     }
     // shared intermediate caches (dedup signatures/shingles) are
@@ -45,5 +58,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (written < SparkEntry.queries.size) {
+      System.err.println(
+        s"[verify] INCOMPLETE: $written/${SparkEntry.queries.size} queries written; " +
+          s"failed: ${failures.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

