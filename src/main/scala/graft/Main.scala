@@ -1,10 +1,11 @@
 package graft
 
-import graft.pipeline.{PipelineConfig, Pipelines}
-import org.apache.spark.sql.SparkSession
+import graft.pipeline.{CrawlCycle, PipelineConfig, Pipelines}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** CLI entry point mirroring the reference's dispatch
-  * (`/root/reference/app.py:20-70`): `--pipeline {extract|clean|enrich}`
+  * (`/root/reference/app.py:20-70`):
+  * `--pipeline {extract|clean|enrich|dedup-increment}`
   * plus the known pipeline args; unknown `--k v` pairs pass through
   * (how enrich receives `--dimension_inputs` /
   * `--dimension_entity_types`, both CSV — `enrich.py:22-23`). Typed
@@ -30,21 +31,15 @@ object Main {
       case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
     }.toMap
 
-  def main(args: Array[String]): Unit = {
-    val opts = parseArgs(args)
+  /** Dispatch on a parsed arg map against an EXISTING session — the
+    * whole CLI minus process lifecycle, so specs can drive pipelines
+    * end-to-end without stopping the shared test session. Returns the
+    * result frame; every pipeline has already written `--output`.
+    */
+  def run(spark: SparkSession, opts: Map[String, String]): DataFrame = {
     def req(k: String): String = opts.getOrElse(
       k, sys.error(s"missing required arg --$k (got: ${opts.keys.mkString(", ")})"))
-
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName(s"graft-${req("pipeline")}")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    val cfg = PipelineConfig(
+    def medallionCfg = PipelineConfig(
       entityType = req("entity_type"),
       input = req("input"),
       output = req("output"),
@@ -52,22 +47,53 @@ object Main {
       bucketColumn = opts.get("bucket_column"),
       buckets = opts.get("buckets").map(_.toInt))
 
-    val result = req("pipeline") match {
-      case "extract" => Pipelines.extract(spark, cfg)
+    req("pipeline") match {
+      case "extract" => Pipelines.extract(spark, medallionCfg)
       case "clean" =>
-        Pipelines.clean(spark, cfg,
+        Pipelines.clean(spark, medallionCfg,
           deterministicIds = opts.get("deterministic_ids").exists(_.toBoolean))
       case "enrich" =>
         val dims = opts.getOrElse("dimension_entity_types", "").split(",")
           .zip(opts.getOrElse("dimension_inputs", "").split(","))
           .collect { case (e, p) if e.nonEmpty => (e.trim, p.trim) }.toSeq
-        Pipelines.enrich(spark, cfg, dims)
+        Pipelines.enrich(spark, medallionCfg, dims)
+      case "dedup-increment" =>
+        // One crawl cycle of the X48 store lifecycle (see CrawlCycle):
+        // screens the --input increment against the persisted stores
+        // under --store_dir and writes them back updated.
+        CrawlCycle.run(spark, CrawlCycle.Config(
+          input = req("input"),
+          output = req("output"),
+          storeDir = req("store_dir"),
+          idCol = opts.getOrElse("id_column", "doc_id"),
+          textCol = opts.getOrElse("text_column", "text"),
+          k = opts.get("minhash_k").map(_.toInt).getOrElse(16),
+          bands = opts.get("bands").map(_.toInt).getOrElse(8),
+          shingleN = opts.get("shingle_n").map(_.toInt).getOrElse(3),
+          threshold = opts.get("threshold").map(_.toDouble).getOrElse(0.5),
+          maxBucketSize = opts.get("max_bucket_size").map(_.toInt).getOrElse(0),
+          qualityGate = !opts.get("quality_gate").contains("false"),
+          ttlCycles = opts.get("ttl_cycles").map(_.toInt).getOrElse(0)))
       case other => sys.error(s"unknown pipeline: $other")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(s"graft-${opts.getOrElse("pipeline", "?")}")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val result = run(spark, opts)
     // The reference prints schema + sample before the write
     // (extract.py:32-33 etc.); we print after, same debugging intent.
     result.printSchema()
-    println(s"ROWS=${spark.read.parquet(cfg.output).count()}")
+    println(s"ROWS=${spark.read.parquet(opts("output")).count()}")
     spark.stop()
   }
 }

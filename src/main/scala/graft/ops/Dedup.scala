@@ -624,6 +624,21 @@ object Dedup {
     store.select(col(storeIdCol), col("sig")).union(survivorSigs)
   }
 
+  /** Retention compaction for the X48 stores: keep only the entries
+    * whose doc still exists in the live corpus (docs get retired by
+    * curation, takedowns, or re-crawl churn, and a store entry for a
+    * retired doc both wastes space and wrongly blocks re-admission).
+    * One semi-join on the id key; works for the signature store, the
+    * fingerprint store (`idCol = "fingerprint"` against a live
+    * fingerprint frame), or any store keyed the same way. Run it
+    * offline between cycles — the store shrinks to exactly the live
+    * corpus size. Cycle-stamped age-based retention (TTL) is the
+    * pipeline's concern: `pipeline.CrawlCycle` stamps admission
+    * cycles and filters expired rows before screening.
+    */
+  def compactStore(store: DataFrame, live: DataFrame, idCol: String): DataFrame =
+    store.join(live.select(idCol), Seq(idCol), "left_semi")
+
   // ------------------------------------------------------------- clusters
 
   /** Connected components over an undirected pair list: every vertex

@@ -1,0 +1,167 @@
+package graft.pipeline
+
+import graft.CachedFrames
+import graft.io.Sink
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** X48 crawl-cycle pipeline: one CLI-driven increment of a continuous
+  * ingestion loop, the orchestration analogue of the reference's
+  * multi-job runner (`/root/reference/run-all-pipelines.sh:3-239`) for
+  * the dedup-store lifecycle.
+  *
+  * Per cycle: read the new-document increment, screen it against the
+  * PERSISTED stores from all previous cycles, keep the survivors, and
+  * write back updated stores for the next cycle —
+  *
+  *   0. intra-increment exact dedup (crawls re-fetch; identical copies
+  *      inside one batch are the cheapest duplication, collapsed first
+  *      so later stages and the stores never see them),
+  *   1. exact screen: anti-join on the content-fingerprint store
+  *      ([[Dedup.dedupExactAgainst]] — one 16-byte-key join, history
+  *      text untouched),
+  *   2. near screen: LSH-banded MinHash screen against the signature
+  *      store ([[Dedup.dedupIncrement]] — shingling cost proportional
+  *      to the increment, never the corpus),
+  *   3. quality gate: the standard pre-training heuristics
+  *      ([[TextAnalysis.qualityPredicate]]), so junk never enters the
+  *      corpus or the stores.
+  *
+  * Store lifecycle: both stores live under `storeDir` and are REPLACED
+  * atomically-per-store each cycle — the updated frames are written to
+  * `<store>.next` (the update plans READ the current store, so an
+  * in-place overwrite would truncate its own input), then swapped in
+  * with a delete + rename after every write of the cycle has
+  * committed. A cycle that dies before the swap leaves the previous
+  * stores intact and is simply re-run. The stores grow by survivor
+  * rows only (one fingerprint / one k-slot signature per kept doc),
+  * so their size tracks the deduplicated corpus, orders of magnitude
+  * smaller than the text at 100 TB.
+  *
+  * Retention: every store row is stamped with the cycle it was
+  * admitted in. With `ttlCycles > 0`, entries older than that many
+  * admissions expire — they stop screening (their docs become
+  * re-admissible, the deliberate re-crawl freshness policy) and are
+  * dropped from the written store, which therefore stays bounded at
+  * the last-`ttlCycles`-of-survivors size instead of growing forever.
+  * Liveness-based compaction (drop entries whose docs were retired
+  * from the corpus) is [[graft.ops.Dedup.compactStore]], run offline
+  * between cycles.
+  *
+  * First cycle: no stores exist yet — empty frames derived from the
+  * increment's own plan (`increment.limit(0)`) bootstrap the exact
+  * schemas with no hand-maintained StructTypes, and every screen
+  * degenerates to a no-op.
+  */
+object CrawlCycle {
+
+  final case class Config(
+      input: String,
+      output: String,
+      storeDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 0,
+      qualityGate: Boolean = true,
+      ttlCycles: Int = 0)
+
+  def fingerprintPath(cfg: Config): String = s"${cfg.storeDir}/fingerprints"
+  def signaturePath(cfg: Config): String = s"${cfg.storeDir}/signatures"
+
+  /** Run one cycle; returns the kept survivors as read back from
+    * `cfg.output` (the on-disk result, not the lazy plan).
+    */
+  def run(spark: SparkSession, cfg: Config): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def exists(p: String): Boolean = {
+      val hp = new Path(p); hp.getFileSystem(hconf).exists(hp)
+    }
+
+    val increment = spark.read.parquet(cfg.input)
+    // Every store row carries the cycle it was admitted in; stores
+    // written before stamping existed read as cycle 0.
+    def withCycle(df: DataFrame): DataFrame =
+      if (df.columns.contains("cycle")) df
+      else df.withColumn("cycle", lit(0))
+    val fpStoreAll = withCycle(
+      if (exists(fingerprintPath(cfg))) spark.read.parquet(fingerprintPath(cfg))
+      else Dedup.exactFingerprintStore(increment.limit(0), cfg.textCol))
+    val sigStoreAll = withCycle(
+      if (exists(signaturePath(cfg))) spark.read.parquet(signaturePath(cfg))
+      else Dedup.signatures(increment.limit(0), cfg.textCol, cfg.idCol,
+        cfg.k, cfg.shingleN))
+    // Current cycle = one past the newest admission. One tiny agg over
+    // the (corpus-sized-not-text-sized) store; Row(null) on empty.
+    val cycle: Int = Option(
+      sigStoreAll.agg(max(col("cycle"))).head().get(0))
+      .map(_.asInstanceOf[Int] + 1).getOrElse(0)
+    // TTL retention: entries older than `ttlCycles` admissions stop
+    // screening — their docs become re-admissible (deliberate re-crawl
+    // freshness policy; 0 = keep forever). Filtered BEFORE the
+    // screens, so expiry and re-admission happen in the same cycle.
+    def retained(df: DataFrame): DataFrame =
+      if (cfg.ttlCycles > 0) df.filter(col("cycle") > cycle - cfg.ttlCycles)
+      else df
+    val fpStore = retained(fpStoreAll)
+    val sigStore = retained(sigStoreAll)
+
+    val intra = Dedup.dedupExact(increment, cfg.textCol, cfg.idCol)
+    val exactClean = Dedup.dedupExactAgainst(intra, cfg.textCol, fpStore)
+    val nearClean = Dedup.dedupIncrement(
+      exactClean, cfg.textCol, cfg.idCol, sigStore, cfg.idCol,
+      cfg.k, cfg.bands, cfg.shingleN, cfg.threshold,
+      maxBucketSize = cfg.maxBucketSize)
+    val stats = TextAnalysis.stats(col(cfg.textCol)).toMap
+    val kept =
+      if (cfg.qualityGate)
+        nearClean.filter(TextAnalysis.qualityPredicate(
+          stats("n_tokens"), stats("alpha_ratio"), stats("avg_token_len")))
+      else nearClean
+
+    Sink.parquetWrite(kept, cfg.output)
+    // Store updates join against the MATERIALIZED survivors: the
+    // screens above ran once for the output write; re-deriving kept
+    // lazily here would run them all again per store.
+    val keptOnDisk = spark.read.parquet(cfg.output)
+    val keptIds = keptOnDisk.select(cfg.idCol)
+
+    // Same (plan, params) as the persistOnce'd frame inside
+    // dedupIncrement → cache hit: the increment is shingled exactly
+    // once per cycle even though both the screen and the store update
+    // need its signatures.
+    val incSigs = CachedFrames.persistOnce(
+      Dedup.signatures(exactClean, cfg.textCol, cfg.idCol, cfg.k, cfg.shingleN))
+    // Next stores = retained history ∪ this cycle's survivors stamped
+    // with the current cycle. Expired rows drop here for good — the
+    // store stays bounded under TTL instead of growing forever.
+    val nextSigStore = sigStore.select(col(cfg.idCol), col("sig"), col("cycle"))
+      .union(incSigs.join(keptIds, Seq(cfg.idCol), "left_semi")
+        .select(col(cfg.idCol), col("sig"), lit(cycle).as("cycle")))
+    // Disjoint by construction: stage 0 collapses within-increment
+    // copies, stage 1 anti-joins the store — no distinct needed.
+    val nextFpStore = fpStore.select(col("fingerprint"), col("cycle"))
+      .union(Dedup.exactFingerprintStore(keptOnDisk, cfg.textCol)
+        .withColumn("cycle", lit(cycle)))
+
+    val nextFp = fingerprintPath(cfg) + ".next"
+    val nextSig = signaturePath(cfg) + ".next"
+    nextFpStore.write.mode("overwrite").parquet(nextFp)
+    nextSigStore.write.mode("overwrite").parquet(nextSig)
+    def swapIn(cur: String, next: String): Unit = {
+      val (curP, nextP) = (new Path(cur), new Path(next))
+      val fs = curP.getFileSystem(hconf)
+      if (fs.exists(curP)) fs.delete(curP, true)
+      if (!fs.rename(nextP, curP))
+        sys.error(s"store swap failed: $next -> $cur")
+    }
+    swapIn(fingerprintPath(cfg), nextFp)
+    swapIn(signaturePath(cfg), nextSig)
+    keptOnDisk
+  }
+}
