@@ -1,11 +1,11 @@
 package graft
 
-import graft.pipeline.{CrawlCycle, PipelineConfig, Pipelines}
+import graft.pipeline.{CrawlCycle, PipelineConfig, Pipelines, RunAll}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** CLI entry point mirroring the reference's dispatch
   * (`/root/reference/app.py:20-70`):
-  * `--pipeline {extract|clean|enrich|dedup-increment}`
+  * `--pipeline {extract|clean|enrich|run-all|dedup-increment}`
   * plus the known pipeline args; unknown `--k v` pairs pass through
   * (how enrich receives `--dimension_inputs` /
   * `--dimension_entity_types`, both CSV — `enrich.py:22-23`). Typed
@@ -74,6 +74,13 @@ object Main {
           maxBucketSize = opts.get("max_bucket_size").map(_.toInt).getOrElse(0),
           qualityGate = !opts.get("quality_gate").contains("false"),
           ttlCycles = opts.get("ttl_cycles").map(_.toInt).getOrElse(0)))
+      case "run-all" =>
+        // The reference's 13-job medallion DAG (see RunAll): NDJSON
+        // per entity under --input_dir, lake written under --lake_dir.
+        val jobs = RunAll.run(spark, req("input_dir"), req("lake_dir"),
+          buckets = opts.get("buckets").map(_.toInt).getOrElse(8))
+        jobs.foreach { case (name, out) => println(s"JOB $name -> $out") }
+        spark.read.parquet(jobs.last._2)
       case other => sys.error(s"unknown pipeline: $other")
     }
   }
@@ -93,7 +100,11 @@ object Main {
     // The reference prints schema + sample before the write
     // (extract.py:32-33 etc.); we print after, same debugging intent.
     result.printSchema()
-    println(s"ROWS=${spark.read.parquet(opts("output")).count()}")
+    // Count what's ON DISK when the pipeline has a single --output;
+    // run-all's result is already the final OBT read back from disk.
+    println(s"ROWS=" + opts.get("output")
+      .map(o => spark.read.parquet(o).count())
+      .getOrElse(result.count()))
     spark.stop()
   }
 }

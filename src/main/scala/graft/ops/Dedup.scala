@@ -210,14 +210,15 @@ object Dedup {
   }
 
   /** Buckets larger than `maxBucketSize` — the accounting frame for a
-    * capped run: `(band, band_hash, bucket_size)` of everything
+    * capped run: `(band, band_hash, group_size)` of everything
     * [[candidatePairs]] would drop. A production job counts/logs this
-    * (it is a tiny aggregate) alongside the capped pairing.
+    * (it is a tiny aggregate) alongside the capped pairing. Shape and
+    * complement guarantees: [[Audit]].
     */
   def oversizedBuckets(bandsDf: DataFrame, maxBucketSize: Int): DataFrame =
     bandsDf.groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("bucket_size"))
-      .filter(col("bucket_size") > maxBucketSize)
+      .agg(count(lit(1)).as(Audit.GroupSizeCol))
+      .filter(col(Audit.GroupSizeCol) > maxBucketSize)
 
   /** Candidate pairs (a < b) sharing any LSH bucket. The join key is
     * (band, band_hash), so comparisons happen only within buckets.

@@ -159,8 +159,10 @@ object Joins {
   }
 
   /** Intervals covering more than `maxBins` bins under `bin` — the
-    * accounting frame for a capped [[pointInIntervalJoin]] run (same
-    * audit pattern as [[Dedup.oversizedBuckets]]).
+    * accounting frame for a capped [[pointInIntervalJoin]] run: each
+    * interval's row plus its bin span as `group_size` (same audit
+    * pattern as [[Dedup.oversizedBuckets]]; shape and complement
+    * guarantees: [[Audit]]).
     */
   def oversizedIntervals(
       intervals: DataFrame,
@@ -169,8 +171,8 @@ object Joins {
       bin: Column => Column,
       maxBins: Int): DataFrame =
     intervals
-      .withColumn("__nbins", bin(col(hiCol)) - bin(col(loCol)) + 1)
-      .filter(col("__nbins") > maxBins)
+      .withColumn(Audit.GroupSizeCol, bin(col(hiCol)) - bin(col(loCol)) + 1)
+      .filter(col(Audit.GroupSizeCol) > maxBins)
 
   /** Join points to every interval containing them, as an equi-join on
     * a derived bin key: intervals replicate once per covered bin,

@@ -429,10 +429,11 @@ object Similarity {
   }
 
   /** Clusters larger than `maxClusterSize` — the accounting frame for
-    * a capped [[semanticDedupPairs]] run: `(cluster, cluster_size)` of
+    * a capped [[semanticDedupPairs]] run: `(cluster, group_size)` of
     * everything the cap would exclude from pairing. A production job
     * counts/logs this tiny aggregate alongside the capped run (same
-    * audit stance as [[graft.ops.Dedup.oversizedBuckets]]).
+    * audit stance as [[graft.ops.Dedup.oversizedBuckets]]; shape and
+    * complement guarantees: [[Audit]]).
     */
   def oversizedClusters(
       df: DataFrame,
@@ -442,8 +443,8 @@ object Similarity {
       maxClusterSize: Int): DataFrame =
     semanticAssign(df, idCol, vecCol, centroids)
       .groupBy("cluster")
-      .agg(count(lit(1)).as("cluster_size"))
-      .filter(col("cluster_size") > maxClusterSize)
+      .agg(count(lit(1)).as(Audit.GroupSizeCol))
+      .filter(col(Audit.GroupSizeCol) > maxClusterSize)
 
   def semanticDedupPairs(
       df: DataFrame,

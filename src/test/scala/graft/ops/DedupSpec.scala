@@ -332,7 +332,7 @@ class DedupSpec extends SparkSpec {
       Dedup.lshBands(Dedup.signatures(mixed, "text", "doc_id"), "doc_id"), 10)
       .collect()
     assert(dropped.nonEmpty)
-    assert(dropped.forall(_.getAs[Long]("bucket_size") == 60L))
+    assert(dropped.forall(_.getAs[Long](Audit.GroupSizeCol) == 60L))
   }
 
   test("shared signature frames register one cache entry and release") {

@@ -34,7 +34,7 @@ object SemScaleProbe {
     }
     val audit = timed("oversizedClusters audit (cap 2000), full 5M assignment") {
       Similarity.oversizedClusters(emb, "vec_id", "embedding", centroids, 2000)
-        .orderBy(col("cluster_size").desc).collect()
+        .orderBy(col(graft.ops.Audit.GroupSizeCol).desc).collect()
     }
     println(s"oversized clusters: ${audit.length}; largest: " +
       audit.take(3).map(r => s"${r.getInt(0)}=${r.getLong(1)}").mkString(", "))
