@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-event analytics over a keyed event log: funnel completion
+  * and cohort retention — the `windowFunnel`/`retention` capabilities
+  * of OLAP event stores, re-expressed as single-exchange Spark plans.
+  *
+  * Both operators hinge on the same scale property: everything an
+  * entity needs is computable inside ONE `Window.partitionBy(entity)`
+  * pass, so the only wide operation is the initial hash exchange on
+  * the entity key. Successive windows over the same partitioning add
+  * WindowExec nodes, never exchanges, and the follow-up per-entity
+  * reduction reuses the partitioning outright (pinned by
+  * PlanAuditSpec). No self-joins, no per-step shuffles — at 100 TB
+  * the cost is one shuffle of the projected event columns.
+  */
+object EventAnalytics {
+
+  /** One row per entity with the first-completion time of each funnel
+    * step: `step_i_ts` = the earliest event of `steps(i-1)` strictly
+    * after `step_(i-1)_ts` (earliest-chain semantics: each step
+    * matches the first qualifying event after the previous step's
+    * match; NULL from the first unreached step onward). With
+    * `maxGapSeconds`, a step must also land within that many seconds
+    * of the previous step — the conversion-window variant.
+    *
+    * Earliest-chain is deliberately greedy-minimal: it never misses a
+    * completion that ANY assignment of events would satisfy when no
+    * gap cap is set, and under a gap cap it is the standard
+    * first-touch reading (an entity abandoning and restarting later
+    * is counted from its first attempt).
+    */
+  def funnelStepTimes(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      maxGapSeconds: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(entityCol)
+    val stepped = steps.zipWithIndex.foldLeft(df) { case (acc, (step, i)) =>
+      val matches =
+        if (i == 0) col(typeCol) === step
+        else {
+          val prev = col(s"step_${i}_ts")
+          val after = col(typeCol) === step && col(tsCol) > prev
+          maxGapSeconds.fold(after)(g =>
+            after && col(tsCol) <= prev + expr(s"INTERVAL '$g' SECOND"))
+        }
+      acc.withColumn(s"step_${i + 1}_ts", min(when(matches, col(tsCol))).over(w))
+    }
+    // The window columns are constant within an entity: this groupBy
+    // reuses the window's hashpartitioning — no second exchange.
+    val stepCols = steps.indices.map(i => s"step_${i + 1}_ts")
+    stepped.groupBy(col(entityCol))
+      .agg(min(stepCols.head).as(stepCols.head),
+        stepCols.tail.map(c => min(c).as(c)): _*)
+  }
+
+  /** Funnel summary: `(step, step_name, entities)` — how many
+    * entities reached each step (monotonically non-increasing).
+    */
+  def funnel(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      maxGapSeconds: Option[Long] = None): DataFrame = {
+    val times = funnelStepTimes(df, entityCol, tsCol, typeCol, steps, maxGapSeconds)
+    times.select(explode(array(steps.zipWithIndex.map { case (s, i) =>
+        struct(lit(i + 1).as("step"), lit(s).as("step_name"),
+          col(s"step_${i + 1}_ts").as("__ts"))
+      }: _*)).as("x"))
+      .select(col("x.step").as("step"), col("x.step_name").as("step_name"),
+        col("x.__ts").as("__ts"))
+      .filter(col("__ts").isNotNull)
+      .groupBy("step", "step_name")
+      .agg(count(lit(1)).as("entities"))
+  }
+
+  /** Weekly cohort retention: `(cohort_week, week_offset, users)` —
+    * of the entities whose FIRST event falls in `cohort_week` (Monday
+    * truncation), how many were active `week_offset` weeks later.
+    * `week_offset` 0 is the cohort week itself, so each cohort's
+    * offset-0 row is its size.
+    *
+    * Shape: first-event window over the entity partition → project to
+    * distinct (entity, cohort, active-week) — the distinct's keys
+    * extend the partition key, so it reuses the exchange — → count
+    * per (cohort, offset). The final aggregate is the only second
+    * shuffle, over one row per entity-week.
+    */
+  def retentionCohorts(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(entityCol)
+    df.withColumn("__first_ts", min(col(tsCol)).over(w))
+      .select(
+        col(entityCol),
+        date_trunc("week", col("__first_ts")).cast("date").as("cohort_week"),
+        date_trunc("week", col(tsCol)).cast("date").as("event_week"))
+      .distinct()
+      .withColumn("week_offset",
+        (datediff(col("event_week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("users"))
+  }
+}

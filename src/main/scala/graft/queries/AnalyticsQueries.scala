@@ -65,6 +65,34 @@ object AnalyticsQueries {
         .orderBy("event_id", "matched_event_id")
     }),
 
+    // Funnel completion (X51): earliest-chain signup → view → click →
+    // purchase per user, entities-reaching-each-step summary. One
+    // exchange: every step is a window over the same user partition.
+    "q_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "ts", "event_type")
+      graft.ops.EventAnalytics.funnel(ev, "user_id", "ts", "event_type",
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy("step")
+    }),
+
+    // The conversion-window variant: each step must land within 3 days
+    // of the previous step's match.
+    "q_funnel_gated" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "ts", "event_type")
+      graft.ops.EventAnalytics.funnel(ev, "user_id", "ts", "event_type",
+          Seq("signup", "view", "click", "purchase"),
+          maxGapSeconds = Some(3L * 86400))
+        .orderBy("step")
+    }),
+
+    // Weekly cohort retention (X52): users active N weeks after their
+    // first-event week.
+    "q_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "ts")
+      graft.ops.EventAnalytics.retentionCohorts(ev, "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Deterministic k-per-group sample over documents by language.
     "q_sample_group" -> ((s, dir) => {
       Curation.samplePerGroup(
@@ -216,6 +244,79 @@ object AnalyticsQueries {
         | AND v.ts <= p.ts
         | AND v.ts >= p.ts - INTERVAL 30 MINUTE
         |ORDER BY p.event_id, matched_event_id NULLS FIRST""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events
+        |), s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM e
+        |), s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM s1
+        |), s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t2 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM s2
+        |), s4 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t3 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t4 FROM s3
+        |), u AS (
+        |  SELECT user_id, min(t1) AS t1, min(t2) AS t2,
+        |         min(t3) AS t3, min(t4) AS t4
+        |  FROM s4 GROUP BY 1
+        |)
+        |SELECT step, step_name, count(*) AS entities FROM (
+        |  SELECT 1 AS step, 'signup' AS step_name, t1 AS t FROM u
+        |  UNION ALL SELECT 2, 'view', t2 FROM u
+        |  UNION ALL SELECT 3, 'click', t3 FROM u
+        |  UNION ALL SELECT 4, 'purchase', t4 FROM u
+        |) WHERE t IS NOT NULL
+        |GROUP BY step, step_name ORDER BY step""".stripMargin,
+    "q_funnel_gated" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events
+        |), s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM e
+        |), s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1
+        |      AND ts <= t1 + INTERVAL 259200 SECOND THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM s1
+        |), s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t2
+        |      AND ts <= t2 + INTERVAL 259200 SECOND THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM s2
+        |), s4 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t3
+        |      AND ts <= t3 + INTERVAL 259200 SECOND THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t4 FROM s3
+        |), u AS (
+        |  SELECT user_id, min(t1) AS t1, min(t2) AS t2,
+        |         min(t3) AS t3, min(t4) AS t4
+        |  FROM s4 GROUP BY 1
+        |)
+        |SELECT step, step_name, count(*) AS entities FROM (
+        |  SELECT 1 AS step, 'signup' AS step_name, t1 AS t FROM u
+        |  UNION ALL SELECT 2, 'view', t2 FROM u
+        |  UNION ALL SELECT 3, 'click', t3 FROM u
+        |  UNION ALL SELECT 4, 'purchase', t4 FROM u
+        |) WHERE t IS NOT NULL
+        |GROUP BY step, step_name ORDER BY step""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts FROM events
+        |), f AS (
+        |  SELECT *, min(ts) OVER (PARTITION BY user_id) AS first_ts FROM e
+        |), d AS (
+        |  SELECT DISTINCT user_id,
+        |         date_trunc('week', first_ts)::DATE AS cohort_week,
+        |         date_trunc('week', ts)::DATE AS event_week
+        |  FROM f
+        |)
+        |SELECT cohort_week,
+        |       (datediff('day', cohort_week, event_week) / 7)::INT AS week_offset,
+        |       count(*) AS users
+        |FROM d GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q_sample_group" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // user 1 completes a→b→c in order; user 2 does b before a (b must
+  // not count pre-a); user 3 only reaches a; user 4 never starts but
+  // has other events.
+  private lazy val events = Seq(
+    (1L, ts("2024-01-01 10:00:00"), "a"),
+    (1L, ts("2024-01-01 11:00:00"), "b"),
+    (1L, ts("2024-01-01 12:00:00"), "c"),
+    (2L, ts("2024-01-01 09:00:00"), "b"),
+    (2L, ts("2024-01-01 10:00:00"), "a"),
+    (2L, ts("2024-01-01 11:30:00"), "b"),
+    (3L, ts("2024-01-02 10:00:00"), "a"),
+    (4L, ts("2024-01-02 10:00:00"), "x")
+  ).toDF("user_id", "ts", "event_type")
+
+  test("funnelStepTimes: earliest-chain, order-sensitive, NULL tail") {
+    val t = EventAnalytics.funnelStepTimes(
+        events, "user_id", "ts", "event_type", Seq("a", "b", "c"))
+      .orderBy("user_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3)))
+    assert(t(0) == ((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00"))))
+    // user 2: the 09:00 b is BEFORE a and must not match; 11:30 does
+    assert(t(1) == ((2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:30:00"), null)))
+    assert(t(2) == ((3L, ts("2024-01-02 10:00:00"), null, null)))
+    assert(t(3) == ((4L, null, null, null)))
+  }
+
+  test("funnel summary is monotonically non-increasing") {
+    val f = EventAnalytics.funnel(
+        events, "user_id", "ts", "event_type", Seq("a", "b", "c"))
+      .orderBy("step")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(f == Seq((1, "a", 3L), (2, "b", 2L), (3, "c", 1L)))
+  }
+
+  test("maxGap gates a slow step but not a fast one") {
+    val f = EventAnalytics.funnel(
+        events, "user_id", "ts", "event_type", Seq("a", "b"),
+        maxGapSeconds = Some(3600))
+      .orderBy("step")
+      .as[(Int, String, Long)].collect().toSeq
+    // user 1's b is exactly 3600s after a (inclusive bound: counts);
+    // user 2's post-a b is 5400s after a (gated out)
+    assert(f == Seq((1, "a", 3L), (2, "b", 1L)))
+  }
+
+  test("retentionCohorts: offset-0 row is cohort size; later weeks counted") {
+    // cohort week of 2024-01-01 (Mon): users 10, 11; user 10 returns
+    // in the next week; user 12 starts the following week.
+    val ev = Seq(
+      (10L, ts("2024-01-02 10:00:00")),
+      (10L, ts("2024-01-09 10:00:00")),
+      (11L, ts("2024-01-03 10:00:00")),
+      (12L, ts("2024-01-10 10:00:00"))
+    ).toDF("user_id", "ts")
+    val r = EventAnalytics.retentionCohorts(ev, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .collect()
+      .map(x => (x.getDate(0).toString, x.getInt(1), x.getLong(2))).toSeq
+    assert(r == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-08", 0, 1L)))
+  }
+
+  test("funnel plan: one exchange for all step windows, reduction reuses it") {
+    val plan = EventAnalytics.funnelStepTimes(
+        events, "user_id", "ts", "event_type", Seq("a", "b", "c"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+}
