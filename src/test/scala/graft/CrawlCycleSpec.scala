@@ -115,6 +115,30 @@ class CrawlCycleSpec extends SparkSpec {
     assert(got == Set(1L, 3L))
   }
 
+  test("degenerate increments: all-junk and empty leave the stores intact") {
+    val dir = tmp()
+    val store = s"$dir/store"
+    writeDocs(s"$dir/inc1", Seq(1L -> textA))
+    assert(runCycle(s"$dir/inc1", s"$dir/out1", store) == Set(1L))
+
+    // all-junk increment: nothing survives, store unchanged (cycle
+    // still advances the swap without corrupting anything)
+    writeDocs(s"$dir/inc2", Seq(20L -> "x y z"))
+    assert(runCycle(s"$dir/inc2", s"$dir/out2", store).isEmpty)
+    assert(spark.read.parquet(s"$store/signatures").count() == 1)
+
+    // zero-row increment: every screen degenerates to a no-op
+    writeDocs(s"$dir/inc3", Seq.empty[(Long, String)])
+    assert(runCycle(s"$dir/inc3", s"$dir/out3", store).isEmpty)
+    assert(spark.read.parquet(s"$store/signatures").count() == 1)
+    assert(spark.read.parquet(s"$store/fingerprints").count() == 1)
+
+    // and the store still screens correctly after the degenerate runs
+    writeDocs(s"$dir/inc4", Seq(30L -> textA, 31L -> textD))
+    assert(runCycle(s"$dir/inc4", s"$dir/out4", store) == Set(31L))
+    CachedFrames.unpersistAll()
+  }
+
   test("first cycle bootstraps empty stores without hand-built schemas") {
     val dir = tmp()
     writeDocs(s"$dir/inc", Seq(1L -> textA))
