@@ -83,6 +83,62 @@ object EventAnalytics {
       .agg(count(lit(1)).as("entities"))
   }
 
+  /** Per-session ordered event-type paths:
+    * `(entityCol, session_idx, path)` with `path` = the session's
+    * event types joined by `>` in (ts, orderCol) order. Sessions are
+    * gap-based, the same lag + running-sum assignment as
+    * `EventStreams.sessionizeBatch` (kept separate because that
+    * operator aggregates the events away while paths need the
+    * per-event rows).
+    *
+    * Determinism: `collect_list` has no ordering guarantee, so the
+    * path is built by `array_sort` over `(ts, order, type)` structs —
+    * a total order because `orderCol` is unique per event. Plan
+    * shape: one hash exchange on the entity; the lag and running-sum
+    * windows and the session groupBy all reuse it (grouping keys
+    * extend the partition key).
+    */
+  def sessionPaths(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      typeCol: String,
+      orderCol: String,
+      gapSeconds: Long = 1800L): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive: $gapSeconds")
+    val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col(orderCol))
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val isNew = when(
+      prevTs.isNull || col(tsCol) - prevTs > expr(s"INTERVAL '$gapSeconds' SECOND"), 1L)
+      .otherwise(0L)
+    df.withColumn("__new_sess", isNew)
+      .withColumn("session_idx", sum(col("__new_sess")).over(w))
+      .groupBy(col(entityCol), col("session_idx"))
+      .agg(concat_ws(">",
+        transform(
+          array_sort(collect_list(struct(
+            col(tsCol).as("t"), col(orderCol).as("o"), col(typeCol).as("e")))),
+          x => x.getField("e"))).as("path"))
+  }
+
+  /** The `k` most frequent session paths: `(path, sessions)`, count
+    * desc then path asc (total order → deterministic cut), lowered to
+    * TakeOrderedAndProject — no global sort.
+    */
+  def topPaths(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      typeCol: String,
+      orderCol: String,
+      gapSeconds: Long = 1800L,
+      k: Int = 10): DataFrame =
+    sessionPaths(df, entityCol, tsCol, typeCol, orderCol, gapSeconds)
+      .groupBy("path")
+      .agg(count(lit(1)).as("sessions"))
+      .orderBy(col("sessions").desc, col("path"))
+      .limit(k)
+
   /** Weekly cohort retention: `(cohort_week, week_offset, users)` —
     * of the entities whose FIRST event falls in `cohort_week` (Monday
     * truncation), how many were active `week_offset` weeks later.

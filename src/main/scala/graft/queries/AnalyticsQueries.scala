@@ -93,6 +93,16 @@ object AnalyticsQueries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Top event-type paths per gap-session (X53): the most common
+    // ordered journeys, deterministic cut (count desc, path asc).
+    "q_event_paths" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "ts", "event_id", "event_type")
+      graft.ops.EventAnalytics.topPaths(
+          ev, "user_id", "ts", "event_type", "event_id",
+          gapSeconds = 1800L, k = 15)
+        .orderBy(col("sessions").desc, col("path"))
+    }),
+
     // Deterministic k-per-group sample over documents by language.
     "q_sample_group" -> ((s, dir) => {
       Curation.samplePerGroup(
@@ -317,6 +327,24 @@ object AnalyticsQueries {
         |       count(*) AS users
         |FROM d GROUP BY 1, 2
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_event_paths" ->
+      """WITH o AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+        |         lag(ts::TIMESTAMP) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), s AS (
+        |  SELECT *, sum(CASE WHEN prev IS NULL
+        |        OR ts - prev > INTERVAL 1800 SECOND THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+        |  FROM o
+        |), p AS (
+        |  SELECT user_id, session_idx,
+        |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT path, count(*) AS sessions FROM p GROUP BY 1
+        |ORDER BY sessions DESC, path LIMIT 15""".stripMargin,
     "q_sample_group" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

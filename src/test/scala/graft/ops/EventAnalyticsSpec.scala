@@ -72,6 +72,37 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-08", 0, 1L)))
   }
 
+  test("sessionPaths: gap splits sessions, order within session is (ts, order)") {
+    val ev = Seq(
+      // user 1, one session: b at same minute as a but later event —
+      // path order must follow ts then event_id
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:00:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:10:00"), 3L, "c"),
+      // 40-minute gap (> 1800s): new session
+      (1L, ts("2024-01-01 10:50:00"), 4L, "a"),
+      // user 2, one singleton session
+      (2L, ts("2024-01-01 09:00:00"), 5L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val paths = EventAnalytics.sessionPaths(ev, "user_id", "ts", "event_type", "event_id")
+      .orderBy("user_id", "session_idx")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(paths == Seq((1L, 1L, "a>b>c"), (1L, 2L, "a"), (2L, 1L, "a")))
+
+    val top = EventAnalytics.topPaths(ev, "user_id", "ts", "event_type", "event_id", k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a", 2L), ("a>b>c", 1L)))
+  }
+
+  test("sessionPaths plan: one exchange on the entity key") {
+    val ev = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val plan = EventAnalytics.sessionPaths(ev, "user_id", "ts", "event_type", "event_id")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("funnel plan: one exchange for all step windows, reduction reuses it") {
     val plan = EventAnalytics.funnelStepTimes(
         events, "user_id", "ts", "event_type", Seq("a", "b", "c"))
