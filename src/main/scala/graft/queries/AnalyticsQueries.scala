@@ -103,6 +103,35 @@ object AnalyticsQueries {
         .orderBy(col("sessions").desc, col("path"))
     }),
 
+    // CDC merge (X54): two change waves (v2 overriding v1, some keys
+    // deleted) compacted latest-wins and merged into a base snapshot.
+    "q_cdc_apply" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val base = o.filter(col("o_orderkey") % 3 =!= 0)
+      val c1 = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"), col("o_orderstatus"),
+          lit(1L).as("version"), lit("U").as("op"))
+      val c2 = o.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 3).as("o_totalprice"), col("o_orderstatus"),
+          lit(2L).as("version"),
+          when(col("o_orderkey") % 8 === 0, "D").otherwise("U").as("op"))
+      graft.ops.Cdc.applyChanges(
+          base, c1.unionByName(c2), Seq("o_orderkey"), "version", "op")
+        .orderBy("o_orderkey")
+    }),
+
+    // SCD2 dimension build (X55): each user's event-type episodes with
+    // validity ranges; consecutive identical states collapse.
+    "q_scd2" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("user_id", "ts", "event_id", "event_type")
+      graft.ops.Cdc.scd2FromLog(ev, "user_id", "ts", "event_id", Seq("event_type"))
+        .orderBy("user_id", "valid_from", "event_type")
+    }),
+
     // Deterministic k-per-group sample over documents by language.
     "q_sample_group" -> ((s, dir) => {
       Curation.samplePerGroup(
@@ -345,6 +374,55 @@ object AnalyticsQueries {
         |)
         |SELECT path, count(*) AS sessions FROM p GROUP BY 1
         |ORDER BY sessions DESC, path LIMIT 15""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+        |), base AS (
+        |  SELECT * FROM o WHERE o_orderkey % 3 <> 0
+        |), c1 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+        |         o_orderstatus, 1 AS version, 'U' AS op
+        |  FROM o WHERE o_orderkey % 2 = 0
+        |), c2 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 3 AS o_totalprice,
+        |         o_orderstatus, 2 AS version,
+        |         CASE WHEN o_orderkey % 8 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM o WHERE o_orderkey % 4 = 0
+        |), ch AS (
+        |  SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |), latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY version DESC) AS rn FROM ch
+        |  ) WHERE rn = 1
+        |)
+        |SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_orderstatus
+        |FROM base b WHERE NOT EXISTS (
+        |  SELECT 1 FROM latest l WHERE l.o_orderkey = b.o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM latest WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type FROM events
+        |), c AS (
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev
+        |  FROM e
+        |), ep AS (
+        |  SELECT user_id, event_type, event_id, ts AS valid_from
+        |  FROM c WHERE prev IS NULL OR prev <> event_type
+        |), ranged AS (
+        |  SELECT user_id, event_type, valid_from,
+        |         lead(valid_from) OVER (PARTITION BY user_id
+        |           ORDER BY valid_from, event_id) AS valid_to
+        |  FROM ep
+        |)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |       valid_to IS NULL AS is_current
+        |FROM ranged
+        |ORDER BY user_id, valid_from, event_type""".stripMargin,
     "q_sample_group" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

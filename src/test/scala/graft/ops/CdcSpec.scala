@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("compactChanges keeps the max-version row per key, all columns") {
+    val ch = Seq(
+      (1L, "a", 1L, "U"), (1L, "b", 3L, "U"), (1L, "c", 2L, "D"),
+      (2L, "x", 1L, "D")
+    ).toDF("id", "payload", "version", "op")
+    val got = Cdc.compactChanges(ch, Seq("id"), "version")
+      .orderBy("id").as[(Long, String, Long, String)].collect().toSeq
+    assert(got == Seq((1L, "b", 3L, "U"), (2L, "x", 1L, "D")))
+  }
+
+  test("applyChanges: untouched survive, upserts replace/insert, deletes remove") {
+    val base = Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("id", "payload")
+    val ch = Seq(
+      (1L, "new1", 1L, "U"),   // replace
+      (2L, "gone", 1L, "D"),   // delete
+      (4L, "new4", 1L, "U"),   // insert
+      (4L, "newer4", 2L, "U")  // ...latest version wins
+    ).toDF("id", "payload", "version", "op")
+    val got = Cdc.applyChanges(base, ch, Seq("id"), "version", "op")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "new1"), (3L, "old3"), (4L, "newer4")))
+  }
+
+  test("scd2FromLog: episodes collapse repeats, ranges chain, last is current") {
+    val log = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "bronze"),
+      (1L, ts("2024-01-02 10:00:00"), 2L, "bronze"), // repeat: no episode
+      (1L, ts("2024-01-03 10:00:00"), 3L, "silver"),
+      (1L, ts("2024-01-04 10:00:00"), 4L, "bronze"), // back: NEW episode
+      (2L, ts("2024-01-01 10:00:00"), 5L, "gold")
+    ).toDF("user_id", "ts", "event_id", "tier")
+    val got = Cdc.scd2FromLog(log, "user_id", "ts", "event_id", Seq("tier"))
+      .orderBy("user_id", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getBoolean(4)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "bronze", ts("2024-01-01 10:00:00"), ts("2024-01-03 10:00:00"), false),
+      (1L, "silver", ts("2024-01-03 10:00:00"), ts("2024-01-04 10:00:00"), false),
+      (1L, "bronze", ts("2024-01-04 10:00:00"), null, true),
+      (2L, "gold", ts("2024-01-01 10:00:00"), null, true)))
+  }
+
+  test("scd2 plan: both windows and the change filter share one exchange") {
+    val log = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "a"))
+      .toDF("user_id", "ts", "event_id", "state")
+    val plan = Cdc.scd2FromLog(log, "user_id", "ts", "event_id", Seq("state"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+}
