@@ -158,6 +158,46 @@ object ParityQueries {
           round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Pivot (A2-class relational surface): daily value totals spread
+    // across explicit event-type columns. Explicit pivot values keep
+    // the output schema static (no extra distinct-scan job) and make
+    // the plan a single groupBy — the two-pass auto-discovery variant
+    // is the anti-pattern at scale.
+    "q_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(col("value")), 2))
+        .orderBy("day")
+    }),
+
+    // Rollup: subtotal hierarchy over the pricing-summary keys, level
+    // tagged by grouping_id. One shuffle — Spark expands grouping sets
+    // map-side, it does not re-aggregate per level.
+    "q_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("count_order"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    }),
+
+    // Cube: all 2^k grouping sets of the same keys.
+    "q_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("count_order"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -192,6 +232,30 @@ object ParityQueries {
         |JOIN part p ON l.partkey = p.p_partkey
         |JOIN supplier su ON l.suppkey = su.s_suppkey
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    "q_pivot" ->
+      """SELECT ts::DATE AS day,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS count_order,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS count_order,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_conditional_count" ->
       """SELECT count(CASE WHEN props IS NULL THEN 1 END) AS max_allowed_null_count,
         |  count(CASE WHEN TRY_CAST(props AS BOOLEAN) IS NULL THEN 1 END) AS null_count
