@@ -132,6 +132,21 @@ object AnalyticsQueries {
         .orderBy("user_id", "valid_from", "event_type")
     }),
 
+    // Sliding-window aggregation (X17's overlapping counterpart):
+    // 2-hour windows every 30 minutes — each event lands in exactly 4
+    // epoch-aligned windows. Identical code runs on readStream (the
+    // built-in window() is the streaming-window operator).
+    "q_sliding_agg" -> ((s, dir) => {
+      Tables.events(s, dir).select(col("ts"), col("value"))
+        .groupBy(window(col("ts"), "2 hours", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("w_start"),
+          col("window.end").as("w_end"),
+          col("n_events"), col("total_value"))
+        .orderBy("w_start")
+    }),
+
     // Deterministic k-per-group sample over documents by language.
     "q_sample_group" -> ((s, dir) => {
       Curation.samplePerGroup(
@@ -423,6 +438,22 @@ object AnalyticsQueries {
         |       valid_to IS NULL AS is_current
         |FROM ranged
         |ORDER BY user_id, valid_from, event_type""".stripMargin,
+    "q_sliding_agg" ->
+      """WITH e AS (
+        |  SELECT ts::TIMESTAMP AS ts, value,
+        |         CAST(floor(epoch(ts::TIMESTAMP) / 1800) AS BIGINT) * 1800 AS slide0
+        |  FROM events
+        |), x AS (
+        |  SELECT ts, value,
+        |         TIMESTAMP '1970-01-01'
+        |           + (slide0 - k.k * 1800) * INTERVAL 1 SECOND AS w_start
+        |  FROM e, (SELECT unnest([0, 1, 2, 3]) AS k) k
+        |)
+        |SELECT w_start, w_start + INTERVAL 7200 SECOND AS w_end,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM x GROUP BY 1
+        |ORDER BY w_start""".stripMargin,
     "q_sample_group" ->
       """WITH r AS (
         |  SELECT doc_id, lang,
