@@ -11,9 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is TIMESTAMP(NANOS) parquet; set once at session
-      // build (Tables.events also sets it defensively for
-      // driver-built sessions).
+      // Vintage compat: older testdata shipped events.ts as parquet
+      // TIMESTAMP(NANOS) readable only as raw longs; current testdata
+      // is native timestamp[us]. Tables.events branches on the footer
+      // schema, and this conf keeps BOTH vintages loadable.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
