@@ -147,6 +147,41 @@ object AnalyticsQueries {
         .orderBy("w_start")
     }),
 
+    // Data-quality expectations (X56): four row-level rules audited in
+    // ONE aggregation pass; NULL predicates count as violations.
+    "q_expectations" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.ops.Expectations.check(li, Seq(
+          graft.ops.Expectations.Rule("quantity_1_50",
+            col("l_quantity") >= 1 && col("l_quantity") <= 50),
+          graft.ops.Expectations.Rule("discount_0_008",
+            col("l_discount") >= 0 && col("l_discount") <= 0.08),
+          graft.ops.Expectations.Rule("shipdate_not_null",
+            col("l_shipdate").isNotNull),
+          graft.ops.Expectations.Rule("price_positive",
+            col("l_extendedprice") > 0)))
+        .orderBy("rule")
+    }),
+
+    // Referential-integrity audit: lineitems whose supplier vanished
+    // (parent filtered to s_suppkey % 7 != 0) — per-key orphan counts.
+    "q_orphans" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val sup = Tables.supplier(s, dir).filter(col("s_suppkey") % 7 =!= 0)
+      graft.ops.Expectations.orphans(li, "l_suppkey", sup, "s_suppkey")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_suppkey")
+    }),
+
+    // Candidate-key audit: (l_partkey, l_suppkey) is NOT unique in
+    // lineitem — the violation report carries each repeated pair.
+    "q_unique_key" -> ((s, dir) => {
+      graft.ops.Expectations.uniquenessViolations(
+          Tables.lineitem(s, dir), Seq("l_partkey", "l_suppkey"))
+        .orderBy("l_partkey", "l_suppkey")
+    }),
+
     // Deterministic k-per-group sample over documents by language.
     "q_sample_group" -> ((s, dir) => {
       Curation.samplePerGroup(
@@ -454,6 +489,38 @@ object AnalyticsQueries {
         |       round(sum(value), 2) AS total_value
         |FROM x GROUP BY 1
         |ORDER BY w_start""".stripMargin,
+    "q_expectations" ->
+      """WITH t AS (SELECT count(*) AS total FROM lineitem)
+        |SELECT 'quantity_1_50' AS rule,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE NOT coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE)) AS violations,
+        |  total FROM t
+        |UNION ALL
+        |SELECT 'discount_0_008',
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE NOT coalesce(l_discount >= 0 AND l_discount <= 0.08, FALSE)),
+        |  total FROM t
+        |UNION ALL
+        |SELECT 'shipdate_not_null',
+        |  (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL),
+        |  total FROM t
+        |UNION ALL
+        |SELECT 'price_positive',
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE NOT coalesce(l_extendedprice > 0, FALSE)),
+        |  total FROM t
+        |ORDER BY rule""".stripMargin,
+    "q_orphans" ->
+      """SELECT l_suppkey, count(*) AS n
+        |FROM lineitem
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM supplier
+        |  WHERE s_suppkey % 7 <> 0 AND s_suppkey = l_suppkey)
+        |GROUP BY 1 ORDER BY l_suppkey""".stripMargin,
+    "q_unique_key" ->
+      """SELECT l_partkey, l_suppkey, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+        |ORDER BY l_partkey, l_suppkey""".stripMargin,
     "q_sample_group" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some(10.0)), (2L, Some(-5.0)), (3L, None), (4L, Some(3.0))
+  ).toDF("id", "v")
+
+  test("check: one row per rule, NULL predicate counts as violation") {
+    val got = Expectations.check(df, Seq(
+        Expectations.Rule("v_positive", col("v") > 0),
+        Expectations.Rule("v_not_null", col("v").isNotNull),
+        Expectations.Rule("id_small", col("id") <= 100)))
+      .as[(String, Long, Long)].collect().toSeq
+    // v_positive: -5 fails, NULL fails (unevaluable = not met)
+    assert(got == Seq(
+      ("v_positive", 2L, 4L), ("v_not_null", 1L, 4L), ("id_small", 0L, 4L)))
+  }
+
+  test("check runs all rules in one aggregation pass — no extra scans") {
+    val plan = Expectations.check(df, Seq(
+        Expectations.Rule("a", col("v") > 0),
+        Expectations.Rule("b", col("id") > 0),
+        Expectations.Rule("c", col("v").isNotNull)))
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan"))
+    assert(scans == 1, s"expected a single scan, got $scans:\n$plan")
+  }
+
+  test("uniquenessViolations reports only repeated keys with multiplicity") {
+    val d = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("k1", "k2")
+    val got = Expectations.uniquenessViolations(d, Seq("k1", "k2"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", 2L)))
+    assert(Expectations.uniquenessViolations(d, Seq("k1", "k2")).filter(col("n") > 2).isEmpty)
+  }
+
+  test("orphans: missing parents and NULL child keys are both orphans") {
+    val child = Seq(
+      (1L, Option(10L)), (2L, Option(20L)), (3L, Option(99L)), (4L, None)
+    ).toDF("id", "fk")
+    val parent = Seq(10L, 20L).toDF("pk")
+    val got = Expectations.orphans(child, "fk", parent, "pk")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(3L, 4L))
+  }
+}
