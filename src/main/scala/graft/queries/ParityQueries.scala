@@ -160,6 +160,79 @@ object ParityQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // TPC-H Q3 (shipping priority, adapted to this schema): selective
+    // dim filter → fact join → group → top-k. The customer side is an
+    // explicit broadcast (15k rows at sf0.1 — never shuffle lineitem
+    // for it); lineitem⋈orders stays a shuffle join, the correct plan
+    // when both sides are large. Top-10 lowers to TakeOrderedAndProject.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < expr("TIMESTAMP_NTZ '1997-01-01'"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > expr("TIMESTAMP_NTZ '1997-01-01'"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 (local supplier volume): the 6-table star join with the
+    // classic c_nationkey = s_nationkey co-location predicate. Every
+    // dimension broadcasts (supplier/customer/nation/region are all
+    // tiny next to lineitem); only lineitem⋈orders shuffles.
+    "q5_local_supplier" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= expr("TIMESTAMP_NTZ '1996-01-01'") &&
+          col("o_orderdate") < expr("TIMESTAMP_NTZ '1997-01-01'"))
+        .select("o_orderkey", "o_custkey")
+      val asia = broadcast(Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(asia, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q18 (large-volume orders): having-aggregate semi-join
+    // feeding the detail join — the IN-subquery shape planned as a
+    // left-semi on the shared l_orderkey shuffle key.
+    "q18_large_orders" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("__q"))
+        .filter(col("__q") > 190)
+        .select("l_orderkey")
+      li.join(big, Seq("l_orderkey"), "left_semi")
+        .join(Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // Pivot (A2-class relational surface): daily value totals spread
     // across explicit event-type columns. Explicit pivot values keep
     // the output schema static (no extra distinct-scan job) and make
@@ -232,6 +305,41 @@ object ParityQueries {
         |JOIN part p ON l.partkey = p.p_partkey
         |JOIN supplier su ON l.suppkey = su.s_suppkey
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey HAVING sum(l_quantity) > 190)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q_pivot" ->
       """SELECT ts::DATE AS day,
         |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,

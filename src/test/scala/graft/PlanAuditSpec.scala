@@ -266,4 +266,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       "the 1-row corpus-size frame must broadcast")
   }
+
+  test("q3 broadcasts the customer dim and bounds the top-10") {
+    val plan = planOf("q3_shipping_priority")
+    assert(plan.contains("BroadcastHashJoin"), "filtered customer dim must broadcast")
+    assert(plan.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q5 broadcasts every dimension — at most the fact⋈orders join shuffles") {
+    val plan = planOf("q5_local_supplier")
+    val shuffleJoins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(shuffleJoins <= 1,
+      s"only lineitem⋈orders may shuffle, got $shuffleJoins shuffle joins:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      "customer/supplier/nation-region must broadcast")
+  }
+
+  test("q18's having-subquery plans as a semi-join, not a product") {
+    val plan = planOf("q18_large_orders")
+    assert(plan.contains("LeftSemi"), "IN-subquery must lower to a left-semi join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
