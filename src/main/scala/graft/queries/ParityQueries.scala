@@ -233,6 +233,27 @@ object ParityQueries {
         .limit(100)
     }),
 
+    // TPC-H Q17 (small-quantity revenue): the correlated scalar
+    // subquery (per-part 0.2×avg threshold) DECORRELATED into a
+    // window over the part key — one lineitem pass + one shuffle,
+    // where the naive translation scans lineitem twice and joins the
+    // per-part aggregate back. The semi-joined frame still contains
+    // every lineitem row of each surviving part, so the window avg
+    // equals the full-table correlated avg. Exactness: l_quantity is
+    // integral, so per-part sums are exact doubles and the threshold
+    // compares identically in both engines.
+    "q17_small_quantity" -> ((s, dir) => {
+      val pt = Tables.part(s, dir).filter(col("p_size") < 10).select("p_partkey")
+      Tables.lineitem(s, dir)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"), "left_semi")
+        .withColumn("__avg_q",
+          avg(col("l_quantity")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")))
+        .filter(col("l_quantity") < lit(0.2) * col("__avg_q"))
+        .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
+    }),
+
     // Pivot (A2-class relational surface): daily value totals spread
     // across explicit event-type columns. Explicit pivot values keep
     // the output schema static (no extra distinct-scan job) and make
@@ -340,6 +361,13 @@ object ParityQueries {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_size < 10
+        |  AND l_quantity < (
+        |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
     "q_pivot" ->
       """SELECT ts::DATE AS day,
         |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,

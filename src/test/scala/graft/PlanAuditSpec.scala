@@ -284,6 +284,14 @@ class PlanAuditSpec extends SparkSpec {
       "customer/supplier/nation-region must broadcast")
   }
 
+  test("q17 decorrelates to one lineitem scan") {
+    val plan = planOf("q17_small_quantity")
+    val scans = plan.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 2, // lineitem once + the part dim; naive decorrelation scans 3
+      s"the correlated avg must not re-scan lineitem (want 2 scans, got $scans):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "filtered part dim must broadcast")
+  }
+
   test("q18's having-subquery plans as a semi-join, not a product") {
     val plan = planOf("q18_large_orders")
     assert(plan.contains("LeftSemi"), "IN-subquery must lower to a left-semi join")
