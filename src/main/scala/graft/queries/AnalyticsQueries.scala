@@ -182,6 +182,22 @@ object AnalyticsQueries {
         .orderBy("l_partkey", "l_suppkey")
     }),
 
+    // VARIANT ingestion (Spark 4): semi-structured props parsed once
+    // to VARIANT, typed field extraction downstream — the
+    // shred-on-read path for schema-fluid columns (vs the fixed
+    // from_json schema q_flatten_struct pins).
+    "q_variant_extract" -> ((s, dir) => {
+      Tables.events(s, dir).select("event_type", "props")
+        .withColumn("__v", try_parse_json(col("props")))
+        .select(col("event_type"),
+          try_variant_get(col("__v"), "$.k", "int").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // Deterministic k-per-group sample over documents by language.
     "q_sample_group" -> ((s, dir) => {
       Curation.samplePerGroup(
@@ -521,6 +537,12 @@ object AnalyticsQueries {
       """SELECT l_partkey, l_suppkey, count(*) AS n
         |FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
         |ORDER BY l_partkey, l_suppkey""".stripMargin,
+    "q_variant_extract" ->
+      """SELECT event_type,
+        |  count(CAST(props::JSON ->> 'k' AS INTEGER)) AS n_k,
+        |  CAST(sum(CAST(props::JSON ->> 'k' AS INTEGER)) AS BIGINT) AS sum_k,
+        |  CAST(max(CAST(props::JSON ->> 'k' AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_sample_group" ->
       """WITH r AS (
         |  SELECT doc_id, lang,
