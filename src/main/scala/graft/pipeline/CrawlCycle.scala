@@ -77,7 +77,19 @@ object CrawlCycle {
   /** Run one cycle; returns the kept survivors as read back from
     * `cfg.output` (the on-disk result, not the lazy plan).
     */
-  def run(spark: SparkSession, cfg: Config): DataFrame = {
+  def run(spark: SparkSession, cfg: Config): DataFrame =
+    runWithMetrics(spark, cfg)._1
+
+  /** [[run]] plus per-stage row counts — captured with
+    * `Dataset.observe`, so all four stage counts materialize during
+    * the ONE output-write action: zero extra jobs, zero extra scans
+    * (the audit a 100 TB pipeline can actually afford). Keys:
+    * `increment_rows`, `after_intra`, `after_exact`, `kept` (the
+    * near-screen + quality drops are the `after_exact − kept` gap;
+    * splitting them would need a second action, deliberately not
+    * paid here).
+    */
+  def runWithMetrics(spark: SparkSession, cfg: Config): (DataFrame, Map[String, Long]) = {
     val hconf = spark.sparkContext.hadoopConfiguration
     def exists(p: String): Boolean = {
       val hp = new Path(p); hp.getFileSystem(hconf).exists(hp)
@@ -111,8 +123,19 @@ object CrawlCycle {
     val fpStore = retained(fpStoreAll)
     val sigStore = retained(sigStoreAll)
 
-    val intra = Dedup.dedupExact(increment, cfg.textCol, cfg.idCol)
-    val exactClean = Dedup.dedupExactAgainst(intra, cfg.textCol, fpStore)
+    // Unnamed Observations auto-generate unique names: a fixed name
+    // collides at analysis when two cycles run in ONE session (the
+    // plan-keyed persist registry can surface the previous cycle's
+    // CollectMetrics node alongside the current one).
+    val obsIn = org.apache.spark.sql.Observation()
+    val obsIntra = org.apache.spark.sql.Observation()
+    val obsExact = org.apache.spark.sql.Observation()
+    val obsKept = org.apache.spark.sql.Observation()
+    val intra = Dedup.dedupExact(
+      increment.observe(obsIn, count(lit(1)).as("n")), cfg.textCol, cfg.idCol)
+    val exactClean = Dedup.dedupExactAgainst(
+      intra.observe(obsIntra, count(lit(1)).as("n")), cfg.textCol, fpStore)
+      .observe(obsExact, count(lit(1)).as("n"))
     val nearClean = Dedup.dedupIncrement(
       exactClean, cfg.textCol, cfg.idCol, sigStore, cfg.idCol,
       cfg.k, cfg.bands, cfg.shingleN, cfg.threshold,
@@ -124,7 +147,17 @@ object CrawlCycle {
           stats("n_tokens"), stats("alpha_ratio"), stats("avg_token_len")))
       else nearClean
 
-    Sink.parquetWrite(kept, cfg.output)
+    Sink.parquetWrite(kept.observe(obsKept, count(lit(1)).as("n")), cfg.output)
+    // A zero-row write runs no tasks, so an observation can come back
+    // as an empty map — that IS a count of 0.
+    def n(o: org.apache.spark.sql.Observation): Long =
+      o.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+    val metrics = Map(
+      "increment_rows" -> n(obsIn),
+      "after_intra" -> n(obsIntra),
+      "after_exact" -> n(obsExact),
+      "kept" -> n(obsKept))
+    println("CRAWL_CYCLE " + metrics.map { case (k, v) => s"$k=$v" }.mkString(" "))
     // Store updates join against the MATERIALIZED survivors: the
     // screens above ran once for the output write; re-deriving kept
     // lazily here would run them all again per store.
@@ -162,6 +195,6 @@ object CrawlCycle {
     }
     swapIn(fingerprintPath(cfg), nextFp)
     swapIn(signaturePath(cfg), nextSig)
-    keptOnDisk
+    (keptOnDisk, metrics)
   }
 }

@@ -139,6 +139,20 @@ class CrawlCycleSpec extends SparkSpec {
     CachedFrames.unpersistAll()
   }
 
+  test("runWithMetrics reports per-stage counts from the single write action") {
+    val dir = tmp()
+    writeDocs(s"$dir/inc", Seq(
+      1L -> textA, 2L -> textA,    // intra-exact collapses to one
+      3L -> textB, 4L -> "x x x")) // junk gated by quality
+    val (_, m) = graft.pipeline.CrawlCycle.runWithMetrics(spark,
+      graft.pipeline.CrawlCycle.Config(
+        input = s"$dir/inc", output = s"$dir/out", storeDir = s"$dir/store"))
+    assert(m == Map(
+      "increment_rows" -> 4L, "after_intra" -> 3L,
+      "after_exact" -> 3L, "kept" -> 2L), s"got $m")
+    CachedFrames.unpersistAll()
+  }
+
   test("first cycle bootstraps empty stores without hand-built schemas") {
     val dir = tmp()
     writeDocs(s"$dir/inc", Seq(1L -> textA))
