@@ -53,6 +53,10 @@ object Cdc {
       versionCol: String,
       opCol: String,
       deleteOp: String = "D"): DataFrame = {
+    val missing = base.columns.filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changes must carry every base column (plus $versionCol/$opCol); " +
+        s"missing: ${missing.mkString(", ")}")
     val latest = compactChanges(changes, keyCols, versionCol)
     val untouched = base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
     val upserts = latest.filter(col(opCol) =!= deleteOp)
@@ -79,6 +83,10 @@ object Cdc {
       tsCol: String,
       orderCol: String,
       stateCols: Seq[String]): DataFrame = {
+    val reserved = Set("valid_from", "valid_to", "is_current", "__prev_state")
+    val shadowing = df.columns.filter(reserved)
+    require(shadowing.isEmpty,
+      s"scd2FromLog reserves ${reserved.mkString("/")}; rename: ${shadowing.mkString(", ")}")
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(orderCol))
     val state = struct(stateCols.map(col): _*)
     val episodes = df

@@ -41,6 +41,12 @@ object EventAnalytics {
       steps: Seq[String],
       maxGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // Same reserved-name stance as sessionizeBatch: a step_i_ts input
+    // column would be silently shadowed by the staging windows.
+    val reserved = steps.indices.map(i => s"step_${i + 1}_ts").toSet
+    val shadowing = df.columns.filter(reserved)
+    require(shadowing.isEmpty,
+      s"funnelStepTimes reserves step_<i>_ts; rename: ${shadowing.mkString(", ")}")
     val w = Window.partitionBy(entityCol)
     val stepped = steps.zipWithIndex.foldLeft(df) { case (acc, (step, i)) =>
       val matches =
@@ -106,6 +112,10 @@ object EventAnalytics {
       orderCol: String,
       gapSeconds: Long = 1800L): DataFrame = {
     require(gapSeconds > 0, s"gapSeconds must be positive: $gapSeconds")
+    val reserved = Set("__new_sess", "session_idx", "path")
+    val shadowing = df.columns.filter(reserved)
+    require(shadowing.isEmpty,
+      s"sessionPaths reserves ${reserved.mkString("/")}; rename: ${shadowing.mkString(", ")}")
     val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col(orderCol))
     val prevTs = lag(col(tsCol), 1).over(w)
     val isNew = when(

@@ -53,6 +53,21 @@ class CdcSpec extends SparkSpec {
       (2L, "gold", ts("2024-01-01 10:00:00"), null, true)))
   }
 
+  test("schema guards: missing base columns and reserved SCD names are refused") {
+    val base = Seq((1L, "a")).toDF("id", "payload")
+    val changesNoPayload = Seq((1L, 1L, "U")).toDF("id", "version", "op")
+    val e1 = intercept[IllegalArgumentException] {
+      Cdc.applyChanges(base, changesNoPayload, Seq("id"), "version", "op")
+    }
+    assert(e1.getMessage.contains("payload"))
+    val badLog = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "a", true))
+      .toDF("user_id", "ts", "event_id", "state", "is_current")
+    val e2 = intercept[IllegalArgumentException] {
+      Cdc.scd2FromLog(badLog, "user_id", "ts", "event_id", Seq("state"))
+    }
+    assert(e2.getMessage.contains("is_current"))
+  }
+
   test("scd2 plan: both windows and the change filter share one exchange") {
     val log = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "a"))
       .toDF("user_id", "ts", "event_id", "state")

@@ -103,6 +103,20 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("reserved staging/output columns are refused, not shadowed") {
+    val bad1 = events.withColumn("step_1_ts", col("ts"))
+    val e1 = intercept[IllegalArgumentException] {
+      EventAnalytics.funnelStepTimes(bad1, "user_id", "ts", "event_type", Seq("a"))
+    }
+    assert(e1.getMessage.contains("step_1_ts"))
+    val bad2 = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "a", "x"))
+      .toDF("user_id", "ts", "event_id", "event_type", "path")
+    val e2 = intercept[IllegalArgumentException] {
+      EventAnalytics.sessionPaths(bad2, "user_id", "ts", "event_type", "event_id")
+    }
+    assert(e2.getMessage.contains("path"))
+  }
+
   test("funnel plan: one exchange for all step windows, reduction reuses it") {
     val plan = EventAnalytics.funnelStepTimes(
         events, "user_id", "ts", "event_type", Seq("a", "b", "c"))
