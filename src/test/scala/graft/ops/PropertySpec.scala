@@ -119,6 +119,95 @@ class PropertySpec extends SparkSpec {
   private val vec4 = Gen.listOfN(4, Gen.chooseNum(-1.0f, 1.0f))
     .suchThat(v => v.exists(_ != 0f)).map(_.toSeq)
 
+  // Random event logs: few users, small second offsets, unique ids,
+  // types from a 3-letter alphabet — enough to hit ties, gaps, and
+  // single-event users.
+  private val eventLog: Gen[List[(Long, Long, String)]] =
+    Gen.nonEmptyListOf(for {
+      u <- Gen.choose(1L, 5L)
+      sec <- Gen.choose(0L, 5000L)
+      t <- Gen.oneOf("a", "b", "c")
+    } yield (u, sec, t))
+
+  private def toEventsDf(log: List[(Long, Long, String)]) =
+    log.zipWithIndex.map { case ((u, sec, t), i) =>
+      (u, new java.sql.Timestamp(1700000000000L + sec * 1000), i.toLong, t)
+    }.toDF("user_id", "ts", "event_id", "event_type")
+
+  test("funnel step counts are monotonically non-increasing on any event log") {
+    samples(eventLog, 6).foreach { log =>
+      val counts = EventAnalytics.funnel(
+          toEventsDf(log), "user_id", "ts", "event_type", Seq("a", "b", "c"))
+        .orderBy("step").select("step", "entities")
+        .as[(Int, Long)].collect().toMap
+      val padded = (1 to 3).map(counts.getOrElse(_, 0L))
+      assert(padded == padded.sorted.reverse, s"funnel grew: $padded on $log")
+    }
+  }
+
+  test("sessionPaths conserves events: path lengths sum to the log size") {
+    samples(eventLog, 6).foreach { log =>
+      val total = EventAnalytics.sessionPaths(
+          toEventsDf(log), "user_id", "ts", "event_type", "event_id",
+          gapSeconds = 600)
+        .select(size(split(col("path"), ">")).cast("long").as("n"))
+        .agg(sum("n")).head().getLong(0)
+      assert(total == log.size.toLong, s"lost events: $total != ${log.size}")
+    }
+  }
+
+  test("retention offset-0 rows partition the users: cohort sizes sum to distinct users") {
+    samples(eventLog, 6).foreach { log =>
+      val r = EventAnalytics.retentionCohorts(toEventsDf(log), "user_id", "ts")
+        .as[(java.sql.Date, Int, Long)].collect()
+      val users = log.map(_._1).distinct.size.toLong
+      assert(r.filter(_._2 == 0).map(_._3).sum == users)
+      // no offset bucket can exceed its cohort's size
+      val size0 = r.filter(_._2 == 0).map(x => x._1 -> x._3).toMap
+      r.foreach { case (c, _, n) => assert(n <= size0(c)) }
+    }
+  }
+
+  test("scd2 episodes chain per key: contiguous ranges, one current, first ts kept") {
+    samples(eventLog, 6).foreach { log =>
+      val eps = Cdc.scd2FromLog(
+          toEventsDf(log), "user_id", "ts", "event_id", Seq("event_type"))
+        .orderBy("user_id", "valid_from")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+      eps.groupBy(_._1).foreach { case (_, es) =>
+        assert(es.count(_._4) == 1, "exactly one current episode per key")
+        es.sliding(2).foreach {
+          case Array(a, b) => assert(a._3.contains(b._2), "ranges must chain")
+          case _ =>
+        }
+        assert(es.last._3.isEmpty, "last episode must be open")
+      }
+      assert(eps.length >= log.map(_._1).distinct.size)
+    }
+  }
+
+  test("applyChanges result keys = base minus deletes plus upserts, on any change set") {
+    val changeSet: Gen[List[(Long, Long, String)]] =
+      Gen.nonEmptyListOf(for {
+        k <- Gen.choose(1L, 8L)
+        v <- Gen.choose(1L, 100L)
+        op <- Gen.oneOf("U", "D")
+      } yield (k, v, op))
+    samples(changeSet, 6).foreach { chs =>
+      // unique versions per key so latest-wins is well-defined
+      val versioned = chs.zipWithIndex.map { case ((k, v, op), i) => (k, v, i.toLong, op) }
+      val base = (1L to 4L).map(k => (k, 0L)).toDF("k", "payload")
+      val changes = versioned.toDF("k", "payload", "version", "op")
+      val got = Cdc.applyChanges(base, changes, Seq("k"), "version", "op")
+        .select("k").as[Long].collect().toSet
+      val latestOp = versioned.groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._3)._4 }
+      val expected = ((1L to 4L).toSet ++ latestOp.keySet)
+        .filterNot(k => latestOp.get(k).contains("D"))
+      assert(got == expected, s"on $versioned")
+    }
+  }
+
   test("semanticDedupPairs is a subset of the exact all-pairs near-dups on any input") {
     samples(Gen.listOfN(12, vec4), 4).foreach { vecs =>
       val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
