@@ -59,7 +59,10 @@ object Cdc {
         s"missing: ${missing.mkString(", ")}")
     val latest = compactChanges(changes, keyCols, versionCol)
     val untouched = base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val upserts = latest.filter(col(opCol) =!= deleteOp)
+    // NULL op must read as upsert, not silently vanish: a bare
+    // `op =!= deleteOp` is NULL for NULL ops and the filter would
+    // treat an op-less change as a delete.
+    val upserts = latest.filter(!coalesce(col(opCol) === deleteOp, lit(false)))
       .select(base.columns.map(col): _*)
     untouched.unionByName(upserts)
   }

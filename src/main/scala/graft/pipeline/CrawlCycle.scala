@@ -34,8 +34,12 @@ import org.apache.spark.sql.functions._
   * `<store>.next` (the update plans READ the current store, so an
   * in-place overwrite would truncate its own input), then swapped in
   * with a delete + rename after every write of the cycle has
-  * committed. A cycle that dies before the swap leaves the previous
-  * stores intact and is simply re-run. The stores grow by survivor
+  * committed. A cycle that dies before the first swap leaves the
+  * previous stores intact and is simply re-run; dying BETWEEN the two
+  * swaps leaves a mixed pair (new fingerprints, old signatures) — the
+  * re-run then over-screens exact re-crawls of the last increment and
+  * under-screens their near-dups, both recoverable by the re-run
+  * completing (no corruption, the `.next` dirs are rebuilt). The stores grow by survivor
   * rows only (one fingerprint / one k-slot signature per kept doc),
   * so their size tracks the deduplicated corpus, orders of magnitude
   * smaller than the text at 100 TB.

@@ -53,6 +53,15 @@ class CdcSpec extends SparkSpec {
       (2L, "gold", ts("2024-01-01 10:00:00"), null, true)))
   }
 
+  test("a NULL op is an upsert, not a silent delete") {
+    val base = Seq((1L, "old")).toDF("id", "payload")
+    val ch = Seq((2L, "new", 1L, null.asInstanceOf[String]))
+      .toDF("id", "payload", "version", "op")
+    val got = Cdc.applyChanges(base, ch, Seq("id"), "version", "op")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "old"), (2L, "new")))
+  }
+
   test("schema guards: missing base columns and reserved SCD names are refused") {
     val base = Seq((1L, "a")).toDF("id", "payload")
     val changesNoPayload = Seq((1L, 1L, "U")).toDF("id", "version", "op")
