@@ -72,7 +72,9 @@ object Bench {
     def warm(name: String)(thunk: => Unit): Unit =
       try thunk catch {
         case e: Throwable =>
-          val line = s"warmup:$name ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.next()}"
+          // nextOption: an empty message has an EMPTY linesIterator and
+          // a bare .next() would crash the catch handler itself.
+          val line = s"warmup:$name ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse("")}"
           System.err.println(s"[bench] $line")
           if (warmupError.isEmpty) warmupError = Some(line)
       }
@@ -108,7 +110,7 @@ object Bench {
           catch {
             case e: Throwable =>
               failed += name
-              val line = s"$name ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.next()}"
+              val line = s"$name ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse("")}"
               System.err.println(s"[bench] FAILED $line")
               if (warmupError.isEmpty && firstQueryError.isEmpty) firstQueryError = Some(line)
               false

@@ -32,6 +32,9 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        // A stale marker from a previous failed run in the same outDir
+        // must not shadow this success.
+        Files.deleteIfExists(Paths.get(s"$outDir/$name.ERROR"))
         written += 1
       } catch { case e: Throwable =>
         val msg = s"${e.getClass.getName}: ${e.getMessage}"

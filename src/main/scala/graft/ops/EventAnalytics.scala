@@ -165,6 +165,10 @@ object EventAnalytics {
       df: DataFrame,
       entityCol: String,
       tsCol: String): DataFrame = {
+    val reserved = Set("__first_ts", "cohort_week", "event_week", "week_offset", "users")
+    val shadowing = df.columns.filter(reserved)
+    require(shadowing.isEmpty,
+      s"retentionCohorts reserves ${reserved.mkString("/")}; rename: ${shadowing.mkString(", ")}")
     val w = Window.partitionBy(entityCol)
     df.withColumn("__first_ts", min(col(tsCol)).over(w))
       .select(

@@ -33,12 +33,14 @@ import org.apache.spark.sql.functions._
   * atomically-per-store each cycle — the updated frames are written to
   * `<store>.next` (the update plans READ the current store, so an
   * in-place overwrite would truncate its own input), then swapped in
-  * with a delete + rename after every write of the cycle has
-  * committed. A cycle that dies before the first swap leaves the
-  * previous stores intact and is simply re-run; dying BETWEEN the two
-  * swaps leaves a mixed pair (new fingerprints, old signatures) — the
-  * re-run then over-screens exact re-crawls of the last increment and
-  * under-screens their near-dups, both recoverable by the re-run
+  * via rename cur→`.old`, rename `.next`→cur, drop `.old` — the live
+  * store always has an on-disk copy, and [[run]] restores a stranded
+  * `.old` at startup, so no crash point loses a store. A cycle that
+  * dies before its swaps leaves the previous stores intact and is
+  * simply re-run; dying BETWEEN the two stores' swaps leaves a mixed
+  * pair (new fingerprints, old signatures) — the re-run then
+  * over-screens exact re-crawls of the last increment and
+  * under-screens their near-dups, both resolved by the re-run
   * completing (no corruption, the `.next` dirs are rebuilt). The stores grow by survivor
   * rows only (one fingerprint / one k-slot signature per kept doc),
   * so their size tracks the deduplicated corpus, orders of magnitude
@@ -100,6 +102,16 @@ object CrawlCycle {
     }
 
     val increment = spark.read.parquet(cfg.input)
+    // Mid-swap crash recovery: the swap renames cur -> .old before
+    // promoting .next, so a store is NEVER deleted while it is the
+    // only copy. If a previous run died between those renames, cur is
+    // missing but .old holds the pre-cycle store — restore it (the
+    // interrupted cycle is simply re-run).
+    for (p <- Seq(fingerprintPath(cfg), signaturePath(cfg))) {
+      val (curP, oldP) = (new Path(p), new Path(p + ".old"))
+      val fs = curP.getFileSystem(hconf)
+      if (!fs.exists(curP) && fs.exists(oldP)) fs.rename(oldP, curP)
+    }
     // Every store row carries the cycle it was admitted in; stores
     // written before stamping existed read as cycle 0.
     def withCycle(df: DataFrame): DataFrame =
@@ -190,12 +202,19 @@ object CrawlCycle {
     val nextSig = signaturePath(cfg) + ".next"
     nextFpStore.write.mode("overwrite").parquet(nextFp)
     nextSigStore.write.mode("overwrite").parquet(nextSig)
+    // cur -> .old, .next -> cur, drop .old: the live store always has
+    // at least one on-disk copy (a bare delete-then-rename would
+    // destroy the store if the rename never ran, and the next cycle
+    // would silently bootstrap EMPTY and re-admit all of history).
     def swapIn(cur: String, next: String): Unit = {
-      val (curP, nextP) = (new Path(cur), new Path(next))
+      val (curP, nextP, oldP) = (new Path(cur), new Path(next), new Path(cur + ".old"))
       val fs = curP.getFileSystem(hconf)
-      if (fs.exists(curP)) fs.delete(curP, true)
+      if (fs.exists(oldP)) fs.delete(oldP, true)
+      if (fs.exists(curP) && !fs.rename(curP, oldP))
+        sys.error(s"store swap failed: $cur -> $oldP")
       if (!fs.rename(nextP, curP))
         sys.error(s"store swap failed: $next -> $cur")
+      fs.delete(oldP, true)
     }
     swapIn(fingerprintPath(cfg), nextFp)
     swapIn(signaturePath(cfg), nextSig)

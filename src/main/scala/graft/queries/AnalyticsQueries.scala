@@ -128,8 +128,13 @@ object AnalyticsQueries {
     "q_scd2" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select("user_id", "ts", "event_id", "event_type")
+      // valid_to completes the total order: same-microsecond events
+      // can yield two episodes tied on (user, valid_from, type), and
+      // engine-arbitrary tie order would flake the hash compare.
+      // NULLS FIRST pinned explicitly (DuckDB defaults NULLS LAST).
       graft.ops.Cdc.scd2FromLog(ev, "user_id", "ts", "event_id", Seq("event_type"))
-        .orderBy("user_id", "valid_from", "event_type")
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"),
+          asc_nulls_first("valid_to"))
     }),
 
     // Sliding-window aggregation (X17's overlapping counterpart):
@@ -488,7 +493,7 @@ object AnalyticsQueries {
         |SELECT user_id, event_type, valid_from, valid_to,
         |       valid_to IS NULL AS is_current
         |FROM ranged
-        |ORDER BY user_id, valid_from, event_type""".stripMargin,
+        |ORDER BY user_id, valid_from, event_type, valid_to NULLS FIRST""".stripMargin,
     "q_sliding_agg" ->
       """WITH e AS (
         |  SELECT ts::TIMESTAMP AS ts, value,

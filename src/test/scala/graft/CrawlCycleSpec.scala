@@ -153,6 +153,24 @@ class CrawlCycleSpec extends SparkSpec {
     CachedFrames.unpersistAll()
   }
 
+  test("a mid-swap crash leaves a .old copy that the next run restores") {
+    val dir = tmp()
+    val store = s"$dir/store"
+    writeDocs(s"$dir/inc1", Seq(1L -> textA))
+    assert(runCycle(s"$dir/inc1", s"$dir/out1", store) == Set(1L))
+    // Simulate dying between `rename cur -> .old` and `rename .next -> cur`:
+    // the live dir is gone, only the .old copy survives.
+    val sig = new java.io.File(s"$store/signatures")
+    assert(sig.renameTo(new java.io.File(s"$store/signatures.old")))
+    // The next cycle must restore the store instead of bootstrapping
+    // empty (which would re-admit all of history) — the re-crawl of
+    // doc 1 still screens out.
+    writeDocs(s"$dir/inc2", Seq(10L -> textA.replace("sunny", "rainy"), 11L -> textD))
+    assert(runCycle(s"$dir/inc2", s"$dir/out2", store) == Set(11L))
+    assert(!new java.io.File(s"$store/signatures.old").exists())
+    CachedFrames.unpersistAll()
+  }
+
   test("first cycle bootstraps empty stores without hand-built schemas") {
     val dir = tmp()
     writeDocs(s"$dir/inc", Seq(1L -> textA))
