@@ -2,10 +2,11 @@ package graft
 
 import graft.pipeline.{CrawlCycle, PipelineConfig, Pipelines, RunAll}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
 
 /** CLI entry point mirroring the reference's dispatch
   * (`/root/reference/app.py:20-70`):
-  * `--pipeline {extract|clean|enrich|run-all|dedup-increment}`
+  * `--pipeline {extract|clean|enrich|run-all|dedup-increment|check}`
   * plus the known pipeline args; unknown `--k v` pairs pass through
   * (how enrich receives `--dimension_inputs` /
   * `--dimension_entity_types`, both CSV — `enrich.py:22-23`). Typed
@@ -74,6 +75,26 @@ object Main {
           maxBucketSize = opts.get("max_bucket_size").map(_.toInt).getOrElse(0),
           qualityGate = !opts.get("quality_gate").contains("false"),
           ttlCycles = opts.get("ttl_cycles").map(_.toInt).getOrElse(0)))
+      case "check" =>
+        // Data-quality gate (X56): audit --input against `;`-separated
+        // --rules "name:<sql boolean expr>", write the per-rule report
+        // to --output. With --fail_on_violation true (default), any
+        // violated rule fails the job AFTER the report is written —
+        // the write-side contract a pipeline wants from its gate.
+        val rules = req("rules").split(";").toSeq.map { r =>
+          val Array(name, sql) = r.split(":", 2)
+          graft.ops.Expectations.Rule(name.trim, expr(sql))
+        }
+        val report = graft.ops.Expectations.check(
+          spark.read.parquet(req("input")), rules)
+        report.coalesce(1).write.mode("overwrite").parquet(req("output"))
+        val bad = spark.read.parquet(req("output"))
+          .filter(col("violations") > 0)
+          .select("rule", "violations").collect()
+        if (bad.nonEmpty && !opts.get("fail_on_violation").contains("false"))
+          sys.error("expectations violated: " + bad.map(r =>
+            s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+        spark.read.parquet(req("output"))
       case "run-all" =>
         // The reference's 13-job medallion DAG (see RunAll): NDJSON
         // per entity under --input_dir, lake written under --lake_dir.

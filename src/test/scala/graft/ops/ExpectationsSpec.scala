@@ -40,6 +40,27 @@ class ExpectationsSpec extends SparkSpec {
     assert(Expectations.uniquenessViolations(d, Seq("k1", "k2")).filter(col("n") > 2).isEmpty)
   }
 
+  test("CLI check pipeline: report written, violations fail the job after the write") {
+    val dir = java.nio.file.Files.createTempDirectory("check").toString
+    Seq((1L, 5.0), (2L, -1.0)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val rules = "v_positive: v > 0; id_known: id <= 100"
+    val e = intercept[RuntimeException] {
+      graft.Main.run(spark, Map("pipeline" -> "check",
+        "input" -> s"$dir/in", "output" -> s"$dir/report", "rules" -> rules))
+    }
+    assert(e.getMessage.contains("v_positive=1"))
+    // the report landed BEFORE the failure — gate semantics
+    val rep = spark.read.parquet(s"$dir/report")
+      .orderBy("rule").as[(String, Long, Long)].collect().toSeq
+    assert(rep == Seq(("id_known", 0L, 2L), ("v_positive", 1L, 2L)))
+    // non-failing mode returns the report
+    val ok = graft.Main.run(spark, Map("pipeline" -> "check",
+      "input" -> s"$dir/in", "output" -> s"$dir/report2", "rules" -> rules,
+      "fail_on_violation" -> "false"))
+    assert(ok.count() == 2)
+  }
+
   test("orphans: missing parents and NULL child keys are both orphans") {
     val child = Seq(
       (1L, Option(10L)), (2L, Option(20L)), (3L, Option(99L)), (4L, None)
