@@ -85,6 +85,25 @@ object AnalyticsQueries {
         .orderBy("step")
     }),
 
+    // In-session funnel (X51 ∘ X53): conversion within a single
+    // gap-session, via a composite user#session entity — the
+    // composition needs no new operator code.
+    "q_funnel_sessions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "ts", "event_id", "event_type")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sess = ev
+        .withColumn("__new", when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) > expr("INTERVAL '1800' SECOND"), 1L)
+          .otherwise(0L))
+        .withColumn("session_key",
+          concat_ws("#", col("user_id"), sum(col("__new")).over(w)))
+        .select("session_key", "ts", "event_id", "event_type")
+      graft.ops.EventAnalytics.funnel(sess, "session_key", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("step")
+    }),
+
     // Weekly cohort retention (X52): users active N weeks after their
     // first-event week.
     "q_retention" -> ((s, dir) => {
@@ -409,6 +428,37 @@ object AnalyticsQueries {
         |  UNION ALL SELECT 2, 'view', t2 FROM u
         |  UNION ALL SELECT 3, 'click', t3 FROM u
         |  UNION ALL SELECT 4, 'purchase', t4 FROM u
+        |) WHERE t IS NOT NULL
+        |GROUP BY step, step_name ORDER BY step""".stripMargin,
+    "q_funnel_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+        |         lag(ts::TIMESTAMP) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id || '#' || sum(CASE WHEN prev IS NULL
+        |        OR ts - prev > INTERVAL 1800 SECOND THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_key,
+        |    ts, event_id, event_type
+        |  FROM o
+        |), s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY session_key) AS t1 FROM sess
+        |), s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |    OVER (PARTITION BY session_key) AS t2 FROM s1
+        |), s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |    OVER (PARTITION BY session_key) AS t3 FROM s2
+        |), u AS (
+        |  SELECT session_key, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+        |  FROM s3 GROUP BY 1
+        |)
+        |SELECT step, step_name, count(*) AS entities FROM (
+        |  SELECT 1 AS step, 'view' AS step_name, t1 AS t FROM u
+        |  UNION ALL SELECT 2, 'click', t2 FROM u
+        |  UNION ALL SELECT 3, 'purchase', t3 FROM u
         |) WHERE t IS NOT NULL
         |GROUP BY step, step_name ORDER BY step""".stripMargin,
     "q_retention" ->
