@@ -5,7 +5,19 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [queryName ...]")
+    val sfDir = args(0)
+    val outDir = args(1)
+    // Dev-only subset: extra args name the queries to run (fast local
+    // iteration on a new oracle). The driver passes exactly two args,
+    // so its full-suite runs — and the completeness gate below — are
+    // untouched.
+    val subset: Option[Set[String]] =
+      if (args.length > 2) Some(args.drop(2).toSet) else None
+    subset.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,7 +40,11 @@ object Verify {
     // nonzero, so the round artifact goes red instead of shrinking.
     var written = 0
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = subset match {
+      case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -62,9 +78,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
-    if (written < SparkEntry.queries.size) {
+    if (written < selected.size) {
       System.err.println(
-        s"[verify] INCOMPLETE: $written/${SparkEntry.queries.size} queries written; " +
+        s"[verify] INCOMPLETE: $written/${selected.size} queries written; " +
           s"failed: ${failures.keys.mkString(", ")}")
       sys.exit(1)
     }

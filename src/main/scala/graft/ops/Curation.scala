@@ -395,4 +395,112 @@ object Curation {
     topk.select(col("token"), col("freq"),
       row_number().over(w).as("rank"))
   }
+
+  // ------------------------------------------------ line-level dedup
+
+  /** (idCol, __pos, __line) — documents split into lines, exploded
+    * relationally. The explicit pre-explode repartition by id is the
+    * same AQE-fanout guard as [[Dedup.shinglesExploded]]: the exchange
+    * is bytes-small BEFORE the explode, and AQE would coalesce it to
+    * one partition, blind to the per-row fanout. It also pre-satisfies
+    * the per-document regroup in [[dedupLines]], so exploded rows
+    * never shuffle again. `sep` is a literal separator (regex-quoted
+    * for Spark's `split`), matching the oracle's literal
+    * `string_split`. The trailing-empty-preserving limit (-1) keeps
+    * line positions aligned with DuckDB, which never drops trailing
+    * empties.
+    */
+  private[graft] def linesExploded(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(
+        col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+          .as(Seq("__pos", "__line")))
+
+  /** Per-line document-frequency census: (line, n_docs), one row per
+    * distinct line content, `n_docs` = number of distinct documents
+    * containing it. The boilerplate detector behind [[dedupLines]],
+    * exposed on its own because a production pipeline LOGS this frame:
+    * the lines crossing the ban threshold are exactly the site
+    * chrome/footers the dedup strips, and reviewing them is how the
+    * threshold gets tuned. Grouping key is `hasher(line)` so the
+    * count shuffle moves fixed-width longs, not full line text at
+    * 100 TB; `min(line)` recovers the (hash-collision-free in any
+    * practical corpus) content deterministically — never `first`,
+    * which is partition-order-dependent and oracle-hostile.
+    */
+  def lineDocFrequency(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String = "\n",
+      hasher: Column => Column = TextAnalysis.fastBaseHash): DataFrame =
+    linesExploded(df, textCol, idCol, sep)
+      .groupBy(hasher(col("__line")).as("__lh"))
+      .agg(min(col("__line")).as("line"), countDistinct(col(idCol)).as("n_docs"))
+      .select("line", "n_docs")
+
+  /** X57: line-level boilerplate removal (the CCNet/RefinedWeb line
+    * dedup): drop every line that appears in more than `maxDocs`
+    * distinct documents — site chrome, cookie banners, footers — and
+    * reassemble each document from its surviving lines in original
+    * order. Returns one row per input document:
+    * (idCol, clean_text, n_kept, n_dropped); a fully-boilerplate
+    * document survives with `clean_text = ""` (dropping it is a
+    * separate, explicit quality decision).
+    *
+    * Sub-document granularity is what distinguishes this from every
+    * doc-level dedup in [[Dedup]]: two pages sharing a footer are NOT
+    * near-duplicates, but the footer itself is still training-data
+    * noise repeated millions of times at corpus scale.
+    *
+    * Plan shape (pinned in PlanAuditSpec): one exchange by id before
+    * the explode; the banned-line side aggregates hashed lines
+    * (map-side-combined, fixed-width keys) and — being the rare lines
+    * crossing a corpus-frequency threshold — broadcasts; the final
+    * per-document regroup reuses the pre-explode hashpartitioning(id),
+    * so the document text itself is shuffled exactly once end to end.
+    * In-order reassembly is `array_sort(collect_list(struct(pos,
+    * line)))` — collect_list has no ordering contract, the sort
+    * restores it from the carried position.
+    */
+  def dedupLines(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDocs: Long,
+      sep: String = "\n",
+      hasher: Column => Column = TextAnalysis.fastBaseHash): DataFrame = {
+    require(maxDocs >= 1, "maxDocs must be >= 1")
+    val lineReserved = Seq("__pos", "__line", "__lh", "clean_text", "n_kept", "n_dropped")
+    val lineShadowing = df.columns.filter(lineReserved.contains)
+    require(
+      lineShadowing.isEmpty,
+      s"dedupLines reserves column names ${lineReserved.mkString("/")} for " +
+        s"internal staging and output; rename: ${lineShadowing.mkString(", ")}")
+    val lines = graft.CachedFrames.persistOnce(linesExploded(df, textCol, idCol, sep))
+    val banned = lines
+      .groupBy(hasher(col("__line")).as("__lh"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select("__lh")
+    val flagged = lines
+      .join(banned.hint("broadcast"), hasher(col("__line")) === banned("__lh"), "left")
+      .select(
+        col(idCol), col("__pos"), col("__line"),
+        col("__lh").isNotNull.as("__banned"))
+    val kept = when(!col("__banned"), struct(col("__pos"), col("__line")))
+    flagged
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(kept)), x => x.getField("__line")),
+          sep).as("clean_text"),
+        count(when(!col("__banned"), lit(1))).as("n_kept"),
+        count(when(col("__banned"), lit(1))).as("n_dropped"))
+  }
 }

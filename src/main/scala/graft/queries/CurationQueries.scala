@@ -19,6 +19,19 @@ object CurationQueries {
   private val benchCut = 25 // doc_id < benchCut plays the "benchmark set"
   private val packBudget = 512L
   private val vocabK = 100
+  private val lineBanMax = 200L // lines in more docs than this are boilerplate
+
+  /** Deterministic multi-line page synthesis for the line-dedup
+    * queries (mirrored literally in the oracle SQL): chrome line
+    * shared by ALL docs, the unique body, a `doc_id % 3` footer
+    * variant, and a copyright line shared by all docs.
+    */
+  private def withSyntheticLines(df: DataFrame): DataFrame =
+    df.withColumn("raw", concat_ws("\n",
+      lit("home about products contact"),
+      col("text"),
+      concat(lit("subscribe to newsletter "), (col("doc_id") % 3).cast("string")),
+      lit("copyright 2026 example corp all rights reserved")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = scala.collection.immutable.ListMap(
 
@@ -105,6 +118,34 @@ object CurationQueries {
         .orderBy("rank")
     }),
 
+    // X57 line-level boilerplate removal. The fixture corpus is
+    // single-line word soup, so multi-line pages are synthesized
+    // deterministically in BOTH engines (the q_pii_redact
+    // build-the-junk-then-repair pattern): shared site chrome +
+    // unique body + a 3-variant footer. At sf0.01 (500 docs,
+    // maxDocs=200) the chrome/copyright lines (500 docs each) are
+    // banned while the ~167-doc footer variants survive — a mixed
+    // keep/drop outcome, not a degenerate all-or-nothing.
+    "q_dedup_lines" -> ((s, dir) => {
+      Curation.dedupLines(
+          withSyntheticLines(Tables.documents(s, dir)),
+          "raw", "doc_id", maxDocs = lineBanMax,
+          hasher = TextAnalysis.baseHash)
+        .orderBy("doc_id")
+    }),
+
+    // The census behind the ban decision: every line shared by >1
+    // document with its exact document frequency — what a production
+    // pipeline logs to tune the threshold.
+    "q_line_freq" -> ((s, dir) => {
+      Curation.lineDocFrequency(
+          withSyntheticLines(Tables.documents(s, dir)),
+          "raw", "doc_id",
+          hasher = TextAnalysis.baseHash)
+        .filter(col("n_docs") > 1)
+        .orderBy("line")
+    }),
+
     // Source-weighted token-budget mixing: 50/25/25 over three sources,
     // 2000-token budget (allocations 1000/500/500).
     "q_mix_sources" -> ((s, dir) => {
@@ -142,6 +183,24 @@ object CurationQueries {
        |)
        |SELECT doc_id, bench_id, n_shared FROM hits
        |WHERE n_shared >= 2 ORDER BY doc_id, bench_id""".stripMargin
+
+  /** Shared CTE for the line-dedup oracles: the synthetic multi-line
+    * page (mirrors [[withSyntheticLines]] literally) exploded into
+    * (doc_id, line, pos) via DuckDB's zipped unnests.
+    */
+  private val lineCte =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    'home about products contact' || chr(10) || text || chr(10)
+      |      || 'subscribe to newsletter ' || (doc_id % 3)::VARCHAR || chr(10)
+      |      || 'copyright 2026 example corp all rights reserved' AS raw
+      |  FROM documents
+      |), lines AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(raw, chr(10))) AS line,
+      |    unnest(generate_series(1, len(string_split(raw, chr(10))))) AS pos
+      |  FROM raw
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_split_assign" ->
@@ -183,6 +242,28 @@ object CurationQueries {
         |  len(regexp_extract_all(raw, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b'))::BIGINT AS n_ips,
         |  len(regexp_extract_all(raw, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))::BIGINT AS n_phones
         |FROM raw ORDER BY doc_id""".stripMargin,
+    "q_dedup_lines" ->
+      (lineCte +
+        """, banned AS (
+        |  SELECT line FROM lines GROUP BY line
+        |  HAVING count(DISTINCT doc_id) > 200
+        |), flagged AS (
+        |  SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS banned
+        |  FROM lines l LEFT JOIN banned b USING (line)
+        |)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT banned THEN line END,
+        |                      chr(10) ORDER BY pos), '') AS clean_text,
+        |  count(CASE WHEN NOT banned THEN 1 END)::BIGINT AS n_kept,
+        |  count(CASE WHEN banned THEN 1 END)::BIGINT AS n_dropped
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q_line_freq" ->
+      (lineCte +
+        """
+        |SELECT line, count(DISTINCT doc_id)::BIGINT AS n_docs
+        |FROM lines GROUP BY line
+        |HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY line""".stripMargin),
     "q_decontaminate" -> decontaminateOracle,
     // bit-identical path, same oracle (see the query's comment)
     "q_decontaminate_bloom" -> decontaminateOracle,

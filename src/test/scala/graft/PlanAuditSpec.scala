@@ -178,6 +178,23 @@ class PlanAuditSpec extends SparkSpec {
       s"gram-keyed exchange found — distinct/count reshuffles content:\n${exchanges.mkString("\n")}")
   }
 
+  test("q_dedup_lines broadcasts the banned set and shuffles line text once") {
+    val plan = planOf("q_dedup_lines")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the over-threshold line set must broadcast onto the exploded lines")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"line text must never shuffle by content:\n$plan")
+    // The only line-text-carrying exchange is the keyed pre-explode
+    // repartition by doc id; the ban count shuffles fixed-width hashes
+    // and the final per-doc regroup reuses the pre-explode
+    // distribution (no exchange between the explode and the regroup).
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "expected the keyed pre-explode repartition")
+    assert(exchanges.forall(l => !l.contains("__line")),
+      s"line-content-keyed exchange found:\n${exchanges.mkString("\n")}")
+  }
+
   test("q_vocab_topk bounds the cut without a global sort") {
     val plan = planOf("q_vocab_topk")
     assert(plan.contains("TakeOrderedAndProject"),

@@ -237,6 +237,72 @@ class CurationSpec extends SparkSpec {
     assert(out.columns.contains("mix_tokens_before"))
   }
 
+  // X57 — line-level boilerplate removal ------------------------------
+
+  /** 100 docs: chrome on every page, unique body, footer in half. */
+  private def pages = spark.range(0, 100).select(
+    col("id").as("doc_id"),
+    concat_ws("\n",
+      lit("nav home about"),
+      concat(lit("unique body line "), col("id").cast("string")),
+      when(col("id") % 2 === 0, "even footer promo").otherwise(
+        concat(lit("odd body tail "), col("id").cast("string")))
+    ).as("text"))
+
+  test("dedupLines strips over-threshold lines, keeps order, counts both sides") {
+    val out = Curation.dedupLines(pages, "text", "doc_id", maxDocs = 30)
+    assert(out.count() == 100) // every doc survives, even if emptied
+    val even = out.filter(col("doc_id") === 4).collect().head
+    // chrome (100 docs) and even-footer (50 docs) banned; body kept
+    assert(even.getAs[String]("clean_text") == "unique body line 4")
+    assert(even.getAs[Long]("n_kept") == 1 && even.getAs[Long]("n_dropped") == 2)
+    val odd = out.filter(col("doc_id") === 5).collect().head
+    // odd tails are unique → kept, in original order
+    assert(odd.getAs[String]("clean_text") == "unique body line 5\nodd body tail 5")
+    assert(odd.getAs[Long]("n_kept") == 2 && odd.getAs[Long]("n_dropped") == 1)
+  }
+
+  test("dedupLines keeps a fully-boilerplate doc as an empty row") {
+    val d = spark.range(0, 50).select(
+      col("id").as("doc_id"),
+      lit("same line everywhere").as("text"))
+    val out = Curation.dedupLines(d, "text", "doc_id", maxDocs = 10)
+    assert(out.count() == 50)
+    val r = out.filter(col("doc_id") === 7).collect().head
+    assert(r.getAs[String]("clean_text") == "")
+    assert(r.getAs[Long]("n_kept") == 0 && r.getAs[Long]("n_dropped") == 1)
+  }
+
+  test("dedupLines is partitioning-independent and threshold-boundary-exact") {
+    val out1 = Curation.dedupLines(pages, "text", "doc_id", maxDocs = 30)
+    val out2 = Curation.dedupLines(pages.repartition(13), "text", "doc_id", maxDocs = 30)
+    assert(out1.except(out2).isEmpty && out2.except(out1).isEmpty)
+    // threshold is strict (> maxDocs): at exactly 50 the even footer survives
+    val atBoundary = Curation.dedupLines(pages, "text", "doc_id", maxDocs = 50)
+    val even = atBoundary.filter(col("doc_id") === 4).collect().head
+    assert(even.getAs[String]("clean_text") == "unique body line 4\neven footer promo")
+  }
+
+  test("lineDocFrequency reports exact per-line document counts") {
+    val freq = Curation.lineDocFrequency(pages, "text", "doc_id")
+      .filter(col("n_docs") > 1)
+      .as[(String, Long)].collect().toMap
+    assert(freq == Map("nav home about" -> 100L, "even footer promo" -> 50L))
+    // repeated line inside ONE doc counts once
+    val d = Seq((1L, "dup\ndup\nother"), (2L, "dup\nx")).toDF("doc_id", "text")
+    val f2 = Curation.lineDocFrequency(d, "text", "doc_id")
+      .as[(String, Long)].collect().toMap
+    assert(f2("dup") == 2L)
+  }
+
+  test("dedupLines rejects frames carrying its reserved staging/output columns") {
+    val bad = Seq((1L, "a\nb", 0)).toDF("doc_id", "text", "n_kept")
+    val e = intercept[IllegalArgumentException] {
+      Curation.dedupLines(bad, "text", "doc_id", maxDocs = 1)
+    }
+    assert(e.getMessage.contains("n_kept"))
+  }
+
   test("mixSources rejects frames carrying its reserved staging/output columns") {
     val staged = Seq((1L, "a", 10L, 7L)).toDF("doc_id", "source", "n_tokens", "__mix_h")
     val e1 = intercept[IllegalArgumentException] {
