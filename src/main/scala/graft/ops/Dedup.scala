@@ -62,6 +62,38 @@ object Dedup {
     df.join(survivors, Seq(idCol), "left_semi")
   }
 
+  // --------------------------------------------- normalized ("fuzzy") exact
+
+  /** Dedup-normal form of a text: lowercase, strip every character
+    * that is not `[a-z0-9]` or whitespace, collapse whitespace runs to
+    * one space, trim. The Gopher-recipe "fuzzy exact match": case,
+    * punctuation, and formatting differences — the bulk of trivially
+    * re-hosted web content — collapse to one fingerprint, while any
+    * real wording change still misses. Sits strictly between
+    * [[dedupExact]] (byte equality) and MinHash (Jaccard) in the
+    * recall/cost spectrum at zero extra cost: still one projection +
+    * one hash-shuffle groupBy, no shingles, no signatures.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
+
+  /** [[exactDupGroups]] over the [[normalized]] form:
+    * (fingerprint, survivor_id, n_copies), fingerprint = md5 of the
+    * normal form.
+    */
+  def normalizedDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exactDupGroups(
+      df.withColumn("__norm", normalized(col(textCol))), "__norm", idCol)
+
+  /** Keep one row (minimum id) per distinct normalized content. */
+  def dedupExactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val survivors = normalizedDupGroups(df, textCol, idCol)
+      .select(col("survivor_id").as(idCol))
+    df.join(survivors, Seq(idCol), "left_semi")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash permutation family: `h_i(x) = (a_i · base(x) + b_i) mod P`

@@ -44,6 +44,47 @@ object TfIdf {
       .groupBy("term")
       .agg(count(lit(1)).as("df"))
 
+  /** Inverted-index build — the search-side artifact of a curated
+    * corpus: one row per term with exact document frequency, total
+    * term frequency, and a BOUNDED posting list (the `maxPostings`
+    * lowest doc ids containing the term, ascending, comma-joined).
+    *
+    * The bound is the 100 TB design point: a stopword's full posting
+    * list is corpus-sized, so an unbounded `collect_list` per term is
+    * a driver-OOM-by-another-name. Postings prune through a
+    * rank-filter window (Spark rewrites it to WindowGroupLimit: each
+    * map task keeps `maxPostings` rows per term BEFORE the shuffle),
+    * so the term exchange moves O(vocabulary × maxPostings) rows at
+    * any corpus size, while df/tf_total aggregate exactly over
+    * everything with map-side partials. The per-(doc, term) frame
+    * feeds both branches and reuses the pre-explode id partitioning —
+    * its groupBy adds no exchange.
+    *
+    * Output: (term, df, tf_total, postings).
+    */
+  def invertedIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxPostings: Int): DataFrame = {
+    require(maxPostings >= 1, "maxPostings must be >= 1")
+    val perDoc = graft.CachedFrames.persistOnce(
+      tokenRows(df, textCol, idCol)
+        .groupBy(col(idCol), col("term"))
+        .agg(count(lit(1)).as("__tf")))
+    val stats = perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("__tf").as("tf_total"))
+    val w = Window.partitionBy("term").orderBy(col(idCol))
+    val postings = perDoc
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxPostings)
+      .groupBy("term")
+      .agg(array_join(
+        transform(array_sort(collect_list(col(idCol))), _.cast("string")),
+        ",").as("postings"))
+    stats.join(postings, Seq("term"))
+  }
+
   /** Per-document top-`topK` terms by smoothed TF-IDF:
     * `tf · (ln((N+1)/(df+1)) + 1)`, tf = term count / doc length.
     * Scores are rounded to 4 decimals BEFORE ranking (ties then break

@@ -187,6 +187,28 @@ object AnalyticsQueries {
         .orderBy("rule")
     }),
 
+    // One-pass numeric profile of four lineitem measures: count/nulls/
+    // min/max/mean/stddev per column from a single aggregation.
+    // Mean/stddev round to 4 decimals for cross-engine hash equality
+    // (the repo-wide float-rounding convention; double-sum ordering
+    // differences live ~8 digits below the cut at these magnitudes).
+    "q_profile" -> ((s, dir) => {
+      graft.ops.Expectations.profile(
+          Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("column"), col("n"), col("n_null"), col("min"), col("max"),
+          round(col("mean"), 4).as("mean"), round(col("stddev"), 4).as("stddev"))
+        .orderBy("column")
+    }),
+
+    // Inverted-index build over the corpus: per-term exact df and
+    // total tf, plus a bounded posting list (5 lowest doc ids).
+    "q_inverted_index" -> ((s, dir) => {
+      graft.ops.TfIdf.invertedIndex(
+          Tables.documents(s, dir), "text", "doc_id", maxPostings = 5)
+        .orderBy("term")
+    }),
+
     // Referential-integrity audit: lineitems whose supplier vanished
     // (parent filtered to s_suppkey % 7 != 0) — per-key orphan counts.
     "q_orphans" -> ((s, dir) => {
@@ -588,6 +610,37 @@ object AnalyticsQueries {
         |  SELECT 1 FROM supplier
         |  WHERE s_suppkey % 7 <> 0 AND s_suppkey = l_suppkey)
         |GROUP BY 1 ORDER BY l_suppkey""".stripMargin,
+    "q_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", count($c)::BIGINT AS n,
+           |  (count(*) - count($c))::BIGINT AS n_null,
+           |  min($c)::DOUBLE AS min, max($c)::DOUBLE AS max,
+           |  round(avg($c), 4) AS mean,
+           |  round(stddev_samp($c), 4) AS stddev
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+    "q_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents
+        |), perdoc AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf_total
+        |  FROM perdoc GROUP BY 1
+        |), ranked AS (
+        |  SELECT doc_id, term,
+        |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+        |  FROM perdoc
+        |), posts AS (
+        |  SELECT term,
+        |    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+        |  FROM ranked WHERE rk <= 5 GROUP BY term
+        |)
+        |SELECT term, df, tf_total, postings
+        |FROM stats JOIN posts USING (term) ORDER BY term""".stripMargin,
     "q_unique_key" ->
       """SELECT l_partkey, l_suppkey, count(*) AS n
         |FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1

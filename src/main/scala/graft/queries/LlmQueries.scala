@@ -58,6 +58,18 @@ object LlmQueries {
   private val oracleBaseHash = TextAnalysis.baseHash _
   private val oracleH64: Dedup.Hasher = TextAnalysis.h64
 
+  /** documents ∪ a deterministic "re-hosted" twin of every doc
+    * (id + 100000; uppercased, punctuation appended, extra
+    * whitespace) — the input the normalized-dedup oracles pair back
+    * together. Mirrored literally in `normalizedCorpusCte`.
+    */
+  private def withMutatedTwins(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(d.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(upper(col("text")), lit(" !!!  ")).as("text")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = scala.collection.immutable.ListMap(
 
     // ---- text analysis -------------------------------------------------
@@ -97,6 +109,23 @@ object LlmQueries {
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactDupGroups(Tables.documents(s, dir), "text", "doc_id")
         .orderBy("survivor_id")
+    }),
+
+    // Normalized ("fuzzy exact") dedup: case/punctuation/whitespace
+    // variants collapse to one fingerprint. The corpus has no such
+    // variants, so each doc gets a deterministic mutated twin
+    // (uppercased + punctuation + trailing whitespace, id + 100000)
+    // built identically in both engines; normalization must pair every
+    // twin with its original — 500 groups of exactly 2.
+    "q_dedup_normalized" -> ((s, dir) => {
+      Dedup.normalizedDupGroups(withMutatedTwins(s, dir), "text", "doc_id")
+        .orderBy("survivor_id")
+    }),
+
+    "q_dedup_normalized_survivors" -> ((s, dir) => {
+      Dedup.dedupExactNormalized(withMutatedTwins(s, dir), "text", "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
     }),
 
     "q_dedup_near" -> ((s, dir) => {
@@ -638,6 +667,23 @@ object LlmQueries {
   val gifsFixture = "/root/repo/fixtures/gifs.ndjson"
 
   // ---- oracle SQL ------------------------------------------------------
+
+  /** Corpus ∪ mutated twins (mirrors [[withMutatedTwins]]), plus the
+    * dedup-normal form: lowercase → strip non-[a-z0-9\s] → collapse
+    * whitespace → trim — identical regex semantics in both engines.
+    */
+  private def normalizedCorpusCte: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, upper(text) || ' !!!  ' AS text
+      |  FROM documents
+      |), norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+      |  FROM corpus
+      |)""".stripMargin
 
   private def statsOracle: String =
     s"""WITH t AS (
@@ -1350,6 +1396,17 @@ object LlmQueries {
       """SELECT md5(text) AS fingerprint, min(doc_id) AS survivor_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin,
+    "q_dedup_normalized" ->
+      (normalizedCorpusCte +
+        """
+        |SELECT md5(n) AS fingerprint, min(doc_id) AS survivor_id,
+        |  count(*) AS n_copies
+        |FROM norm GROUP BY n ORDER BY survivor_id""".stripMargin),
+    "q_dedup_normalized_survivors" ->
+      (normalizedCorpusCte +
+        """
+        |SELECT min(doc_id) AS doc_id FROM norm GROUP BY n
+        |ORDER BY doc_id""".stripMargin),
     "q_dedup_near" ->
       (minhashCtes(16, 8) + "\nSELECT a, b, est_jaccard FROM est ORDER BY a, b"),
     "q_dedup_survivors" ->

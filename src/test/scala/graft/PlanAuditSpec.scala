@@ -195,6 +195,24 @@ class PlanAuditSpec extends SparkSpec {
       s"line-content-keyed exchange found:\n${exchanges.mkString("\n")}")
   }
 
+  test("q_profile is one aggregation pass regardless of column count") {
+    val plan = planOf("q_profile")
+    // formatted explain prints each node in the tree AND as a detail
+    // header — count the numbered detail headers only
+    val aggs = plan.linesIterator.count(_.matches("""\(\d+\) HashAggregate.*"""))
+    assert(aggs == 2, s"expected exactly partial+final HashAggregate, got $aggs:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Arguments: SinglePartition")) == 1,
+      s"all column stats must ride ONE global agg exchange:\n$plan")
+  }
+
+  test("q_inverted_index bounds posting lists before the term shuffle") {
+    val plan = planOf("q_inverted_index")
+    assert(plan.contains("WindowGroupLimit"),
+      "the maxPostings rank filter must prune map-side (WindowGroupLimit)")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"stats⋈postings must stay a term equi-join:\n$plan")
+  }
+
   test("q_vocab_topk bounds the cut without a global sort") {
     val plan = planOf("q_vocab_topk")
     assert(plan.contains("TakeOrderedAndProject"),

@@ -27,6 +27,27 @@ class DedupSpec extends SparkSpec {
     assert(groups.getAs[Long]("n_copies") == 2L)
   }
 
+  test("normalized dedup collapses case/punctuation/whitespace variants only") {
+    val variants = Seq(
+      (0L, "The quick, brown fox!"),
+      (1L, "the  quick brown fox"),     // same normal form as 0
+      (2L, "THE QUICK BROWN FOX?!?"),   // same normal form as 0
+      (3L, "the quick brown foxes"),    // real wording change — distinct
+      (4L, "  unrelated   text...  ")
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.dedupExactNormalized(variants, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(0L, 3L, 4L))
+    val g = Dedup.normalizedDupGroups(variants, "text", "doc_id")
+      .filter(col("n_copies") > 1).head()
+    assert(g.getAs[Long]("survivor_id") == 0L && g.getAs[Long]("n_copies") == 3L)
+    // byte-exact dedup would keep all five — normalization is the delta
+    assert(Dedup.dedupExact(variants, "text", "doc_id").count() == 5)
+    // digits survive normalization (versioned content stays distinct)
+    val nums = Seq((0L, "version 2"), (1L, "version 3")).toDF("doc_id", "text")
+    assert(Dedup.dedupExactNormalized(nums, "text", "doc_id").count() == 2)
+  }
+
   test("minhash signatures: identical texts share signatures; near-dups mostly agree") {
     val sigs = Dedup.signatures(corpus, "text", "doc_id")
       .orderBy("doc_id").collect()

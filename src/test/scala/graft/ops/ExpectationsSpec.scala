@@ -61,6 +61,29 @@ class ExpectationsSpec extends SparkSpec {
     assert(ok.count() == 2)
   }
 
+  test("profile: one row per column with exact counts and sample stats") {
+    val d = Seq(
+      (Option(1.0), Option(10.0)),
+      (Option(2.0), None),
+      (Option(3.0), Option(30.0)),
+      (None, Option(50.0))
+    ).toDF("a", "b")
+    val p = Expectations.profile(d, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = p("a")
+    assert(a.getLong(1) == 3 && a.getLong(2) == 1) // n, n_null
+    assert(a.getDouble(3) == 1.0 && a.getDouble(4) == 3.0)
+    assert(a.getDouble(5) == 2.0)                  // mean
+    assert(math.abs(a.getDouble(6) - 1.0) < 1e-12) // stddev_samp of 1,2,3
+    val b = p("b")
+    assert(b.getLong(1) == 3 && b.getLong(2) == 1)
+    assert(b.getDouble(5) == 30.0)
+    // single-value / empty degenerate: stddev NULL, not NaN or crash
+    val one = Seq(Tuple1(Option(5.0)), Tuple1(None: Option[Double])).toDF("x")
+    val r1 = Expectations.profile(one, Seq("x")).collect().head
+    assert(r1.getLong(1) == 1 && r1.isNullAt(6))
+  }
+
   test("orphans: missing parents and NULL child keys are both orphans") {
     val child = Seq(
       (1L, Option(10L)), (2L, Option(20L)), (3L, Option(99L)), (4L, None)

@@ -49,4 +49,23 @@ class TfIdfSpec extends SparkSpec {
       .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 3L))
   }
+
+  test("invertedIndex: exact df/tf with postings bounded and ascending") {
+    val idx = TfIdf.invertedIndex(docs, "text", "doc_id", maxPostings = 10)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(idx("apple") == ((1L, 2L, "1")))     // df counts docs, tf occurrences
+    assert(idx("banana") == ((2L, 2L, "1,2")))
+    assert(idx("cherry") == ((2L, 3L, "2,3")))
+    assert(idx("durian") == ((1L, 1L, "3")))
+    graft.CachedFrames.unpersistAll()
+    // the bound truncates postings to the LOWEST ids but leaves df/tf exact
+    val wide = spark.range(0, 100).select(
+      col("id").as("doc_id"), lit("shared unique" + "x").as("text"))
+    val bounded = TfIdf.invertedIndex(wide, "text", "doc_id", maxPostings = 3)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(bounded("shared") == ((100L, "0,1,2")))
+    graft.CachedFrames.unpersistAll()
+  }
 }
