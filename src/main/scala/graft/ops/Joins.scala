@@ -213,4 +213,52 @@ object Joins {
       .filter(col(loCol) <= col(pointCol) && hiOk)
       .drop("__bin")
   }
+
+  /** Interval × interval overlap join as an equi-join on a derived bin
+    * key (+ optional `extraKeys` equi-columns, e.g. the entity id two
+    * per-entity interval sets share). Both sides replicate once per
+    * covered bin; a pair overlapping across several shared bins is
+    * counted in exactly ONE — the bin of the overlap's start,
+    * `bin(greatest(lLo, rLo))`, which both intervals cover whenever
+    * they overlap — so no post-join distinct exists in the plan (the
+    * same dedup-free accounting as [[pointInIntervalJoin]]'s
+    * single-bin points, extended to two replicated sides).
+    *
+    * Overlap is half-open (`lLo < rHi AND rLo < lHi`) or closed when
+    * `hiInclusive`. `maxBinsPerInterval` caps either side's
+    * replication ([[oversizedIntervals]] audits what it would drop).
+    * At scale the join shuffles both sides by (bin, extraKeys) — or
+    * broadcasts a small right side — and a hot bin's cost is bounded
+    * by the cap; there is never a cartesian fallback.
+    *
+    * Output: all left columns then all right columns minus
+    * `extraKeys` duplicates — prefix or prune on the way in if other
+    * names collide.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      lLoCol: String,
+      lHiCol: String,
+      right: DataFrame,
+      rLoCol: String,
+      rHiCol: String,
+      bin: Column => Column,
+      extraKeys: Seq[String] = Nil,
+      hiInclusive: Boolean = false,
+      maxBinsPerInterval: Int = 0): DataFrame = {
+    def binned(df: DataFrame, lo: String, hi: String) = {
+      val capped =
+        if (maxBinsPerInterval > 0)
+          df.filter(bin(col(hi)) - bin(col(lo)) + 1 <= maxBinsPerInterval)
+        else df
+      capped.withColumn("__bin", explode(sequence(bin(col(lo)), bin(col(hi)))))
+    }
+    val overlap =
+      if (hiInclusive) col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol)
+      else col(lLoCol) < col(rHiCol) && col(rLoCol) < col(lHiCol)
+    binned(left, lLoCol, lHiCol)
+      .join(binned(right, rLoCol, rHiCol), "__bin" +: extraKeys)
+      .filter(overlap && col("__bin") === bin(greatest(col(lLoCol), col(rLoCol))))
+      .drop("__bin")
+  }
 }

@@ -275,6 +275,29 @@ object AnalyticsQueries {
         .orderBy("promo_id")
     }),
 
+    // Interval-overlap join (per-user): each click opens a 2h window,
+    // each purchase a 1h window; pairs whose windows overlap for the
+    // same user. Bin width = the longer window, so either side covers
+    // <= 2 bins; the same-user equi-key rides the bin join.
+    "q_interval_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        col("ts").as("c_lo"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("c_hi"))
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("p_lo"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("p_hi"))
+      Joins.intervalOverlapJoin(
+          clicks, "c_lo", "c_hi", purchases, "p_lo", "p_hi",
+          Joins.timeBin(2L * 3600 * 1000000L), extraKeys = Seq("user_id"))
+        .select("user_id", "click_id", "purchase_id")
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
     // KMV distinct-count sketch: estimated distinct users per
     // event_type from the 64 smallest md5-derived hashes.
     "q_kmv_distinct" -> ((s, dir) => {
@@ -672,6 +695,20 @@ object AnalyticsQueries {
         |FROM lineitem l JOIN promo p
         |  ON l.l_shipdate >= p.promo_start AND l.l_shipdate < p.promo_end
         |GROUP BY 1 ORDER BY promo_id""".stripMargin,
+    "q_interval_overlap" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, ts AS c_lo,
+        |         ts + INTERVAL 2 HOUR AS c_hi
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS p_lo,
+        |         ts + INTERVAL 1 HOUR AS p_hi
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, click_id, purchase_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.c_lo < p.p_hi AND p.p_lo < c.c_hi
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     "q_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

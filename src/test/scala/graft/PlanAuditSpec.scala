@@ -228,6 +228,18 @@ class PlanAuditSpec extends SparkSpec {
       s"range join regressed to a theta join:\n$plan")
   }
 
+  test("q_interval_overlap stays an equi-join on (bin, user) — no nested loop") {
+    val plan = planOf("q_interval_overlap")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval overlap regressed to a theta join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"expected a keyed join on the derived bin:\n$plan")
+    // the single-bin overlap-start accounting means no dedup pass
+    assert(!plan.contains("HashAggregate(keys=[click_id") && !plan.contains("Deduplicate"),
+      "pairs must meet exactly once — no post-join distinct")
+  }
+
   test("q_attribution joins on the user equi-key with the time range as residual") {
     val plan = planOf("q_attribution")
     assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")

@@ -146,6 +146,40 @@ class JoinsSpec extends SparkSpec {
     assert(audit == Seq(99L))
   }
 
+  test("intervalOverlapJoin: exact overlap semantics, each pair exactly once") {
+    val lefts = Seq(
+      (1L, 0L, 100L),    // overlaps r1 [50,150) and r2 [90,95)
+      (2L, 200L, 260L),  // overlaps r3 [250,350) — crosses several shared bins
+      (3L, 500L, 510L)   // overlaps nothing
+    ).toDF("lid", "l_lo", "l_hi")
+    val rights = Seq(
+      (1L, 50L, 150L), (2L, 90L, 95L), (3L, 250L, 350L),
+      (4L, 100L, 120L)   // touches left 1 only at the half-open boundary
+    ).toDF("rid", "r_lo", "r_hi")
+    val out = Joins.intervalOverlapJoin(
+        lefts, "l_lo", "l_hi", rights, "r_lo", "r_hi", numBin)
+      .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(out == Seq((1L, 1L), (1L, 2L), (2L, 3L))) // no duplicates, no boundary pair
+    val closed = Joins.intervalOverlapJoin(
+        lefts, "l_lo", "l_hi", rights, "r_lo", "r_hi", numBin, hiInclusive = true)
+      .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(closed == Seq((1L, 1L), (1L, 2L), (1L, 4L), (2L, 3L)))
+  }
+
+  test("intervalOverlapJoin extraKeys scope pairs and the cap bounds replication") {
+    val l = Seq((1L, "a", 0L, 100L), (2L, "b", 0L, 100L)).toDF("lid", "k", "l_lo", "l_hi")
+    val r = Seq((1L, "a", 50L, 60L), (2L, "b", 0L, 100000L)).toDF("rid", "k", "r_lo", "r_hi")
+    val keyed = Joins.intervalOverlapJoin(
+        l, "l_lo", "l_hi", r, "r_lo", "r_hi", numBin, extraKeys = Seq("k"))
+      .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(keyed == Seq((1L, 1L), (2L, 2L))) // cross-key overlaps excluded
+    val capped = Joins.intervalOverlapJoin(
+        l, "l_lo", "l_hi", r, "r_lo", "r_hi", numBin, extraKeys = Seq("k"),
+        maxBinsPerInterval = 8)
+      .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(capped == Seq((1L, 1L))) // the 1500-bin right interval is dropped
+  }
+
   test("timeBin is monotonic over timestamps") {
     // 7-day epoch bins: 2024-01-01 is epoch day 19723 (bin 2817,
     // covering days 19719..19725); +7 days lands one bin later.
