@@ -275,6 +275,23 @@ object AnalyticsQueries {
         .orderBy("promo_id")
     }),
 
+    // PageRank (3 fixed iterations, d=0.85) over the customer↔supplier
+    // trade graph (edges from lineitem⋈orders, suppliers offset into
+    // a disjoint key space, reverse edges added so the walk is
+    // recurrent). Ranks scale to parts-per-million before the
+    // 4-decimal rounding so the cut sits ~7 digits above double-sum
+    // noise.
+    "q_pagerank" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .select(col("node"), round(col("rank") * 1000000, 4).as("rank_ppm"))
+        .orderBy("node")
+    }),
+
     // Interval-overlap join (per-user): each click opens a 2h window,
     // each purchase a 1h window; pairs whose windows overlap for the
     // same user. Bin width = the longer window, so either side covers
@@ -372,6 +389,42 @@ object AnalyticsQueries {
           |ORDER BY d.doc_id""".stripMargin)
     })
   )
+
+  /** Unrolled fixed-iteration PageRank oracle over the same
+    * customer↔supplier edge construction as q_pagerank: r0 = 1/N,
+    * each r_{i+1} one join+sum over r_i — DuckDB replays the exact
+    * synchronous-update arithmetic.
+    */
+  private def pageRankOracle(iterations: Int, damping: Double): String = {
+    val base =
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), e AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+         |), nodes AS (
+         |  SELECT src AS node FROM e UNION SELECT dst FROM e
+         |), nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""", r$i AS (
+         |  SELECT nd.node,
+         |    ${1.0 - damping} / (SELECT n FROM nn)
+         |      + $damping * coalesce(s.m, 0) AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank / d.deg) AS m
+         |    FROM e JOIN r${i - 1} r ON r.node = e.src
+         |    JOIN deg d ON d.node = e.src
+         |    GROUP BY 1) s ON s.node = nd.node
+         |)""".stripMargin
+    }.mkString
+    base + iters +
+      s"""
+         |SELECT node, round(rank * 1000000, 4) AS rank_ppm
+         |FROM r$iterations ORDER BY node""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_asof_join" ->
@@ -695,6 +748,7 @@ object AnalyticsQueries {
         |FROM lineitem l JOIN promo p
         |  ON l.l_shipdate >= p.promo_start AND l.l_shipdate < p.promo_end
         |GROUP BY 1 ORDER BY promo_id""".stripMargin,
+    "q_pagerank" -> pageRankOracle(iterations = 3, damping = 0.85),
     "q_interval_overlap" ->
       """WITH c AS (
         |  SELECT user_id, event_id AS click_id, ts AS c_lo,
