@@ -122,6 +122,44 @@ object Curation {
     * digits-in-domain address can't leave a partial match for the
     * narrower patterns). One codegen'd projection, no shuffle.
     */
+  /** Weighted sampling without replacement (the Efraimidis–Spirakis
+    * exponential race, hash-determinized): each row draws a
+    * deterministic uniform `u ∈ (0, 1]` from `hasher(seed, id)` and
+    * races with key `−ln(u) / weight` — the `k` SMALLEST keys win,
+    * each row's win probability proportional to its weight (the
+    * minimum of exponential clocks). No RNG state: same (id, seed) →
+    * same key on any partitioning, any retry, any engine — the same
+    * reproducibility argument as [[assignSplit]], extended to
+    * weighted draws.
+    *
+    * Keys round to 6 decimals BEFORE ranking with the row id as
+    * tiebreak (the repo-wide ln-ulp convention: a math-library ulp
+    * must not flip the cut). Rows with NULL or non-positive weight
+    * are excluded — they have no race to run. The top-k lowers to
+    * TakeOrderedAndProject: every partition keeps k rows, no global
+    * sort at any scale.
+    *
+    * Output: the input row + `skey` (the race key), k rows.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long = 42L,
+      hasher: (Column, Column) => Column = TextAnalysis.fastH64): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(!df.columns.contains("skey"),
+      "weightedSample appends output column skey; rename the existing")
+    val m = 1L << 30
+    val u = (pmod(hasher(lit(seed), col(idCol).cast("string")), lit(m)) + 1L)
+      .cast("double") / lit((m + 1L).toDouble)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("skey", round(-log(u) / col(weightCol), 6))
+      .orderBy(col("skey"), col(idCol))
+      .limit(k)
+  }
+
   def redactPii(text: Column): Column = {
     val e = regexp_replace(text, emailPattern, "[EMAIL]")
     val i = regexp_replace(e, ipPattern, "[IP]")

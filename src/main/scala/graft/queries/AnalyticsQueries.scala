@@ -275,6 +275,21 @@ object AnalyticsQueries {
         .orderBy("promo_id")
     }),
 
+    // Z-order (Morton) layout key: the 10-bit lanes of two normalized
+    // part/supplier coordinates interleaved into one curve position —
+    // the multi-column clustering key a data-skipping write sorts by
+    // (clusterByZOrder's range+sort is the write path; the key
+    // arithmetic is what the oracle can replay).
+    "q_zorder" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 1024).as("px"),
+        (col("l_suppkey") % 1024).as("sx"))
+      li.withColumn("zkey",
+          graft.ops.Layout.zOrderKey(Seq(col("px"), col("sx")), bits = 10))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // PageRank (3 fixed iterations, d=0.85) over the customer↔supplier
     // trade graph (edges from lineitem⋈orders, suppliers offset into
     // a disjoint key space, reverse edges added so the walk is
@@ -749,6 +764,21 @@ object AnalyticsQueries {
         |  ON l.l_shipdate >= p.promo_start AND l.l_shipdate < p.promo_end
         |GROUP BY 1 ORDER BY promo_id""".stripMargin,
     "q_pagerank" -> pageRankOracle(iterations = 3, damping = 0.85),
+    "q_zorder" -> {
+      // bit i of column j lands at curve position i*2 + j (LSB-first)
+      val terms = for {
+        (c, j) <- Seq("px", "sx").zipWithIndex
+        i <- 0 until 10
+      } yield s"((($c >> $i) & 1) * ${1L << (i * 2 + j)})"
+      s"""WITH t AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    l_partkey % 1024 AS px, l_suppkey % 1024 AS sx
+         |  FROM lineitem
+         |)
+         |SELECT l_orderkey, l_linenumber, px, sx,
+         |  ${terms.mkString(" + ")} AS zkey
+         |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "q_interval_overlap" ->
       """WITH c AS (
         |  SELECT user_id, event_id AS click_id, ts AS c_lo,

@@ -134,6 +134,19 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Weighted sampling without replacement: 100 docs drawn with
+    // probability proportional to token count via the deterministic
+    // exponential race (no RNG; same ids win on any partitioning).
+    "q_weighted_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_tokens"))
+      Curation.weightedSample(
+          d, "doc_id", "n_tokens", k = 100, seed = 42L,
+          hasher = TextAnalysis.h64)
+        .orderBy("doc_id")
+    }),
+
     // The census behind the ban decision: every line shared by >1
     // document with its exact document frequency — what a production
     // pipeline logs to tune the threshold.
@@ -242,6 +255,20 @@ object CurationQueries {
         |  len(regexp_extract_all(raw, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b'))::BIGINT AS n_ips,
         |  len(regexp_extract_all(raw, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))::BIGINT AS n_phones
         |FROM raw ORDER BY doc_id""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tokens,
+        |    round(-ln(((('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |                % 1073741824) + 1)::DOUBLE / 1073741825.0)
+        |          / n_tokens, 6) AS skey
+        |  FROM t WHERE n_tokens > 0
+        |  ORDER BY skey, doc_id LIMIT 100
+        |)
+        |SELECT doc_id, n_tokens, skey FROM r ORDER BY doc_id""".stripMargin,
     "q_dedup_lines" ->
       (lineCte +
         """, banned AS (

@@ -195,6 +195,19 @@ class PlanAuditSpec extends SparkSpec {
       s"line-content-keyed exchange found:\n${exchanges.mkString("\n")}")
   }
 
+  test("q_weighted_sample bounds the race cut without a global sort") {
+    val plan = planOf("q_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the k-smallest-keys cut must lower to TakeOrderedAndProject")
+  }
+
+  test("q_zorder's key is a pure projection — no exchange before the display sort") {
+    val plan = planOf("q_zorder")
+    assert(!plan.contains("hashpartitioning"),
+      s"the Morton key must not shuffle anything:\n$plan")
+    assert(!plan.contains("HashAggregate"), "no aggregation belongs in a layout key")
+  }
+
   test("q_profile is one aggregation pass regardless of column count") {
     val plan = planOf("q_profile")
     // formatted explain prints each node in the tree AND as a detail

@@ -237,6 +237,39 @@ class CurationSpec extends SparkSpec {
     assert(out.columns.contains("mix_tokens_before"))
   }
 
+  test("weightedSample: deterministic, weight-proportional, bounded to k") {
+    val d = spark.range(0, 1000).select(
+      col("id").as("doc_id"),
+      // ids < 100 carry 50x the weight of the rest
+      when(col("id") < 100, 500L).otherwise(10L).as("w"))
+    val got = Curation.weightedSample(d, "doc_id", "w", k = 100, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size == 100)
+    // heavy tenth of rows should dominate the sample (exp race: a
+    // 50x weight wins overwhelmingly; loose 3-sigma-ish band)
+    val heavy = got.count(_ < 100)
+    assert(heavy > 55, s"heavy rows under-sampled: $heavy/100")
+    // determinism across partitioning
+    val again = Curation.weightedSample(
+      d.repartition(13), "doc_id", "w", k = 100, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got)
+    // different seed draws a different sample
+    val reseeded = Curation.weightedSample(d, "doc_id", "w", k = 100, seed = 8L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(reseeded != got)
+    // NULL / non-positive weights never win
+    val mixed = Seq((1L, Option(5L)), (2L, None), (3L, Option(0L)), (4L, Option(-1L)))
+      .toDF("doc_id", "w")
+    val win = Curation.weightedSample(mixed, "doc_id", "w", k = 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(win == Seq(1L))
+    // output-column shadow rejected
+    intercept[IllegalArgumentException] {
+      Curation.weightedSample(d.withColumn("skey", lit(1)), "doc_id", "w", 5)
+    }
+  }
+
   // X57 — line-level boilerplate removal ------------------------------
 
   /** 100 docs: chrome on every page, unique body, footer in half. */

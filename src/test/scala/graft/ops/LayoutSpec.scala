@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-Scala Morton reference: bit i of col j → position i*n+j. */
+  private def refZ(vals: Seq[Long], bits: Int): Long = {
+    val n = vals.size
+    (for {
+      (v, j) <- vals.zipWithIndex
+      i <- 0 until bits
+    } yield ((v >> i) & 1L) << (i * n + j)).sum
+  }
+
+  test("zOrderKey matches the reference interleave, incl. 3 columns") {
+    val rows = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (5L, 3L, 0L), (255L, 255L, 255L))
+    val got = rows.toDF("x", "y", "z")
+      .withColumn("k2", Layout.zOrderKey(Seq($"x", $"y"), 8))
+      .withColumn("k3", Layout.zOrderKey(Seq($"x", $"y", $"z"), 8))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, z, k2, k3) =>
+      assert(k2 == refZ(Seq(x, y), 8), s"($x,$y)")
+      assert(k3 == refZ(Seq(x, y, z), 8), s"($x,$y,$z)")
+    }
+    // unit-bit placement: x contributes even positions, y odd
+    val m = got.map { case (x, y, _, k2, _) => (x, y) -> k2 }.toMap
+    assert(m((1L, 0L)) == 1L && m((0L, 1L)) == 2L)
+  }
+
+  test("zOrderKey masks out-of-range values into their own lanes") {
+    val k = Seq((1024L + 3L, 2L)).toDF("x", "y")
+      .select(Layout.zOrderKey(Seq($"x", $"y"), 10).as("k"))
+      .as[Long].head()
+    assert(k == refZ(Seq(3L, 2L), 10)) // the 11th bit of x must not leak
+  }
+
+  test("zOrderKey preserves locality better than a single-column sort") {
+    // 16x16 grid: rank cells by zkey and by x-major; for each cell
+    // measure the curve distance to its right neighbor. Z-order keeps
+    // neighbors close (<= 3 for half the cells); x-major puts
+    // row-crossing neighbors 16 apart everywhere.
+    val cells = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val z = cells.map { case (x, y) => (x, y) -> refZ(Seq(x, y), 4) }.toMap
+    val closeZ = cells.count { case (x, y) =>
+      x < 15 && math.abs(z((x + 1, y)) - z((x, y))) <= 3 }
+    assert(closeZ > 100, s"z-order lost locality: $closeZ")
+  }
+
+  test("clusterByZOrder range-partitions along the curve and validates input") {
+    val df = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).as("y"))
+    val out = Layout.clusterByZOrder(df, Seq("x", "y"), bits = 6, numFiles = 8)
+    assert(out.columns.toSeq == Seq("x", "y")) // staging key dropped
+    assert(out.rdd.getNumPartitions == 8)
+    // partitions tile the curve: every partition's zkey range is
+    // disjoint from the next one's
+    val ranges = out
+      .withColumn("zk", Layout.zOrderKey(Seq(col("x"), col("y")), 6))
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").agg(min("zk").as("lo"), max("zk").as("hi"))
+      .orderBy("p").as[(Int, Long, Long)].collect()
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2, ranges.mkString(","))
+      case _ =>
+    }
+    intercept[IllegalArgumentException] {
+      Layout.clusterByZOrder(df.withColumn("__zkey", lit(1)), Seq("x", "y"), 6, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zOrderKey(Seq(col("x")), 8) // one column is not an interleave
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zOrderKey(Seq(col("x"), col("y")), 32) // 64 bits > 62
+    }
+  }
+}
