@@ -160,6 +160,48 @@ object Curation {
       .limit(k)
   }
 
+  /** Per-group token-budget enforcement: within each `groupCol` (a
+    * source/domain), walk documents in `orderCol` order accumulating
+    * whitespace-token counts, and flag the prefix whose running total
+    * stays within `budgetTokens` — the "cap every domain's
+    * contribution" step of a corpus-mixing recipe, as enforced code
+    * with an exact audit trail instead of a post-hoc count.
+    *
+    * Output: input columns + `n_tokens` (this doc), `cum_tokens`
+    * (running total including this doc), `kept` (cum_tokens ≤
+    * budget). Callers filter `kept` for the capped corpus and keep
+    * the complement for the audit.
+    *
+    * Scale shape: one hash exchange by group + an in-partition sort
+    * for the running-sum window; token counting is a codegen'd
+    * projection (`size(split(..))` — no explode, the token ARRAY is
+    * never materialized per row beyond the count). Groups are
+    * domains/sources — many and modest at corpus scale; a single
+    * pathological group serializes its own window only (same
+    * contract as [[mixSources]], whose partition-offset prefix sum is
+    * the escape hatch if one group is corpus-sized).
+    */
+  def tokenBudget(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      budgetTokens: Long,
+      orderCol: Column): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val reserved = Set("n_tokens", "cum_tokens", "kept")
+    val shadowing = df.columns.filter(reserved)
+    require(shadowing.isEmpty,
+      s"tokenBudget appends ${reserved.mkString("/")}; " +
+        s"rename: ${shadowing.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(
+        "n_tokens", size(TextAnalysis.tokens(col(textCol))).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("kept", col("cum_tokens") <= budgetTokens)
+  }
+
   def redactPii(text: Column): Column = {
     val e = regexp_replace(text, emailPattern, "[EMAIL]")
     val i = regexp_replace(e, ipPattern, "[IP]")

@@ -67,6 +67,47 @@ object EventAnalytics {
         stepCols.tail.map(c => min(c).as(c)): _*)
   }
 
+  /** Per-entity feed-health audit — the ingestion-monitoring pass a
+    * streaming pipeline runs over each batch of an event log:
+    * `(entity, n_events, n_out_of_order, max_gap_seconds,
+    * span_seconds)` where `n_out_of_order` counts events whose
+    * timestamp regresses against the delivery order (`orderCol` — an
+    * offset/sequence id), `max_gap_seconds` is the largest
+    * between-event silence, and `span_seconds` is last-minus-first.
+    * Out-of-order counts size the watermark a streaming consumer
+    * needs; gap spikes flag dead producers.
+    *
+    * Same single-exchange contract as the rest of this module: one
+    * hash exchange on the entity, a lag window, and a reduction that
+    * reuses the window's partitioning. Gaps are exact integer
+    * microsecond differences (timezone-free), divided out to whole
+    * seconds so external engines replay them exactly.
+    */
+  def feedAudit(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      orderCol: String): DataFrame = {
+    val reserved = Set("__prev_us", "__us", "n_events", "n_out_of_order",
+      "max_gap_seconds", "span_seconds")
+    val shadowing = df.columns.filter(reserved)
+    require(shadowing.isEmpty,
+      s"feedAudit reserves ${reserved.mkString("/")}; " +
+        s"rename: ${shadowing.mkString(", ")}")
+    val w = Window.partitionBy(entityCol).orderBy(col(orderCol))
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    df.withColumn("__us", us)
+      .withColumn("__prev_us", lag(col("__us"), 1).over(w))
+      .groupBy(col(entityCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("__us") < col("__prev_us"), 1)).as("n_out_of_order"),
+        coalesce(max((col("__us") - col("__prev_us")) / lit(1000000L)
+          .cast("double")), lit(0.0)).as("max_gap_seconds"),
+        ((max(col("__us")) - min(col("__us"))) / lit(1000000L).cast("double"))
+          .as("span_seconds"))
+  }
+
   /** Funnel summary: `(step, step_name, entities)` — how many
     * entities reached each step (monotonically non-increasing).
     */

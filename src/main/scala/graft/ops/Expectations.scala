@@ -87,6 +87,43 @@ object Expectations {
       .select("x.column", "x.n", "x.n_null", "x.min", "x.max", "x.mean", "x.stddev")
   }
 
+  /** Equi-width histogram of a numeric column over `[lo, hi)` in
+    * `nBuckets` buckets: `(bucket, bucket_lo, bucket_hi, n)`, one row
+    * per non-empty bucket. Out-of-range values clamp into the edge
+    * buckets (so the counts always sum to the non-NULL row count);
+    * NULLs are excluded. One map-side-combined aggregation whose
+    * output is nBuckets-sized — profiling cost at any table size is
+    * one scan, the distribution-shape complement to [[profile]]'s
+    * moments.
+    *
+    * The bucket index is computed as `floor((v - lo) * n / (hi - lo))`
+    * — literal-for-literal the same IEEE double expression an external
+    * engine evaluates, so bucket assignment is reproducible
+    * cross-engine (no pre-divided width constant whose decimal
+    * rendering could drift).
+    */
+  def histogram(
+      df: DataFrame,
+      valueCol: Column,
+      lo: Double,
+      hi: Double,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    require(lo < hi, s"need lo < hi: [$lo, $hi)")
+    val v = valueCol.cast("double")
+    val idx = least(
+      greatest(floor((v - lo) * nBuckets / (hi - lo)).cast("long"), lit(0L)),
+      lit(nBuckets - 1L))
+    df.filter(v.isNotNull)
+      .groupBy(idx.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo",
+        round(lit(lo) + col("bucket") * (hi - lo) / nBuckets, 6))
+      .withColumn("bucket_hi",
+        round(lit(lo) + (col("bucket") + 1) * (hi - lo) / nBuckets, 6))
+      .select(col("bucket"), col("bucket_lo"), col("bucket_hi"), col("n"))
+  }
+
   /** Child rows whose `childKey` value has no match in
     * `parent.parentKey` (NULL child keys are orphans too — they
     * reference nothing). One left-anti join on the key.

@@ -116,6 +116,68 @@ object TfIdf {
       .select(col(idCol), col("term"), col("tfidf"), col("rk"))
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * per-document mean log-ratio of token likelihood under a TARGET
+    * unigram model vs the SOURCE (corpus) model, add-1 smoothed over
+    * the union vocabulary:
+    *
+    *   avg over tokens t of
+    *     ln((target_count(t)+1)/(target_total+V))
+    *   - ln((corpus_count(t)+1)/(corpus_total+V))
+    *
+    * Higher = more target-like; rank/filter on `avg_logratio` to
+    * select corpus documents that resemble the target domain. Output:
+    * (idCol, avg_logratio, n_tokens), rounded to 4 decimals so the
+    * ranking is reproducible across engines.
+    *
+    * 100 TB shape: both models are vocabulary-sized map-side-combined
+    * aggregations; the corpus token stream joins them BY TERM (hash
+    * join on a vocabulary-sized build side — Catalyst/AQE broadcasts
+    * when it fits); the three scalar statistics (two totals + union
+    * vocabulary size) ride along as an explicitly-broadcast 1-row
+    * frame. The target corpus is small by construction (a curated
+    * domain sample), so its model never dominates; the corpus is
+    * streamed exactly once past the per-doc aggregation.
+    */
+  def importanceWeights(
+      corpus: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val tok = tokenRows(corpus, textCol, idCol)
+    val ttok = target.select(explode(tokens(col(textCol))).as("term"))
+    // Both models cache: each feeds its term-join AND the scalar
+    // totals below, and without the persist every consumer re-scans
+    // the corpus through the explode (vocabulary-sized frames — cheap
+    // to hold, released by the caller's CachedFrames.unpersistAll()).
+    val corpusCounts = graft.CachedFrames.persistOnce(
+      tok.groupBy("term").agg(count(lit(1)).as("__cc")))
+    val targetCounts = graft.CachedFrames.persistOnce(
+      ttok.groupBy("term").agg(count(lit(1)).as("__tc")))
+    // One broadcast 1-row frame with every scalar the score needs —
+    // all three derive from the CACHED vocabulary-sized models (totals
+    // are the sums of the counts), so no extra corpus scan.
+    val scalars =
+      corpusCounts.agg(coalesce(sum("__cc"), lit(0L)).as("__ct"))
+        .crossJoin(targetCounts.agg(coalesce(sum("__tc"), lit(0L)).as("__tt")))
+        .crossJoin(
+          corpusCounts.select("term").union(targetCounts.select("term"))
+            .distinct().select(count(lit(1)).as("__v")))
+    tok
+      .join(corpusCounts, Seq("term"))
+      .join(targetCounts, Seq("term"), "left")
+      .crossJoin(broadcast(scalars))
+      .groupBy(col(idCol))
+      .agg(
+        round(avg(
+          log((coalesce(col("__tc"), lit(0L)).cast("double") + 1) /
+            (col("__tt") + col("__v"))) -
+          log((col("__cc").cast("double") + 1) / (col("__ct") + col("__v")))
+        ), 4).as("avg_logratio"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Per-document mean unigram log-probability under the corpus's own
     * unigram model: `avg over tokens of ln(count(term) / total)`.
     * More negative = more surprising relative to the corpus; a cheap

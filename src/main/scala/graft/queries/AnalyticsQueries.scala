@@ -330,6 +330,37 @@ object AnalyticsQueries {
         .orderBy("user_id", "click_id", "purchase_id")
     }),
 
+    // Equi-width histogram of lineitem extended price: 22 buckets of
+    // 5000 over [0, 110000) from one map-side-combined aggregation —
+    // the distribution-shape profile beside q_profile's moments.
+    "q_histogram" -> ((s, dir) => {
+      graft.ops.Expectations.histogram(
+          Tables.lineitem(s, dir), col("l_extendedprice"),
+          lo = 0.0, hi = 110000.0, nBuckets = 22)
+        .orderBy("bucket")
+    }),
+
+    // Feed-health audit of the event log: per-user event counts,
+    // timestamp regressions against delivery order, largest
+    // inter-event silence, and total span — the watermark-sizing
+    // report a streaming consumer derives per batch.
+    "q_feed_audit" -> ((s, dir) => {
+      graft.ops.EventAnalytics.feedAudit(
+          Tables.events(s, dir), "user_id", "ts", "event_id")
+        .orderBy("user_id")
+    }),
+
+    // DSIR-style importance weights: corpus docs scored by mean
+    // unigram log-likelihood ratio against a target domain (source
+    // src0), add-1 smoothed — the data-selection signal for
+    // target-matched corpus sampling.
+    "q_importance_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TfIdf.importanceWeights(
+          docs, docs.filter(col("source") === "src0"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // KMV distinct-count sketch: estimated distinct users per
     // event_type from the 64 smallest md5-derived hashes.
     "q_kmv_distinct" -> ((s, dir) => {
@@ -793,6 +824,51 @@ object AnalyticsQueries {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND c.c_lo < p.p_hi AND p.p_lo < c.c_hi
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT least(greatest(CAST(floor((l_extendedprice::DOUBLE - 0.0) * 22 / 110000.0) AS BIGINT), 0), 21) AS bucket
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |)
+        |SELECT bucket,
+        |  round(0.0 + (bucket * 110000.0) / 22, 6) AS bucket_lo,
+        |  round(0.0 + ((bucket + 1) * 110000.0) / 22, 6) AS bucket_hi,
+        |  count(*) AS n
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_feed_audit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events
+        |), f AS (
+        |  SELECT user_id, us,
+        |         lag(us) OVER (PARTITION BY user_id ORDER BY event_id) AS pus
+        |  FROM e
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |  count(*) FILTER (WHERE us < pus) AS n_out_of_order,
+        |  coalesce(max((us - pus)::DOUBLE / 1000000), 0.0) AS max_gap_seconds,
+        |  (max(us) - min(us))::DOUBLE / 1000000 AS span_seconds
+        |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_importance_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+        |), ttok AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents WHERE source = 'src0'
+        |), cc AS (
+        |  SELECT term, count(*) AS cc FROM tok GROUP BY 1
+        |), tc AS (
+        |  SELECT term, count(*) AS tc FROM ttok GROUP BY 1
+        |), v AS (
+        |  SELECT count(*) AS v FROM (SELECT term FROM cc UNION SELECT term FROM tc)
+        |), tot AS (
+        |  SELECT (SELECT count(*) FROM tok) AS ct, (SELECT count(*) FROM ttok) AS tt
+        |)
+        |SELECT tok.doc_id,
+        |  round(avg(ln((coalesce(tc.tc, 0) + 1)::DOUBLE / (tot.tt + v.v))
+        |          - ln((cc.cc + 1)::DOUBLE / (tot.ct + v.v))), 4) AS avg_logratio,
+        |  count(*) AS n_tokens
+        |FROM tok JOIN cc USING (term) LEFT JOIN tc USING (term)
+        |CROSS JOIN tot CROSS JOIN v
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
     "q_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

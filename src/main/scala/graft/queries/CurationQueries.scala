@@ -147,6 +147,19 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-source token-budget cap: walk each source in doc_id order
+    // accumulating token counts; keep the prefix within an 800-token
+    // budget — enforced per-domain contribution capping with an exact
+    // cumulative audit trail.
+    "q_token_budget" -> ((s, dir) => {
+      Curation.tokenBudget(
+          Tables.documents(s, dir).select("doc_id", "source", "text"),
+          "text", "source", budgetTokens = 800L, orderCol = col("doc_id"))
+        .filter(col("kept"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    }),
+
     // The census behind the ban decision: every line shared by >1
     // document with its exact document frequency — what a production
     // pipeline logs to tune the threshold.
@@ -269,6 +282,20 @@ object CurationQueries {
         |  ORDER BY skey, doc_id LIMIT 100
         |)
         |SELECT doc_id, n_tokens, skey FROM r ORDER BY doc_id""".stripMargin,
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(lower(text), ' '))::BIGINT AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin,
     "q_dedup_lines" ->
       (lineCte +
         """, banned AS (

@@ -218,6 +218,49 @@ class PlanAuditSpec extends SparkSpec {
       s"all column stats must ride ONE global agg exchange:\n$plan")
   }
 
+  test("q_histogram is one partial+final aggregation over one scan") {
+    val plan = planOf("q_histogram")
+    val aggs = plan.linesIterator.count(_.matches("""\(\d+\) HashAggregate.*"""))
+    assert(aggs == 2, s"expected exactly partial+final HashAggregate, got $aggs:\n$plan")
+    val scans = plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"histogram must profile in one scan:\n$plan")
+  }
+
+  test("q_feed_audit: one user-key exchange feeds the lag window AND the agg") {
+    val plan = planOf("q_feed_audit")
+    val userExchanges = plan.linesIterator
+      .count(l => l.contains("hashpartitioning(user_id"))
+    assert(userExchanges == 1,
+      s"window + reduction must share ONE user exchange:\n$plan")
+  }
+
+  test("q_token_budget: one source-key exchange, no global window") {
+    val plan = planOf("q_token_budget")
+    assert(!plan.contains("No Partition Defined"),
+      "the running sum must be per-source, never global")
+    val srcExchanges = plan.linesIterator
+      .count(l => l.contains("hashpartitioning(source"))
+    assert(srcExchanges == 1,
+      s"the cumulative window needs exactly one group exchange:\n$plan")
+  }
+
+  test("q_importance_weights: models join by term; only the scalar frame nest-loops") {
+    val plan = planOf("q_importance_weights")
+    assert(!plan.contains("CartesianProduct"),
+      s"nothing here is an unkeyed product:\n$plan")
+    // only the three 1-row scalar-statistics frames ride nested-loop
+    // (broadcast cross) joins; both model joins must stay term equi-joins
+    val bnlj = plan.linesIterator.count(_.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
+    assert(bnlj <= 3, s"only the scalar cross-joins may nest-loop, got $bnlj:\n$plan")
+    val equiJoins = plan.linesIterator.count(l =>
+      l.matches("""\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*"""))
+    assert(equiJoins >= 2, s"corpus+target model joins must be keyed:\n$plan")
+    // the models are cached: totals derive from the vocabulary-sized
+    // count frames, not from extra corpus scans
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"model counts must be persisted, not recomputed per consumer:\n$plan")
+  }
+
   test("q_inverted_index bounds posting lists before the term shuffle") {
     val plan = planOf("q_inverted_index")
     assert(plan.contains("WindowGroupLimit"),

@@ -237,6 +237,46 @@ class CurationSpec extends SparkSpec {
     assert(out.columns.contains("mix_tokens_before"))
   }
 
+  test("tokenBudget: prefix within budget kept, exact cumulative audit") {
+    val d = Seq(
+      (1L, "a", "one two three"),        // 3 tokens, cum 3
+      (2L, "a", "four five"),            // 2 tokens, cum 5
+      (3L, "a", "six seven eight nine"), // 4 tokens, cum 9 > 6 → dropped
+      (4L, "a", "ten"),                  // cum 10 → dropped (no refill)
+      (5L, "b", "alpha beta")            // cum 2 ≤ 6 → kept
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.tokenBudget(d, "text", "source", 6L, col("doc_id"))
+      .select("doc_id", "n_tokens", "cum_tokens", "kept")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 3L, true)))
+    assert(out(2L) == ((2L, 5L, true)))
+    assert(out(3L) == ((4L, 9L, false)))
+    // once crossed, later docs stay dropped even if small (prefix cap,
+    // not best-fit packing)
+    assert(out(4L) == ((1L, 10L, false)))
+    assert(out(5L) == ((2L, 2L, true)))
+  }
+
+  test("tokenBudget is partitioning-independent and refuses shadowed columns") {
+    val d = spark.range(0, 200).select(
+      col("id").as("doc_id"),
+      (col("id") % 4).cast("string").as("source"),
+      lit("tok tok tok").as("text"))
+    val a = Curation.tokenBudget(d, "text", "source", 60L, col("doc_id"))
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    val b = Curation.tokenBudget(d.repartition(17), "text", "source", 60L, col("doc_id"))
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // 60-token budget = 20 docs of 3 tokens per source, 4 sources
+    assert(a.size == 80)
+    val clash = d.withColumn("cum_tokens", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      Curation.tokenBudget(clash, "text", "source", 10L, col("doc_id"))
+    }
+    assert(e.getMessage.contains("cum_tokens"))
+  }
+
   test("weightedSample: deterministic, weight-proportional, bounded to k") {
     val d = spark.range(0, 1000).select(
       col("id").as("doc_id"),

@@ -55,6 +55,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(f == Seq((1, "a", 3L), (2, "b", 1L)))
   }
 
+  test("feedAudit: out-of-order regressions, max gap, span, one-event entity") {
+    val d = Seq(
+      // user 1: delivered in order 1,2,3 but event 2's ts regresses
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 09:00:00")),
+      (1L, 3L, ts("2024-01-01 12:00:00")),
+      // user 2: clean, gaps 60s then 600s
+      (2L, 4L, ts("2024-01-01 10:00:00")),
+      (2L, 5L, ts("2024-01-01 10:01:00")),
+      (2L, 6L, ts("2024-01-01 10:11:00")),
+      // user 3: single event — no gaps, zero span
+      (3L, 7L, ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val got = EventAnalytics.feedAudit(d, "user_id", "ts", "event_id")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // user 1: one regression; max gap is 09:00→12:00 = 10800s, and the
+    // span is min-to-max ts (also 10800s), not delivery-order endpoints
+    assert(got(1L) == ((3L, 1L, 10800.0, 10800.0)))
+    assert(got(2L) == ((3L, 0L, 600.0, 660.0)))
+    assert(got(3L) == ((1L, 0L, 0.0, 0.0)))
+  }
+
+  test("feedAudit plan: one exchange on the entity key") {
+    val d = Seq((1L, 1L, ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val plan = EventAnalytics.feedAudit(d, "user_id", "ts", "event_id")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected one exchange:\n$plan")
+  }
+
   test("retentionCohorts: offset-0 row is cohort size; later weeks counted") {
     // cohort week of 2024-01-01 (Mon): users 10, 11; user 10 returns
     // in the next week; user 12 starts the following week.

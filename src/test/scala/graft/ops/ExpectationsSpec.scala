@@ -84,6 +84,29 @@ class ExpectationsSpec extends SparkSpec {
     assert(r1.getLong(1) == 1 && r1.isNullAt(6))
   }
 
+  test("histogram: bucket assignment, edge clamping, NULL exclusion") {
+    val d = Seq(Option(-5.0), Option(0.0), Option(9.99), Option(10.0),
+      Option(55.0), Option(99.9), Option(100.0), Option(250.0), None)
+      .toDF("v")
+    val got = Expectations.histogram(d, col("v"), lo = 0.0, hi = 100.0, nBuckets = 10)
+      .orderBy("bucket")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    // -5 clamps into bucket 0; 100 and 250 clamp into bucket 9; NULL dropped
+    assert(got == Seq(
+      (0L, 0.0, 10.0, 3L), (1L, 10.0, 20.0, 1L),
+      (5L, 50.0, 60.0, 1L), (9L, 90.0, 100.0, 3L)))
+    // counts conserve the non-NULL row count under clamping
+    assert(got.map(_._4).sum == 8L)
+  }
+
+  test("histogram is one aggregation pass over one scan") {
+    val d = Seq(1.0, 2.0, 3.0).toDF("v")
+    val plan = Expectations.histogram(d, col("v"), 0.0, 10.0, 5)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan"))
+    assert(scans == 1, s"expected a single scan, got $scans:\n$plan")
+  }
+
   test("orphans: missing parents and NULL child keys are both orphans") {
     val child = Seq(
       (1L, Option(10L)), (2L, Option(20L)), (3L, Option(99L)), (4L, None)

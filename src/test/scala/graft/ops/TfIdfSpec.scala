@@ -50,6 +50,35 @@ class TfIdfSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("importanceWeights ranks target-like docs above off-domain docs") {
+    val corpus = Seq(
+      (1L, "law court judge ruling"),
+      (2L, "law court judge appeal"),
+      (3L, "pizza recipe cheese oven"),
+      (4L, "law pizza court cheese")
+    ).toDF("doc_id", "text")
+    val target = Seq((90L, "law law court court judge ruling appeal"))
+      .toDF("doc_id", "text")
+    val w = TfIdf.importanceWeights(corpus, target, "text", "doc_id")
+      .select($"doc_id", $"avg_logratio").as[(Long, Double)].collect().toMap
+    // pure-legal docs score above the mixed doc, which scores above
+    // the pure-cooking doc
+    assert(w(1L) > w(4L) && w(4L) > w(3L), s"ordering wrong: $w")
+    assert(w(2L) > w(3L))
+  }
+
+  test("importanceWeights smoothing keeps unseen-in-target tokens finite") {
+    val corpus = Seq((1L, "never seen tokens only")).toDF("doc_id", "text")
+    val target = Seq((9L, "completely different words")).toDF("doc_id", "text")
+    val got = TfIdf.importanceWeights(corpus, target, "text", "doc_id")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got.size == 1)
+    val (_, lr, n) = got.head
+    assert(!lr.isInfinite && !lr.isNaN && n == 4L)
+    // every corpus token is target-unseen: ratio must be negative
+    assert(lr < 0, s"unseen tokens should score below zero: $lr")
+  }
+
   test("invertedIndex: exact df/tf with postings bounded and ascending") {
     val idx = TfIdf.invertedIndex(docs, "text", "doc_id", maxPostings = 10)
       .as[(String, Long, Long, String)].collect()
