@@ -124,6 +124,65 @@ object Expectations {
       .select(col("bucket"), col("bucket_lo"), col("bucket_hi"), col("n"))
   }
 
+  /** Population-stability-index drift report between two datasets'
+    * distributions of the same numeric column — the "has this week's
+    * crawl drifted from last week's" gate a production pipeline runs
+    * before retraining. Both sides histogram over the SAME fixed
+    * `[lo, hi)` × `nBuckets` grid (fixed, not data-derived — a
+    * data-derived grid would move with the drift it's measuring);
+    * per-bucket proportions are add-1 (Laplace) smoothed:
+    * `p_i = (c_i + 1) / (N + nBuckets)`, so empty buckets stay
+    * finite and the PSI is exact, engine-replayable arithmetic rather
+    * than an epsilon-clamp convention. Output: one row per bucket
+    * (all `nBuckets`, present or not), `(bucket, n_expected,
+    * n_actual, psi_contrib)`; `sum(psi_contrib)` is the PSI
+    * (rule-of-thumb: <0.1 stable, >0.25 drifted).
+    *
+    * Scale shape: two X65 histograms (one scan each, nBuckets-sized
+    * results) left-joined onto a generated bucket spine, scalar
+    * totals riding broadcast 1-row frames — drift over 100 TB costs
+    * two scans and nothing wider than nBuckets rows thereafter.
+    */
+  def psiReport(
+      expected: DataFrame,
+      actual: DataFrame,
+      valueCol: Column,
+      lo: Double,
+      hi: Double,
+      nBuckets: Int): DataFrame = {
+    val spark = expected.sparkSession
+    // Each histogram caches: it feeds the bucket join AND its total
+    // below, and clamping conserves the non-NULL row count, so
+    // `sum(n)` over buckets IS `count(valueCol)` — totals cost a
+    // bucket-sized aggregate instead of a second scan per side.
+    // (alias AFTER the persist: the registry keys on canonicalized
+    // plans, where an alias-only difference is no difference — two
+    // histograms of the same input deliberately share one cache entry)
+    val heRaw = graft.CachedFrames.persistOnce(
+      histogram(expected, valueCol, lo, hi, nBuckets))
+    val haRaw = graft.CachedFrames.persistOnce(
+      histogram(actual, valueCol, lo, hi, nBuckets))
+    val he = heRaw.select(col("bucket"), col("n").as("__ne"))
+    val ha = haRaw.select(col("bucket"), col("n").as("__na"))
+    val spine = spark.range(nBuckets).select(col("id").as("bucket"))
+    val totals =
+      he.agg(coalesce(sum("__ne"), lit(0L)).as("__te"))
+        .crossJoin(ha.agg(coalesce(sum("__na"), lit(0L)).as("__ta")))
+    val p = (coalesce(col("__ne"), lit(0L)).cast("double") + 1) /
+      (col("__te") + nBuckets)
+    val q = (coalesce(col("__na"), lit(0L)).cast("double") + 1) /
+      (col("__ta") + nBuckets)
+    spine
+      .join(he, Seq("bucket"), "left")
+      .join(ha, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bucket"),
+        coalesce(col("__ne"), lit(0L)).as("n_expected"),
+        coalesce(col("__na"), lit(0L)).as("n_actual"),
+        round((p - q) * log(p / q), 6).as("psi_contrib"))
+  }
+
   /** Child rows whose `childKey` value has no match in
     * `parent.parentKey` (NULL child keys are orphans too — they
     * reference nothing). One left-anti join on the key.

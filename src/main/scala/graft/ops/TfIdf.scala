@@ -196,4 +196,55 @@ object TfIdf {
           .as("avg_logprob"),
         count(lit(1)).as("n_tokens"))
   }
+
+  /** (id, w1, bigram) adjacent-token pair rows, built INSIDE the row
+    * by a `transform` over the token array (no positional self-join:
+    * pairing by explode + join on (id, pos+1) would shuffle the
+    * corpus twice and rebuild what adjacency already gives us for
+    * free). Same keyed pre-explode repartition as [[tokenRows]], same
+    * AQE-fanout rationale. Docs with fewer than two tokens produce no
+    * rows.
+    */
+  private def bigramRows(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(expr(
+        """transform(
+          |  slice(__toks, 1, greatest(size(__toks) - 1, 0)),
+          |  (x, i) -> struct(
+          |    x AS w1,
+          |    concat(x, ' ', element_at(__toks, i + 2)) AS bigram))"""
+          .stripMargin)).as("__b"))
+      .select(col(idCol), col("__b.w1"), col("__b.bigram"))
+
+  /** Per-document mean bigram log-probability under the corpus's own
+    * bigram model: `avg over adjacent pairs of ln(c(w1 w2) / c(w1 ·))`
+    * — the CCNet-class language-model perplexity filter (more negative
+    * = less like fluent corpus text), one modeling order above
+    * [[unigramLogProb]] and a far sharper garbage/boilerplate signal
+    * (token salads have plausible unigrams but improbable bigrams).
+    * Self-scored, so every document bigram exists in the model and no
+    * smoothing is needed; conditionals are exact count ratios,
+    * engine-replayable. Docs with fewer than two tokens emit no row.
+    *
+    * Scale shape: pair construction is a per-row projection; both
+    * model tables (bigram counts, prefix counts) are
+    * vocabulary-of-pairs-sized map-side-combined aggregates that
+    * re-join BY KEY — the corpus pair stream is never shuffled except
+    * for those model joins, and the final per-doc agg reuses the
+    * pre-explode id partitioning.
+    */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val bg = bigramRows(df, textCol, idCol)
+    val pairCounts = bg.groupBy("bigram").agg(count(lit(1)).as("__c2"))
+    val prefixCounts = bg.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    bg
+      .join(pairCounts, Seq("bigram"))
+      .join(prefixCounts, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(
+        round(avg(log(col("__c2").cast("double") / col("__c1"))), 4)
+          .as("avg_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
 }

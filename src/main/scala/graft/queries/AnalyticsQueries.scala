@@ -350,6 +350,25 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // PSI drift report: full lineitem price distribution vs the
+    // low-quantity slice, 22 buckets, Laplace-smoothed contributions
+    // (sum(psi_contrib) is the PSI) — the retrain-gate drift check.
+    "q_drift_psi" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.ops.Expectations.psiReport(
+          li, li.filter(col("l_quantity") <= 10), col("l_extendedprice"),
+          lo = 0.0, hi = 110000.0, nBuckets = 22)
+        .orderBy("bucket")
+    }),
+
+    // Bigram LM self-scoring: per-doc mean ln P(w2|w1) under the
+    // corpus's own bigram model — the CCNet-class perplexity filter,
+    // one order above q_unigram_logprob.
+    "q_bigram_logprob" -> ((s, dir) => {
+      TfIdf.bigramLogProb(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // DSIR-style importance weights: corpus docs scored by mean
     // unigram log-likelihood ratio against a target domain (source
     // src0), add-1 smoothed — the data-selection signal for
@@ -847,6 +866,43 @@ object AnalyticsQueries {
         |  coalesce(max((us - pus)::DOUBLE / 1000000), 0.0) AS max_gap_seconds,
         |  (max(us) - min(us))::DOUBLE / 1000000 AS span_seconds
         |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_drift_psi" ->
+      """WITH he AS (
+        |  SELECT least(greatest(CAST(floor((l_extendedprice::DOUBLE - 0.0) * 22 / 110000.0) AS BIGINT), 0), 21) AS bucket,
+        |         count(*) AS ne
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+        |), ha AS (
+        |  SELECT least(greatest(CAST(floor((l_extendedprice::DOUBLE - 0.0) * 22 / 110000.0) AS BIGINT), 0), 21) AS bucket,
+        |         count(*) AS na
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity <= 10 GROUP BY 1
+        |), spine AS (
+        |  SELECT unnest(generate_series(0, 21))::BIGINT AS bucket
+        |), tot AS (
+        |  SELECT (SELECT count(l_extendedprice) FROM lineitem) AS te,
+        |         (SELECT count(l_extendedprice) FROM lineitem WHERE l_quantity <= 10) AS ta
+        |)
+        |SELECT bucket, coalesce(ne, 0) AS n_expected, coalesce(na, 0) AS n_actual,
+        |  round(((coalesce(ne, 0) + 1)::DOUBLE / (te + 22) - (coalesce(na, 0) + 1)::DOUBLE / (ta + 22))
+        |        * ln(((coalesce(ne, 0) + 1)::DOUBLE / (te + 22))
+        |             / ((coalesce(na, 0) + 1)::DOUBLE / (ta + 22))), 6) AS psi_contrib
+        |FROM spine LEFT JOIN he USING (bucket) LEFT JOIN ha USING (bucket) CROSS JOIN tot
+        |ORDER BY bucket""".stripMargin,
+    "q_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |), x AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks FROM t
+        |), bg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bigram FROM x
+        |), c2 AS (
+        |  SELECT bigram, count(*) AS c2 FROM bg GROUP BY 1
+        |), c1 AS (
+        |  SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+        |)
+        |SELECT doc_id, round(avg(ln(c2.c2::DOUBLE / c1.c1)), 4) AS avg_logprob,
+        |       count(*) AS n_bigrams
+        |FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_importance_weights" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents

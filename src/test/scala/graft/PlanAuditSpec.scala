@@ -261,6 +261,19 @@ class PlanAuditSpec extends SparkSpec {
       s"model counts must be persisted, not recomputed per consumer:\n$plan")
   }
 
+  test("q_drift_psi costs exactly two scans — one histogram per side") {
+    val plan = planOf("q_drift_psi")
+    val scans = plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 2, s"drift must be two profile scans, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no unkeyed product:\n$plan")
+  }
+
+  test("q_bigram_logprob joins its models by key, never a product") {
+    val plan = planOf("q_bigram_logprob")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair/prefix model joins must stay keyed:\n$plan")
+  }
+
   test("q_inverted_index bounds posting lists before the term shuffle") {
     val plan = planOf("q_inverted_index")
     assert(plan.contains("WindowGroupLimit"),

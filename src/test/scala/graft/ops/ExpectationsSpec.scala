@@ -107,6 +107,25 @@ class ExpectationsSpec extends SparkSpec {
     assert(scans == 1, s"expected a single scan, got $scans:\n$plan")
   }
 
+  test("psiReport: identical distributions score zero, shifts score positive") {
+    val a = (1 to 100).map(i => (i % 10).toDouble).toDF("v")
+    // identical frames, equal totals: every contribution exactly 0
+    val same = Expectations.psiReport(a, a, col("v"), 0.0, 10.0, 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(same.size == 10)
+    assert(same.forall(_._4 == 0.0), s"identical inputs must have zero PSI: $same")
+    // shifted actual: mass moves 0-4 → 5-9, PSI clearly over the 0.25
+    // "drifted" rule of thumb
+    val b = (1 to 100).map(i => (5 + i % 5).toDouble).toDF("v")
+    val drift = Expectations.psiReport(a, b, col("v"), 0.0, 10.0, 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(drift.map(_._4).sum > 0.25, s"shifted input must read as drift: $drift")
+    // empty buckets still appear on the spine with their counts zeroed
+    val buckets = drift.map(_._1).sorted
+    assert(buckets == (0L until 10L).toSeq)
+    assert(drift.find(_._1 == 0L).get._3 == 0L) // actual has no mass at 0
+  }
+
   test("orphans: missing parents and NULL child keys are both orphans") {
     val child = Seq(
       (1L, Option(10L)), (2L, Option(20L)), (3L, Option(99L)), (4L, None)

@@ -79,6 +79,37 @@ class TfIdfSpec extends SparkSpec {
     assert(lr < 0, s"unseen tokens should score below zero: $lr")
   }
 
+  test("bigramLogProb: exact conditional ratios, short docs emit no row") {
+    val d = docs.union(Seq((4L, "solo")).toDF("doc_id", "text"))
+    val got = TfIdf.bigramLogProb(d, "text", "doc_id")
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // corpus bigrams: doc1 (apple banana)(banana apple), doc2
+    // (banana cherry), doc3 (cherry cherry)(cherry durian) — every
+    // pair unique, prefixes: apple 1, banana 2, cherry 2
+    assert(got(1L) == ((math.rint(((math.log(1.0) + math.log(0.5)) / 2) * 1e4) / 1e4, 2L)))
+    assert(got(2L) == ((math.rint(math.log(0.5) * 1e4) / 1e4, 1L)))
+    assert(got(3L) == ((math.rint(math.log(0.5) * 1e4) / 1e4, 2L)))
+    // the 1-token doc has no adjacent pair to score
+    assert(!got.contains(4L))
+  }
+
+  test("bigramLogProb flags token salads that unigramLogProb misses") {
+    // fluent docs repeat the same two-word collocations; the salad
+    // uses the SAME vocabulary (identical unigram profile) shuffled
+    // so its transitions are rare
+    val fluent = (0 until 8).map(i => (i.toLong, "the cat sat on the mat"))
+    val salad = Seq((99L, "mat the on sat cat the"))
+    val corpus = (fluent ++ salad).toDF("doc_id", "text")
+    val bi = TfIdf.bigramLogProb(corpus, "text", "doc_id")
+      .select($"doc_id", $"avg_logprob").as[(Long, Double)].collect().toMap
+    assert(bi(0L) > bi(99L), s"salad must score lower under the bigram model: $bi")
+    val uni = TfIdf.unigramLogProb(corpus, "text", "doc_id")
+      .select($"doc_id", $"avg_logprob").as[(Long, Double)].collect().toMap
+    // unigram model can't separate them (same token multiset)
+    assert(uni(0L) == uni(99L))
+  }
+
   test("invertedIndex: exact df/tf with postings bounded and ascending") {
     val idx = TfIdf.invertedIndex(docs, "text", "doc_id", maxPostings = 10)
       .as[(String, Long, Long, String)].collect()
