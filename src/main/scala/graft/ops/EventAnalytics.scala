@@ -108,6 +108,76 @@ object EventAnalytics {
           .as("span_seconds"))
   }
 
+  /** Time-series resampling with forward fill — the pandas
+    * `resample().ffill()` / SQL gap-filling capability over a keyed
+    * event log: a dense per-entity spine of `stepSeconds` periods
+    * from each entity's first to last event, per-period event counts
+    * (zero where silent), the last in-period value (ties broken by
+    * `orderCol`), and `filled_value` carrying the last observation
+    * forward across empty periods. Output: `(entity,
+    * period_start [timestamp_ntz], n_events, last_value,
+    * filled_value)`.
+    *
+    * Period arithmetic is exact integer-microsecond floor division —
+    * engine-replayable, timezone-free. The spine is generated
+    * relationally (per-entity bounds agg → `sequence` → explode), so
+    * entities' spines densify in parallel; an entity's spine length
+    * is span/step — size `stepSeconds` to the data's span (a year of
+    * 1-second periods per entity is 31M rows each, and Spark's
+    * `sequence` caps elements per call; that limit fires loudly, not
+    * silently).
+    *
+    * Scale shape: bounds agg + per-period agg both hash on the
+    * entity(+period) key; the spine⋈periods join is keyed; the ffill
+    * window repartitions by entity alone. Three exchanges of
+    * period-grained (not event-grained) rows — the unavoidable shape
+    * of densification without a sorted table format.
+    */
+  def resample(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      valueCol: String,
+      orderCol: String,
+      stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive: $stepSeconds")
+    val reserved = Set("__us", "__period_us", "period_start", "n_events",
+      "last_value", "filled_value")
+    val shadowing = df.columns.filter(reserved)
+    require(shadowing.isEmpty,
+      s"resample reserves ${reserved.mkString("/")}; " +
+        s"rename: ${shadowing.mkString(", ")}")
+    val stepUs = stepSeconds * 1000000L
+    val rows = df.select(
+      col(entityCol),
+      unix_micros(col(tsCol).cast("timestamp")).as("__us"),
+      col(valueCol), col(orderCol))
+      .withColumn("__period_us", expr(s"(__us div ${stepUs}L) * ${stepUs}L"))
+    val perPeriod = rows
+      .groupBy(col(entityCol), col("__period_us"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max_by(col(valueCol), struct(col("__us"), col(orderCol)))
+          .as("last_value"))
+    val spine = rows
+      .groupBy(col(entityCol))
+      .agg(min("__period_us").as("__lo"), max("__period_us").as("__hi"))
+      .select(col(entityCol),
+        explode(sequence(col("__lo"), col("__hi"), lit(stepUs)))
+          .as("__period_us"))
+    val w = Window.partitionBy(entityCol).orderBy(col("__period_us"))
+    spine
+      .join(perPeriod, Seq(entityCol, "__period_us"), "left")
+      .withColumn("filled_value",
+        last(col("last_value"), ignoreNulls = true).over(w))
+      .select(
+        col(entityCol),
+        timestamp_micros(col("__period_us")).cast("timestamp_ntz")
+          .as("period_start"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("last_value"), col("filled_value"))
+  }
+
   /** Funnel summary: `(step, step_name, entities)` — how many
     * entities reached each step (monotonically non-increasing).
     */

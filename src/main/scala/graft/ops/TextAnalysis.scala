@@ -249,6 +249,45 @@ object TextAnalysis {
         repetitivePredicate(col("dup_token_frac"), col("dup_bigram_frac")))
   }
 
+  /** Vocabulary-coverage (OOV-rate) report: per document, how many of
+    * its tokens fall outside a reference vocabulary — the "will the
+    * tokenizer shred this into bytes" check run before training
+    * against a fixed token budget, and a cheap fit signal between a
+    * corpus and an existing model's vocab. `vocab` carries one `token`
+    * column (e.g. [[Curation.vocabulary]]'s top-k, or a tokenizer's
+    * exported wordlist).
+    *
+    * Output: (id, n_tokens, n_oov, oov_rate), rate rounded to 4.
+    *
+    * Scale shape: one keyed pre-explode exchange (the AQE-fanout
+    * guard every explode here uses), one LEFT join against the
+    * vocabulary (vocabulary-sized build side — broadcasts when it
+    * fits, which a real tokenizer vocab of 10⁴–10⁶ entries always
+    * does), and a per-doc aggregate that reuses the pre-explode id
+    * partitioning — document text moves through exactly one exchange
+    * end to end.
+    */
+  def oovRate(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      vocab: DataFrame): DataFrame = {
+    require(vocab.columns.contains("token"),
+      s"vocab needs a 'token' column, has: ${vocab.columns.mkString(", ")}")
+    val tok = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    tok
+      .join(vocab.select(col("token"), lit(1).as("__in")).distinct(),
+        Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+  }
+
   /** Repetition cut on the duplicate-mass fractions (length-robust: a
     * short all-distinct doc scores 0, unlike top-gram share, which is
     * 1/n even for perfectly varied text): heavy token reuse or

@@ -350,6 +350,25 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // Time-series resample + forward fill: dense 6-hour spine per
+    // user from first to last event, zero-filled counts, last
+    // observation carried across silent periods.
+    "q_resample" -> ((s, dir) => {
+      graft.ops.EventAnalytics.resample(
+          Tables.events(s, dir), "user_id", "ts", "value", "event_id",
+          stepSeconds = 21600L)
+        .orderBy("user_id", "period_start")
+    }),
+
+    // Vocabulary-coverage audit: per-doc OOV rate against the
+    // corpus's own top-50 vocabulary (X27) — the tokenizer-fit check.
+    "q_oov_rate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.oovRate(docs, "text", "doc_id",
+          Curation.vocabulary(docs, "text", k = 50).select("token"))
+        .orderBy("doc_id")
+    }),
+
     // PSI drift report: full lineitem price distribution vs the
     // low-quantity slice, 22 buckets, Laplace-smoothed contributions
     // (sum(psi_contrib) is the PSI) — the retrain-gate drift check.
@@ -866,6 +885,51 @@ object AnalyticsQueries {
         |  coalesce(max((us - pus)::DOUBLE / 1000000), 0.0) AS max_gap_seconds,
         |  (max(us) - min(us))::DOUBLE / 1000000 AS span_seconds
         |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, value, event_id FROM events
+        |), p AS (
+        |  SELECT user_id, (us // 21600000000) * 21600000000 AS period_us,
+        |         us, value, event_id
+        |  FROM e
+        |), agg AS (
+        |  SELECT user_id, period_us, count(*) AS n_events FROM p GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT user_id, period_us, value,
+        |         row_number() OVER (PARTITION BY user_id, period_us
+        |                            ORDER BY us DESC, event_id DESC) AS r
+        |  FROM p
+        |), lastv AS (
+        |  SELECT user_id, period_us, value AS lv FROM rk WHERE r = 1
+        |), bounds AS (
+        |  SELECT user_id, min(period_us) AS lo, max(period_us) AS hi FROM p GROUP BY 1
+        |), spine AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, 21600000000)) AS period_us
+        |  FROM bounds
+        |), j AS (
+        |  SELECT s.user_id, s.period_us, coalesce(a.n_events, 0) AS n_events, l.lv
+        |  FROM spine s
+        |  LEFT JOIN agg a ON s.user_id = a.user_id AND s.period_us = a.period_us
+        |  LEFT JOIN lastv l ON s.user_id = l.user_id AND s.period_us = l.period_us
+        |)
+        |SELECT user_id, make_timestamp(period_us) AS period_start, n_events,
+        |  lv AS last_value,
+        |  last_value(lv IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY period_us) AS filled_value
+        |FROM j ORDER BY user_id, period_start""".stripMargin,
+    "q_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+        |), freq AS (
+        |  SELECT token, count(*) AS freq FROM tok WHERE token <> '' GROUP BY 1
+        |), vocab AS (
+        |  SELECT token FROM freq ORDER BY freq DESC, token LIMIT 50
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE v.token IS NULL) AS n_oov,
+        |  round(count(*) FILTER (WHERE v.token IS NULL)::DOUBLE / count(*), 4) AS oov_rate
+        |FROM tok LEFT JOIN vocab v ON tok.token = v.token
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_drift_psi" ->
       """WITH he AS (
         |  SELECT least(greatest(CAST(floor((l_extendedprice::DOUBLE - 0.0) * 22 / 110000.0) AS BIGINT), 0), 21) AS bucket,

@@ -261,6 +261,20 @@ class PlanAuditSpec extends SparkSpec {
       s"model counts must be persisted, not recomputed per consumer:\n$plan")
   }
 
+  test("q_resample: spine and period joins stay keyed, never a product") {
+    val plan = planOf("q_resample")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"spine ⋈ per-period frames must join on (entity, period):\n$plan")
+  }
+
+  test("q_oov_rate broadcasts the bounded vocabulary") {
+    val plan = planOf("q_oov_rate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the k-row vocab must broadcast into the token stream:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the vocab cut must remain bounded (no global sort):\n$plan")
+  }
+
   test("q_drift_psi costs exactly two scans — one histogram per side") {
     val plan = planOf("q_drift_psi")
     val scans = plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))

@@ -78,6 +78,43 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(3L) == ((1L, 0L, 0.0, 0.0)))
   }
 
+  test("resample: dense spine, zero-filled counts, forward-filled values") {
+    val d = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, 11L, ts("2024-01-01 10:30:00"), 2.0),
+      (1L, 12L, ts("2024-01-01 13:05:00"), 9.0),
+      (2L, 20L, ts("2024-01-01 08:00:00"), 5.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val got = EventAnalytics.resample(d, "user_id", "ts", "value", "event_id", 3600L)
+      .orderBy("user_id", "period_start")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).getHour, r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      // user 1: busy hour, two silent hours carried forward, then 13:00
+      (1L, 10, 2L, Some(2.0), Some(2.0)),
+      (1L, 11, 0L, None, Some(2.0)),
+      (1L, 12, 0L, None, Some(2.0)),
+      (1L, 13, 1L, Some(9.0), Some(9.0)),
+      // user 2: single-period spine
+      (2L, 8, 1L, Some(5.0), Some(5.0))))
+  }
+
+  test("resample: same-timestamp tie resolves by orderCol, step validated") {
+    val d = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, 2L, ts("2024-01-01 10:00:00"), 7.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val got = EventAnalytics.resample(d, "user_id", "ts", "value", "event_id", 3600L)
+      .select("last_value").as[Double].collect().toSeq
+    assert(got == Seq(7.0))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.resample(d, "user_id", "ts", "value", "event_id", 0L)
+    }
+  }
+
   test("feedAudit plan: one exchange on the entity key") {
     val d = Seq((1L, 1L, ts("2024-01-01 10:00:00")))
       .toDF("user_id", "event_id", "ts")

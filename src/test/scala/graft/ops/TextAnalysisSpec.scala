@@ -107,6 +107,28 @@ class TextAnalysisSpec extends SparkSpec {
   private def round2(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("oovRate: exact out-of-vocabulary counts, vocab column validated") {
+    val docs = Seq(
+      (1L, "a b c d"),   // c, d out of vocab
+      (2L, "a a b"),     // fully covered
+      (3L, "x y")        // fully out
+    ).toDF("doc_id", "text")
+    val vocab = Seq("a", "b").toDF("token")
+    val got = TextAnalysis.oovRate(docs, "text", "doc_id", vocab)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4L, 2L, 0.5)))
+    assert(got(2L) == ((3L, 0L, 0.0)))
+    assert(got(3L) == ((2L, 2L, 1.0)))
+    // duplicate vocab rows must not double-count matched tokens
+    val dup = Seq("a", "a", "b").toDF("token")
+    assert(TextAnalysis.oovRate(docs, "text", "doc_id", dup)
+      .filter(col("doc_id") === 2L).select("n_tokens").as[Long].head() == 3L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.oovRate(docs, "text", "doc_id", vocab.toDF("word"))
+    }
+  }
+
   test("h64 and baseHash are stable and non-negative") {
     val df = Seq(Tuple1("hello")).toDF("x")
     val r1 = df.select(
