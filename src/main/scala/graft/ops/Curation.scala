@@ -214,6 +214,43 @@ object Curation {
     "n_ips" -> regexp_count(text, lit(ipPattern)).cast("long"),
     "n_phones" -> regexp_count(text, lit(phonePattern)).cast("long"))
 
+  /** Table-wide PII exposure report: for each named string column, one
+    * row `(column, n_rows, n_emails, n_ips, n_phones,
+    * n_rows_with_pii)` — the compliance scan a pipeline runs over a
+    * WHOLE table before release, not just the one column it remembered
+    * to redact. Same one-pass shape as [[Expectations.profile]]: every
+    * column's four counters live inside ONE map-side-combined global
+    * aggregate, so scanning 40 columns of a 100 TB table costs exactly
+    * one scan; NULL cells count in no category.
+    */
+  def piiScan(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val pats = Seq(
+      "n_emails" -> emailPattern, "n_ips" -> ipPattern,
+      "n_phones" -> phonePattern)
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val t = col(c)
+      val anyHit = pats.map { case (_, p) => regexp_count(t, lit(p)) }
+        .reduce(_ + _) > 0
+      count(t).as(s"__n$i") +:
+        pats.map { case (n, p) =>
+          sum(regexp_count(t, lit(p)).cast("long")).as(s"__$n$i")
+        } :+ count(when(anyHit, 1)).as(s"__hit$i")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+          struct(
+            lit(c).as("column"),
+            col(s"__n$i").as("n_rows"),
+            col(s"__n_emails$i").as("n_emails"),
+            col(s"__n_ips$i").as("n_ips"),
+            col(s"__n_phones$i").as("n_phones"),
+            col(s"__hit$i").as("n_rows_with_pii"))
+        }: _*)).as("x"))
+      .select("x.column", "x.n_rows", "x.n_emails", "x.n_ips",
+        "x.n_phones", "x.n_rows_with_pii")
+  }
+
   /** Benchmark decontamination: (doc_id, bench_id, n_shared) for every
     * corpus document sharing ≥ `minShared` distinct word-`shingleN`-gram
     * shingles with a benchmark document — the standard n-gram-overlap

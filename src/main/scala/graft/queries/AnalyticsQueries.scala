@@ -244,6 +244,18 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // Semi-structured key census: which JSON keys appear in
+    // events.props, per event_type — the shred-planning audit run
+    // before declaring a VARIANT extraction schema.
+    "q_props_keys" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          explode(json_object_keys(col("props"))).as("key"))
+        .groupBy("event_type", "key")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "key")
+    }),
+
     // Deterministic k-per-group sample over documents by language.
     "q_sample_group" -> ((s, dir) => {
       Curation.samplePerGroup(
@@ -885,6 +897,12 @@ object AnalyticsQueries {
         |  coalesce(max((us - pus)::DOUBLE / 1000000), 0.0) AS max_gap_seconds,
         |  (max(us) - min(us))::DOUBLE / 1000000 AS span_seconds
         |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_props_keys" ->
+      """WITH k AS (
+        |  SELECT event_type, unnest(json_keys(props)) AS key FROM events
+        |)
+        |SELECT event_type, key, count(*) AS n
+        |FROM k GROUP BY 1, 2 ORDER BY event_type, key""".stripMargin,
     "q_resample" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, value, event_id FROM events

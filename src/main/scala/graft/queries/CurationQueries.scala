@@ -79,6 +79,21 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Whole-table PII exposure scan: the clean text column and a
+    // synthetic PII-laden column audited side by side in ONE
+    // aggregation pass — per-column category totals + rows-with-any.
+    "q_pii_scan" -> ((s, dir) => {
+      val raw = concat(
+        col("text"), lit(" contact "), col("lang"), lit(".user"),
+        col("doc_id").cast("string"), lit("@mail"),
+        col("doc_id").cast("string"), lit(".example.org or 555-123-4567 at 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0.99 now"))
+      Curation.piiScan(
+          Tables.documents(s, dir).withColumn("raw", raw),
+          Seq("text", "raw"))
+        .orderBy("column")
+    }),
+
     // Benchmark decontamination: corpus docs sharing >= 2 distinct
     // word-trigram shingles with a "benchmark" doc (doc_id < 25).
     "q_decontaminate" -> ((s, dir) => {
@@ -251,6 +266,27 @@ object CurationQueries {
         |                 WHEN lang = 'fr' THEN 2500
         |                 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin,
+    "q_pii_scan" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text,
+        |    text || ' contact ' || lang || '.user' || doc_id::VARCHAR || '@mail'
+        |      || doc_id::VARCHAR || '.example.org or 555-123-4567 at 10.'
+        |      || (doc_id % 200)::VARCHAR || '.0.99 now' AS raw
+        |  FROM documents
+        |), e AS (
+        |  SELECT 'text' AS pii_col, text AS v FROM raw
+        |  UNION ALL
+        |  SELECT 'raw' AS pii_col, raw AS v FROM raw
+        |)
+        |SELECT pii_col AS "column", count(v) AS n_rows,
+        |  CAST(sum(len(regexp_extract_all(v, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+        |  CAST(sum(len(regexp_extract_all(v, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b'))) AS BIGINT) AS n_ips,
+        |  CAST(sum(len(regexp_extract_all(v, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))) AS BIGINT) AS n_phones,
+        |  count(CASE WHEN len(regexp_extract_all(v, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |              + len(regexp_extract_all(v, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b'))
+        |              + len(regexp_extract_all(v, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) > 0
+        |        THEN 1 END) AS n_rows_with_pii
+        |FROM e GROUP BY 1 ORDER BY "column"""".stripMargin,
     "q_pii_redact" ->
       """WITH raw AS (
         |  SELECT doc_id,

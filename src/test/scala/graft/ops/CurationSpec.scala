@@ -237,6 +237,25 @@ class CurationSpec extends SparkSpec {
     assert(out.columns.contains("mix_tokens_before"))
   }
 
+  test("piiScan: per-column category totals and any-hit rows in one pass") {
+    val d = Seq(
+      (1L, Option("mail me a@b.co or c@d.io"), Option("10.0.0.1")),
+      (2L, Option("clean"), None: Option[String]),
+      (3L, None: Option[String], Option("call 555-123-4567 x 9.9.9.9"))
+    ).toDF("id", "a", "b")
+    val got = Curation.piiScan(d, Seq("a", "b"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // a: 2 non-null rows, 2 emails in one row
+    assert(got("a") == ((2L, 2L, 0L, 0L, 1L)))
+    // b: 2 non-null rows, one ip-only row + one phone+ip row
+    assert(got("b") == ((2L, 0L, 2L, 1L, 2L)))
+    val plan = Curation.piiScan(d, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan")) == 1,
+      s"all columns must scan once:\n$plan")
+  }
+
   test("tokenBudget: prefix within budget kept, exact cumulative audit") {
     val d = Seq(
       (1L, "a", "one two three"),        // 3 tokens, cum 3
