@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.{col, expr}
 
 /** CLI entry point mirroring the reference's dispatch
   * (`/root/reference/app.py:20-70`):
-  * `--pipeline {extract|clean|enrich|run-all|dedup-increment|check}`
+  * `--pipeline {extract|clean|enrich|run-all|dedup-increment|check|drift}`
   * plus the known pipeline args; unknown `--k v` pairs pass through
   * (how enrich receives `--dimension_inputs` /
   * `--dimension_entity_types`, both CSV — `enrich.py:22-23`). Typed
@@ -94,6 +94,28 @@ object Main {
         if (bad.nonEmpty && !opts.get("fail_on_violation").contains("false"))
           sys.error("expectations violated: " + bad.map(r =>
             s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+        spark.read.parquet(req("output"))
+      case "drift" =>
+        // Distribution-drift gate (X69): PSI of --input vs --baseline
+        // over --column on the fixed [--lo, --hi) × --buckets grid.
+        // Writes the per-bucket report to --output, then fails the job
+        // when the summed PSI exceeds --max_psi (default 0.25, the
+        // standard "drifted" line) — same write-then-gate contract as
+        // `check`.
+        val report = graft.ops.Expectations.psiReport(
+          spark.read.parquet(req("baseline")),
+          spark.read.parquet(req("input")),
+          col(req("column")),
+          lo = req("lo").toDouble, hi = req("hi").toDouble,
+          nBuckets = req("buckets").toInt)
+        report.coalesce(1).write.mode("overwrite").parquet(req("output"))
+        CachedFrames.unpersistAll()
+        val psi = spark.read.parquet(req("output"))
+          .agg(org.apache.spark.sql.functions.sum("psi_contrib")).head().getDouble(0)
+        val maxPsi = opts.get("max_psi").map(_.toDouble).getOrElse(0.25)
+        if (psi > maxPsi)
+          sys.error(f"distribution drifted: PSI $psi%.4f > $maxPsi%.4f " +
+            s"on column ${req("column")}")
         spark.read.parquet(req("output"))
       case "run-all" =>
         // The reference's 13-job medallion DAG (see RunAll): NDJSON

@@ -244,6 +244,26 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // Incremental aggregate maintenance: two disjoint halves of
+    // lineitem fold into one gold state via mergeable partials —
+    // merge(partials(A), partials(B)) ≡ partials(A ∪ B), which is
+    // exactly what the full-recompute oracle checks.
+    "q_incremental_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val store = graft.ops.IncrementalAgg.partials(
+        li.filter(col("l_orderkey") % 2 === 0),
+        Seq("l_returnflag", "l_linestatus"), "l_quantity")
+      val inc = graft.ops.IncrementalAgg.partials(
+        li.filter(col("l_orderkey") % 2 === 1),
+        Seq("l_returnflag", "l_linestatus"), "l_quantity")
+      graft.ops.IncrementalAgg.finalize(
+          graft.ops.IncrementalAgg.merge(store, inc))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          round(col("sum"), 2).as("sum_qty"), col("min").as("min_qty"),
+          col("max").as("max_qty"), round(col("avg"), 4).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // Semi-structured key census: which JSON keys appear in
     // events.props, per event_type — the shred-planning audit run
     // before declaring a VARIANT extraction schema.
@@ -897,6 +917,12 @@ object AnalyticsQueries {
         |  coalesce(max((us - pus)::DOUBLE / 1000000), 0.0) AS max_gap_seconds,
         |  (max(us) - min(us))::DOUBLE / 1000000 AS span_seconds
         |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(l_quantity) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  round(sum(l_quantity) / count(l_quantity), 4) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_props_keys" ->
       """WITH k AS (
         |  SELECT event_type, unnest(json_keys(props)) AS key FROM events

@@ -126,6 +126,31 @@ class ExpectationsSpec extends SparkSpec {
     assert(drift.find(_._1 == 0L).get._3 == 0L) // actual has no mass at 0
   }
 
+  test("CLI drift pipeline: report written, drift fails the job after the write") {
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    (1 to 100).map(i => (i % 10).toDouble).toDF("v")
+      .write.mode("overwrite").parquet(s"$dir/base")
+    (1 to 100).map(i => (5 + i % 5).toDouble).toDF("v")
+      .write.mode("overwrite").parquet(s"$dir/shifted")
+    val common = Map("pipeline" -> "drift", "baseline" -> s"$dir/base",
+      "column" -> "v", "lo" -> "0", "hi" -> "10", "buckets" -> "10")
+    // identical inputs pass the default gate
+    val ok = graft.Main.run(spark, common ++ Map(
+      "input" -> s"$dir/base", "output" -> s"$dir/rep_ok"))
+    assert(ok.count() == 10)
+    // shifted input fails AFTER the report lands
+    val e = intercept[RuntimeException] {
+      graft.Main.run(spark, common ++ Map(
+        "input" -> s"$dir/shifted", "output" -> s"$dir/rep_bad"))
+    }
+    assert(e.getMessage.contains("drifted"))
+    assert(spark.read.parquet(s"$dir/rep_bad").count() == 10)
+    // a loose threshold lets the same drift through
+    assert(graft.Main.run(spark, common ++ Map(
+      "input" -> s"$dir/shifted", "output" -> s"$dir/rep_loose",
+      "max_psi" -> "1000")).count() == 10)
+  }
+
   test("orphans: missing parents and NULL child keys are both orphans") {
     val child = Seq(
       (1L, Option(10L)), (2L, Option(20L)), (3L, Option(99L)), (4L, None)
