@@ -178,6 +178,49 @@ object EventAnalytics {
         col("last_value"), col("filled_value"))
   }
 
+  /** Trailing-window z-score anomaly detection over a keyed series —
+    * the metrics-monitoring pass run on [[resample]]'s dense output
+    * (dense matters: a silent period is a zero, and zeros are exactly
+    * the anomalies a sparse groupBy never shows). Each point scores
+    * against the `trailing` points strictly BEFORE it (`ROWS BETWEEN
+    * trailing PRECEDING AND 1 PRECEDING` — the current point must not
+    * contaminate its own baseline): `z = (value − mean) / stddev`,
+    * NULL while the baseline has fewer than two points or zero
+    * variance; `is_anomaly` = |z| > threshold on the ROUNDED z (both
+    * engines threshold the same 4-decimal value, so the flag is
+    * engine-stable even when stddev differs in the last ulp).
+    *
+    * One hash exchange on the entity; the trailing frame is a single
+    * WindowExec — no self-joins, the same single-exchange contract as
+    * the rest of this module.
+    */
+  def anomalies(
+      series: DataFrame,
+      entityCol: String,
+      orderCol: String,
+      valueCol: String,
+      trailing: Int,
+      zThreshold: Double): DataFrame = {
+    require(trailing >= 2, s"need a trailing baseline of >= 2 points: $trailing")
+    require(zThreshold > 0, s"zThreshold must be positive: $zThreshold")
+    val reserved = Set("trailing_mean", "z", "is_anomaly")
+    val shadowing = series.columns.filter(reserved)
+    require(shadowing.isEmpty,
+      s"anomalies reserves ${reserved.mkString("/")}; " +
+        s"rename: ${shadowing.mkString(", ")}")
+    val w = Window.partitionBy(entityCol).orderBy(col(orderCol))
+      .rowsBetween(-trailing.toLong, -1L)
+    val v = col(valueCol).cast("double")
+    val mean = avg(v).over(w)
+    val sd = stddev_samp(v).over(w)
+    series
+      .withColumn("trailing_mean", round(mean, 4))
+      .withColumn("z",
+        round((v - mean) / when(sd =!= 0, sd), 4))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > zThreshold, lit(false)))
+  }
+
   /** Funnel summary: `(step, step_name, entities)` — how many
     * entities reached each step (monotonically non-increasing).
     */

@@ -56,4 +56,40 @@ object Skew {
       .join(saltedDim, Seq(key, "__salt"), "inner")
       .drop("__salt")
   }
+
+  /** Join-key skew diagnostics — the "why is my join slow / which
+    * keys need salting" report, produced BEFORE paying for the join:
+    * for the `topK` heaviest prospective keys, per-side row counts
+    * and the estimated join output (`n_left · n_right` — exact for an
+    * inner equi-join). Keys present on one side only still appear
+    * (they cost scan/shuffle but produce nothing — the other common
+    * surprise). Feed the report's hot keys to [[saltedJoin]]'s
+    * `salts` sizing, or broadcast/fence them separately.
+    *
+    * Scale shape: two map-side-combined per-key counts (each
+    * key-cardinality-sized, never row-sized), one full-outer
+    * key-join between them, and a `topK` cut that lowers to
+    * TakeOrderedAndProject — every partition keeps `topK` rows, no
+    * global sort of the key space.
+    */
+  def joinKeyProfile(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val lc = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("__nl"))
+    val rc = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("__nr"))
+    lc.join(rc, Seq("key"), "full")
+      .select(
+        col("key"),
+        coalesce(col("__nl"), lit(0L)).as("n_left"),
+        coalesce(col("__nr"), lit(0L)).as("n_right"))
+      .withColumn("est_pairs", col("n_left") * col("n_right"))
+      .orderBy(col("est_pairs").desc, col("key"))
+      .limit(topK)
+  }
 }

@@ -236,10 +236,16 @@ object TfIdf {
     */
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val bg = bigramRows(df, textCol, idCol)
-    val pairCounts = bg.groupBy("bigram").agg(count(lit(1)).as("__c2"))
-    val prefixCounts = bg.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    // One model aggregation keyed by (w1, bigram); the prefix marginal
+    // c(w1·) is the SUM of pair counts per w1 — derived from the
+    // CACHED pair-vocabulary-sized model, so the corpus pair stream is
+    // aggregated once, not twice (released by the caller's
+    // CachedFrames.unpersistAll()).
+    val pairCounts = graft.CachedFrames.persistOnce(
+      bg.groupBy("w1", "bigram").agg(count(lit(1)).as("__c2")))
+    val prefixCounts = pairCounts.groupBy("w1").agg(sum("__c2").as("__c1"))
     bg
-      .join(pairCounts, Seq("bigram"))
+      .join(pairCounts.drop("w1"), Seq("bigram"))
       .join(prefixCounts, Seq("w1"))
       .groupBy(col(idCol))
       .agg(

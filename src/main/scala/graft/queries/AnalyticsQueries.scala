@@ -244,6 +244,31 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // Join-skew diagnostics: the 25 heaviest prospective keys of a
+    // lineitem⋈orders join with per-side counts and exact inner-join
+    // output estimates — the pre-join report that sizes salting.
+    "q_join_skew" -> ((s, dir) => {
+      graft.ops.Skew.joinKeyProfile(
+          Tables.lineitem(s, dir), Tables.orders(s, dir),
+          "l_orderkey", "o_orderkey", topK = 25)
+        .orderBy(col("est_pairs").desc, col("key"))
+    }),
+
+    // Trailing-window anomaly detection over the dense 6-hour
+    // per-type event series (X72 ∘ X77): each period scored against
+    // the 28 periods before it; silent periods are zeros, which is
+    // why the dense resample feeds it.
+    "q_anomaly" -> ((s, dir) => {
+      val series = graft.ops.EventAnalytics.resample(
+          Tables.events(s, dir), "event_type", "ts", "value", "event_id",
+          stepSeconds = 21600L)
+        .select("event_type", "period_start", "n_events")
+      graft.ops.EventAnalytics.anomalies(
+          series, "event_type", "period_start", "n_events",
+          trailing = 28, zThreshold = 3.0)
+        .orderBy("event_type", "period_start")
+    }),
+
     // Incremental aggregate maintenance: two disjoint halves of
     // lineitem fold into one gold state via mergeable partials —
     // merge(partials(A), partials(B)) ≡ partials(A ∪ B), which is
@@ -917,6 +942,45 @@ object AnalyticsQueries {
         |  coalesce(max((us - pus)::DOUBLE / 1000000), 0.0) AS max_gap_seconds,
         |  (max(us) - min(us))::DOUBLE / 1000000 AS span_seconds
         |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_join_skew" ->
+      """WITH lc AS (
+        |  SELECT l_orderkey AS key, count(*) AS n_left FROM lineitem GROUP BY 1
+        |), rc AS (
+        |  SELECT o_orderkey AS key, count(*) AS n_right FROM orders GROUP BY 1
+        |)
+        |SELECT coalesce(lc.key, rc.key) AS key,
+        |  coalesce(n_left, 0) AS n_left, coalesce(n_right, 0) AS n_right,
+        |  coalesce(n_left, 0) * coalesce(n_right, 0) AS est_pairs
+        |FROM lc FULL JOIN rc ON lc.key = rc.key
+        |ORDER BY est_pairs DESC, key LIMIT 25""".stripMargin,
+    "q_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts::TIMESTAMP) AS us FROM events
+        |), p AS (
+        |  SELECT event_type, (us // 21600000000) * 21600000000 AS period_us FROM e
+        |), agg AS (
+        |  SELECT event_type, period_us, count(*) AS n FROM p GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT event_type, min(period_us) AS lo, max(period_us) AS hi FROM p GROUP BY 1
+        |), spine AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, 21600000000)) AS period_us
+        |  FROM bounds
+        |), s AS (
+        |  SELECT sp.event_type, sp.period_us, coalesce(a.n, 0) AS n_events
+        |  FROM spine sp
+        |  LEFT JOIN agg a ON sp.event_type = a.event_type AND sp.period_us = a.period_us
+        |), z AS (
+        |  SELECT event_type, period_us, n_events,
+        |    round(avg(n_events::DOUBLE) OVER w, 4) AS trailing_mean,
+        |    round((n_events::DOUBLE - avg(n_events::DOUBLE) OVER w)
+        |          / nullif(stddev_samp(n_events::DOUBLE) OVER w, 0), 4) AS z
+        |  FROM s
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY period_us
+        |               ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, make_timestamp(period_us) AS period_start, n_events,
+        |  trailing_mean, z, coalesce(abs(z) > 3.0, false) AS is_anomaly
+        |FROM z ORDER BY event_type, period_start""".stripMargin,
     "q_incremental_agg" ->
       """SELECT l_returnflag, l_linestatus, count(l_quantity) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty,

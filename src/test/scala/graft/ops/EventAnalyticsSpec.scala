@@ -115,6 +115,33 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("anomalies: spike flagged against a trailing-only baseline") {
+    // 10 flat periods then a spike; the spike must not contaminate
+    // its own baseline (strictly-preceding frame)
+    val series = ((1 to 10).map(i => ("m", i, 5.0)) :+ (("m", 11, 50.0)))
+      .toDF("entity", "period", "v")
+    val got = EventAnalytics.anomalies(series, "entity", "period", "v",
+        trailing = 5, zThreshold = 3.0)
+      .orderBy("period")
+      .select("period", "z", "is_anomaly")
+      .collect()
+      .map(r => (r.getInt(0), Option(r.get(1)).map(_.asInstanceOf[Double]), r.getBoolean(2)))
+    // period 1: no baseline; periods 2-10: zero-variance baseline → NULL z
+    assert(got.take(10).forall { case (_, z, a) => z.isEmpty && !a })
+    // the spike scores against five 5.0s — sd 0 → NULL? no: baseline
+    // all-5.0 has zero variance, z stays NULL even for the spike
+    assert(got(10)._2.isEmpty && !got(10)._3)
+    // a noisy baseline gives the spike a finite large z
+    val noisy = (Seq(("m", 1, 4.0), ("m", 2, 6.0), ("m", 3, 5.0),
+      ("m", 4, 4.0), ("m", 5, 6.0)) :+ (("m", 6, 50.0))).toDF("entity", "period", "v")
+    val z6 = EventAnalytics.anomalies(noisy, "entity", "period", "v", 5, 3.0)
+      .filter(col("period") === 6).select("z", "is_anomaly").head()
+    assert(z6.getDouble(0) > 3.0 && z6.getBoolean(1))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.anomalies(noisy, "entity", "period", "v", 1, 3.0)
+    }
+  }
+
   test("feedAudit plan: one exchange on the entity key") {
     val d = Seq((1L, 1L, ts("2024-01-01 10:00:00")))
       .toDF("user_id", "event_id", "ts")

@@ -32,4 +32,25 @@ class SkewSpec extends SparkSpec {
       .groupBy("s").count().as[(Int, Long)].collect().toMap
     assert(again == buckets)
   }
+
+  test("joinKeyProfile: exact per-side counts, one-sided keys, bounded cut") {
+    val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("lk")
+    val right = Seq(1L, 1L, 2L, 9L).toDF("rk")
+    val got = Skew.joinKeyProfile(left, right, "lk", "rk", topK = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 2L, 6L)))
+    assert(got(2L) == ((1L, 1L, 1L)))
+    // keys on one side only appear with a zero estimate
+    assert(got(3L) == ((1L, 0L, 0L)))
+    assert(got(9L) == ((0L, 1L, 0L)))
+    // est_pairs is exact: inner-join row count equals the estimate sum
+    val joined = left.join(right, col("lk") === col("rk")).count()
+    assert(joined == got.values.map(_._3).sum)
+    // the cut is bounded without a global sort
+    val plan = Skew.joinKeyProfile(left, right, "lk", "rk", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must bound:\n$plan")
+    assert(Skew.joinKeyProfile(left, right, "lk", "rk", 2).count() == 2)
+  }
 }
