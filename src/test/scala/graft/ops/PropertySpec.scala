@@ -208,6 +208,119 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("IncrementalAgg: merge of any random split equals the full recompute") {
+    val rows: Gen[List[(String, Option[Double])]] =
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.option(Gen.chooseNum(-50.0, 50.0))))
+    samples(Gen.zip(rows, Gen.choose(0, 100)), 6).foreach { case (rs, cutPct) =>
+      val df = rs.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("id", "k", "v")
+      val cut = rs.size.toLong * cutPct / 100
+      def byKey(x: org.apache.spark.sql.DataFrame) = x.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+      val full = byKey(IncrementalAgg.partials(df, Seq("k"), "v"))
+      val merged = byKey(IncrementalAgg.merge(
+        IncrementalAgg.partials(df.filter(col("id") < cut), Seq("k"), "v"),
+        IncrementalAgg.partials(df.filter(col("id") >= cut), Seq("k"), "v")))
+      assert(merged.keySet == full.keySet)
+      full.foreach { case (k, (n, s, mn, mx)) =>
+        val (n2, s2, mn2, mx2) = merged(k)
+        // n/min/max merge exactly; the sum re-associates, so ulp slack
+        assert(n2 == n && mn2 == mn && mx2 == mx, s"state drift for $k on $rs")
+        (s, s2) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)))
+          case (a, b) => assert(a == b)
+        }
+      }
+    }
+  }
+
+  test("tokenBudget: kept docs form a per-group prefix within budget, monotone in budget") {
+    val docs: Gen[List[(String, Int)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("s1", "s2"), Gen.choose(1, 9)))
+    samples(Gen.zip(docs, Gen.choose(3L, 30L)), 6).foreach { case (ds, budget) =>
+      val df = ds.zipWithIndex.map { case ((src, n), i) =>
+        (i.toLong, src, Seq.fill(n)("w").mkString(" "))
+      }.toDF("doc_id", "source", "text")
+      val out = Curation.tokenBudget(df, "text", "source", budget, col("doc_id"))
+        .select("doc_id", "source", "n_tokens", "kept")
+        .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        // kept is a prefix: once false, never true again
+        val flags = rows.sortBy(_._1).map(_._4)
+        assert(!flags.dropWhile(identity).contains(true), s"refill on $ds")
+        // kept mass within budget
+        assert(rows.filter(_._4).map(_._3).sum <= budget)
+      }
+      val keptSmall = out.filter(_._4).map(_._1).toSet
+      val keptBig = Curation.tokenBudget(df, "text", "source", budget + 10, col("doc_id"))
+        .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+      assert(keptSmall.subsetOf(keptBig), s"budget not monotone on $ds")
+    }
+  }
+
+  test("histogram conserves the non-NULL count for any grid") {
+    val vals = Gen.nonEmptyListOf(Gen.option(Gen.chooseNum(-100.0, 200.0)))
+    samples(Gen.zip(vals, Gen.choose(1, 12)), 6).foreach { case (vs, n) =>
+      val df = vs.map(Tuple1(_)).toDF("v")
+      val h = Expectations.histogram(df, col("v"), 0.0, 100.0, n)
+        .as[(Long, Double, Double, Long)].collect()
+      assert(h.map(_._4).sum == vs.count(_.isDefined).toLong, s"lost rows on $vs")
+      assert(h.forall(r => r._1 >= 0 && r._1 < n), s"bucket out of range on $vs")
+    }
+  }
+
+  test("psiReport is symmetric in total and exactly zero on identical inputs") {
+    val vals = Gen.nonEmptyListOf(Gen.chooseNum(0.0, 10.0))
+    samples(Gen.zip(vals, vals), 5).foreach { case (as, bs) =>
+      val a = as.map(Tuple1(_)).toDF("v")
+      val b = bs.map(Tuple1(_)).toDF("v")
+      def total(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) = {
+        val t = Expectations.psiReport(x, y, col("v"), 0.0, 10.0, 5)
+          .agg(sum("psi_contrib")).head().getDouble(0)
+        graft.CachedFrames.unpersistAll(); t
+      }
+      assert(math.abs(total(a, b) - total(b, a)) < 1e-9, s"asymmetric on $as/$bs")
+      assert(total(a, a) == 0.0)
+    }
+  }
+
+  test("resample conserves events on a dense, step-aligned spine") {
+    samples(eventLog, 6).foreach { log =>
+      val df = log.zipWithIndex.map { case ((u, sec, _), i) =>
+        (u, new java.sql.Timestamp(1700000000000L + sec * 1000), i.toLong, 1.0)
+      }.toDF("user_id", "ts", "event_id", "value")
+      val rs = EventAnalytics.resample(df, "user_id", "ts", "value", "event_id", 600L)
+        .select("user_id", "period_start", "n_events")
+        .as[(Long, java.time.LocalDateTime, Long)].collect()
+      assert(rs.map(_._3).sum == log.size.toLong, s"lost events on $log")
+      rs.groupBy(_._1).foreach { case (_, rows) =>
+        val periods = rows.map(_._2).sortBy(_.toString)
+        periods.sliding(2).foreach {
+          case Array(p, q) => assert(java.time.Duration.between(p, q).getSeconds == 600,
+            s"spine gap $p -> $q")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("oovRate is in [0,1], zero under a covering vocabulary") {
+    samples(Gen.nonEmptyListOf(text), 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+      val vocabAll = df.select(explode(TextAnalysis.tokens(col("t"))).as("token"))
+      val zero = TextAnalysis.oovRate(df, "t", "doc_id", vocabAll)
+        .select("oov_rate").as[Double].collect()
+      assert(zero.forall(_ == 0.0), s"covering vocab must yield 0 on $texts")
+      val some = TextAnalysis.oovRate(df, "t", "doc_id", Seq("table").toDF("token"))
+        .select("oov_rate").as[Double].collect()
+      assert(some.forall(r => r >= 0.0 && r <= 1.0))
+    }
+  }
+
   test("semanticDedupPairs is a subset of the exact all-pairs near-dups on any input") {
     samples(Gen.listOfN(12, vec4), 4).foreach { vecs =>
       val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
