@@ -1,12 +1,12 @@
 package graft
 
-import graft.pipeline.{CrawlCycle, PipelineConfig, Pipelines, RunAll}
+import graft.pipeline.{CrawlCycle, GoldIncrement, PipelineConfig, Pipelines, RunAll}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
 
 /** CLI entry point mirroring the reference's dispatch
   * (`/root/reference/app.py:20-70`):
-  * `--pipeline {extract|clean|enrich|run-all|dedup-increment|check|drift}`
+  * `--pipeline {extract|clean|enrich|run-all|dedup-increment|gold-increment|check|drift}`
   * plus the known pipeline args; unknown `--k v` pairs pass through
   * (how enrich receives `--dimension_inputs` /
   * `--dimension_entity_types`, both CSV — `enrich.py:22-23`). Typed
@@ -95,6 +95,16 @@ object Main {
           sys.error("expectations violated: " + bad.map(r =>
             s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
         spark.read.parquet(req("output"))
+      case "gold-increment" =>
+        // Incremental gold-table maintenance (X76): fold --input's
+        // per-group partials into the state under --store_dir, publish
+        // the finalized view to --output. History is never re-read.
+        GoldIncrement.run(spark, GoldIncrement.Config(
+          input = req("input"),
+          output = req("output"),
+          storeDir = req("store_dir"),
+          groupCols = req("group_columns").split(",").map(_.trim).toSeq,
+          valueCol = req("value_column")))
       case "drift" =>
         // Distribution-drift gate (X69): PSI of --input vs --baseline
         // over --column on the fixed [--lo, --hi) × --buckets grid.

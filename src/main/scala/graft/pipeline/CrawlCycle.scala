@@ -102,16 +102,12 @@ object CrawlCycle {
     }
 
     val increment = spark.read.parquet(cfg.input)
-    // Mid-swap crash recovery: the swap renames cur -> .old before
-    // promoting .next, so a store is NEVER deleted while it is the
-    // only copy. If a previous run died between those renames, cur is
-    // missing but .old holds the pre-cycle store — restore it (the
-    // interrupted cycle is simply re-run).
-    for (p <- Seq(fingerprintPath(cfg), signaturePath(cfg))) {
-      val (curP, oldP) = (new Path(p), new Path(p + ".old"))
-      val fs = curP.getFileSystem(hconf)
-      if (!fs.exists(curP) && fs.exists(oldP)) fs.rename(oldP, curP)
-    }
+    // Mid-swap crash recovery (graft.io.AtomicSwap): a run that died
+    // between the swap's renames left cur missing and .old holding
+    // the pre-cycle store — restore it; the interrupted cycle is
+    // simply re-run.
+    for (p <- Seq(fingerprintPath(cfg), signaturePath(cfg)))
+      graft.io.AtomicSwap.recover(spark, p)
     // Every store row carries the cycle it was admitted in; stores
     // written before stamping existed read as cycle 0.
     def withCycle(df: DataFrame): DataFrame =
@@ -206,18 +202,8 @@ object CrawlCycle {
     // at least one on-disk copy (a bare delete-then-rename would
     // destroy the store if the rename never ran, and the next cycle
     // would silently bootstrap EMPTY and re-admit all of history).
-    def swapIn(cur: String, next: String): Unit = {
-      val (curP, nextP, oldP) = (new Path(cur), new Path(next), new Path(cur + ".old"))
-      val fs = curP.getFileSystem(hconf)
-      if (fs.exists(oldP)) fs.delete(oldP, true)
-      if (fs.exists(curP) && !fs.rename(curP, oldP))
-        sys.error(s"store swap failed: $cur -> $oldP")
-      if (!fs.rename(nextP, curP))
-        sys.error(s"store swap failed: $next -> $cur")
-      fs.delete(oldP, true)
-    }
-    swapIn(fingerprintPath(cfg), nextFp)
-    swapIn(signaturePath(cfg), nextSig)
+    graft.io.AtomicSwap.swapIn(spark, fingerprintPath(cfg), nextFp)
+    graft.io.AtomicSwap.swapIn(spark, signaturePath(cfg), nextSig)
     (keptOnDisk, metrics)
   }
 }

@@ -48,28 +48,20 @@ object SnapshotUpsert {
       opCol: String,
       deleteOp: String = "D"): Unit = {
     val spark = batch.sparkSession
-    val hconf = spark.sparkContext.hadoopConfiguration
     val curP = new Path(snapshotPath)
-    val fs = curP.getFileSystem(hconf)
-    val oldP = new Path(snapshotPath + ".old")
-    // Mid-swap crash recovery (same invariant as CrawlCycle): cur is
-    // only ever deleted AFTER .next is fully written, via the .old
-    // hop — if a previous run died between renames, restore.
-    if (!fs.exists(curP) && fs.exists(oldP)) fs.rename(oldP, curP)
+    val fs = curP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Mid-swap crash recovery + write-to-.next-then-promote are the
+    // shared store-lifecycle discipline (graft.io.AtomicSwap): the
+    // merge plan READS the current snapshot, so it is never
+    // overwritten in place, and no crash point loses it.
+    graft.io.AtomicSwap.recover(spark, snapshotPath)
     val base =
       if (fs.exists(curP)) spark.read.parquet(snapshotPath)
       else batch.drop(versionCol, opCol).limit(0)
     val merged = Cdc.applyChanges(base, batch, keyCols, versionCol, opCol, deleteOp)
     val nextPath = snapshotPath + ".next"
-    // The merge plan READS the current snapshot — an in-place
-    // overwrite would truncate its own input mid-job.
     merged.write.mode("overwrite").parquet(nextPath)
-    if (fs.exists(oldP)) fs.delete(oldP, true)
-    if (fs.exists(curP) && !fs.rename(curP, oldP))
-      sys.error(s"snapshot swap failed: $snapshotPath -> $oldP")
-    if (!fs.rename(new Path(nextPath), curP))
-      sys.error(s"snapshot swap failed: $nextPath -> $snapshotPath")
-    fs.delete(oldP, true)
+    graft.io.AtomicSwap.swapIn(spark, snapshotPath, nextPath)
   }
 
   /** Start the continuous upsert: every micro-batch of `changes`
