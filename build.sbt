@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: a full 119-query bench pass keeps shared persistOnce
+  // frames + per-query broadcasts resident, and at 8g the unified
+  // memory manager thrashed storage<->execution late in the pass
+  // (q_pack_sequences 0.7s isolated vs 15.8s in-suite). The machine
+  // has 128 GiB; override with SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -44,6 +44,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // A pass runs ~120 queries in one JVM; broadcast/shuffle state is
+      // only reclaimed when the ContextCleaner sees references die, and
+      // the default periodic-GC interval (30 min) never fires inside a
+      // pass — state from early queries then crowds the unified memory
+      // pool for late ones. One-minute periodic GC keeps the pass
+      // steady-state (measured: late-pass heavy queries back at their
+      // isolated cost).
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // All three loadavg horizons; a host is only "clean" when the
