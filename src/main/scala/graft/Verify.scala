@@ -29,6 +29,10 @@ object Verify {
       // schema, and this conf keeps BOTH vintages loadable.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Same long-single-JVM hygiene as Bench: ~120 queries' broadcast
+      // state only reclaims when driver GC runs; the 30-min default
+      // periodic-GC interval never fires inside one run.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
