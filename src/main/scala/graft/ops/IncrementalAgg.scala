@@ -74,4 +74,66 @@ object IncrementalAgg {
   def finalize(state: DataFrame): DataFrame =
     state.withColumn("avg",
       when(col("n") > 0, col("sum") / col("n")))
+
+  private def multiStateCols(valueCols: Seq[String]): Seq[String] =
+    valueCols.flatMap(v => Seq(s"${v}_n", s"${v}_sum", s"${v}_min", s"${v}_max"))
+
+  /** Multi-measure mergeable state: per group, `<v>_n/_sum/_min/_max`
+    * for EVERY measure from ONE map-side-combined aggregation pass —
+    * a real gold table tracks dozens of measures, and maintaining
+    * them must not multiply scans ([[Expectations.profile]]'s
+    * zero-extra-scans shape, with on-disk merge algebra).
+    */
+  def partialsMulti(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(valueCols.nonEmpty, "need at least one measure")
+    val clash = groupCols.filter(multiStateCols(valueCols).contains)
+    require(clash.isEmpty,
+      s"group columns collide with state columns: ${clash.mkString(", ")}")
+    val aggs = valueCols.flatMap { v =>
+      val c = col(v)
+      Seq(count(c).as(s"${v}_n"), sum(c).as(s"${v}_sum"),
+        min(c).as(s"${v}_min"), max(c).as(s"${v}_max"))
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold multi-measure states: same algebra as [[merge]], applied
+    * per measure — `mergeMulti(partialsMulti(A), partialsMulti(B)) ≡
+    * partialsMulti(A ∪ B)`.
+    */
+  def mergeMulti(
+      groupCols: Seq[String],
+      valueCols: Seq[String],
+      states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "need at least one state frame")
+    val needed = multiStateCols(valueCols)
+    states.foreach { s =>
+      val missing = (groupCols ++ needed).filterNot(s.columns.contains)
+      require(missing.isEmpty,
+        s"state frame missing ${missing.mkString(", ")}: ${s.columns.mkString(", ")}")
+    }
+    val aggs = valueCols.flatMap { v =>
+      Seq(
+        sum(col(s"${v}_n")).as(s"${v}_n"),
+        sum(col(s"${v}_sum")).as(s"${v}_sum"),
+        min(col(s"${v}_min")).as(s"${v}_min"),
+        max(col(s"${v}_max")).as(s"${v}_max"))
+    }
+    states.reduce(_ unionByName _)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read-time view over multi-measure state: adds `<v>_avg` per
+    * measure, NULL-safe for all-NULL groups.
+    */
+  def finalizeMulti(state: DataFrame, valueCols: Seq[String]): DataFrame =
+    valueCols.foldLeft(state) { (acc, v) =>
+      acc.withColumn(s"${v}_avg",
+        when(col(s"${v}_n") > 0, col(s"${v}_sum") / col(s"${v}_n")))
+    }
 }

@@ -289,6 +289,32 @@ object AnalyticsQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // The multi-measure variant: quantity AND price maintained from
+    // one pass per increment — gold tables track many measures
+    // without multiplying scans.
+    "q_incremental_agg_multi" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val measures = Seq("l_quantity", "l_extendedprice")
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val store = graft.ops.IncrementalAgg.partialsMulti(
+        li.filter(col("l_orderkey") % 2 === 0), keys, measures)
+      val inc = graft.ops.IncrementalAgg.partialsMulti(
+        li.filter(col("l_orderkey") % 2 === 1), keys, measures)
+      graft.ops.IncrementalAgg.finalizeMulti(
+          graft.ops.IncrementalAgg.mergeMulti(keys, measures, store, inc),
+          measures)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity_n").as("qty_n"),
+          round(col("l_quantity_sum"), 2).as("qty_sum"),
+          round(col("l_quantity_avg"), 4).as("qty_avg"),
+          col("l_extendedprice_n").as("price_n"),
+          round(col("l_extendedprice_sum"), 2).as("price_sum"),
+          col("l_extendedprice_min").as("price_min"),
+          col("l_extendedprice_max").as("price_max"),
+          round(col("l_extendedprice_avg"), 4).as("price_avg"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // Semi-structured key census: which JSON keys appear in
     // events.props, per event_type — the shred-planning audit run
     // before declaring a VARIANT extraction schema.
@@ -394,6 +420,17 @@ object AnalyticsQueries {
       graft.ops.Expectations.histogram(
           Tables.lineitem(s, dir), col("l_extendedprice"),
           lo = 0.0, hi = 110000.0, nBuckets = 22)
+        .orderBy("bucket")
+    }),
+
+    // Corpus length distribution: X65's histogram pointed at per-doc
+    // token counts — the "what sequence lengths will training see"
+    // profile every data pipeline publishes.
+    "q_length_histogram" -> ((s, dir) => {
+      graft.ops.Expectations.histogram(
+          Tables.documents(s, dir)
+            .select(size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
+          col("n_tokens"), lo = 0.0, hi = 60.0, nBuckets = 12)
         .orderBy("bucket")
     }),
 
@@ -919,6 +956,18 @@ object AnalyticsQueries {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND c.c_lo < p.p_hi AND p.p_lo < c.c_hi
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    "q_length_histogram" ->
+      """WITH t AS (
+        |  SELECT len(string_split(lower(text), ' '))::BIGINT AS n_tokens FROM documents
+        |), b AS (
+        |  SELECT least(greatest(CAST(floor((n_tokens::DOUBLE - 0.0) * 12 / 60.0) AS BIGINT), 0), 11) AS bucket
+        |  FROM t WHERE n_tokens IS NOT NULL
+        |)
+        |SELECT bucket,
+        |  round(0.0 + (bucket * 60.0) / 12, 6) AS bucket_lo,
+        |  round(0.0 + ((bucket + 1) * 60.0) / 12, 6) AS bucket_hi,
+        |  count(*) AS n
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_histogram" ->
       """WITH b AS (
         |  SELECT least(greatest(CAST(floor((l_extendedprice::DOUBLE - 0.0) * 22 / 110000.0) AS BIGINT), 0), 21) AS bucket
@@ -986,6 +1035,17 @@ object AnalyticsQueries {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         |  round(sum(l_quantity) / count(l_quantity), 4) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_incremental_agg_multi" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(l_quantity) AS qty_n,
+        |  round(sum(l_quantity), 2) AS qty_sum,
+        |  round(sum(l_quantity) / count(l_quantity), 4) AS qty_avg,
+        |  count(l_extendedprice) AS price_n,
+        |  round(sum(l_extendedprice), 2) AS price_sum,
+        |  min(l_extendedprice) AS price_min,
+        |  max(l_extendedprice) AS price_max,
+        |  round(sum(l_extendedprice) / count(l_extendedprice), 4) AS price_avg
         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_props_keys" ->
       """WITH k AS (

@@ -91,6 +91,28 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-source corpus-health rollup: the dashboard row a training
+    // pipeline publishes per ingestion source — doc/token volume,
+    // mean alpha ratio, quality-gate and English-ID pass counts —
+    // composing X12/X13/X14 per-doc signals into one grouped pass.
+    "q_corpus_health" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val statCols = TextAnalysis.stats(col("text")).map { case (n, c) => c.as(n) }
+      val perDoc = d.select(col("doc_id") +: col("source") +: col("text") +: statCols: _*)
+        .withColumn("is_quality",
+          TextAnalysis.qualityPredicate(
+            col("n_tokens"), col("alpha_ratio"), col("avg_token_len")))
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      perDoc.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          round(avg("alpha_ratio"), 4).as("avg_alpha_ratio"),
+          count(when(col("is_quality"), 1)).as("n_quality"),
+          count(when(col("lang_pred") === "en", 1)).as("n_en"))
+        .orderBy("source")
+    }),
+
     // Gopher-style repetition signals (top/dup gram fractions).
     "q_repetition" -> ((s, dir) => {
       TextAnalysis.repetitionProfile(Tables.documents(s, dir), "text", "doc_id")
@@ -728,6 +750,47 @@ object LlmQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source health rollup oracle: statsOracle's per-doc signal
+    * replay + langOracle's profile scoring, grouped by source.
+    */
+  private def corpusHealthOracle: String = {
+    val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> list_contains([$lst], x)))::BIGINT AS score_$lang"
+    }
+    val names = TextAnalysis.langProfiles.map { case (l, _) => s"score_$l" }
+    val top = s"greatest(${names.mkString(", ")})"
+    val cases = TextAnalysis.langProfiles.map { case (lang, _) =>
+      s"WHEN score_$lang = $top THEN '$lang'"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text, string_split(lower(text), ' ') AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, source,
+       |    len(toks)::BIGINT AS n_tokens,
+       |    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+       |          / length(text)::DOUBLE, 4) AS alpha_ratio,
+       |    round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+       |          / len(toks)::DOUBLE, 4) AS avg_token_len,
+       |    ${scores.mkString(",\n    ")}
+       |  FROM t
+       |), q AS (
+       |  SELECT *,
+       |    (n_tokens >= 5 AND n_tokens <= 5000 AND alpha_ratio >= 0.5
+       |     AND avg_token_len >= 2.0 AND avg_token_len <= 20.0) AS is_quality,
+       |    CASE WHEN $top = 0 THEN 'und'
+       |      ${cases.mkString("\n      ")}
+       |      ELSE 'und' END AS lang_pred
+       |  FROM s
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  round(avg(alpha_ratio), 4) AS avg_alpha_ratio,
+       |  count(CASE WHEN is_quality THEN 1 END) AS n_quality,
+       |  count(CASE WHEN lang_pred = 'en' THEN 1 END) AS n_en
+       |FROM q GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   /** Shared CTE prefix replicating shingles → base hashes → MinHash
     * signatures → LSH bands → candidate pairs → estimates, with the
     * same constants as [[Dedup]]. With `maxBucket > 0`, buckets above
@@ -1357,6 +1420,7 @@ object LlmQueries {
         |FROM m ORDER BY doc_id, fp""".stripMargin,
     "q_text_stats" -> statsOracle,
     "q_lang_id" -> langOracle,
+    "q_corpus_health" -> corpusHealthOracle,
     "q_repetition" ->
       """WITH docs AS (
         |  SELECT doc_id, lower(text) AS t FROM documents

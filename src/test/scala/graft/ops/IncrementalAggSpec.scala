@@ -48,6 +48,30 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("multi-measure: merge equals recompute, all measures from one pass") {
+    val d = Seq(
+      ("a", Option(1.0), Option(10.0)), ("a", Option(3.0), None),
+      ("b", None: Option[Double], Option(7.0))
+    ).toDF("k", "x", "y")
+    val full = IncrementalAgg.partialsMulti(d, Seq("k"), Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val merged = IncrementalAgg.mergeMulti(Seq("k"), Seq("x", "y"),
+        IncrementalAgg.partialsMulti(d.limit(1), Seq("k"), Seq("x", "y")),
+        IncrementalAgg.partialsMulti(d.offset(1), Seq("k"), Seq("x", "y")))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(merged == full)
+    val fin = IncrementalAgg.finalizeMulti(
+        IncrementalAgg.partialsMulti(d, Seq("k"), Seq("x", "y")), Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(fin("a").getAs[Double]("x_avg") == 2.0)
+    assert(fin("b").isNullAt(fin("b").fieldIndex("x_avg")))
+    assert(fin("b").getAs[Double]("y_avg") == 7.0)
+    // one aggregation pass regardless of measure count
+    val plan = IncrementalAgg.partialsMulti(d, Seq("k"), Seq("x", "y"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan")) == 1)
+  }
+
   test("partials is one map-side-combined aggregation pass") {
     val plan = IncrementalAgg.partials(rows, Seq("k"), "v")
       .queryExecution.executedPlan.toString
