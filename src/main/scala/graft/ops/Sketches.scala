@@ -204,4 +204,39 @@ object Sketches {
     }
     df.groupBy(groupCols.map(col): _*).agg(qs.head, qs.tail: _*)
   }
+
+  /** Equi-depth segmentation: label every row by which side of the
+    * dataset's own quantile cutpoints its value falls on —
+    * `labels(i)` for `value ≤ q(probs(i))`, the last label above the
+    * top cut. The data-driven complement to
+    * [[Expectations.histogram]]'s fixed grid (user-value tiers, spam
+    * score bands, any "top third by X" policy).
+    *
+    * Cutpoints round to 4 decimals BEFORE bucketing (the repo-wide
+    * convention), so the segment boundary is the same literal value
+    * in any engine. One aggregation computes all cutpoints; they ride
+    * back as a broadcast 1-row frame — no second shuffle of the data,
+    * rows stream past the cuts in one codegen'd projection.
+    */
+  def segmentByQuantiles(
+      df: DataFrame,
+      valueCol: Column,
+      probs: Seq[Double],
+      labels: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(probs.nonEmpty, "need at least one cutpoint")
+    require(probs == probs.sorted && probs.distinct == probs,
+      s"probs must be strictly increasing: $probs")
+    require(labels.size == probs.size + 1,
+      s"need ${probs.size + 1} labels for ${probs.size} cutpoints, got ${labels.size}")
+    require(!df.columns.contains("segment"),
+      "segmentByQuantiles appends output column segment; rename the existing")
+    val cuts = quantiles(df, Seq.empty, valueCol, probs, exact)
+    val seg = probs.indices.reverse.foldLeft(lit(labels.last): Column) {
+      (acc, i) => when(valueCol <= col(s"q_$i"), lit(labels(i))).otherwise(acc)
+    }
+    df.crossJoin(broadcast(cuts))
+      .withColumn("segment", seg)
+      .drop(probs.indices.map(i => s"q_$i"): _*)
+  }
 }

@@ -244,6 +244,21 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // Equi-depth user-value segmentation: per-user purchase spend
+    // bucketed by the dataset's own spend tertiles — the data-driven
+    // tier assignment beside q_histogram's fixed grid.
+    "q_user_segments" -> ((s, dir) => {
+      val spend = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(round(sum("value"), 2).as("spend"),
+          count(lit(1)).as("n_purchases"))
+      Sketches.segmentByQuantiles(
+          spend, col("spend"), Seq(1.0 / 3, 2.0 / 3),
+          Seq("low", "mid", "high"))
+        .orderBy("user_id")
+    }),
+
     // Join-skew diagnostics: the 25 heaviest prospective keys of a
     // lineitem⋈orders join with per-side counts and exact inner-join
     // output estimates — the pre-join report that sizes salting.
@@ -991,6 +1006,20 @@ object AnalyticsQueries {
         |  coalesce(max((us - pus)::DOUBLE / 1000000), 0.0) AS max_gap_seconds,
         |  (max(us) - min(us))::DOUBLE / 1000000 AS span_seconds
         |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_user_segments" ->
+      """WITH spend AS (
+        |  SELECT user_id, round(sum(value), 2) AS spend, count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), cuts AS (
+        |  SELECT round(quantile_cont(spend, 1.0/3), 4) AS q_0,
+        |         round(quantile_cont(spend, 2.0/3), 4) AS q_1
+        |  FROM spend
+        |)
+        |SELECT user_id, spend, n_purchases,
+        |  CASE WHEN spend <= q_0 THEN 'low'
+        |       WHEN spend <= q_1 THEN 'mid'
+        |       ELSE 'high' END AS segment
+        |FROM spend CROSS JOIN cuts ORDER BY user_id""".stripMargin,
     "q_join_skew" ->
       """WITH lc AS (
         |  SELECT l_orderkey AS key, count(*) AS n_left FROM lineitem GROUP BY 1

@@ -88,6 +88,35 @@ class SketchesSpec extends SparkSpec {
     assert(est("absent") == 0L)
   }
 
+  test("segmentByQuantiles: tertiles partition ~equally, boundaries inclusive") {
+    val df = (1 to 99).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val seg = Sketches.segmentByQuantiles(
+        df, $"v", Seq(1.0 / 3, 2.0 / 3), Seq("low", "mid", "high"))
+      .select($"id", $"segment").as[(Long, String)].collect().toMap
+    val counts = seg.values.groupBy(identity).view.mapValues(_.size).toMap
+    // equi-depth: each tier gets a third (±1 at the interpolated cut)
+    assert(counts.values.forall(n => n >= 32 && n <= 34), s"skewed tiers: $counts")
+    // order respects value order: every low id < every mid id < every high id
+    val maxLow = seg.collect { case (i, "low") => i }.max
+    val minMid = seg.collect { case (i, "mid") => i }.min
+    val maxMid = seg.collect { case (i, "mid") => i }.max
+    val minHigh = seg.collect { case (i, "high") => i }.min
+    assert(maxLow < minMid && maxMid < minHigh)
+    // cutpoints ride a broadcast — no second shuffle of the data
+    val plan = Sketches.segmentByQuantiles(
+        df, $"v", Seq(0.5), Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"cutpoints must broadcast:\n$plan")
+    // validation
+    intercept[IllegalArgumentException] {
+      Sketches.segmentByQuantiles(df, $"v", Seq(0.7, 0.3), Seq("a", "b", "c"))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.segmentByQuantiles(df, $"v", Seq(0.5), Seq("only"))
+    }
+  }
+
   test("quantiles: exact path interpolates, approx path stays close") {
     val df = (1 to 101).map(i => ("g", i.toDouble)).toDF("g", "v")
     val ex = Sketches.quantiles(df, Seq("g"), $"v", Seq(0.5, 0.9))
