@@ -129,6 +129,53 @@ object Sketches {
           4))
   }
 
+  /** Set-overlap estimation from two KMV sketches — "how much of
+    * corpus B duplicates corpus A" without a distinct-join of either:
+    * per group, take the k smallest hashes of the sketch UNION, count
+    * how many of those appear in BOTH sketches (ρ = n_both / n_union
+    * estimates the Jaccard similarity — the k-minimum-values
+    * coincidence argument, same machinery as MinHash), and scale by
+    * the union's KMV cardinality estimate for the intersection size.
+    * Output: group cols, `n_union_kept`, `n_both`, `est_union`,
+    * `est_jaccard`, `est_intersection` (= rounded jaccard × rounded
+    * union, so every emitted figure is engine-replayable arithmetic
+    * over the deterministic hashes).
+    *
+    * Everything is codegen'd array arithmetic over the two k-length
+    * sketch columns — one group equi-join between sketch frames, no
+    * re-scan of either corpus. Sketches must share `k` and the
+    * hasher.
+    */
+  def kmvOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      groupCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val domain = math.pow(2, 60)
+    val joined = a.withColumnRenamed("kmv", "__ka")
+      .join(b.withColumnRenamed("kmv", "__kb"), groupCols)
+    joined
+      .withColumn("__u",
+        slice(array_sort(array_union(col("__ka"), col("__kb"))), 1, k))
+      .withColumn("n_union_kept", size(col("__u")).cast("long"))
+      .withColumn("n_both",
+        size(filter(col("__u"),
+          x => array_contains(col("__ka"), x) && array_contains(col("__kb"), x)))
+          .cast("long"))
+      .withColumn("est_union",
+        round(
+          when(col("n_union_kept") < k, col("n_union_kept").cast("double"))
+            .otherwise(lit((k - 1) * domain) / element_at(col("__u"), -1)),
+          4))
+      .withColumn("est_jaccard",
+        round(col("n_both").cast("double") / col("n_union_kept"), 4))
+      .withColumn("est_intersection",
+        round(col("est_jaccard") * col("est_union"), 4))
+      .select(groupCols.map(col) ++ Seq(col("n_union_kept"), col("n_both"),
+        col("est_union"), col("est_jaccard"), col("est_intersection")): _*)
+  }
+
   /** CountMin sketch counter grid: `(row, bucket, cnt)` with `d`
     * hash rows × `w` buckets. Point estimates are
     * `min over rows of cnt[row][bucket_row(x)]` — always ≥ the true

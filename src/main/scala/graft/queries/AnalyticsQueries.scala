@@ -508,6 +508,20 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     }),
 
+    // KMV set-overlap estimation: how much of src1's token vocabulary
+    // duplicates src0's, from two k=16 sketches — no distinct-join of
+    // either corpus (the "does crawl B duplicate crawl A" question).
+    "q_kmv_overlap" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      def sk(src: String) = Sketches.kmvSketch(
+        d.filter(col("source") === src)
+          .select(lit(1).as("g"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        Seq("g"), col("tok"), k = 16)
+      Sketches.kmvOverlap(sk("src0"), sk("src1"), Seq("g"), k = 16)
+        .drop("g")
+    }),
+
     // KMV distinct-count sketch: estimated distinct users per
     // event_type from the 64 smallest md5-derived hashes.
     "q_kmv_distinct" -> ((s, dir) => {
@@ -1186,6 +1200,41 @@ object AnalyticsQueries {
         |FROM tok JOIN cc USING (term) LEFT JOIN tc USING (term)
         |CROSS JOIN tot CROSS JOIN v
         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+    "q_kmv_overlap" ->
+      """WITH ta AS (
+        |  SELECT DISTINCT ('0x' || substr(md5('kmv|' || tok), 1, 15))::BIGINT AS h
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents WHERE source = 'src0')
+        |), ka AS (
+        |  SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM ta)
+        |  WHERE rk <= 16
+        |), tb AS (
+        |  SELECT DISTINCT ('0x' || substr(md5('kmv|' || tok), 1, 15))::BIGINT AS h
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents WHERE source = 'src1')
+        |), kb AS (
+        |  SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM tb)
+        |  WHERE rk <= 16
+        |), u AS (
+        |  SELECT h FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h) AS rk
+        |    FROM (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb))
+        |  ) WHERE rk <= 16
+        |), m AS (
+        |  SELECT count(*) AS n_union_kept, max(h) AS kth FROM u
+        |), nb AS (
+        |  SELECT count(*) AS n_both FROM u
+        |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+        |)
+        |SELECT m.n_union_kept, nb.n_both,
+        |  round(CASE WHEN m.n_union_kept < 16 THEN m.n_union_kept::DOUBLE
+        |             ELSE 15.0 * 1152921504606846976.0 / m.kth END, 4) AS est_union,
+        |  round(nb.n_both::DOUBLE / m.n_union_kept, 4) AS est_jaccard,
+        |  round(round(nb.n_both::DOUBLE / m.n_union_kept, 4)
+        |        * round(CASE WHEN m.n_union_kept < 16 THEN m.n_union_kept::DOUBLE
+        |                     ELSE 15.0 * 1152921504606846976.0 / m.kth END, 4), 4)
+        |    AS est_intersection
+        |FROM m CROSS JOIN nb""".stripMargin,
     "q_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

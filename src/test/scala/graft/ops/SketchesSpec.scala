@@ -88,6 +88,27 @@ class SketchesSpec extends SparkSpec {
     assert(est("absent") == 0L)
   }
 
+  test("kmvOverlap: self is 1, disjoint is 0, half-overlap within tolerance") {
+    def sk(lo: Int, hi: Int) = Sketches.kmvSketch(
+      (lo to hi).map(i => (1, s"x$i")).toDF("g", "v"), Seq("g"), $"v", k = 64)
+    val a = sk(1, 300)
+    // identical inputs: every union hash is in both
+    val self = Sketches.kmvOverlap(a, sk(1, 300), Seq("g"), 64).head()
+    assert(self.getAs[Double]("est_jaccard") == 1.0)
+    assert(self.getAs[Long]("n_both") == self.getAs[Long]("n_union_kept"))
+    // disjoint inputs
+    val dis = Sketches.kmvOverlap(a, sk(1000, 1300), Seq("g"), 64).head()
+    assert(dis.getAs[Double]("est_jaccard") == 0.0)
+    assert(dis.getAs[Double]("est_intersection") == 0.0)
+    // |A∩B| = 150, |A∪B| = 450 → J = 1/3; k=64 keeps the estimator
+    // noisy but bounded (binomial ±~3σ)
+    val half = Sketches.kmvOverlap(a, sk(151, 450), Seq("g"), 64).head()
+    val j = half.getAs[Double]("est_jaccard")
+    assert(j > 0.12 && j < 0.55, s"jaccard estimate off: $j vs 1/3")
+    val u = half.getAs[Double]("est_union")
+    assert(u > 270 && u < 680, s"union estimate off: $u vs 450")
+  }
+
   test("segmentByQuantiles: tertiles partition ~equally, boundaries inclusive") {
     val df = (1 to 99).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     val seg = Sketches.segmentByQuantiles(
