@@ -288,6 +288,46 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens"), 4))
   }
 
+  /** Vocabulary encoding — the materialization step between a curated
+    * corpus and a training run: every document's token sequence mapped
+    * to vocabulary ids IN ORDER (`rank` from the vocab table; OOV
+    * tokens encode as −1, counted separately — pair with [[oovRate]]
+    * to decide whether the vocab is fit before encoding). Output:
+    * (id, ids [comma-joined string — cross-engine-comparable, the
+    * X60 postings convention], n_tokens, n_oov).
+    *
+    * Order preservation is the core correctness burden: tokens
+    * posexplode WITH their position, join the vocabulary (broadcast at
+    * any real vocab size), and reassemble via `array_sort` over
+    * (pos, id) structs — `collect_list` alone guarantees no order.
+    * One keyed pre-explode exchange; the regroup reuses it; the vocab
+    * join adds none.
+    */
+  def encodeTokens(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      vocab: DataFrame): DataFrame = {
+    require(vocab.columns.contains("token") && vocab.columns.contains("rank"),
+      s"vocab needs (token, rank) columns, has: ${vocab.columns.mkString(", ")}")
+    val tok = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "token")))
+    tok
+      .join(vocab.select("token", "rank").distinct(), Seq("token"), "left")
+      .withColumn("__tid", coalesce(col("rank").cast("long"), lit(-1L)))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__tid")))),
+            _.getField("__tid").cast("string")),
+          ",").as("ids"),
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__tid") === -1L, 1)).as("n_oov"))
+  }
+
   /** Repetition cut on the duplicate-mass fractions (length-robust: a
     * short all-distinct doc scores 0, unlike top-gram share, which is
     * 1/n even for perfectly varied text): heavy token reuse or

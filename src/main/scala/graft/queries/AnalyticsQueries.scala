@@ -469,6 +469,16 @@ object AnalyticsQueries {
         .orderBy("user_id", "period_start")
     }),
 
+    // Vocabulary encoding: every doc's ordered token-id sequence
+    // under the corpus top-50 vocab (X27), OOV as -1 — the
+    // materialization step a training run consumes.
+    "q_encode_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.encodeTokens(docs, "text", "doc_id",
+          Curation.vocabulary(docs, "text", k = 50))
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary-coverage audit: per-doc OOV rate against the
     // corpus's own top-50 vocabulary (X27) — the tokenizer-fit check.
     "q_oov_rate" -> ((s, dir) => {
@@ -1128,6 +1138,27 @@ object AnalyticsQueries {
         |  last_value(lv IGNORE NULLS) OVER (
         |    PARTITION BY user_id ORDER BY period_us) AS filled_value
         |FROM j ORDER BY user_id, period_start""".stripMargin,
+    "q_encode_tokens" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+        |), freq AS (
+        |  SELECT token, count(*) AS freq FROM tok WHERE token <> '' GROUP BY 1
+        |), vocab AS (
+        |  SELECT token, row_number() OVER (ORDER BY freq DESC, token) AS rank
+        |  FROM freq ORDER BY freq DESC, token LIMIT 50
+        |), t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |), x AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM t
+        |), j AS (
+        |  SELECT x.doc_id, x.i, coalesce(v.rank, -1)::BIGINT AS tid
+        |  FROM x LEFT JOIN vocab v ON v.token = x.toks[x.i]
+        |)
+        |SELECT doc_id,
+        |  string_agg(tid::VARCHAR, ',' ORDER BY i) AS ids,
+        |  count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE tid = -1) AS n_oov
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_oov_rate" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents

@@ -129,6 +129,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("encodeTokens: order preserved, OOV as -1, repeats share one id") {
+    val docs = Seq(
+      (1L, "b a b z a"),
+      (2L, "z z")
+    ).toDF("doc_id", "text")
+    val vocab = Seq(("a", 1), ("b", 2)).toDF("token", "rank")
+    val got = TextAnalysis.encodeTokens(docs, "text", "doc_id", vocab)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("2,1,2,-1,1", 5L, 1L)))
+    assert(got(2L) == (("-1,-1", 2L, 2L)))
+    // order survives adversarial partitioning
+    val shuffled = TextAnalysis.encodeTokens(
+        docs.repartition(7), "text", "doc_id", vocab)
+      .filter(col("doc_id") === 1L).select("ids").as[String].head()
+    assert(shuffled == "2,1,2,-1,1")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.encodeTokens(docs, "text", "doc_id", vocab.select("token"))
+    }
+  }
+
   test("h64 and baseHash are stable and non-negative") {
     val df = Seq(Tuple1("hello")).toDF("x")
     val r1 = df.select(
