@@ -183,6 +183,41 @@ object Expectations {
         round((p - q) * log(p / q), 6).as("psi_contrib"))
   }
 
+  /** Benford first-significant-digit audit — the forensic
+    * data-quality check for "organic" numeric columns (amounts,
+    * populations, counts spanning magnitudes): naturally-arising
+    * values lead with 1 ~30% of the time (`log10(1 + 1/d)`), while
+    * fabricated or truncated data flattens the curve. One
+    * map-side-combined pass; rows with `floor(|v|) < 1` (and NULLs)
+    * are excluded — they have no leading integer digit.
+    *
+    * Digit extraction deliberately avoids `log10` ON THE DATA (an
+    * ulp-level libm difference at an exact power of ten would flip
+    * the digit between engines): `floor(|v|)` renders to a decimal
+    * string identically everywhere, and the first character IS the
+    * digit. Output: `(digit 1–9, n, actual_frac, expected_frac,
+    * deviation)` — large deviations on a column that should be
+    * organic are the audit signal.
+    */
+  def benfordReport(df: DataFrame, valueCol: Column): DataFrame = {
+    val vi = floor(abs(valueCol.cast("double"))).cast("long")
+    val digit = substring(vi.cast("string"), 1, 1).cast("int")
+    val counts = df
+      .filter(vi >= 1)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(coalesce(sum("n"), lit(0L)).as("__t"))
+    counts
+      .crossJoin(broadcast(total))
+      .withColumn("actual_frac", round(col("n").cast("double") / col("__t"), 4))
+      .withColumn("expected_frac",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 4))
+      .withColumn("deviation",
+        round(abs(col("actual_frac") - col("expected_frac")), 4))
+      .select(col("digit"), col("n"), col("actual_frac"),
+        col("expected_frac"), col("deviation"))
+  }
+
   /** Child rows whose `childKey` value has no match in
     * `parent.parentKey` (NULL child keys are orphans too — they
     * reference nothing). One left-anti join on the key.

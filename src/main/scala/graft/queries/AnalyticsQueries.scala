@@ -488,6 +488,15 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     }),
 
+    // Benford first-digit audit over lineitem prices — the forensic
+    // organic-data check (digit extracted from the integer's decimal
+    // string, never via log10 on the data).
+    "q_benford" -> ((s, dir) => {
+      graft.ops.Expectations.benfordReport(
+          Tables.lineitem(s, dir), col("l_extendedprice"))
+        .orderBy("digit")
+    }),
+
     // PSI drift report: full lineitem price distribution vs the
     // low-quantity slice, 22 buckets, Laplace-smoothed contributions
     // (sum(psi_contrib) is the PSI) — the retrain-gate drift check.
@@ -1172,6 +1181,21 @@ object AnalyticsQueries {
         |  round(count(*) FILTER (WHERE v.token IS NULL)::DOUBLE / count(*), 4) AS oov_rate
         |FROM tok LEFT JOIN vocab v ON tok.token = v.token
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(abs(l_extendedprice::DOUBLE)) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM lineitem
+        |  WHERE CAST(floor(abs(l_extendedprice::DOUBLE)) AS BIGINT) >= 1
+        |), c AS (
+        |  SELECT digit, count(*) AS n FROM d GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tt FROM c
+        |)
+        |SELECT digit, n,
+        |  round(n::DOUBLE / tt, 4) AS actual_frac,
+        |  round(log10(1.0 + 1.0 / digit), 4) AS expected_frac,
+        |  round(abs(round(n::DOUBLE / tt, 4) - round(log10(1.0 + 1.0 / digit), 4)), 4) AS deviation
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
     "q_drift_psi" ->
       """WITH he AS (
         |  SELECT least(greatest(CAST(floor((l_extendedprice::DOUBLE - 0.0) * 22 / 110000.0) AS BIGINT), 0), 21) AS bucket,

@@ -107,6 +107,22 @@ class ExpectationsSpec extends SparkSpec {
     assert(scans == 1, s"expected a single scan, got $scans:\n$plan")
   }
 
+  test("benfordReport: string-derived digits, sub-1 and NULL excluded") {
+    val d = Seq(Option(1999.99), Option(-23.7), Option(0.5), Option(945.0),
+      Option(1.0), None).toDF("v")
+    val got = Expectations.benfordReport(d, col("v"))
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // digits: 1999.99→1, -23.7→2, 945→9, 1.0→1; 0.5 and NULL excluded
+    assert(got.keySet == Set(1, 2, 9))
+    assert(got(1)._2 == 2L && got(2)._2 == 1L && got(9)._2 == 1L)
+    assert(got(1)._3 == 0.5)          // 2 of 4
+    assert(got(1)._4 == 0.301)        // log10(2) rounded
+    assert(got(1)._5 == 0.199)
+    // fractions sum to 1 over the report
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-9)
+  }
+
   test("psiReport: identical distributions score zero, shifts score positive") {
     val a = (1 to 100).map(i => (i % 10).toDouble).toDF("v")
     // identical frames, equal totals: every contribution exactly 0
