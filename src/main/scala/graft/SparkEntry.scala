@@ -74,6 +74,26 @@ object SparkEntry {
           round(col("total_value"), 2).as("total_value_r"))
         .orderBy("window_start", "event_type")
     }),
+    // The NATIVE session-window operator (Spark's built-in
+    // session_window generator) over the same event log — the
+    // built-in-first counterpart to q_sessionize's relational twin.
+    // Semantics differ at the exact-gap boundary (built-in closes at
+    // diff >= gap; the relational twin at diff > gap) and in the end
+    // bound (last event + gap, not last event) — the oracle replays
+    // the BUILT-IN's contract exactly.
+    "q_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value_r"))
+        .select(col("user_id"),
+          col("w.start").as("session_start"),
+          col("w.end").as("session_end"),
+          col("n_events"), col("total_value_r"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // Batch gap-sessionization — the relational twin of the streaming
     // flatMapGroupsWithState sessionize (EventStreamsSpec pins their
     // agreement on closed sessions); integer-microsecond gap compare
@@ -123,6 +143,26 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS total_value_r
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+        |  FROM f
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value_r
+        |FROM g GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events

@@ -21,8 +21,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * re-running an increment double-counts (aggregation state has no
   * per-row identity to dedupe on, unlike [[graft.streaming
   * .SnapshotUpsert]]'s keyed MERGE, which is idempotent). Feed this
-  * from an exactly-once source (a committed batch id, a checkpointed
-  * stream's foreachBatch with batch-id fencing).
+  * from an exactly-once source, or use
+  * [[graft.streaming.GoldStream]] — the streaming closure of this
+  * pipeline with batch-id fencing built into the state.
   */
 object GoldIncrement {
 
