@@ -479,6 +479,23 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     }),
 
+    // Materialization composition (X68 ∘ X82): cap each source at its
+    // token budget, then encode the surviving docs to ordered id
+    // sequences under the FULL corpus's vocabulary (fixed before
+    // budgeting, as a real pipeline freezes its tokenizer) — the
+    // corpus → training-tensors endgame as ONE lazy plan.
+    "q_materialize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = Curation.tokenBudget(
+          docs.select("doc_id", "source", "text"),
+          "text", "source", budgetTokens = 800L, orderCol = col("doc_id"))
+        .filter(col("kept"))
+        .select("doc_id", "text")
+      TextAnalysis.encodeTokens(kept, "text", "doc_id",
+          Curation.vocabulary(docs, "text", k = 50))
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary-coverage audit: per-doc OOV rate against the
     // corpus's own top-50 vocabulary (X27) — the tokenizer-fit check.
     "q_oov_rate" -> ((s, dir) => {
@@ -1147,6 +1164,34 @@ object AnalyticsQueries {
         |  last_value(lv IGNORE NULLS) OVER (
         |    PARTITION BY user_id ORDER BY period_us) AS filled_value
         |FROM j ORDER BY user_id, period_start""".stripMargin,
+    "q_materialize" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents
+        |), cum AS (
+        |  SELECT doc_id, toks,
+        |    CAST(sum(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t
+        |), kept AS (
+        |  SELECT doc_id, toks FROM cum WHERE cum_tokens <= 800
+        |), tok AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+        |), freq AS (
+        |  SELECT token, count(*) AS freq FROM tok WHERE token <> '' GROUP BY 1
+        |), vocab AS (
+        |  SELECT token, row_number() OVER (ORDER BY freq DESC, token) AS rank
+        |  FROM freq ORDER BY freq DESC, token LIMIT 50
+        |), x AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM kept
+        |), j AS (
+        |  SELECT x.doc_id, x.i, coalesce(v.rank, -1)::BIGINT AS tid
+        |  FROM x LEFT JOIN vocab v ON v.token = x.toks[x.i]
+        |)
+        |SELECT doc_id,
+        |  string_agg(tid::VARCHAR, ',' ORDER BY i) AS ids,
+        |  count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE tid = -1) AS n_oov
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_encode_tokens" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
