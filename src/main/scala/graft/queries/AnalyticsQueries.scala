@@ -171,6 +171,34 @@ object AnalyticsQueries {
         .orderBy("w_start")
     }),
 
+    // Explicit GROUPING SETS with grouping() flags — the arbitrary
+    // multi-granularity form of which q_rollup/q_cube are the fixed
+    // shapes; one shuffle for all three granularities.
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+          |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+          |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+          |FROM graft_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)
+    }),
+
+    // Event-time RANGE window frame: per-row trailing-1-hour sum by
+    // type — the interval-bounded frame (peers included) beside
+    // q_sliding_agg's bucketed window() generator.
+    "q_range_frame" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("graft_events")
+      s.sql(
+        """SELECT event_id,
+          |  round(sum(value) OVER (PARTITION BY event_type ORDER BY ts
+          |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+          |    AS trailing_1h
+          |FROM graft_events ORDER BY event_id""".stripMargin)
+    }),
+
     // Data-quality expectations (X56): four row-level rules audited in
     // ONE aggregation pass; NULL predicates count as violations.
     "q_expectations" -> ((s, dir) => {
@@ -1226,6 +1254,20 @@ object AnalyticsQueries {
         |  round(count(*) FILTER (WHERE v.token IS NULL)::DOUBLE / count(*), 4) AS oov_rate
         |FROM tok LEFT JOIN vocab v ON tok.token = v.token
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q_range_frame" ->
+      """SELECT event_id,
+        |  round(sum(value) OVER (PARTITION BY event_type ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+        |    AS trailing_1h
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_benford" ->
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(floor(abs(l_extendedprice::DOUBLE)) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
