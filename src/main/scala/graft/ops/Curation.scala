@@ -64,6 +64,23 @@ object Curation {
     df.withColumn("bucket", b).withColumn("split", expr)
   }
 
+  /** Group-integrity split assignment — the leakage-safe variant of
+    * [[assignSplit]]: the hash decision is taken on the GROUP key
+    * (site/domain/author), so every row of a group lands in the same
+    * split and near-identical documents from one source can never
+    * straddle train/test. Same deterministic bucket-of-10k contract;
+    * the decision column is a pure projection of the group key, so
+    * at 100 TB this is still one scan, no shuffle, no group
+    * materialization.
+    */
+  def assignSplitBy(
+      df: DataFrame,
+      groupCol: String,
+      weights: Seq[(String, Double)],
+      seed: Long = 42L,
+      hasher: (Column, Column) => Column = TextAnalysis.fastH64): DataFrame =
+    assignSplit(df, groupCol, weights, seed, hasher)
+
   /** Keep each row with a per-stratum probability, deterministically:
     * row survives iff its [[bucket10k]] falls under `rate × 10000` for
     * its stratum. Unlike `df.stat.sampleBy`, the decision is a pure

@@ -48,6 +48,21 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Group-integrity (leakage-safe) splits: the hash decision on the
+    // SOURCE key, so a site's near-identical pages can never straddle
+    // train/test — one (source, split) row per source proves it.
+    "q_split_group" -> ((s, dir) => {
+      Curation.assignSplitBy(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          "source",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          seed = 7L,
+          hasher = TextAnalysis.h64)
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "split")
+    }),
+
     // Per-language down-sampling at deterministic rates.
     "q_stratified_sample" -> ((s, dir) => {
       Curation.stratifiedSample(
@@ -255,6 +270,20 @@ object CurationQueries {
         |       WHEN bucket < 9000 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_split_group" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('7|' || source), 1, 15))::BIGINT % 10000 AS bucket
+        |  FROM documents
+        |), s AS (
+        |  SELECT source,
+        |    CASE WHEN bucket < 8000 THEN 'train'
+        |         WHEN bucket < 9000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM b
+        |)
+        |SELECT source, split, count(*) AS n
+        |FROM s GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
     "q_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

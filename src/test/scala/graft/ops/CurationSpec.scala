@@ -237,6 +237,29 @@ class CurationSpec extends SparkSpec {
     assert(out.columns.contains("mix_tokens_before"))
   }
 
+  test("assignSplitBy: every group lands whole in one split, weights hold over groups") {
+    val d = spark.range(0, 5000).select(
+      col("id").as("doc_id"),
+      concat(lit("site"), (col("id") % 500).cast("string")).as("site"))
+    val out = Curation.assignSplitBy(
+      d, "site", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 3L)
+    // integrity: one distinct split per group — no site straddles
+    val perGroup = out.groupBy("site")
+      .agg(countDistinct("split").as("k")).agg(max("k")).head().getLong(0)
+    assert(perGroup == 1L, "a group straddled splits")
+    // proportions apply at GROUP granularity (500 sites, ±5%-ish)
+    val sites = out.select("site", "split").distinct()
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(sites("train") > 350 && sites("train") < 450, s"weights off: $sites")
+    // rows follow their group deterministically across partitionings
+    val again = Curation.assignSplitBy(
+        d.repartition(13), "site", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        seed = 3L)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val first = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again == first)
+  }
+
   test("piiScan: per-column category totals and any-hit rows in one pass") {
     val d = Seq(
       (1L, Option("mail me a@b.co or c@d.io"), Option("10.0.0.1")),
