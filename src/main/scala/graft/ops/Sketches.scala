@@ -172,8 +172,23 @@ object Sketches {
         round(col("n_both").cast("double") / col("n_union_kept"), 4))
       .withColumn("est_intersection",
         round(col("est_jaccard") * col("est_union"), 4))
+      // Directional containment — the question dedup actually asks
+      // ("what fraction of A is already inside B"): intersection
+      // estimate over each side's own KMV cardinality estimate,
+      // capped at 1 (independent estimators can disagree slightly).
+      .withColumn("__ea",
+        when(size(col("__ka")) < k, size(col("__ka")).cast("double"))
+          .otherwise(lit((k - 1) * domain) / element_at(col("__ka"), -1)))
+      .withColumn("__eb",
+        when(size(col("__kb")) < k, size(col("__kb")).cast("double"))
+          .otherwise(lit((k - 1) * domain) / element_at(col("__kb"), -1)))
+      .withColumn("est_containment_left",
+        round(least(col("est_intersection") / round(col("__ea"), 4), lit(1.0)), 4))
+      .withColumn("est_containment_right",
+        round(least(col("est_intersection") / round(col("__eb"), 4), lit(1.0)), 4))
       .select(groupCols.map(col) ++ Seq(col("n_union_kept"), col("n_both"),
-        col("est_union"), col("est_jaccard"), col("est_intersection")): _*)
+        col("est_union"), col("est_jaccard"), col("est_intersection"),
+        col("est_containment_left"), col("est_containment_right")): _*)
   }
 
   /** CountMin sketch counter grid: `(row, bucket, cnt)` with `d`

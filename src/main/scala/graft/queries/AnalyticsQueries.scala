@@ -1368,6 +1368,11 @@ object AnalyticsQueries {
         |  SELECT count(*) AS n_both FROM u
         |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
         |)
+        |, ea AS (
+        |  SELECT count(*) AS na, max(h) AS ka_kth FROM ka
+        |), eb AS (
+        |  SELECT count(*) AS nb2, max(h) AS kb_kth FROM kb
+        |)
         |SELECT m.n_union_kept, nb.n_both,
         |  round(CASE WHEN m.n_union_kept < 16 THEN m.n_union_kept::DOUBLE
         |             ELSE 15.0 * 1152921504606846976.0 / m.kth END, 4) AS est_union,
@@ -1375,8 +1380,22 @@ object AnalyticsQueries {
         |  round(round(nb.n_both::DOUBLE / m.n_union_kept, 4)
         |        * round(CASE WHEN m.n_union_kept < 16 THEN m.n_union_kept::DOUBLE
         |                     ELSE 15.0 * 1152921504606846976.0 / m.kth END, 4), 4)
-        |    AS est_intersection
-        |FROM m CROSS JOIN nb""".stripMargin,
+        |    AS est_intersection,
+        |  round(least(
+        |    round(round(nb.n_both::DOUBLE / m.n_union_kept, 4)
+        |          * round(CASE WHEN m.n_union_kept < 16 THEN m.n_union_kept::DOUBLE
+        |                       ELSE 15.0 * 1152921504606846976.0 / m.kth END, 4), 4)
+        |    / round(CASE WHEN ea.na < 16 THEN ea.na::DOUBLE
+        |                 ELSE 15.0 * 1152921504606846976.0 / ea.ka_kth END, 4),
+        |    1.0), 4) AS est_containment_left,
+        |  round(least(
+        |    round(round(nb.n_both::DOUBLE / m.n_union_kept, 4)
+        |          * round(CASE WHEN m.n_union_kept < 16 THEN m.n_union_kept::DOUBLE
+        |                       ELSE 15.0 * 1152921504606846976.0 / m.kth END, 4), 4)
+        |    / round(CASE WHEN eb.nb2 < 16 THEN eb.nb2::DOUBLE
+        |                 ELSE 15.0 * 1152921504606846976.0 / eb.kb_kth END, 4),
+        |    1.0), 4) AS est_containment_right
+        |FROM m CROSS JOIN nb CROSS JOIN ea CROSS JOIN eb""".stripMargin,
     "q_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

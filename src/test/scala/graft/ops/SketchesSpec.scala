@@ -102,11 +102,16 @@ class SketchesSpec extends SparkSpec {
     assert(dis.getAs[Double]("est_intersection") == 0.0)
     // |A∩B| = 150, |A∪B| = 450 → J = 1/3; k=64 keeps the estimator
     // noisy but bounded (binomial ±~3σ)
+    assert(self.getAs[Double]("est_containment_left") == 1.0)
+    assert(dis.getAs[Double]("est_containment_right") == 0.0)
     val half = Sketches.kmvOverlap(a, sk(151, 450), Seq("g"), 64).head()
     val j = half.getAs[Double]("est_jaccard")
     assert(j > 0.12 && j < 0.55, s"jaccard estimate off: $j vs 1/3")
     val u = half.getAs[Double]("est_union")
     assert(u > 270 && u < 680, s"union estimate off: $u vs 450")
+    // |A∩B|/|A| = 150/300 = 0.5 (loose band, independent estimators)
+    val cl = half.getAs[Double]("est_containment_left")
+    assert(cl > 0.2 && cl <= 1.0, s"containment estimate off: $cl vs 0.5")
   }
 
   test("segmentByQuantiles: tertiles partition ~equally, boundaries inclusive") {
