@@ -47,7 +47,8 @@ object SparkEntry {
     graft.queries.LlmQueries.queries ++
     graft.queries.CurationQueries.queries ++
     graft.queries.AnalyticsQueries.queries ++
-    graft.queries.PipelineQueries.queries ++ Map(
+    graft.queries.PipelineQueries.queries ++
+    graft.queries.MiningQueries.queries ++ Map(
     // F11–F14 + P2/P3: the reference's most reused compound operator
     // (create_date_features, clean.py:213-233) over the events table.
     "q_date_features" -> ((s, dir) => {
@@ -122,7 +123,8 @@ object SparkEntry {
     graft.queries.LlmQueries.oracleSql ++
     graft.queries.CurationQueries.oracleSql ++
     graft.queries.AnalyticsQueries.oracleSql ++
-    graft.queries.PipelineQueries.oracleSql ++ Map(
+    graft.queries.PipelineQueries.oracleSql ++
+    graft.queries.MiningQueries.oracleSql ++ Map(
     "q_date_features" ->
       """SELECT event_id,
         |  ts::TIMESTAMP AS ts_ts,

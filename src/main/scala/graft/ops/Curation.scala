@@ -637,4 +637,88 @@ object Curation {
         count(when(!col("__banned"), lit(1))).as("n_kept"),
         count(when(col("__banned"), lit(1))).as("n_dropped"))
   }
+
+  // ------------------------------------------------------------- chunking
+
+  /** Overlapping token-window chunking — the document → model-input
+    * materialization step for RAG indexing and long-context training:
+    * each doc becomes ⌈(n − overlap) / (chunk − overlap)⌉ chunks of up
+    * to `chunkTokens` tokens, consecutive chunks sharing
+    * `overlapTokens` (so no span longer than the overlap is ever split
+    * across a chunk boundary without appearing whole in one chunk).
+    *
+    * Chunk starts step by `chunkTokens − overlapTokens`; a trailing
+    * start whose window would add NO token beyond the previous chunk's
+    * coverage (`start + overlap ≥ n`, possible only when the doc tail
+    * is shorter than the overlap) is dropped — emitting it would
+    * produce a chunk fully contained in its predecessor, a pure
+    * duplicate by construction (the X1 screen downstream would have to
+    * clean up after us).
+    *
+    * Pure explode + codegen'd projection over one scan — no shuffle,
+    * no window; output volume ≈ input tokens × chunk/(chunk−overlap).
+    * Emits (id, chunk_id, start_tok, chunk_tokens, chunk_text) with
+    * chunk_id dense from 0 in document order.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkTokens: Int,
+      overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    require(
+      overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens): $overlapTokens")
+    val step = chunkTokens - overlapTokens
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn(
+        "__start",
+        explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(step))))
+      .filter(col("__start") === 0 || col("__start") + lit(overlapTokens) < col("__n"))
+      .select(
+        col(idCol),
+        (col("__start") / step).cast("int").as("chunk_id"),
+        col("__start").as("start_tok"),
+        least(col("__n") - col("__start"), lit(chunkTokens)).as("chunk_tokens"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
+  // ----------------------------------------------------------- k-anonymity
+
+  /** Equivalence classes under the quasi-identifier columns: one row
+    * per distinct QI combination with its row count and an `at_risk`
+    * flag (`n < k` — fewer than k individuals share the combination,
+    * so releasing those columns re-identifies them). NULL is a value:
+    * two rows both missing a QI are indistinguishable to an attacker,
+    * which is exactly what groupBy's null handling models. One
+    * map-side-combined hash aggregation.
+    */
+  def kAnonymityClasses(df: DataFrame, qidCols: Seq[String], k: Long): DataFrame = {
+    require(qidCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2: $k")
+    df.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < k)
+  }
+
+  /** One-row k-anonymity audit of a table against a target `k`:
+    * `k_anonymity` (the MINIMUM class size — the table "is
+    * k-anonymous" for that k), class/row totals, and how many classes
+    * and rows fall below the target. The release-gate form of
+    * [[kAnonymityClasses]] — a privacy check CLI thresholds on
+    * `risk_rows == 0` the same way `--pipeline check` thresholds
+    * expectation failures. Two aggregations (classes, then their
+    * summary), both map-side combined.
+    */
+  def kAnonymityReport(df: DataFrame, qidCols: Seq[String], k: Long): DataFrame =
+    kAnonymityClasses(df, qidCols, k)
+      .agg(
+        min(col("n")).as("k_anonymity"),
+        count(lit(1)).as("n_classes"),
+        sum(col("n")).as("n_rows"),
+        count(when(col("at_risk"), lit(1))).as("risk_classes"),
+        sum(when(col("at_risk"), col("n")).otherwise(lit(0L))).as("risk_rows"))
 }

@@ -821,4 +821,181 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
   }
+
+  // ----------------------------------------------------------- span dedup
+
+  /** (id, __pos, __gh): every `windowTokens`-token gram of every doc
+    * with its 0-based start position and gram hash. Same relational
+    * posexplode → per-doc `lead` window construction as
+    * [[shinglesExploded]] (codegen'd, no interpreted array lambdas),
+    * except the position survives — span accounting needs to know
+    * WHERE each gram starts, not just that it exists. Docs shorter
+    * than the window contribute no grams (they can't contain a
+    * duplicated span of that length by definition — unlike shingling,
+    * there is no whole-text fallback row here).
+    */
+  private def positionedGramHashes(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      windowTokens: Int,
+      hasher: Column => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens >= 2, s"windowTokens must be >= 2: $windowTokens")
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    val leadCols = (1 until windowTokens).map(j => s"__l$j")
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= windowTokens)
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .select(
+        col(idCol) +: col("__pos") +: col("__tok") +:
+          (1 until windowTokens).map(j => lead(col("__tok"), j).over(w).as(s"__l$j")): _*)
+      // rows whose last lead is null are truncated trailing windows
+      .filter(col(leadCols.last).isNotNull)
+      .select(
+        col(idCol), col("__pos"),
+        hasher(concat_ws(" ", col("__tok") +: leadCols.map(col): _*)).as("__gh"))
+  }
+
+  /** Gram hashes that occur in at least `minDocs` DISTINCT documents —
+    * the duplicated-gram set the span ops anti/semi-join against.
+    * Per-doc distinct first (exploded rows are already partitioned by
+    * id, so the distinct adds no exchange), then one map-side-combined
+    * count by hash.
+    */
+  private def duplicatedGramHashes(grams: DataFrame, idCol: String, minDocs: Long): DataFrame =
+    grams.select(col(idCol), col("__gh")).distinct()
+      .groupBy("__gh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("__gh")
+
+  /** Exact duplicated-SPAN accounting (the token-window form of the
+    * suffix-array substring dedup in Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): a position is
+    * "duplicated" when some `windowTokens`-token gram covering it also
+    * appears in ≥ `minDocs` documents. Document-level dedup (X1–X6)
+    * misses this entirely — two long docs sharing one 50-token
+    * boilerplate block are nowhere near Jaccard-similar, yet a model
+    * still memorizes the block. Per doc, reports:
+    *
+    *  - `n_tokens` — whitespace token count,
+    *  - `dup_grams` — duplicated-gram occurrences,
+    *  - `covered_tokens` — EXACT size of the union of the duplicated
+    *    occurrences' [pos, pos+w) intervals (overlapping grams are not
+    *    double-counted: running-max-of-end interval union under a
+    *    per-doc window, each row contributing only the part of its
+    *    interval past the furthest end seen so far — sorted by start,
+    *    `new = max(0, end − max(start, prev_max_end))` telescopes to
+    *    the union length),
+    *  - `dup_ratio` — covered/n, rounded to 4 decimals.
+    *
+    * Shuffle budget at corpus scale: the keyed pre-repartition feeding
+    * the gram window, one map-side-combined aggregation by gram hash
+    * (gram rows ≈ token count — the same linear volume MinHash
+    * shingling already moves), and one re-shuffle by id of the
+    * DUPLICATED occurrences only (typically a small fraction) for the
+    * interval-union window. Never all-pairs, never a cross join; the
+    * hash join against the duplicated-gram set is an equi-semi-join
+    * that AQE broadcasts when the duplicated vocabulary is small.
+    *
+    * Hashing defaults to production xxhash64; the oracle query passes
+    * the 60-bit md5 form (collisions mark a span duplicated in BOTH
+    * engines identically, so parity holds regardless; at 60 bits the
+    * false-mark probability is negligible anyway).
+    */
+  def spanDuplication(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      windowTokens: Int = 8,
+      minDocs: Long = 2L,
+      hasher: Column => Column = c => xxhash64(c)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minDocs >= 2L, s"minDocs must be >= 2: $minDocs")
+    // the gram frame feeds BOTH the doc-frequency aggregation and the
+    // occurrence side of the semi-join (and is plan-identical to the
+    // strip variant's) — persist once instead of re-tokenizing and
+    // re-windowing the corpus per consumer
+    val grams = CachedFrames.persistOnce(
+      positionedGramHashes(df, textCol, idCol, windowTokens, hasher))
+    val occ = grams.join(
+      duplicatedGramHashes(grams, idCol, minDocs), Seq("__gh"), "left_semi")
+    val prevEnd = max(col("__end")).over(
+      Window.partitionBy(idCol).orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val covered = occ
+      .withColumn("__end", col("__pos") + lit(windowTokens))
+      .withColumn(
+        "__new",
+        greatest(
+          col("__end") - greatest(col("__pos"), coalesce(prevEnd, col("__pos"))),
+          lit(0)))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__new")).cast("long").as("covered_tokens"),
+        count(lit(1)).as("dup_grams"))
+    df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .na.fill(0L, Seq("covered_tokens", "dup_grams"))
+      .withColumn(
+        "dup_ratio",
+        round(col("covered_tokens").cast("double") / col("n_tokens"), 4))
+  }
+
+  /** Remove the duplicated spans [[spanDuplication]] accounts for,
+    * keeping every token NOT covered by any ≥`minDocs`-doc gram and
+    * reassembling the remainder in original order. This is the
+    * "deduplicate substrings, keep the document" alternative to
+    * dropping whole near-dup docs — the right tool when duplication is
+    * boilerplate embedded in otherwise-unique pages.
+    *
+    * Reassembly is the X82 order-preservation pattern: covered
+    * positions explode from the duplicated occurrences (`sequence` —
+    * w× fanout of the duplicated subset only, bounded by total token
+    * count), surviving (pos, tok) rows group per doc, and
+    * `array_sort` over (pos, tok) structs restores order before the
+    * join — `collect_list` alone guarantees none. A doc whose every
+    * token is covered comes back as the EMPTY string with
+    * `kept_tokens = 0` (callers filter; dropping the row here would
+    * silently change corpus membership).
+    */
+  def stripDuplicatedSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      windowTokens: Int = 8,
+      minDocs: Long = 2L,
+      hasher: Column => Column = c => xxhash64(c)): DataFrame = {
+    require(minDocs >= 2L, s"minDocs must be >= 2: $minDocs")
+    // same shared-plan persist as spanDuplication (one gram build
+    // serves both ops when they run over the same corpus)
+    val grams = CachedFrames.persistOnce(
+      positionedGramHashes(df, textCol, idCol, windowTokens, hasher))
+    val occ = grams.join(
+      duplicatedGramHashes(grams, idCol, minDocs), Seq("__gh"), "left_semi")
+    val coveredPos = occ
+      .select(
+        col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + lit(windowTokens - 1)))
+          .as("__pos"))
+      .distinct()
+    val kept = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .join(coveredPos, Seq(idCol, "__pos"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("kept_tokens"),
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            s => s.getField("__tok"))).as("clean_text"))
+    df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .na.fill(0L, Seq("kept_tokens"))
+      .na.fill("", Seq("clean_text"))
+  }
 }

@@ -98,6 +98,55 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for
+    * each query vector, the top-`k` most-cosine-similar corpus vectors
+    * whose LABEL DIFFERS from the query's — the negatives a triplet /
+    * InfoNCE loss learns most from. `maxSim` (exclusive) drops
+    * near-identical different-label neighbors first: above ≈0.95 a
+    * "negative" is overwhelmingly a labeling error or an undetected
+    * duplicate, and training on it teaches the model to separate
+    * copies (the standard false-negative filter in hard-mining
+    * recipes; pass 1.0 to keep everything).
+    *
+    * Same scale shape as [[bruteForceTopK]]: queries broadcast, the
+    * corpus streams through one codegen'd fused-cosine projection, and
+    * the label filter runs BEFORE the per-query top-k windows, so
+    * same-label rows never enter the rank shuffle. The double
+    * `WindowGroupLimit` (partial per-partition top-k before the
+    * exchange) bounds what moves to k rows per (query, partition).
+    * For corpora past brute-force reach, mine within [[annTopK]] /
+    * [[ivfTopK]] candidates instead and apply the same label filter.
+    *
+    * @return (qid, qlabel, rank, nid, nlabel, sim) with rank 1..k by
+    *         (sim desc, nid)
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      maxSim: Double = 1.0): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("qid"), col(vecCol).as("qvec"), col(labelCol).as("qlabel"))
+    val c = corpus.select(
+      col(idCol).as("nid"), col(vecCol).as("nvec"), col(labelCol).as("nlabel"))
+    val base = c
+      .crossJoin(broadcast(q))
+      .filter(col("nlabel") =!= col("qlabel"))
+      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+    // maxSim = 1.0 means "no false-negative filter": an exact duplicate
+    // scores exactly 1.0, so a strict `sim < 1.0` would silently drop
+    // it even in keep-everything mode
+    val scored = if (maxSim >= 1.0) base else base.filter(col("sim") < maxSim)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("qlabel"), col("rank"), col("nid"), col("nlabel"), col("sim"))
+  }
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     scored

@@ -427,4 +427,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), "IN-subquery must lower to a left-semi join")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q_span_dedup: keyed joins, doc-partitioned windows, one shared gram build") {
+    val plan = planOf("q_span_dedup")
+    assert(!plan.contains("CartesianProduct"),
+      "duplicated-gram membership must be an equi-(semi-)join on the gram hash")
+    // both windows (gram leads, interval union) sort within doc_id
+    // partitions — a global single-partition window dies at corpus scale
+    assert(plan.contains("Arguments: [doc_id"), "window sorts must key on doc_id")
+    // the gram frame persists once and feeds doc-frequency AND the
+    // occurrence side — without the cache the corpus tokenizes twice
+    assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+      "shared gram frame must come from the persist registry")
+  }
+
+  test("q_hard_negatives: queries broadcast; label filter precedes the rank shuffle") {
+    val plan = planOf("q_hard_negatives")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the scored cross product must broadcast the bounded query side")
+    assert(plan.contains("WindowGroupLimit"),
+      "per-query top-k must prune map-side before the rank exchange")
+    assert(!plan.contains("SortMergeJoin"), "corpus must never shuffle for scoring")
+  }
+
+  test("q_chunk_docs is one scan and one explode — no shuffle at all") {
+    val plan = planOf("q_chunk_docs")
+    // the only exchange allowed is the display orderBy's range partition
+    val exchanges = "Exchange \\(\\d+\\)".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"chunking must not shuffle (found $exchanges exchanges):\n$plan")
+    assert(plan.contains("Generate"), "chunk starts explode from a sequence")
+  }
+
+  test("q_k_anonymity is one partial+final aggregation over a pruned scan") {
+    val plan = planOf("q_k_anonymity")
+    // exactly two exchanges: the aggregation's hash shuffle + the
+    // display orderBy's range partition
+    val exchanges = "Exchange \\(\\d+\\)".r.findAllIn(plan).size
+    assert(exchanges == 2, s"QI classes must aggregate in one shuffle:\n$plan")
+    assert("HashAggregate \\(\\d+\\)".r.findAllIn(plan).size == 2,
+      "partial+final hash aggregation expected")
+    assert(!plan.contains("c_name"), "non-QI columns must not be read")
+  }
 }

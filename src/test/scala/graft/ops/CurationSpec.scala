@@ -430,4 +430,82 @@ class CurationSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("mix_tokens_before"))
   }
+
+  test("chunkDocuments: stepped starts, shared overlap, exact tail") {
+    // 10 tokens, chunk 4, overlap 2 → starts 0, 2, 4, 6; start 8 would
+    // add nothing past position 9... wait, 8+2=10 is NOT < 10 → dropped
+    val doc = Seq((0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(doc, "text", "doc_id", chunkTokens = 4, overlapTokens = 2)
+      .orderBy("chunk_id")
+      .select("chunk_id", "start_tok", "chunk_tokens", "chunk_text")
+      .as[(Int, Int, Int, String)].collect().toSeq
+    assert(chunks == Seq(
+      (0, 0, 4, "t0 t1 t2 t3"),
+      (1, 2, 4, "t2 t3 t4 t5"),
+      (2, 4, 4, "t4 t5 t6 t7"),
+      (3, 6, 4, "t6 t7 t8 t9")))
+    // every consecutive pair shares exactly the overlap
+    chunks.sliding(2).foreach { case Seq(a, b) =>
+      val at = a._4.split(' '); val bt = b._4.split(' ')
+      assert(at.takeRight(2).sameElements(bt.take(2)))
+    }
+  }
+
+  test("chunkDocuments: every token appears in some chunk; trailing no-new-token chunk dropped") {
+    // 9 tokens, chunk 4, overlap 2 → starts 0, 2, 4, 6 (start 8: 8+2 >= 9? no — 10 >= 9 → dropped);
+    // start 6 covers tokens 6..8 as a short 3-token tail
+    val doc = Seq((0L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(doc, "text", "doc_id", 4, 2)
+      .orderBy("chunk_id").select("start_tok", "chunk_tokens", "chunk_text")
+      .as[(Int, Int, String)].collect().toSeq
+    assert(chunks.last == ((6, 3, "g h i")))
+    val covered = chunks.flatMap { case (s, n, _) => s until (s + n) }.toSet
+    assert(covered == (0 until 9).toSet)
+    // a doc shorter than one chunk is exactly one whole chunk
+    val short = Seq((1L, "x y")).toDF("doc_id", "text")
+    val one = Curation.chunkDocuments(short, "text", "doc_id", 4, 2).collect()
+    assert(one.length == 1 && one.head.getAs[String]("chunk_text") == "x y"
+      && one.head.getAs[Int]("chunk_tokens") == 2)
+  }
+
+  test("chunkDocuments validates its knobs") {
+    val doc = Seq((0L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocuments(doc, "text", "doc_id", 0, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocuments(doc, "text", "doc_id", 4, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocuments(doc, "text", "doc_id", 4, -1)
+    }
+  }
+
+  test("kAnonymity: min class size, risk classes, NULL is a value") {
+    val rows = Seq(
+      ("10001", Some(34), "a"), ("10001", Some(34), "b"), ("10001", Some(34), "c"),
+      ("10002", Some(55), "d"), ("10002", Some(55), "e"),
+      ("10003", None, "f"), ("10003", None, "g"), ("10003", None, "h"),
+      ("10004", Some(21), "i")
+    ).toDF("zip", "age", "payload")
+    val cls = Curation.kAnonymityClasses(rows, Seq("zip", "age"), k = 3L)
+    assert(cls.count() == 4)
+    // the two NULL-age rows of zip 10003 form ONE class of 3 (null == null for grouping)
+    val nullClass = cls.filter(col("zip") === "10003").head()
+    assert(nullClass.getAs[Long]("n") == 3L && !nullClass.getAs[Boolean]("at_risk"))
+    val rep = Curation.kAnonymityReport(rows, Seq("zip", "age"), k = 3L).head()
+    assert(rep.getAs[Long]("k_anonymity") == 1L)
+    assert(rep.getAs[Long]("n_classes") == 4L && rep.getAs[Long]("n_rows") == 9L)
+    assert(rep.getAs[Long]("risk_classes") == 2L && rep.getAs[Long]("risk_rows") == 3L)
+  }
+
+  test("kAnonymity validates its knobs") {
+    val rows = Seq(("a", 1)).toDF("zip", "age")
+    intercept[IllegalArgumentException] {
+      Curation.kAnonymityClasses(rows, Seq(), 3L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.kAnonymityReport(rows, Seq("zip"), 1L)
+    }
+  }
 }

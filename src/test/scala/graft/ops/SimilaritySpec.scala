@@ -383,4 +383,40 @@ class SimilaritySpec extends SparkSpec {
         spreadPartitions = -1)
     }
   }
+
+  test("hardNegatives: different-label only, dense ranks by descending sim") {
+    val df = clustered(nClusters = 3, perCluster = 4, dim = 16)
+    val hn = Similarity.hardNegatives(
+      df, df.filter(col("vec_id") < 2), "vec_id", "embedding", "cluster", k = 5)
+    // the label filter is absolute: no same-cluster row ever surfaces
+    assert(hn.filter(col("qlabel") === col("nlabel")).isEmpty)
+    val rows = hn.orderBy("qid", "rank")
+      .select("qid", "rank", "sim")
+      .as[(Long, Int, Double)].collect()
+    // k=5 negatives per query, ranks dense from 1, sim non-increasing
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).toSeq == (1 to 5), s"qid=$qid ranks ${rs.map(_._2).toSeq}")
+      assert(rs.map(_._3).toSeq == rs.map(_._3).sorted.reverse.toSeq, s"qid=$qid not sorted")
+    }
+    assert(rows.map(_._1).distinct.length == 2)
+  }
+
+  test("hardNegatives: maxSim drops near-identical different-label rows (false negatives)") {
+    val base = clustered(nClusters = 3, perCluster = 4, dim = 16)
+    val qvec = base.filter(col("vec_id") === 0L)
+      .select("embedding").as[Seq[Float]].head()
+    // id 100: byte-identical vector to query 0 under a DIFFERENT label —
+    // the mislabeled-duplicate shape maxSim exists for
+    val mislabeled = Seq((100L, qvec, 99)).toDF("vec_id", "embedding", "cluster")
+    val corpus = base.union(mislabeled)
+    val queries = base.filter(col("vec_id") === 0L)
+    val keepAll = Similarity.hardNegatives(
+      corpus, queries, "vec_id", "embedding", "cluster", k = 3)
+    val top = keepAll.filter(col("rank") === 1).head()
+    assert(top.getAs[Long]("nid") == 100L && top.getAs[Double]("sim") > 0.999)
+    val filtered = Similarity.hardNegatives(
+      corpus, queries, "vec_id", "embedding", "cluster", k = 3, maxSim = 0.95)
+    assert(filtered.filter(col("nid") === 100L).isEmpty)
+    assert(filtered.count() == 3) // still k negatives, from real clusters
+  }
 }
