@@ -253,4 +253,148 @@ object TfIdf {
           .as("avg_logprob"),
         count(lit(1)).as("n_bigrams"))
   }
+
+  // ----------------------------------------------------------------- BM25
+
+  /** BM25 full-text retrieval: for each query string, the top-`k`
+    * corpus documents by Okapi BM25 with the Lucene non-negative idf:
+    *
+    *   score(q, d) = Σ_{t ∈ q ∩ d}
+    *     ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5)) ·
+    *     tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * The retrieval closure of [[invertedIndex]] — the corpus a
+    * pipeline curates is also the corpus its eval/RAG stack searches.
+    *
+    * 100 TB shape: the per-(doc, term) tf frame streams from ONE
+    * corpus pass (cached — doc lengths are its per-doc rollup, so the
+    * corpus never tokenizes twice); the query-term set broadcasts
+    * (queries are human-scale by definition), so only matching (doc,
+    * term) rows survive the semi-structure before any shuffle; df
+    * joins by term (vocabulary-sized build side); the two scalar
+    * corpus stats (N, avgdl) ride as an explicitly-broadcast 1-row
+    * frame. The per-query top-k is a rank-filter window → Spark's
+    * WindowGroupLimit prunes map-side before the qid exchange.
+    *
+    * Scores round to 4 decimals BEFORE ranking (ties break on doc id)
+    * so an ulp-level `ln` difference can never reorder the cut across
+    * engines — the [[topTerms]] determinism contract.
+    *
+    * Output: (qid, rank, doc, n_terms, score_r), rank 1..k.
+    */
+  def bm25Search(
+      corpus: DataFrame,
+      queries: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1, b=$b")
+    val perDoc = graft.CachedFrames.persistOnce(
+      tokenRows(corpus, textCol, idCol)
+        .groupBy(col(idCol), col("term"))
+        .agg(count(lit(1)).as("__tf")))
+    val dl = perDoc.groupBy(col(idCol)).agg(sum("__tf").as("__dl"))
+    val dfreq = perDoc.groupBy("term").agg(count(lit(1)).as("__df"))
+    val scalars = dl.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl").cast("double")).as("__avgdl"))
+    val qTerms = queries
+      .select(
+        col(queryIdCol).as("qid"),
+        explode(tokens(col(queryTextCol))).as("term"))
+      .distinct()
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
+    val tfNorm = (col("__tf") * (k1 + 1)) /
+      (col("__tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("__dl") / col("__avgdl")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score_r").desc, col(idCol))
+    perDoc
+      .join(broadcast(qTerms), Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(scalars))
+      .groupBy(col("qid"), col(idCol))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(sum(idf * tfNorm), 4).as("score_r"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol).as("doc"),
+        col("n_terms"), col("score_r"))
+  }
+
+  // ------------------------------------------------- log-odds classifier
+
+  /** Train a token log-odds quality classifier from a labeled POSITIVE
+    * corpus (curated/high-quality exemplars) and a NEGATIVE corpus
+    * (raw crawl) — the classic "looks like the reference corpus"
+    * quality filter, as a Bernoulli model over token PRESENCE:
+    *
+    *   weight(t) = ln((df_pos(t)+α)/(N_pos+2α))
+    *             − ln((df_neg(t)+α)/(N_neg+2α))
+    *
+    * Positive weight = evidence for the positive class. Add-α
+    * smoothing keeps one-sided terms finite; the model is the
+    * vocabulary-union frame (term, df_pos, df_neg, weight) — two
+    * map-side-combined doc-frequency passes and one vocabulary-sized
+    * full-outer join, with the two corpus sizes riding as a broadcast
+    * 1-row frame. Weights are stored UNROUNDED; [[scoreTokenLogOdds]]
+    * rounds once at the end (rounding per-term would compound).
+    */
+  def trainTokenLogOdds(
+      pos: DataFrame,
+      neg: DataFrame,
+      textCol: String,
+      idCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val dfPos = docFrequencies(pos, textCol, idCol)
+      .withColumnRenamed("df", "df_pos")
+    val dfNeg = docFrequencies(neg, textCol, idCol)
+      .withColumnRenamed("df", "df_neg")
+    val sizes = pos.select(countDistinct(col(idCol)).as("__np"))
+      .crossJoin(neg.select(countDistinct(col(idCol)).as("__nn")))
+    dfPos.join(dfNeg, Seq("term"), "full_outer")
+      .na.fill(0L, Seq("df_pos", "df_neg"))
+      .crossJoin(broadcast(sizes))
+      .select(
+        col("term"), col("df_pos"), col("df_neg"),
+        (log((col("df_pos") + alpha) / (col("__np") + 2 * alpha)) -
+          log((col("df_neg") + alpha) / (col("__nn") + 2 * alpha))).as("weight"))
+  }
+
+  /** Score documents under a [[trainTokenLogOdds]] model: per doc, the
+    * sum of weights of its DISTINCT matched terms plus `prior` (the
+    * class log-prior; 0 = balanced). Terms outside the training
+    * vocabulary contribute 0 — with balanced corpora the two smoothed
+    * "unseen" likelihoods nearly cancel, and dropping them keeps the
+    * score a pure function of the model frame. `is_positive` is the
+    * `score > 0` decision a quality gate filters on.
+    *
+    * One corpus tokenization pass; the model joins by term (broadcast
+    * when the vocabulary fits — it is vocabulary-sized, not
+    * corpus-sized). Output: (id, n_terms, n_matched, score_r,
+    * is_positive), score rounded to 4 decimals.
+    */
+  def scoreTokenLogOdds(
+      df: DataFrame,
+      model: DataFrame,
+      textCol: String,
+      idCol: String,
+      prior: Double = 0.0): DataFrame =
+    tokenRows(df, textCol, idCol)
+      .distinct()
+      .join(model.select(col("term"), col("weight")), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        count(col("weight")).as("n_matched"),
+        round(sum(coalesce(col("weight"), lit(0.0))) + prior, 4).as("score_r"))
+      .withColumn("is_positive", col("score_r") > 0)
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Curation, Dedup, Similarity}
+import graft.ops.{Curation, Dedup, Similarity, TextAnalysis, TfIdf}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -158,10 +158,148 @@ object MiningQueries {
       Curation.kAnonymityReport(
         customerQid(s, dir),
         Seq("c_nationkey", "c_mktsegment", "bal_band"), anonK)
+    }),
+
+    // X89: BM25 retrieval — 5 queries (each the first 4 tokens of a
+    // low-id doc) against the whole corpus, top-5 docs each.
+    "q_bm25_search" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TfIdf.bm25Search(
+          d, bm25Queries(d), "text", "doc_id", "query_id", "qtext", k = bmK)
+        .orderBy("qid", "rank")
+    }),
+
+    // X87 ∘ X89: the RAG ingestion+retrieval path — chunk the corpus,
+    // retrieve top-3 CHUNKS per query. One lazy plan, one oracle.
+    "q_rag_retrieval" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val chunks = Curation.chunkDocuments(
+          d, "text", "doc_id", chunkTokens = chunkTokens, overlapTokens = chunkOverlap)
+        .select(
+          (col("doc_id") * 100 + col("chunk_id")).as("chunk_uid"),
+          col("chunk_text"))
+      TfIdf.bm25Search(
+          chunks, bm25Queries(d), "chunk_text", "chunk_uid", "query_id", "qtext", k = 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // X90: token log-odds quality classifier — train on en vs non-en
+    // docs, score the whole corpus (the model should rediscover the
+    // language split it was trained on).
+    "q_quality_classifier" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val model = TfIdf.trainTokenLogOdds(
+        d.filter(col("lang") === "en"),
+        d.filter(col("lang") =!= "en"),
+        "text", "doc_id")
+      TfIdf.scoreTokenLogOdds(d, model, "text", "doc_id").orderBy("doc_id")
     })
   )
 
+  private val bmK = 5
+  private val bmQueryIds = 5
+
+  /** 5 deterministic retrieval queries: the first 4 tokens of docs
+    * 0..4 (mirrored in the oracle via list slicing).
+    */
+  private def bm25Queries(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") < bmQueryIds)
+      .select(
+        col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 4)).as("qtext"))
+
+  /** DuckDB replay of [[TfIdf.bm25Search]] over a corpus bound by
+    * `corpPrelude` as `corp(doc_id, toks)`: tf/dl/df/scalar stats,
+    * the 5 first-4-token queries, Lucene-idf BM25 scoring with the
+    * EXACT operator association of the Spark expression (constants
+    * written as the same unfolded arithmetic so both engines fold
+    * them under IEEE round-to-nearest-even), round-then-rank.
+    */
+  private def bm25OracleSql(corpPrelude: String, k: Int): String =
+    s"""$corpPrelude, tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM corp) GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+       |), stats AS (
+       |  SELECT count(*)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl FROM dl
+       |), dfq AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), qdocs AS (
+       |  SELECT doc_id AS qid, string_split(lower(text), ' ') AS toks
+       |  FROM documents WHERE doc_id < $bmQueryIds
+       |), qd AS (
+       |  SELECT DISTINCT qid, term
+       |  FROM (SELECT qid, unnest(toks[1:4]) AS term FROM qdocs)
+       |), scored AS (
+       |  SELECT qd.qid, tf.doc_id, count(*)::BIGINT AS n_terms,
+       |    round(sum(
+       |      ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+       |      ((tf.tf * (1.2 + 1)) /
+       |       (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+       |    ), 4) AS score_r
+       |  FROM tf
+       |  JOIN qd USING (term)
+       |  JOIN dfq USING (term)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1, 2
+       |)
+       |SELECT qid,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_r DESC, doc_id) AS INTEGER) AS rank,
+       |  doc_id AS doc, n_terms, score_r
+       |FROM scored
+       |QUALIFY rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_bm25_search" -> bm25OracleSql(
+      "WITH corp AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)",
+      bmK),
+    "q_rag_retrieval" -> bm25OracleSql(
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+         |), st AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |    unnest(generate_series(0, greatest(len(toks) - 1, 0), $chunkStep)) AS start
+         |  FROM t
+         |), ch AS (
+         |  SELECT doc_id * 100 + (start // $chunkStep) AS doc_id,
+         |    array_to_string(toks[start + 1 : least(start + $chunkTokens, n)], ' ') AS text
+         |  FROM st WHERE start = 0 OR start + $chunkOverlap < n
+         |), corp AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM ch
+         |)""".stripMargin,
+      3),
+    "q_quality_classifier" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
+        |), tokr AS (
+        |  SELECT doc_id, lang, unnest(toks) AS term FROM docs
+        |), tok AS (
+        |  SELECT DISTINCT doc_id, lang, term FROM tokr
+        |), dfp AS (
+        |  SELECT term, count(*) AS df_pos FROM tok WHERE lang = 'en' GROUP BY 1
+        |), dfn AS (
+        |  SELECT term, count(*) AS df_neg FROM tok WHERE lang <> 'en' GROUP BY 1
+        |), sizes AS (
+        |  SELECT count(DISTINCT CASE WHEN lang = 'en' THEN doc_id END) AS np,
+        |         count(DISTINCT CASE WHEN lang <> 'en' THEN doc_id END) AS nn
+        |  FROM docs
+        |), wts AS (
+        |  SELECT coalesce(dfp.term, dfn.term) AS term,
+        |    ln((coalesce(df_pos, 0) + 1.0) / (np + 2.0)) -
+        |    ln((coalesce(df_neg, 0) + 1.0) / (nn + 2.0)) AS weight
+        |  FROM dfp FULL OUTER JOIN dfn ON dfp.term = dfn.term CROSS JOIN sizes
+        |), sc AS (
+        |  SELECT t.doc_id, count(*)::BIGINT AS n_terms,
+        |    count(w.weight)::BIGINT AS n_matched,
+        |    round(sum(coalesce(w.weight, 0)), 4) AS score_r
+        |  FROM tok t LEFT JOIN wts w ON t.term = w.term
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, n_terms, n_matched, score_r, score_r > 0 AS is_positive
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "q_span_dedup" ->
       s"""$spanPreludeSql, cov AS (
          |  SELECT doc_id,

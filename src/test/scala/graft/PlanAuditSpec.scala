@@ -458,6 +458,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Generate"), "chunk starts explode from a sequence")
   }
 
+  test("q_bm25_search: term equi-joins, one scalar nest-loop, bounded top-k") {
+    val plan = planOf("q_bm25_search")
+    assert(!plan.contains("CartesianProduct"), s"no unkeyed product:\n$plan")
+    // only the 1-row (N, avgdl) stats frame may ride a nested-loop join
+    val bnlj = plan.linesIterator.count(_.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
+    assert(bnlj <= 1, s"only the scalar cross-join may nest-loop, got $bnlj:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      "per-query top-k must prune map-side before the rank exchange")
+    // the per-(doc, term) tf frame is cached — doc lengths and document
+    // frequencies both derive from it without a second corpus pass
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"tf frame must be persisted, not recomputed per consumer:\n$plan")
+  }
+
+  test("q_quality_classifier: model joins by term; only corpus sizes nest-loop") {
+    val plan = planOf("q_quality_classifier")
+    assert(!plan.contains("CartesianProduct"), s"no unkeyed product:\n$plan")
+    // two 1-row cross joins are legitimate: N_pos × N_neg builds the
+    // sizes frame, and sizes rides along the vocabulary frame
+    val bnlj = plan.linesIterator.count(_.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
+    assert(bnlj <= 2, s"only the scalar-size cross-joins may nest-loop, got $bnlj:\n$plan")
+    val equiJoins = plan.linesIterator.count(l =>
+      l.matches("""\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*"""))
+    assert(equiJoins >= 2, s"df full-outer + score joins must be keyed:\n$plan")
+  }
+
   test("q_k_anonymity is one partial+final aggregation over a pruned scan") {
     val plan = planOf("q_k_anonymity")
     // exactly two exchanges: the aggregation's hash shuffle + the

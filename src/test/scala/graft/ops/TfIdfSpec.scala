@@ -128,4 +128,113 @@ class TfIdfSpec extends SparkSpec {
     assert(bounded("shared") == ((100L, "0,1,2")))
     graft.CachedFrames.unpersistAll()
   }
+
+  test("bm25Search: the doc containing all query terms outranks partial matches") {
+    val corpus = Seq(
+      (1L, "spark shuffle partition exchange broadcast"),
+      (2L, "spark streaming watermark state store"),
+      (3L, "duckdb vectorized execution pipeline"),
+      (4L, "shuffle partition skew salt"),
+      (5L, "unrelated words entirely here now")
+    ).toDF("doc_id", "text")
+    val queries = Seq((10L, "spark shuffle partition")).toDF("query_id", "qtext")
+    val r = TfIdf.bm25Search(corpus, queries, "text", "doc_id", "query_id", "qtext", k = 3)
+      .orderBy("rank").select("doc", "n_terms").as[(Long, Long)].collect().toSeq
+    // doc 1 matches all 3 terms; docs 2 and 4 match subsets
+    assert(r.head == ((1L, 3L)))
+    assert(r.map(_._1).toSet == Set(1L, 2L, 4L))
+    graft.CachedFrames.unpersistAll()
+  }
+
+  test("bm25Search: length normalization prefers the shorter of two equal-tf docs") {
+    val corpus = Seq(
+      (1L, "target term here"),
+      (2L, "target term here padded with many extra unrelated words making it long"),
+      (3L, "filler filler filler")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "target")).toDF("query_id", "qtext")
+    val r = TfIdf.bm25Search(corpus, queries, "text", "doc_id", "query_id", "qtext", k = 2)
+      .orderBy("rank").select("doc").as[Long].collect().toSeq
+    assert(r == Seq(1L, 2L), "same tf, shorter doc must score higher (b > 0)")
+    graft.CachedFrames.unpersistAll()
+  }
+
+  test("bm25Search validates params and bounds output to k") {
+    val corpus = Seq((1L, "a b"), (2L, "a c"), (3L, "a d")).toDF("doc_id", "text")
+    val queries = Seq((1L, "a")).toDF("query_id", "qtext")
+    assert(TfIdf.bm25Search(corpus, queries, "text", "doc_id", "query_id", "qtext", k = 2)
+      .count() == 2)
+    intercept[IllegalArgumentException] {
+      TfIdf.bm25Search(corpus, queries, "text", "doc_id", "query_id", "qtext", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TfIdf.bm25Search(corpus, queries, "text", "doc_id", "query_id", "qtext", k = 1, b = 1.5)
+    }
+    graft.CachedFrames.unpersistAll()
+  }
+
+  test("log-odds classifier separates the corpora it was trained on") {
+    val pos = Seq(
+      (1L, "clean prose with careful structure"),
+      (2L, "careful clean writing and prose"),
+      (3L, "structure and careful prose here")
+    ).toDF("doc_id", "text")
+    val neg = Seq(
+      (11L, "spam spam click here buy"),
+      (12L, "buy click spam offer now"),
+      (13L, "offer now buy spam click")
+    ).toDF("doc_id", "text")
+    val model = TfIdf.trainTokenLogOdds(pos, neg, "text", "doc_id")
+    // vocabulary is the UNION: one-sided terms carry smoothed weights
+    val wts = model.as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(wts("prose") > 0 && wts("spam") < 0)
+    assert(wts.contains("structure") && wts.contains("offer"))
+    val scored = TfIdf.scoreTokenLogOdds(pos.union(neg), model, "text", "doc_id")
+      .select("doc_id", "is_positive").as[(Long, Boolean)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(scored(_)))
+    assert(Seq(11L, 12L, 13L).forall(!scored(_)))
+  }
+
+  test("log-odds scoring: out-of-vocabulary terms contribute zero, not a crash") {
+    val pos = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val neg = Seq((2L, "gamma delta")).toDF("doc_id", "text")
+    val model = TfIdf.trainTokenLogOdds(pos, neg, "text", "doc_id")
+    val r = TfIdf.scoreTokenLogOdds(
+        Seq((9L, "alpha unseen tokens everywhere")).toDF("doc_id", "text"),
+        model, "text", "doc_id")
+      .head()
+    assert(r.getAs[Long]("n_terms") == 4L && r.getAs[Long]("n_matched") == 1L)
+    // score is exactly alpha's weight: ln((1+1)/(1+2)) - ln((0+1)/(1+2))
+    val expected = math.log(2.0 / 3.0) - math.log(1.0 / 3.0)
+    assert(math.abs(r.getAs[Double]("score_r") - expected) < 1e-3)
+    assert(r.getAs[Boolean]("is_positive"))
+  }
+
+  test("rag composition: chunk → index → retrieve finds the distinctive chunk first") {
+    // the contract behind q_rag_retrieval, on a corpus where relevance
+    // is unambiguous: each doc's SECOND chunk region carries
+    // doc-distinctive terms, so a query for them must retrieve a chunk
+    // of that doc at rank 1 — and specifically a chunk PAST the first,
+    // proving retrieval operates at chunk granularity, not doc
+    // granularity. (The q_rag_retrieval oracle covers exactness on the
+    // shared-vocabulary corpus; this spec covers the semantics.)
+    val docs = (0 until 5).map { i =>
+      val filler = (0 until 12).map(j => s"filler$j common words").mkString(" ")
+      val distinctive = s"marker${i}a marker${i}b marker${i}c"
+      (i.toLong, s"$filler $distinctive $filler")
+    }.toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(docs, "text", "doc_id", 20, 5)
+      .select((col("doc_id") * 100 + col("chunk_id")).as("chunk_uid"), col("chunk_text"))
+    val q = (0 until 5).map(i => (i.toLong, s"marker${i}a marker${i}c"))
+      .toDF("query_id", "qtext")
+    val top1 = TfIdf.bm25Search(chunks, q, "chunk_text", "chunk_uid", "query_id", "qtext", k = 1)
+      .select("qid", "doc").as[(Long, Long)].collect()
+    assert(top1.length == 5)
+    top1.foreach { case (qid, chunkUid) =>
+      assert(chunkUid / 100 == qid, s"query $qid retrieved chunk $chunkUid of doc ${chunkUid / 100}")
+      assert(chunkUid % 100 > 0, s"query $qid matched chunk 0 — markers sit past the first chunk")
+    }
+    graft.CachedFrames.unpersistAll()
+  }
 }
