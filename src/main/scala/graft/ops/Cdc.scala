@@ -102,4 +102,62 @@ object Cdc {
       .select((keyCol +: stateCols).map(col) ++
         Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
+
+  /** Diff two keyed snapshots — the inverse of [[applyChanges]]: when
+    * the upstream can only hand over full table states (the common
+    * case for vendor dumps and daily exports), the change feed has to
+    * be SYNTHESIZED. One row per differing key:
+    *
+    *  - `change_type` — 'I' (key only in `after`), 'D' (only in
+    *    `before`), 'U' (present in both with any payload difference),
+    *  - `changed_cols` — comma-joined names of the differing payload
+    *    columns in schema order ('' for I/D — the whole row moved),
+    *
+    * followed by the AFTER payload for I/U rows and the BEFORE payload
+    * for D rows, so the output IS an upsert-or-delete change set:
+    * `applyChanges(before, diff + version, ..., opCol = "change_type",
+    * deleteOp = "D")` reproduces `after` exactly (specced).
+    *
+    * Comparison is NULL-safe per column (`<=>` — NULL vs NULL is
+    * equal, NULL vs value is a change). Identical rows produce NO
+    * output: at 100 TB the diff of two dailies is change-sized, and
+    * everything after the one full-outer key join (the unavoidable
+    * cost of keyed comparison; storage-partitioned with a bucketed
+    * format) is a codegen'd projection + filter.
+    */
+  def snapshotDiff(
+      before: DataFrame,
+      after: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(before.columns.sameElements(after.columns),
+      s"schemas must match: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val payload = before.columns.filterNot(keyCols.contains).toSeq
+    require(payload.nonEmpty, "need at least one non-key column to diff")
+    val reserved = Set("change_type", "changed_cols", "__b", "__a")
+    val shadowing = before.columns.filter(reserved)
+    require(shadowing.isEmpty,
+      s"snapshotDiff reserves ${reserved.mkString("/")}; rename: ${shadowing.mkString(", ")}")
+    val b = before.select(
+      keyCols.map(col) :+ struct(payload.map(col): _*).as("__b"): _*)
+    val a = after.select(
+      keyCols.map(col) :+ struct(payload.map(col): _*).as("__a"): _*)
+    val joined = b.join(a, keyCols, "full_outer")
+    val changedCols = concat_ws(",", payload.map(c =>
+      when(!(col(s"__b.$c") <=> col(s"__a.$c")), lit(c))): _*)
+    val side = when(col("change_type") === "D", col("__b")).otherwise(col("__a"))
+    joined
+      .withColumn(
+        "change_type",
+        when(col("__b").isNull, lit("I"))
+          .when(col("__a").isNull, lit("D"))
+          .when(!(col("__b") <=> col("__a")), lit("U")))
+      .filter(col("change_type").isNotNull)
+      .withColumn(
+        "changed_cols",
+        when(col("change_type") === "U", changedCols).otherwise(lit("")))
+      .select(
+        keyCols.map(col) ++ Seq(col("change_type"), col("changed_cols")) ++
+          payload.map(c => side.getField(c).as(c)): _*)
+  }
 }

@@ -721,4 +721,32 @@ object Curation {
         sum(col("n")).as("n_rows"),
         count(when(col("at_risk"), lit(1))).as("risk_classes"),
         sum(when(col("at_risk"), col("n")).otherwise(lit(0L))).as("risk_rows"))
+
+  /** l-diversity — the attribute-disclosure complement to
+    * [[kAnonymityClasses]]: a class can be large (k-anonymous) yet
+    * still leak if every member shares the SAME sensitive value — the
+    * attacker learns the attribute without re-identifying anyone. Per
+    * QI class: row count, DISTINCT sensitive-value count, and
+    * `at_risk = distinct_sensitive < l`. A NULL sensitive value is a
+    * value here too (learning "salary is missing" is disclosure —
+    * count it; `countDistinct` would drop it, so NULLs fold into the
+    * distinct count explicitly). One aggregation pass.
+    */
+  def lDiversityClasses(
+      df: DataFrame,
+      qidCols: Seq[String],
+      sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(qidCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!qidCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot be a quasi-identifier")
+    require(l >= 2, s"l must be >= 2: $l")
+    df.groupBy(qidCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        (countDistinct(col(sensitiveCol)) +
+          max(when(col(sensitiveCol).isNull, 1).otherwise(0)))
+          .as("distinct_sensitive"))
+      .withColumn("at_risk", col("distinct_sensitive") < l)
+  }
 }

@@ -943,6 +943,62 @@ object Dedup {
         round(col("covered_tokens").cast("double") / col("n_tokens"), 4))
   }
 
+  /** Intra-document span SELF-repetition — the loop detector for
+    * generated or template text: a position is "self-repeated" when
+    * some `windowTokens`-gram covering it occurs ≥ `minOccurrences`
+    * times WITHIN THE SAME document. The span-level sharpening of
+    * X28's repetition ratios (which can't say WHERE the loop is or how
+    * much of the doc it eats), and the intra-doc complement of
+    * [[spanDuplication]]'s cross-doc test.
+    *
+    * Cheaper than the cross-doc form: the occurrence count is a window
+    * over (id, gram) — the gram frame is already hash-partitioned by
+    * id, which satisfies the (id, gram) clustering, so NO exchange and
+    * NO corpus-wide gram aggregation exist anywhere in the plan; the
+    * whole operator runs inside the per-doc partitioning, then the
+    * same interval-union window as [[spanDuplication]] turns repeated
+    * occurrences into exact covered-token counts.
+    *
+    * Output per doc: (id, n_tokens, rep_grams, covered_tokens,
+    * rep_ratio).
+    */
+  def spanSelfRepetition(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      windowTokens: Int = 8,
+      minOccurrences: Long = 2L,
+      hasher: Column => Column = c => xxhash64(c)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minOccurrences >= 2L, s"minOccurrences must be >= 2: $minOccurrences")
+    val grams = positionedGramHashes(df, textCol, idCol, windowTokens, hasher)
+    val occ = grams
+      .withColumn(
+        "__occ",
+        count(lit(1)).over(Window.partitionBy(col(idCol), col("__gh"))))
+      .filter(col("__occ") >= minOccurrences)
+    val prevEnd = max(col("__end")).over(
+      Window.partitionBy(idCol).orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val covered = occ
+      .withColumn("__end", col("__pos") + lit(windowTokens))
+      .withColumn(
+        "__new",
+        greatest(
+          col("__end") - greatest(col("__pos"), coalesce(prevEnd, col("__pos"))),
+          lit(0)))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__new")).cast("long").as("covered_tokens"),
+        count(lit(1)).as("rep_grams"))
+    df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .na.fill(0L, Seq("covered_tokens", "rep_grams"))
+      .withColumn(
+        "rep_ratio",
+        round(col("covered_tokens").cast("double") / col("n_tokens"), 4))
+  }
+
   /** Remove the duplicated spans [[spanDuplication]] accounts for,
     * keeping every token NOT covered by any ≥`minDocs`-doc gram and
     * reassembling the remainder in original order. This is the

@@ -329,6 +329,39 @@ object TfIdf {
         col("n_terms"), col("score_r"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    * hybrid-retrieval combiner: given N per-query rankings (each
+    * `(qid, doc, rank)` with rank 1-based), score every candidate
+    * `Σ_lists 1/(k0 + rank)` and re-rank. Rank-based fusion needs no
+    * score calibration between lists, which is exactly why it's the
+    * default for fusing lexical (BM25) with vector (cosine) retrieval
+    * — their score scales are incomparable but their RANKS are not.
+    * `k0 = 60` is the published default; `n_lists` reports how many
+    * input rankings surfaced each candidate (agreement signal).
+    *
+    * Inputs are already top-k-bounded per query (queries × k rows
+    * each), so the union + groupBy + rank window all operate on
+    * retrieval-sized data regardless of corpus size — fusion adds no
+    * corpus-scale work whatsoever. Scores round to 6 decimals before
+    * ranking (sums of exact 1/(k0+r) rationals; ties break on doc).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    require(k0 >= 1, s"k0 must be >= 1: $k0")
+    val u = rankings
+      .map(_.select(col("qid"), col("doc"), col("rank")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy("qid").orderBy(col("rrf_r").desc, col("doc"))
+    u.groupBy("qid", "doc")
+      .agg(
+        count(lit(1)).as("n_lists"),
+        round(sum(lit(1.0) / (lit(k0) + col("rank"))), 6).as("rrf_r"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("doc"), col("n_lists"), col("rrf_r"))
+  }
+
   // ------------------------------------------------- log-odds classifier
 
   /** Train a token log-odds quality classifier from a labeled POSITIVE

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Curation, Dedup, Similarity, TextAnalysis, TfIdf}
+import graft.ops.{Cdc, Curation, Dedup, Similarity, TextAnalysis, TfIdf}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -62,12 +62,15 @@ object MiningQueries {
     * lead), and the ≥2-doc duplicated-occurrence set with interval
     * ends.
     */
-  private def spanPreludeSql: String = {
+  /** WITH-prelude building `gh(doc_id, pos, h)` positioned gram
+    * hashes from a raw-text SQL expression over `documents`.
+    */
+  private def spanGramSql(rawSql: String): String = {
     val leads = (1 until spanW)
       .map(j => s"lead(tok, $j) OVER w")
       .mkString(" || ' ' || ")
     s"""WITH d AS (
-       |  SELECT doc_id, $spanTextSql AS raw FROM documents
+       |  SELECT doc_id, $rawSql AS raw FROM documents
        |), toks AS (
        |  SELECT doc_id, string_split(lower(raw), ' ') AS toks FROM d
        |), pos AS (
@@ -79,14 +82,17 @@ object MiningQueries {
        |), gh AS (
        |  SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
        |  FROM gr WHERE gram IS NOT NULL
-       |), dup AS (
+       |)""".stripMargin
+  }
+
+  private def spanPreludeSql: String =
+    s"""${spanGramSql(spanTextSql)}, dup AS (
        |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM gh GROUP BY 1)
        |  WHERE nd >= 2
        |), occ AS (
        |  SELECT doc_id, pos, pos + $spanW AS e FROM gh
        |  WHERE h IN (SELECT h FROM dup)
        |)""".stripMargin
-  }
 
   /** Shared DuckDB fragment: exact double-fold dot product. */
   private def dotSql(a: String, b: String): String =
@@ -113,6 +119,19 @@ object MiningQueries {
           withSpanText(Tables.documents(s, dir)),
           "raw", "doc_id",
           windowTokens = spanW, minDocs = 2L, hasher = oracleHash)
+        .orderBy("doc_id")
+    }),
+
+    // X92: intra-doc span self-repetition — every doc gets its own
+    // first 6 tokens appended (a guaranteed repeated run), so loop
+    // coverage is non-trivial for all docs, plus natural repeats.
+    "q_span_self" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("raw", concat(col("text"), lit(" "),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 6))))
+      Dedup.spanSelfRepetition(
+          d, "raw", "doc_id",
+          windowTokens = spanW, minOccurrences = 2L, hasher = oracleHash)
         .orderBy("doc_id")
     }),
 
@@ -193,8 +212,63 @@ object MiningQueries {
         d.filter(col("lang") =!= "en"),
         "text", "doc_id")
       TfIdf.scoreTokenLogOdds(d, model, "text", "doc_id").orderBy("doc_id")
+    }),
+
+    // X91: snapshot diff — synthesize the change feed between two
+    // full orders snapshots (deterministic deletes/updates/inserts
+    // built identically in both engines).
+    "q_snapshot_diff" -> ((s, dir) => {
+      val (before, after) = diffSnapshots(s, dir)
+      Cdc.snapshotDiff(before, after, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // X93: hybrid retrieval — BM25 text ranking ⊕ embedding cosine
+    // ranking (vec_id ≡ doc_id in the testdata), fused by reciprocal
+    // rank. Score scales are incomparable; ranks fuse.
+    "q_hybrid_retrieval" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val textRank = TfIdf.bm25Search(
+          d, bm25Queries(d), "text", "doc_id", "query_id", "qtext", k = bmK)
+        .select("qid", "doc", "rank")
+      val vecRank = Similarity.bruteForceTopK(
+          e, e.filter(col("vec_id") < bmQueryIds), "vec_id", "embedding", bmK)
+        .select(col("qid"), col("nid").as("doc"), col("rank"))
+      TfIdf.rrfFuse(Seq(textRank, vecRank), topK = bmK)
+        .orderBy("qid", "rank")
+    }),
+
+    // X94: l-diversity — attribute-disclosure audit per (nation,
+    // segment) class over a coarse wealth-tier sensitive attribute.
+    "q_l_diversity" -> ((s, dir) => {
+      Curation.lDiversityClasses(
+          Tables.customer(s, dir)
+            .withColumn("tier", floor(col("c_acctbal") / 2000)),
+          Seq("c_nationkey", "c_mktsegment"), "tier", l = 4L)
+        .orderBy("c_nationkey", "c_mktsegment")
     })
   )
+
+  /** Deterministic before/after orders snapshots for q_snapshot_diff
+    * (mirrored literally in the oracle SQL): delete every key ≡ 0
+    * (mod 97), bump o_totalprice by 1.0 for keys ≡ 0 (mod 31), insert
+    * a shifted copy of keys ≡ 0 (mod 113).
+    */
+  private def diffSnapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val updated = o.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn(
+        "o_totalprice",
+        when(col("o_orderkey") % 31 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    val inserted = o.filter(col("o_orderkey") % 113 === 0)
+      .select(
+        (col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    (o, updated.unionByName(inserted))
+  }
 
   private val bmK = 5
   private val bmQueryIds = 5
@@ -300,6 +374,81 @@ object MiningQueries {
         |)
         |SELECT doc_id, n_terms, n_matched, score_r, score_r > 0 AS is_positive
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_hybrid_retrieval" ->
+      s"""WITH tr AS (
+         |  SELECT qid, doc, rank FROM (
+         |    ${bm25OracleSql(
+             "WITH corp AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)",
+             bmK).replace("\n", "\n    ")}
+         |  )
+         |), vr AS (
+         |  SELECT qid, nid AS doc, rank FROM (
+         |    WITH e AS (
+         |      SELECT vec_id, embedding FROM embeddings
+         |    ), q AS (
+         |      SELECT vec_id AS qid, embedding AS qvec FROM e WHERE vec_id < $bmQueryIds
+         |    ), scored AS (
+         |      SELECT q.qid, c.vec_id AS nid,
+         |        ${dotSql("qvec", "c.embedding")} /
+         |        (sqrt(${dotSql("qvec", "qvec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS sim
+         |      FROM q JOIN e c ON c.vec_id <> q.qid
+         |    )
+         |    SELECT qid, nid,
+         |      CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rank
+         |    FROM scored QUALIFY rank <= $bmK
+         |  )
+         |), u AS (
+         |  SELECT qid, doc, rank FROM tr UNION ALL SELECT qid, doc, rank FROM vr
+         |), f AS (
+         |  SELECT qid, doc, count(*)::BIGINT AS n_lists,
+         |    round(sum(1.0 / (60 + rank)), 6) AS rrf_r
+         |  FROM u GROUP BY 1, 2
+         |)
+         |SELECT qid,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_r DESC, doc) AS INTEGER) AS rank,
+         |  doc, n_lists, rrf_r
+         |FROM f QUALIFY rank <= $bmK ORDER BY qid, rank""".stripMargin,
+    "q_l_diversity" ->
+      """WITH q AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS tier
+        |  FROM customer
+        |)
+        |SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n,
+        |  (count(DISTINCT tier) +
+        |   max(CASE WHEN tier IS NULL THEN 1 ELSE 0 END))::BIGINT AS distinct_sensitive,
+        |  (count(DISTINCT tier) +
+        |   max(CASE WHEN tier IS NULL THEN 1 ELSE 0 END)) < 4 AS at_risk
+        |FROM q GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |), aft AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM o WHERE o_orderkey % 113 = 0
+        |), j AS (
+        |  SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |    b.o_orderstatus AS bs, b.o_totalprice AS bv,
+        |    a.o_orderstatus AS s2, a.o_totalprice AS v2,
+        |    b.o_orderkey IS NULL AS nob, a.o_orderkey IS NULL AS noa
+        |  FROM o b FULL OUTER JOIN aft a ON b.o_orderkey = a.o_orderkey
+        |)
+        |SELECT o_orderkey,
+        |  CASE WHEN nob THEN 'I' WHEN noa THEN 'D' ELSE 'U' END AS change_type,
+        |  CASE WHEN nob OR noa THEN '' ELSE concat_ws(',',
+        |    CASE WHEN bs IS DISTINCT FROM s2 THEN 'o_orderstatus' END,
+        |    CASE WHEN bv IS DISTINCT FROM v2 THEN 'o_totalprice' END) END AS changed_cols,
+        |  CASE WHEN noa THEN bs ELSE s2 END AS o_orderstatus,
+        |  CASE WHEN noa THEN bv ELSE v2 END AS o_totalprice
+        |FROM j
+        |WHERE nob OR noa OR bs IS DISTINCT FROM s2 OR bv IS DISTINCT FROM v2
+        |ORDER BY o_orderkey""".stripMargin,
     "q_span_dedup" ->
       s"""$spanPreludeSql, cov AS (
          |  SELECT doc_id,
@@ -336,6 +485,31 @@ object MiningQueries {
          |  coalesce(kept_tokens, 0) AS kept_tokens,
          |  coalesce(clean_text, '') AS clean_text
          |FROM toks t LEFT JOIN reb USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+    "q_span_self" ->
+      s"""${spanGramSql("text || ' ' || array_to_string(string_split(lower(text), ' ')[1:6], ' ')")}, occ AS (
+         |  SELECT doc_id, pos, pos + $spanW AS e FROM (
+         |    SELECT doc_id, pos, h,
+         |      count(*) OVER (PARTITION BY doc_id, h) AS occ
+         |    FROM gh)
+         |  WHERE occ >= 2
+         |), cov AS (
+         |  SELECT doc_id,
+         |    greatest(e - greatest(pos, coalesce(
+         |      max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      pos)), 0) AS newcov
+         |  FROM occ
+         |), agg AS (
+         |  SELECT doc_id, sum(newcov)::BIGINT AS covered_tokens,
+         |    count(*)::BIGINT AS rep_grams
+         |  FROM cov GROUP BY 1
+         |)
+         |SELECT t.doc_id, len(toks)::BIGINT AS n_tokens,
+         |  coalesce(covered_tokens, 0) AS covered_tokens,
+         |  coalesce(rep_grams, 0) AS rep_grams,
+         |  round(coalesce(covered_tokens, 0)::DOUBLE / len(toks), 4) AS rep_ratio
+         |FROM toks t LEFT JOIN agg USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
     "q_hard_negatives" ->
       s"""WITH e AS (

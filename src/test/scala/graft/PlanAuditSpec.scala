@@ -484,6 +484,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(equiJoins >= 2, s"df full-outer + score joins must be keyed:\n$plan")
   }
 
+  test("q_hybrid_retrieval: fusion adds no joins beyond its two retrieval arms") {
+    val plan = planOf("q_hybrid_retrieval")
+    assert(!plan.contains("CartesianProduct"), s"no unkeyed product:\n$plan")
+    // the only nest-loops allowed are the retrieval arms' own: the
+    // BM25 scalar stats cross-join and the brute-force broadcast score
+    val bnlj = plan.linesIterator.count(_.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
+    assert(bnlj <= 2, s"fusion itself must join nothing, got $bnlj nest-loops:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      "both arms and the fused re-rank prune top-k map-side")
+    assert(plan.contains("Union"), "rankings fuse by union + groupBy, not a join")
+  }
+
   test("q_k_anonymity is one partial+final aggregation over a pruned scan") {
     val plan = planOf("q_k_anonymity")
     // exactly two exchanges: the aggregation's hash shuffle + the

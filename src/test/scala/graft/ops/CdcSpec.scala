@@ -85,4 +85,72 @@ class CdcSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
+
+  test("snapshotDiff: inserts, deletes, updates with exact changed-column lists") {
+    val before = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+    ).toDF("k", "s", "v")
+    val after = Seq(
+      (1L, "a", 10.0),          // unchanged — no output row
+      (2L, "B", 20.0),          // s changed
+      (3L, "c", 33.0),          // v changed
+      (5L, "e", 50.0)           // inserted; 4 deleted
+    ).toDF("k", "s", "v")
+    val d = Cdc.snapshotDiff(before, after, Seq("k"))
+      .orderBy("k").as[(Long, String, String, String, Double)].collect().toSeq
+    assert(d == Seq(
+      (2L, "U", "s", "B", 20.0),
+      (3L, "U", "v", "c", 33.0),
+      (4L, "D", "", "d", 40.0),
+      (5L, "I", "", "e", 50.0)))
+  }
+
+  test("snapshotDiff: NULL-safe comparison and multi-column change lists") {
+    val before = Seq(
+      (1L, Option("x"), Option(1.0)),
+      (2L, None: Option[String], Option(2.0)),
+      (3L, Option("z"), None: Option[Double])
+    ).toDF("k", "s", "v")
+    val after = Seq(
+      (1L, None: Option[String], Option(9.0)), // both cols change (x→NULL, 1→9)
+      (2L, None: Option[String], Option(2.0)), // NULL == NULL → unchanged
+      (3L, Option("z"), Option(3.0))           // NULL → value is a change
+    ).toDF("k", "s", "v")
+    val d = Cdc.snapshotDiff(before, after, Seq("k"))
+      .select("k", "change_type", "changed_cols")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    assert(d == Seq((1L, "U", "s,v"), (3L, "U", "v")))
+  }
+
+  test("snapshotDiff round-trips through applyChanges") {
+    val before = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+    ).toDF("k", "s", "v")
+    val after = Seq(
+      (1L, "a", 10.0), (2L, "B", 20.0), (5L, "e", 50.0), (6L, "f", 60.0)
+    ).toDF("k", "s", "v")
+    val changes = Cdc.snapshotDiff(before, after, Seq("k"))
+      .withColumn("ver", lit(1L))
+    val rebuilt = Cdc.applyChanges(
+      before, changes, Seq("k"), "ver", "change_type", deleteOp = "D")
+    assert(rebuilt.orderBy("k").collect().toSeq ==
+      after.orderBy("k").collect().toSeq)
+  }
+
+  test("snapshotDiff validates schemas and reserved names") {
+    val t = Seq((1L, "a")).toDF("k", "s")
+    intercept[IllegalArgumentException] {
+      Cdc.snapshotDiff(t, Seq((1L, 2.0)).toDF("k", "v"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Cdc.snapshotDiff(t, t, Seq())
+    }
+    intercept[IllegalArgumentException] {
+      Cdc.snapshotDiff(t.select("k"), t.select("k"), Seq("k"))
+    }
+    val bad = Seq((1L, "a", "x")).toDF("k", "s", "change_type")
+    intercept[IllegalArgumentException] {
+      Cdc.snapshotDiff(bad, bad, Seq("k"))
+    }
+  }
 }

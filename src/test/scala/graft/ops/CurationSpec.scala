@@ -499,6 +499,38 @@ class CurationSpec extends SparkSpec {
     assert(rep.getAs[Long]("risk_classes") == 2L && rep.getAs[Long]("risk_rows") == 3L)
   }
 
+  test("lDiversity: large classes can still be at risk; NULL sensitive is a value") {
+    val rows = Seq(
+      // class A: 4 rows, all the same diagnosis — k-anonymous, NOT l-diverse
+      ("10001", "flu", "a"), ("10001", "flu", "b"),
+      ("10001", "flu", "c"), ("10001", "flu", "d"),
+      // class B: 3 rows, 3 distinct values — diverse
+      ("10002", "flu", "e"), ("10002", "cold", "f"), ("10002", "none", "g"),
+      // class C: NULL and a value → 2 distinct (NULL counts)
+      ("10003", null, "h"), ("10003", "flu", "i")
+    ).toDF("zip", "diagnosis", "payload")
+    val cls = Curation.lDiversityClasses(rows, Seq("zip"), "diagnosis", l = 2L)
+      .collect().map(r => r.getAs[String]("zip") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("distinct_sensitive"),
+         r.getAs[Boolean]("at_risk"))).toMap
+    assert(cls("10001") == ((4L, 1L, true)))
+    assert(cls("10002") == ((3L, 3L, false)))
+    assert(cls("10003") == ((2L, 2L, false)))
+  }
+
+  test("lDiversity validates its knobs") {
+    val rows = Seq(("a", "x", 1)).toDF("zip", "diag", "v")
+    intercept[IllegalArgumentException] {
+      Curation.lDiversityClasses(rows, Seq(), "diag", 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.lDiversityClasses(rows, Seq("zip", "diag"), "diag", 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.lDiversityClasses(rows, Seq("zip"), "diag", 1L)
+    }
+  }
+
   test("kAnonymity validates its knobs") {
     val rows = Seq(("a", 1)).toDF("zip", "age")
     intercept[IllegalArgumentException] {

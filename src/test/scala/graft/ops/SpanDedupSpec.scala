@@ -100,6 +100,46 @@ class SpanDedupSpec extends SparkSpec {
     assert(e2 == s2)
   }
 
+  test("spanSelfRepetition: intra-doc repeats union; unrepeated docs report zero") {
+    val docs = Seq(
+      // "a b c d" occurs at pos 0 and pos 5 → union [0,4) ∪ [5,9) = 8 of 10
+      (0L, "a b c d x a b c d y"),
+      (1L, "all distinct tokens here without any repetition at all")
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanSelfRepetition(docs, "text", "doc_id", windowTokens = 4)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("covered_tokens"),
+         x.getAs[Long]("rep_grams"), x.getAs[Double]("rep_ratio"))).toMap
+    assert(r(0L) == ((10L, 8L, 2L, 0.8)))
+    assert(r(1L) == ((9L, 0L, 0L, 0.0)))
+  }
+
+  test("spanSelfRepetition: a degenerate loop covers the whole doc") {
+    val loop = Seq((0L, "spam spam spam spam spam")).toDF("doc_id", "text")
+    val r = Dedup.spanSelfRepetition(loop, "text", "doc_id", windowTokens = 2).head()
+    assert(r.getAs[Long]("covered_tokens") == 5L && r.getAs[Double]("rep_ratio") == 1.0)
+    // at minOccurrences above the actual repeat count, nothing flags
+    val r3 = Dedup.spanSelfRepetition(
+      Seq((0L, "a b c d x a b c d y")).toDF("doc_id", "text"),
+      "text", "doc_id", windowTokens = 4, minOccurrences = 3L).head()
+    assert(r3.getAs[Long]("covered_tokens") == 0L)
+  }
+
+  test("spanSelfRepetition plans entirely inside the per-doc partitioning") {
+    // the occurrence-count window keys on (id, gram) and the union
+    // window on id — both satisfied by the one explicit id exchange;
+    // a second hash exchange would mean the plan broke the claim
+    val docs = Seq((0L, "a b c d a b c d")).toDF("doc_id", "text")
+    val plan = Dedup.spanSelfRepetition(docs, "text", "doc_id", windowTokens = 4)
+      .queryExecution.executedPlan.toString
+    val joinSide = "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).size
+    // one exchange for the gram build (explicit repartition), one for
+    // the final n_tokens join's left side at most
+    assert(joinSide <= 2, s"unexpected doc_id exchanges:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(__gh"),
+      s"no gram-hash shuffle may exist in the self-repetition plan:\n$plan")
+  }
+
   test("span ops validate their knobs") {
     intercept[IllegalArgumentException] {
       Dedup.spanDuplication(corpus, "text", "doc_id", windowTokens = 1)
@@ -109,6 +149,9 @@ class SpanDedupSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       Dedup.stripDuplicatedSpans(corpus, "text", "doc_id", minDocs = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.spanSelfRepetition(corpus, "text", "doc_id", minOccurrences = 1L)
     }
   }
 }

@@ -211,6 +211,29 @@ class TfIdfSpec extends SparkSpec {
     assert(r.getAs[Boolean]("is_positive"))
   }
 
+  test("rrfFuse: agreement wins, one-list candidates still surface, k0 damps rank gaps") {
+    val listA = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("qid", "doc", "rank")
+    val listB = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 10L, 3)).toDF("qid", "doc", "rank")
+    val fused = TfIdf.rrfFuse(Seq(listA, listB), topK = 4)
+      .orderBy("rank").as[(Long, Int, Long, Long, Double)].collect().toSeq
+    // doc 11: 1/62 + 1/61 ≈ .032526 beats doc 10: 1/61 + 1/63 ≈ .032262
+    assert(fused.map(_._3) == Seq(11L, 10L, 13L, 12L))
+    // both-list docs carry n_lists = 2, single-list docs 1
+    assert(fused.map(f => f._3 -> f._4).toMap == Map(11L -> 2L, 10L -> 2L, 13L -> 1L, 12L -> 1L))
+    // exact score of the winner: round(1/62 + 1/61, 6)
+    assert(fused.head._5 == BigDecimal(1.0 / 62 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("rrfFuse bounds output per query and validates inputs") {
+    val l = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 10L, 1)).toDF("qid", "doc", "rank")
+    val fused = TfIdf.rrfFuse(Seq(l, l), topK = 1)
+    assert(fused.count() == 2) // one row per query
+    intercept[IllegalArgumentException] { TfIdf.rrfFuse(Seq(), topK = 1) }
+    intercept[IllegalArgumentException] { TfIdf.rrfFuse(Seq(l), topK = 0) }
+    intercept[IllegalArgumentException] { TfIdf.rrfFuse(Seq(l), topK = 1, k0 = 0) }
+  }
+
   test("rag composition: chunk → index → retrieve finds the distinctive chunk first") {
     // the contract behind q_rag_retrieval, on a corpus where relevance
     // is unambiguous: each doc's SECOND chunk region carries
