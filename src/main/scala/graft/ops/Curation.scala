@@ -749,4 +749,60 @@ object Curation {
           .as("distinct_sensitive"))
       .withColumn("at_risk", col("distinct_sensitive") < l)
   }
+
+  /** t-closeness — the distribution-skew member of the privacy triad
+    * (with [[kAnonymityClasses]] and [[lDiversityClasses]]): a class
+    * can be diverse yet still leak when its sensitive-value
+    * DISTRIBUTION deviates sharply from the table's (a class that's
+    * 90% one diagnosis against a 10% base rate discloses plenty). Per
+    * QI class, the total-variation distance to the global distribution
+    * — `0.5 · Σ_v |p_class(v) − p_global(v)|`, the categorical
+    * (uniform-ground-distance) instance of the published EMD form —
+    * with `at_risk = distance > t`.
+    *
+    * The absent-value mass needs no class × vocabulary cross join:
+    * values missing from a class contribute `Σ_absent p_global =
+    * 1 − Σ_present p_global`, so
+    * `distance = 0.5 · (Σ_present |p_c − p_g| + (1 − Σ_present p_g))`
+    * and the plan is two map-side-combined aggregations (global dist,
+    * class×value counts), one value equi-join (NULL-safe: a NULL
+    * sensitive value is a value), a per-class window for the class
+    * size, and one final per-class aggregation. Distances round to 4
+    * decimals before the threshold compare.
+    */
+  def tClosenessClasses(
+      df: DataFrame,
+      qidCols: Seq[String],
+      sensitiveCol: String,
+      t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qidCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!qidCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot be a quasi-identifier")
+    require(t > 0 && t < 1, s"t must be in (0, 1): $t")
+    val total = df.agg(count(lit(1)).cast("double").as("__tot"))
+    val global = df.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("__gc"))
+    // the class side aliases the sensitive column: both frames descend
+    // from the same df, and a join condition naming the ORIGINAL
+    // column on both sides resolves to one attribute (trivially-true
+    // condition — every distance collapses to 0; caught by the oracle)
+    val cv = df.groupBy(qidCols.map(col) :+ col(sensitiveCol).as("__sv"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val n = sum(col("__c")).over(Window.partitionBy(qidCols.map(col): _*))
+    cv.join(global, col("__sv") <=> col("__v"))
+      .crossJoin(broadcast(total))
+      .withColumn("__n", n)
+      .groupBy(qidCols.map(col): _*)
+      .agg(
+        max(col("__n")).as("n"),
+        sum(abs(col("__c") / col("__n") - col("__gc") / col("__tot")))
+          .as("__pd"),
+        sum(col("__gc") / col("__tot")).as("__pm"))
+      .select(
+        qidCols.map(col) :+ col("n") :+
+          round(lit(0.5) * (col("__pd") + lit(1.0) - col("__pm")), 4)
+            .as("distance"): _*)
+      .withColumn("at_risk", col("distance") > t)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Cdc, Curation, Dedup, Similarity, TextAnalysis, TfIdf}
+import graft.ops.{Cdc, Curation, Dedup, Similarity, Sketches, TextAnalysis, TfIdf}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -247,6 +247,33 @@ object MiningQueries {
             .withColumn("tier", floor(col("c_acctbal") / 2000)),
           Seq("c_nationkey", "c_mktsegment"), "tier", l = 4L)
         .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    // X95: t-closeness — per-class total-variation distance of the
+    // sensitive distribution from the table's, same QI/sensitive set
+    // as q_l_diversity (the triad audits one release together).
+    "q_t_closeness" -> ((s, dir) => {
+      Curation.tClosenessClasses(
+          Tables.customer(s, dir)
+            .withColumn("tier", floor(col("c_acctbal") / 2000)),
+          Seq("c_nationkey", "c_mktsegment"), "tier", t = 0.25)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    // X90 ∘ X80: the production quality gate — classifier score →
+    // corpus-own top-quartile cut → keep. One lazy plan.
+    "q_quality_gate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val model = TfIdf.trainTokenLogOdds(
+        d.filter(col("lang") === "en"),
+        d.filter(col("lang") =!= "en"),
+        "text", "doc_id")
+      val scored = TfIdf.scoreTokenLogOdds(d, model, "text", "doc_id")
+        .select("doc_id", "score_r")
+      Sketches.segmentByQuantiles(
+          scored, col("score_r"), Seq(0.75), Seq("below", "top"))
+        .filter(col("segment") === "top")
+        .orderBy("doc_id")
     })
   )
 
@@ -326,6 +353,39 @@ object MiningQueries {
        |QUALIFY rank <= $k
        |ORDER BY qid, rank""".stripMargin
 
+  /** DuckDB replay of [[TfIdf.trainTokenLogOdds]] (en vs non-en) +
+    * [[TfIdf.scoreTokenLogOdds]] over `documents`, ending in
+    * `sc(doc_id, n_terms, n_matched, score_r)` — shared by the
+    * classifier query and the quality-gate composition.
+    */
+  private val classifierPreludeSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
+      |), tokr AS (
+      |  SELECT doc_id, lang, unnest(toks) AS term FROM docs
+      |), tok AS (
+      |  SELECT DISTINCT doc_id, lang, term FROM tokr
+      |), dfp AS (
+      |  SELECT term, count(*) AS df_pos FROM tok WHERE lang = 'en' GROUP BY 1
+      |), dfn AS (
+      |  SELECT term, count(*) AS df_neg FROM tok WHERE lang <> 'en' GROUP BY 1
+      |), sizes AS (
+      |  SELECT count(DISTINCT CASE WHEN lang = 'en' THEN doc_id END) AS np,
+      |         count(DISTINCT CASE WHEN lang <> 'en' THEN doc_id END) AS nn
+      |  FROM docs
+      |), wts AS (
+      |  SELECT coalesce(dfp.term, dfn.term) AS term,
+      |    ln((coalesce(df_pos, 0) + 1.0) / (np + 2.0)) -
+      |    ln((coalesce(df_neg, 0) + 1.0) / (nn + 2.0)) AS weight
+      |  FROM dfp FULL OUTER JOIN dfn ON dfp.term = dfn.term CROSS JOIN sizes
+      |), sc AS (
+      |  SELECT t.doc_id, count(*)::BIGINT AS n_terms,
+      |    count(w.weight)::BIGINT AS n_matched,
+      |    round(sum(coalesce(w.weight, 0)), 4) AS score_r
+      |  FROM tok t LEFT JOIN wts w ON t.term = w.term
+      |  GROUP BY 1
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_bm25_search" -> bm25OracleSql(
       "WITH corp AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)",
@@ -346,34 +406,46 @@ object MiningQueries {
          |)""".stripMargin,
       3),
     "q_quality_classifier" ->
-      """WITH docs AS (
-        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
-        |), tokr AS (
-        |  SELECT doc_id, lang, unnest(toks) AS term FROM docs
-        |), tok AS (
-        |  SELECT DISTINCT doc_id, lang, term FROM tokr
-        |), dfp AS (
-        |  SELECT term, count(*) AS df_pos FROM tok WHERE lang = 'en' GROUP BY 1
-        |), dfn AS (
-        |  SELECT term, count(*) AS df_neg FROM tok WHERE lang <> 'en' GROUP BY 1
-        |), sizes AS (
-        |  SELECT count(DISTINCT CASE WHEN lang = 'en' THEN doc_id END) AS np,
-        |         count(DISTINCT CASE WHEN lang <> 'en' THEN doc_id END) AS nn
-        |  FROM docs
-        |), wts AS (
-        |  SELECT coalesce(dfp.term, dfn.term) AS term,
-        |    ln((coalesce(df_pos, 0) + 1.0) / (np + 2.0)) -
-        |    ln((coalesce(df_neg, 0) + 1.0) / (nn + 2.0)) AS weight
-        |  FROM dfp FULL OUTER JOIN dfn ON dfp.term = dfn.term CROSS JOIN sizes
-        |), sc AS (
-        |  SELECT t.doc_id, count(*)::BIGINT AS n_terms,
-        |    count(w.weight)::BIGINT AS n_matched,
-        |    round(sum(coalesce(w.weight, 0)), 4) AS score_r
-        |  FROM tok t LEFT JOIN wts w ON t.term = w.term
-        |  GROUP BY 1
+      s"""$classifierPreludeSql
+         |SELECT doc_id, n_terms, n_matched, score_r, score_r > 0 AS is_positive
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_quality_gate" ->
+      s"""$classifierPreludeSql, cut AS (
+         |  SELECT round(quantile_cont(score_r, 0.75), 4) AS q0 FROM sc
+         |)
+         |SELECT doc_id, score_r, 'top' AS segment
+         |FROM sc CROSS JOIN cut
+         |WHERE score_r > q0
+         |ORDER BY doc_id""".stripMargin,
+    "q_t_closeness" ->
+      """WITH q AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS tier
+        |  FROM customer
+        |), tot AS (
+        |  SELECT count(*)::DOUBLE AS nt FROM q
+        |), g AS (
+        |  SELECT tier, count(*) AS gc FROM q GROUP BY 1
+        |), cv AS (
+        |  SELECT c_nationkey, c_mktsegment, tier, count(*) AS c
+        |  FROM q GROUP BY 1, 2, 3
+        |), cn AS (
+        |  SELECT c_nationkey, c_mktsegment, tier, c,
+        |    sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n
+        |  FROM cv
+        |), j AS (
+        |  SELECT cn.*, g.gc FROM cn
+        |  JOIN g ON cn.tier IS NOT DISTINCT FROM g.tier
+        |), a AS (
+        |  SELECT c_nationkey, c_mktsegment, max(n)::BIGINT AS n,
+        |    sum(abs(c / n - gc / nt)) AS pd,
+        |    sum(gc / nt) AS pm
+        |  FROM j CROSS JOIN tot GROUP BY 1, 2
         |)
-        |SELECT doc_id, n_terms, n_matched, score_r, score_r > 0 AS is_positive
-        |FROM sc ORDER BY doc_id""".stripMargin,
+        |SELECT c_nationkey, c_mktsegment, n,
+        |  round(0.5 * (pd + 1.0 - pm), 4) AS distance,
+        |  round(0.5 * (pd + 1.0 - pm), 4) > 0.25 AS at_risk
+        |FROM a ORDER BY 1, 2""".stripMargin,
     "q_hybrid_retrieval" ->
       s"""WITH tr AS (
          |  SELECT qid, doc, rank FROM (

@@ -518,6 +518,43 @@ class CurationSpec extends SparkSpec {
     assert(cls("10003") == ((2L, 2L, false)))
   }
 
+  test("tCloseness: exact total-variation distances, absent-value mass included") {
+    // global: 7×A, 3×B. class X = 4×A → 0.5·(|1−0.7| + 0.3 absent) = 0.3
+    // class Y = 3×A + 3×B → 0.5·(|0.5−0.7| + |0.5−0.3|) = 0.2
+    val rows = Seq(
+      ("X", "A"), ("X", "A"), ("X", "A"), ("X", "A"),
+      ("Y", "A"), ("Y", "A"), ("Y", "A"), ("Y", "B"), ("Y", "B"), ("Y", "B")
+    ).toDF("zip", "diag")
+    val r = Curation.tClosenessClasses(rows, Seq("zip"), "diag", t = 0.25)
+      .collect().map(x => x.getAs[String]("zip") ->
+        (x.getAs[Long]("n"), x.getAs[Double]("distance"), x.getAs[Boolean]("at_risk"))).toMap
+    assert(r("X") == ((4L, 0.3, true)))
+    assert(r("Y") == ((6L, 0.2, false)))
+  }
+
+  test("tCloseness: a class mirroring the global distribution scores zero; NULL is a value") {
+    val rows = Seq(
+      ("X", Some("A")), ("X", None), ("Y", Some("A")), ("Y", None)
+    ).toDF("zip", "diag")
+    // both classes are 1×A + 1×NULL = exactly the global 50/50 → 0.0
+    val r = Curation.tClosenessClasses(rows, Seq("zip"), "diag", t = 0.1)
+      .collect().map(x => x.getAs[String]("zip") -> x.getAs[Double]("distance")).toMap
+    assert(r == Map("X" -> 0.0, "Y" -> 0.0))
+  }
+
+  test("tCloseness validates its knobs") {
+    val rows = Seq(("a", "x")).toDF("zip", "diag")
+    intercept[IllegalArgumentException] {
+      Curation.tClosenessClasses(rows, Seq(), "diag", 0.2)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.tClosenessClasses(rows, Seq("zip", "diag"), "diag", 0.2)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.tClosenessClasses(rows, Seq("zip"), "diag", 1.5)
+    }
+  }
+
   test("lDiversity validates its knobs") {
     val rows = Seq(("a", "x", 1)).toDF("zip", "diag", "v")
     intercept[IllegalArgumentException] {
