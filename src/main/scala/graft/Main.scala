@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.{col, expr}
 
 /** CLI entry point mirroring the reference's dispatch
   * (`/root/reference/app.py:20-70`):
-  * `--pipeline {extract|clean|enrich|run-all|dedup-increment|gold-increment|check|drift}`
+  * `--pipeline {extract|clean|enrich|run-all|dedup-increment|gold-increment|check|drift|privacy}`
   * plus the known pipeline args; unknown `--k v` pairs pass through
   * (how enrich receives `--dimension_inputs` /
   * `--dimension_entity_types`, both CSV — `enrich.py:22-23`). Typed
@@ -127,6 +127,45 @@ object Main {
           sys.error(f"distribution drifted: PSI $psi%.4f > $maxPsi%.4f " +
             s"on column ${req("column")}")
         spark.read.parquet(req("output"))
+      case "privacy" =>
+        // Privacy release gate (X88/X94/X95): audit --input's
+        // quasi-identifier columns (--qid_columns, comma-separated)
+        // against k-anonymity --k (default 5) and, when
+        // --sensitive_column is given, l-diversity --l (default 2)
+        // and t-closeness --t (default 0.25). One per-class report
+        // lands at --output (left-joined on the QI columns), then the
+        // job fails if any class is at risk under any enabled metric
+        // — the same write-then-gate contract as `check`/`drift`.
+        val in = spark.read.parquet(req("input"))
+        val qid = req("qid_columns").split(",").map(_.trim).toSeq
+        val k = opts.get("k").map(_.toLong).getOrElse(5L)
+        val kCls = graft.ops.Curation.kAnonymityClasses(in, qid, k)
+          .withColumnRenamed("at_risk", "k_risk")
+        val report = opts.get("sensitive_column") match {
+          case None => kCls
+          case Some(sens) =>
+            val l = opts.get("l").map(_.toLong).getOrElse(2L)
+            val t = opts.get("t").map(_.toDouble).getOrElse(0.25)
+            kCls
+              .join(
+                graft.ops.Curation.lDiversityClasses(in, qid, sens, l)
+                  .withColumnRenamed("at_risk", "l_risk").drop("n"),
+                qid)
+              .join(
+                graft.ops.Curation.tClosenessClasses(in, qid, sens, t)
+                  .withColumnRenamed("at_risk", "t_risk").drop("n"),
+                qid)
+        }
+        report.coalesce(1).write.mode("overwrite").parquet(req("output"))
+        val persisted = spark.read.parquet(req("output"))
+        val riskCols = persisted.columns.filter(_.endsWith("_risk"))
+        val atRisk = persisted
+          .filter(riskCols.map(col).reduce(_ || _))
+          .count()
+        if (atRisk > 0 && !opts.get("fail_on_violation").contains("false"))
+          sys.error(s"privacy gate: $atRisk quasi-identifier classes at risk " +
+            s"(see ${req("output")})")
+        persisted
       case "run-all" =>
         // The reference's 13-job medallion DAG (see RunAll): NDJSON
         // per entity under --input_dir, lake written under --lake_dir.

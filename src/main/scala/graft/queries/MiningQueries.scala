@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Cdc, Curation, Dedup, Similarity, Sketches, TextAnalysis, TfIdf}
+import graft.ops.{Cdc, Curation, Dedup, Pca, Similarity, Sketches, TextAnalysis, TfIdf}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -258,6 +258,20 @@ object MiningQueries {
             .withColumn("tier", floor(col("c_acctbal") / 2000)),
           Seq("c_nationkey", "c_mktsegment"), "tier", t = 0.25)
         .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    // X96: PCA whitening of the embedding corpus (rows-only check —
+    // no eigensolver exists in the oracle engine; invariants are
+    // specced in PcaSpec). Output: per-vector 8-dim whitened
+    // projection, elements rounded for a stable dump.
+    "q_pca_whiten" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val model = Pca.fit(e, "embedding", k = 8)
+      Pca.transform(e, "embedding", model, "pca", whiten = true)
+        .select(
+          col("vec_id"),
+          transform(col("pca"), v => round(v, 4)).as("pca_r"))
+        .orderBy("vec_id")
     }),
 
     // X90 ∘ X80: the production quality gate — classifier score →

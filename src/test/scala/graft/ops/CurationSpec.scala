@@ -568,6 +568,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("CLI privacy pipeline: triad report written, risky classes fail after the write") {
+    val dir = java.nio.file.Files.createTempDirectory("privacy").toString
+    // zip 10001: 4 rows but ONE diagnosis → k passes, l fails
+    // zip 10002: 1 row → k fails
+    Seq(
+      ("10001", "flu"), ("10001", "flu"), ("10001", "flu"), ("10001", "flu"),
+      ("10002", "cold")
+    ).toDF("zip", "diagnosis").write.mode("overwrite").parquet(s"$dir/in")
+    val args = Map("pipeline" -> "privacy", "input" -> s"$dir/in",
+      "output" -> s"$dir/report", "qid_columns" -> "zip",
+      "sensitive_column" -> "diagnosis", "k" -> "2", "l" -> "2", "t" -> "0.9")
+    val e = intercept[RuntimeException] { graft.Main.run(spark, args) }
+    assert(e.getMessage.contains("2 quasi-identifier classes at risk"))
+    // the report landed BEFORE the failure — gate semantics
+    val byZip = spark.read.parquet(s"$dir/report")
+      .collect().map(r => r.getAs[String]("zip") ->
+        (r.getAs[Boolean]("k_risk"), r.getAs[Boolean]("l_risk"))).toMap
+    assert(byZip("10001") == ((false, true)))
+    assert(byZip("10002")._1)
+    // k-only mode (no sensitive column) + non-failing mode
+    val ok = graft.Main.run(spark, Map("pipeline" -> "privacy",
+      "input" -> s"$dir/in", "output" -> s"$dir/report2",
+      "qid_columns" -> "zip", "k" -> "2", "fail_on_violation" -> "false"))
+    assert(ok.columns.contains("k_risk") && !ok.columns.contains("l_risk"))
+    assert(ok.count() == 2)
+  }
+
   test("kAnonymity validates its knobs") {
     val rows = Seq(("a", 1)).toDF("zip", "age")
     intercept[IllegalArgumentException] {

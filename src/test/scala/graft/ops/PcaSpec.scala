@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** X96 PCA projection/whitening ([[Pca]]): fit invariants
+  * (orthonormality, descending variance, sign-canonical determinism),
+  * transform correctness against a driver-side replay, whitening's
+  * unit-variance contract, and the no-shuffle transform plan.
+  */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def prng(parts: Int*): Double =
+    MurmurHash3.orderedHash(parts).toDouble / Int.MaxValue.toDouble
+
+  /** 200 vectors in dim 8 with almost all variance in two fixed
+    * directions (axes 0 and 1 after a rotation), plus tiny noise.
+    */
+  private def fixture = {
+    val dim = 8
+    val d1 = Array.tabulate(dim)(i => if (i % 2 == 0) 0.5 else 0.25)
+    val d2 = Array.tabulate(dim)(i => if (i % 2 == 0) 0.25 else -0.5)
+    val rows = (0 until 200).map { r =>
+      val a = prng(1, r) * 10
+      val b = prng(2, r) * 4
+      val v = Array.tabulate(dim)(i =>
+        (a * d1(i) + b * d2(i) + prng(3, r, i) * 0.01).toFloat)
+      (r.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("fit: orthonormal components, descending eigenvalues, concentrated variance") {
+    val m = Pca.fit(fixture, "embedding", k = 3)
+    assert(m.k == 3 && m.dim == 8)
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val dot = m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum
+      val expected = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expected) < 1e-9, s"C($i)-C($j) = $dot")
+    }
+    assert(m.eigenvalues.sliding(2).forall { case Array(a, b) => a >= b - 1e-12 })
+    // the two seeded directions carry ~all variance
+    assert(m.explainedVariance.take(2).sum > 0.99,
+      s"top-2 explained ${m.explainedVariance.toSeq}")
+  }
+
+  test("fit is deterministic: bit-exact on refit, ulp-stable across partitionings") {
+    val a = Pca.fit(fixture, "embedding", k = 2)
+    val b = Pca.fit(fixture, "embedding", k = 2)
+    assert(a.components.map(_.toSeq).toSeq == b.components.map(_.toSeq).toSeq,
+      "same input, same partitioning must refit bit-identically")
+    // a different partitioning changes the Gramian tree-aggregation
+    // order → ulp-level drift is expected, sign convention must hold
+    val c = Pca.fit(fixture.repartition(7), "embedding", k = 2)
+    a.components.zip(c.components).foreach { case (x, y) =>
+      x.zip(y).foreach { case (xi, yi) =>
+        assert(math.abs(xi - yi) < 1e-9, s"$xi vs $yi")
+      }
+    }
+  }
+
+  test("transform matches the driver-side replay exactly") {
+    val df = fixture
+    val m = Pca.fit(df, "embedding", k = 2)
+    val got = Pca.transform(df, "embedding", m, "pca")
+      .select("vec_id", "embedding", "pca")
+      .as[(Long, Seq[Float], Seq[Double])].collect()
+    got.take(20).foreach { case (_, vec, proj) =>
+      val expected = m.components.map { c =>
+        c.zip(vec).map { case (ci, xi) => ci * xi.toDouble }.sum -
+          c.zip(m.mean).map { case (ci, mi) => ci * mi }.sum
+      }
+      proj.zip(expected).foreach { case (p, e) =>
+        assert(math.abs(p - e) < 1e-9, s"$p vs $e")
+      }
+    }
+  }
+
+  test("whitened projection has unit variance per component") {
+    val df = fixture
+    val m = Pca.fit(df, "embedding", k = 2)
+    val proj = Pca.transform(df, "embedding", m, "w", whiten = true)
+      .select(posexplode(col("w"))).toDF("i", "v")
+    val vars = proj.groupBy("i")
+      .agg(var_samp(col("v")).as("var"))
+      .as[(Int, Double)].collect().toMap
+    assert(vars.size == 2)
+    vars.values.foreach(v => assert(math.abs(v - 1.0) < 0.05, s"variance $v"))
+  }
+
+  test("transform is a pure projection — no shuffle, no UDF") {
+    val m = Pca.fit(fixture, "embedding", k = 2)
+    val plan = Pca.transform(fixture, "embedding", m, "pca")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"projection must stay in codegen:\n$plan")
+  }
+
+  test("fit validates k") {
+    intercept[IllegalArgumentException] { Pca.fit(fixture, "embedding", 0) }
+    intercept[IllegalArgumentException] { Pca.fit(fixture, "embedding", 9) }
+    intercept[IllegalArgumentException] {
+      Pca.transform(fixture.withColumn("pca", lit(1)), "embedding",
+        Pca.fit(fixture, "embedding", 1), "pca")
+    }
+  }
+}
