@@ -275,15 +275,20 @@ object MiningQueries {
     }),
 
     // X90 ∘ X80: the production quality gate — classifier score →
-    // corpus-own top-quartile cut → keep. One lazy plan.
+    // corpus-own top-quartile cut → keep. The scored frame persists
+    // once: the quantile-cut aggregation AND the row stream both read
+    // it, and without the cache the whole classifier (two corpus df
+    // passes + the model join) runs twice (measured 1.58s vs the
+    // classifier's own 0.32s in the r14 bench).
     "q_quality_gate" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val model = TfIdf.trainTokenLogOdds(
         d.filter(col("lang") === "en"),
         d.filter(col("lang") =!= "en"),
         "text", "doc_id")
-      val scored = TfIdf.scoreTokenLogOdds(d, model, "text", "doc_id")
-        .select("doc_id", "score_r")
+      val scored = graft.CachedFrames.persistOnce(
+        TfIdf.scoreTokenLogOdds(d, model, "text", "doc_id")
+          .select("doc_id", "score_r"))
       Sketches.segmentByQuantiles(
           scored, col("score_r"), Seq(0.75), Seq("below", "top"))
         .filter(col("segment") === "top")
