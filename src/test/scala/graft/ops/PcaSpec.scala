@@ -99,6 +99,33 @@ class PcaSpec extends SparkSpec {
       s"projection must stay in codegen:\n$plan")
   }
 
+  test("whitened projection preserves nearest-neighbor structure for ANN") {
+    // the reason X96 exists: brute-force top-k over the 2-dim whitened
+    // projection must recover the same neighbors as over the raw
+    // 8-dim vectors when the data genuinely lives in 2 directions
+    val df = fixture
+    val m = Pca.fit(df, "embedding", k = 2)
+    val projected = Pca.transform(df, "embedding", m, "w", whiten = false)
+      .select(col("vec_id"), col("w").cast("array<float>").as("w"))
+    // cosine is NOT centering-invariant, so the fair raw baseline is
+    // the centered vectors (the projection is an isometry on their
+    // 2-direction span, so neighbors must survive)
+    val meanArr = array(m.mean.map(v => lit(v.toFloat)): _*)
+    val centered = df.select(
+      col("vec_id"),
+      zip_with(col("embedding"), meanArr, (a, b) => a - b).as("c"))
+    def topIds(frame: org.apache.spark.sql.DataFrame, vecCol: String) =
+      Similarity.bruteForceTopK(
+          frame, frame.filter(col("vec_id") < 5), "vec_id", vecCol, 10)
+        .select("qid", "nid").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val raw = topIds(centered, "c")
+    val proj = topIds(projected, "w")
+    // .toSeq before mapping: Set.map would dedupe equal recalls
+    val recall = raw.keys.toSeq.map(q => (raw(q) & proj(q)).size.toDouble / 10).sum / raw.size
+    assert(recall >= 0.9, s"projection recall $recall")
+  }
+
   test("fit validates k") {
     intercept[IllegalArgumentException] { Pca.fit(fixture, "embedding", 0) }
     intercept[IllegalArgumentException] { Pca.fit(fixture, "embedding", 9) }
