@@ -79,6 +79,44 @@ object EventStreams {
       events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  /** Streaming document dedup against a PERSISTED fingerprint store —
+    * the streaming closure of the X48 exact screen
+    * ([[graft.ops.Dedup.dedupExactAgainst]]): a continuously-ingesting
+    * crawl drops (1) re-deliveries and intra-stream copies via
+    * watermark-bounded `dropDuplicatesWithinWatermark` on the content
+    * fingerprint, then (2) everything history already holds via a
+    * stream-static LEFT ANTI join against the store frame. A
+    * file-backed store is re-read per micro-batch, so the offline
+    * crawl-cycle pipeline (`--pipeline dedup-increment`) can keep
+    * appending to it and the stream picks the updates up without a
+    * restart — the two halves of the X48 lifecycle meet here.
+    *
+    * State is bounded by rate × watermark horizon (the fingerprint set
+    * inside the watermark), never stream length; the anti-join is
+    * stateless per micro-batch. Works identically on batch frames
+    * (plain dropDuplicates + anti-join) for backfills.
+    */
+  def dedupDocStream(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String,
+      store: DataFrame,
+      fingerprintCol: String = "fingerprint"): DataFrame = {
+    val withFp = docs.withColumn("__fp", graft.ops.Dedup.fingerprint(col(textCol)))
+    val inStream =
+      if (docs.isStreaming)
+        withFp.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark(Seq("__fp"))
+      else withFp.dropDuplicates("__fp")
+    inStream
+      .join(
+        store.select(col(fingerprintCol).as("__store_fp")),
+        col("__fp") === col("__store_fp"),
+        "left_anti")
+      .drop("__fp")
+  }
+
   /** Stream-static enrichment: join a stream to a (small) static
     * dimension frame by equi-key. The static side broadcasts, so each
     * micro-batch is a map-side hash join — no streaming state at all

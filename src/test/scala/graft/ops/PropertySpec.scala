@@ -337,4 +337,80 @@ class PropertySpec extends SparkSpec {
       assert(kept == vecs.indices.map(_.toLong).toSet -- sem.map(_._2))
     }
   }
+
+  test("span accounting conserves tokens: covered + strip-kept = n_tokens, coverage bounded") {
+    samples(Gen.nonEmptyListOf(text), 8).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val dup = Dedup.spanDuplication(df, "t", "id", windowTokens = 3)
+        .select("id", "n_tokens", "covered_tokens")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val kept = Dedup.stripDuplicatedSpans(df, "t", "id", windowTokens = 3)
+        .select("id", "kept_tokens").as[(Long, Long)].collect().toMap
+      dup.foreach { case (id, (n, covered)) =>
+        assert(covered >= 0 && covered <= n, s"id=$id covered $covered of $n")
+        assert(covered + kept(id) == n,
+          s"id=$id covered $covered + kept ${kept(id)} != $n on $texts")
+      }
+      graft.CachedFrames.unpersistAll()
+    }
+  }
+
+  test("chunking covers every token exactly once per non-overlap stride") {
+    samples(Gen.nonEmptyListOf(text), 8).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val chunks = Curation.chunkDocuments(df, "t", "id", chunkTokens = 5, overlapTokens = 2)
+        .select("id", "start_tok", "chunk_tokens")
+        .as[(Long, Int, Int)].collect().toSeq.groupBy(_._1)
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val n = t.split(" ", -1).length
+        val covered = chunks(i.toLong)
+          .flatMap { case (_, s, len) => s until (s + len) }.toSet
+        assert(covered == (0 until n).toSet,
+          s"doc $i: covered ${covered.size} of $n tokens")
+      }
+    }
+  }
+
+  test("privacy triad consistency: class counts partition the table on any QI set") {
+    samples(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3), Gen.option(word))), 8)
+      .foreach { rows =>
+        val df = rows.zipWithIndex
+          .map { case ((z, s), i) => (i.toLong, s"zip$z", s.orNull) }
+          .toDF("id", "zip", "diag")
+        val k = Curation.kAnonymityClasses(df, Seq("zip"), 2L)
+        assert(k.agg(sum("n")).head().getLong(0) == rows.size.toLong)
+        val l = Curation.lDiversityClasses(df, Seq("zip"), "diag", 2L)
+          .select("zip", "n", "distinct_sensitive")
+          .as[(String, Long, Long)].collect()
+        l.foreach { case (z, n, ds) =>
+          assert(ds >= 1 && ds <= n, s"$z: $ds distinct of $n rows")
+        }
+        val t = Curation.tClosenessClasses(df, Seq("zip"), "diag", 0.5)
+          .select("distance").as[Double].collect()
+        t.foreach(d => assert(d >= 0.0 && d <= 1.0, s"TVD out of range: $d"))
+      }
+  }
+
+  test("rrfFuse scores and bounds: every output rank dense, scores within (0, lists/k0]") {
+    samples(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 3L), Gen.choose(1L, 20L))), 8)
+      .foreach { pairs =>
+        val ranked = pairs.distinct.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+          rs.map(_._2).distinct.sorted.zipWithIndex.map { case (d, r) => (q, d, r + 1) }
+        }
+        if (ranked.nonEmpty) {
+          val df = ranked.toDF("qid", "doc", "rank")
+          val fused = TfIdf.rrfFuse(Seq(df, df), topK = 5)
+            .select("qid", "rank", "n_lists", "rrf_r")
+            .as[(Long, Int, Long, Double)].collect()
+          fused.groupBy(_._1).foreach { case (q, rs) =>
+            assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"qid=$q ranks")
+          }
+          fused.foreach { case (_, _, lists, score) =>
+            assert(lists == 2L, "same list twice → every candidate in both")
+            // scores round to 6 decimals, so allow half an ulp of that
+            assert(score > 0 && score <= 2.0 / 61 + 5e-7, s"score $score")
+          }
+        }
+      }
+  }
 }

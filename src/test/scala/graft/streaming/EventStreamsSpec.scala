@@ -255,4 +255,43 @@ class EventStreamsSpec extends SparkSpec {
       s"streaming-closed not in batch: ${closed.diff(batch)}")
     assert(batch.size == closed.size + 5)
   }
+
+  test("dedupDocStream: in-stream copies and store-known content both drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the persisted history: "old news" is already in the store
+    val store = graft.ops.Dedup.exactFingerprintStore(
+      Seq((100L, "old news")).toDF("doc_id", "text"), "text")
+    val input = MemoryStream[Doc]
+    val query = dedupDocStream(
+        input.toDF(), "text", "ts", "10 minutes", store)
+      .writeStream.format("memory").queryName("doc_dedup")
+      .outputMode("append").start()
+    input.addData(
+      Doc(1, ts("2024-01-01 10:00:00"), "fresh content one"),
+      Doc(2, ts("2024-01-01 10:01:00"), "old news"),          // in store → drop
+      Doc(3, ts("2024-01-01 10:02:00"), "fresh content one"), // in-stream copy → drop
+      Doc(4, ts("2024-01-01 10:03:00"), "fresh content two"))
+    query.processAllAvailable()
+    query.stop()
+    val kept = spark.table("doc_dedup").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L), s"got $kept")
+  }
+
+  test("dedupDocStream batch twin: same semantics on a static frame") {
+    import spark.implicits._
+    val store = graft.ops.Dedup.exactFingerprintStore(
+      Seq((100L, "old news")).toDF("doc_id", "text"), "text")
+    val docs = Seq(
+      Doc(1, ts("2024-01-01 10:00:00"), "fresh content one"),
+      Doc(2, ts("2024-01-01 10:01:00"), "old news"),
+      Doc(3, ts("2024-01-01 10:02:00"), "fresh content one"),
+      Doc(4, ts("2024-01-01 10:03:00"), "fresh content two")).toDF()
+    val kept = dedupDocStream(docs, "text", "ts", "10 minutes", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
 }
+
+/** top-level: Spark encoders can't capture a suite-inner class */
+case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
