@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.{col, expr}
 
 /** CLI entry point mirroring the reference's dispatch
   * (`/root/reference/app.py:20-70`):
-  * `--pipeline {extract|clean|enrich|run-all|dedup-increment|gold-increment|check|drift|privacy}`
+  * `--pipeline {extract|clean|enrich|run-all|dedup-increment|gold-increment|check|drift|privacy|ann-index|ann-query}`
   * plus the known pipeline args; unknown `--k v` pairs pass through
   * (how enrich receives `--dimension_inputs` /
   * `--dimension_entity_types`, both CSV — `enrich.py:22-23`). Typed
@@ -126,6 +126,31 @@ object Main {
         if (psi > maxPsi)
           sys.error(f"distribution drifted: PSI $psi%.4f > $maxPsi%.4f " +
             s"on column ${req("column")}")
+        spark.read.parquet(req("output"))
+      case "ann-index" =>
+        // Offline IVF index build (X99): train the quantizer over
+        // --input, persist centroids + cell-partitioned assignments
+        // under --store_dir in one atomic swap. Returns the cell
+        // census (the balance report).
+        pipeline.AnnIndex.build(spark, pipeline.AnnIndex.Config(
+          input = req("input"),
+          storeDir = req("store_dir"),
+          idCol = opts.getOrElse("id_column", "vec_id"),
+          vecCol = opts.getOrElse("vector_column", "embedding"),
+          dim = opts.get("dim").map(_.toInt).getOrElse(64),
+          nCentroids = opts.get("n_centroids").map(_.toInt).getOrElse(16),
+          iters = opts.get("iters").map(_.toInt).getOrElse(3)))
+      case "ann-query" =>
+        // Online path: top-k neighbors for --queries against the
+        // persisted index, probing --n_probe cells; writes --output.
+        val out = pipeline.AnnIndex.query(
+          spark, req("store_dir"),
+          spark.read.parquet(req("queries")),
+          idCol = opts.getOrElse("id_column", "vec_id"),
+          vecCol = opts.getOrElse("vector_column", "embedding"),
+          k = opts.get("k").map(_.toInt).getOrElse(10),
+          nProbe = opts.get("n_probe").map(_.toInt).getOrElse(4))
+        out.write.mode("overwrite").parquet(req("output"))
         spark.read.parquet(req("output"))
       case "privacy" =>
         // Privacy release gate (X88/X94/X95): audit --input's

@@ -94,6 +94,41 @@ object Dedup {
     df.join(survivors, Seq(idCol), "left_semi")
   }
 
+  /** LSH banding parameter planner: the candidate probability
+    * `P(candidate | J) = 1 − (1 − J^r)^b` (r = k/bands rows per band)
+    * for every (k, bands) configuration × Jaccard level requested —
+    * the curve an engineer reads to pick banding BEFORE paying for a
+    * full run ("will 16/8 catch J=0.6 pairs? p=0.92; will it drown me
+    * in J=0.2 noise? p=0.03"). Pure per-row math over a generated
+    * grid (configs × jaccards rows total — driver-scale by nature);
+    * probabilities round to 4 decimals (libm `pow` ulp convention).
+    * Emits the s-curve threshold `(1/b)^(1/r)` per config too — the
+    * Jaccard at which candidacy crosses ~50%.
+    */
+  def lshPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      configs: Seq[(Int, Int)],
+      jaccards: Seq[Double]): DataFrame = {
+    require(configs.nonEmpty && jaccards.nonEmpty, "need configs and jaccard levels")
+    configs.foreach { case (k, b) =>
+      require(k >= 1 && b >= 1 && k % b == 0,
+        s"bands must divide k: k=$k bands=$b")
+    }
+    require(jaccards.forall(j => j >= 0 && j <= 1), s"jaccards must be in [0,1]")
+    import spark.implicits._
+    val rows = for {
+      (k, b) <- configs
+      j <- jaccards
+    } yield (k, b, k / b, j)
+    rows.toDF("k", "bands", "rows_per_band", "jaccard")
+      .withColumn(
+        "p_candidate",
+        round(lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), col("rows_per_band")), col("bands")), 4))
+      .withColumn(
+        "s_curve_threshold",
+        round(pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")), 4))
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash permutation family: `h_i(x) = (a_i · base(x) + b_i) mod P`

@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import graft.io.AtomicSwap
+import graft.ops.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Offline-build / online-query lifecycle for the IVF ANN index —
+  * the persisted-store counterpart of [[graft.ops.Similarity.ivfTopK]]
+  * (which trains and assigns inline per run). A production corpus is
+  * indexed ONCE per refresh cycle and queried many times; this module
+  * splits the two paths:
+  *
+  *  - [[build]]: train the spherical k-means quantizer, assign every
+  *    corpus vector to its cell with the fused mat-vec argmax
+  *    (map-side, no join), and persist ONE index directory —
+  *    `centroids.parquet` (k tiny rows) + `cells.parquet`
+  *    PARTITIONED BY cell — behind a single [[AtomicSwap]] (both
+  *    halves swap together: a centroid set from one build against
+  *    cell assignments from another would silently misroute probes).
+  *  - [[query]]: load the k centroid rows (driver-side constants, the
+  *    [[Similarity.ivfTopK]] pattern), compute each query's `nProbe`
+  *    best cells map-side, and join ONLY those cells' vectors for the
+  *    exact cosine re-rank. Because `cells.parquet` is
+  *    partitioned-by-cell on disk and the probe frame broadcasts,
+  *    Spark's dynamic partition pruning skips unprobed cells at the
+  *    FILE level — the at-scale payoff of persisting assignments:
+  *    query cost reads ≈ corpus × nProbe / nCentroids bytes, not the
+  *    corpus.
+  *
+  * Store refresh = rerun [[build]]; readers either see the old index
+  * or the new one, never a mix, and a crash between the renames
+  * recovers via [[AtomicSwap.recover]].
+  */
+object AnnIndex {
+
+  final case class Config(
+      input: String,
+      storeDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64,
+      nCentroids: Int = 16,
+      iters: Int = 3,
+      seedSample: Int = 256)
+
+  def indexPath(storeDir: String): String = s"$storeDir/index"
+  private def centroidsPath(index: String): String = s"$index/centroids.parquet"
+  private def cellsPath(index: String): String = s"$index/cells.parquet"
+
+  /** The fused-kernel cell assignment both paths share: dots against
+    * every centroid in one call, argmax index (first wins ties).
+    */
+  private def withCellDots(
+      df: DataFrame, vecCol: String, centroids: Seq[Seq[Float]]): DataFrame =
+    df.withColumn(
+      "__cd",
+      graft.functions.MatVecDotsExpr.matVecDots(
+        col(vecCol), centroids.map(_.map(_.toDouble).toArray).toArray))
+
+  /** Build (or refresh) the index store from the corpus at
+    * `cfg.input`. Returns the assignment cell census (cell, n) —
+    * the balance report an operator checks before trusting probes.
+    */
+  def build(spark: SparkSession, cfg: Config): DataFrame = {
+    import spark.implicits._
+    val index = indexPath(cfg.storeDir)
+    AtomicSwap.recover(spark, index)
+    val corpus = spark.read.parquet(cfg.input)
+    val centroids = Similarity.trainCentroids(
+      corpus, cfg.idCol, cfg.vecCol, cfg.nCentroids, cfg.dim,
+      iters = cfg.iters, seedSample = cfg.seedSample)
+    val next = index + ".next"
+    centroids.zipWithIndex
+      .map { case (v, i) => (i, v) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(centroidsPath(next))
+    val assign = array_position(col("__cd"), array_max(col("__cd"))).cast("int") - 1
+    withCellDots(corpus.select(col(cfg.idCol), col(cfg.vecCol)), cfg.vecCol, centroids)
+      .withColumn("cell", assign)
+      .drop("__cd")
+      .write.mode("overwrite").partitionBy("cell").parquet(cellsPath(next))
+    AtomicSwap.swapIn(spark, index, next)
+    spark.read.parquet(cellsPath(index))
+      .groupBy("cell").agg(count(lit(1)).as("n")).orderBy("cell")
+  }
+
+  /** Query the persisted index: top-`k` cosine neighbors per query
+    * row, probing each query's `nProbe` best cells only.
+    */
+  def query(
+      spark: SparkSession,
+      storeDir: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"k and nProbe must be >= 1: $k, $nProbe")
+    val index = indexPath(storeDir)
+    AtomicSwap.recover(spark, index)
+    val centroids = spark.read.parquet(centroidsPath(index))
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq
+    require(nProbe <= centroids.size,
+      s"nProbe=$nProbe exceeds the index's ${centroids.size} cells")
+    val probes = {
+      val ranked = array_sort(transform(
+        sequence(lit(0), lit(centroids.size - 1)),
+        i => struct((-element_at(col("__cd"), i + 1)).as("neg"), i.as("idx"))))
+      transform(slice(ranked, lit(1), lit(nProbe)), s => s.getField("idx"))
+    }
+    val q = withCellDots(
+        queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+        "qvec", centroids)
+      .select(col("qid"), col("qvec"), explode(probes).as("cell"))
+    val cells = spark.read.parquet(cellsPath(index))
+      .select(col("cell"), col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    cells.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", Similarity.cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+}

@@ -214,6 +214,16 @@ object MiningQueries {
       TfIdf.scoreTokenLogOdds(d, model, "text", "doc_id").orderBy("doc_id")
     }),
 
+    // X98: LSH banding planner — the candidate-probability grid for
+    // three (k, bands) configs across nine Jaccard levels.
+    "q_lsh_plan" -> ((s, dir) => {
+      Dedup.lshPlan(
+          s,
+          configs = Seq((16, 8), (16, 4), (32, 8)),
+          jaccards = (1 to 9).map(_ / 10.0))
+        .orderBy("k", "bands", "jaccard")
+    }),
+
     // X91: snapshot diff — synthesize the change feed between two
     // full orders snapshots (deterministic deletes/updates/inserts
     // built identically in both engines).
@@ -512,6 +522,15 @@ object MiningQueries {
         |   max(CASE WHEN tier IS NULL THEN 1 ELSE 0 END)) < 4 AS at_risk
         |FROM q GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_lsh_plan" ->
+      """WITH cfg(k, bands) AS (VALUES (16, 8), (16, 4), (32, 8)),
+        |j(jaccard) AS (VALUES (0.1), (0.2), (0.3), (0.4), (0.5),
+        |                      (0.6), (0.7), (0.8), (0.9))
+        |SELECT k, bands, CAST(k // bands AS INTEGER) AS rows_per_band, jaccard,
+        |  round(1.0 - pow(1.0 - pow(jaccard, k // bands), bands), 4) AS p_candidate,
+        |  round(pow(1.0 / bands, 1.0 / (k // bands)), 4) AS s_curve_threshold
+        |FROM cfg CROSS JOIN j
+        |ORDER BY k, bands, jaccard""".stripMargin,
     "q_snapshot_diff" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

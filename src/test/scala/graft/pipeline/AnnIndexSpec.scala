@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** X99 ANN index lifecycle ([[AnnIndex]]): build persists a
+  * cell-partitioned store atomically, query probes only its cells,
+  * recall holds against brute force, and the CLI drives both paths.
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def prng(parts: Int*): Float =
+    MurmurHash3.orderedHash(parts).toFloat / Int.MaxValue.toFloat
+
+  private val dim = 16
+
+  private def clustered(nClusters: Int, perCluster: Int) = {
+    val centers = Array.tabulate(nClusters, dim)((c, d) => prng(1, c, d) * 10f)
+    val rows = for {
+      c <- 0 until nClusters
+      m <- 0 until perCluster
+    } yield {
+      val id = (c * perCluster + m).toLong
+      (id, Array.tabulate(dim)(d => centers(c)(d) + prng(2, id.toInt, d) * 0.1f).toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("build + query: cell census partitions the corpus; probe recall matches brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    val corpus = clustered(nClusters = 6, perCluster = 20)
+    corpus.write.mode("overwrite").parquet(s"$dir/corpus")
+    val census = AnnIndex.build(spark, AnnIndex.Config(
+      input = s"$dir/corpus", storeDir = s"$dir/store",
+      dim = dim, nCentroids = 6, iters = 3, seedSample = 120))
+    assert(census.agg(sum("n")).head().getLong(0) == 120L)
+    // the on-disk layout IS cell-partitioned (the partition-pruning claim)
+    val cellDirs = new java.io.File(s"$dir/store/index/cells.parquet")
+      .listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length >= 2, "expected cell=N partition directories")
+
+    val queries = corpus.filter(col("vec_id") < 5)
+    val got = AnnIndex.query(spark, s"$dir/store", queries,
+        "vec_id", "embedding", k = 10, nProbe = 2)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = graft.ops.Similarity.bruteForceTopK(
+        corpus, queries, "vec_id", "embedding", 10)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recall = exact.keys.toSeq
+      .map(q => (exact(q) & got(q)).size.toDouble / 10).sum / exact.size
+    assert(recall >= 0.9, s"probe recall $recall")
+    graft.CachedFrames.unpersistAll()
+  }
+
+  test("rebuild swaps atomically and the store stays queryable") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx2").toString
+    clustered(4, 10).write.mode("overwrite").parquet(s"$dir/corpus")
+    def build() = AnnIndex.build(spark, AnnIndex.Config(
+      input = s"$dir/corpus", storeDir = s"$dir/store",
+      dim = dim, nCentroids = 4, iters = 2, seedSample = 40))
+    build(); build() // refresh over an existing index must swap, not fail
+    assert(!new java.io.File(s"$dir/store/index.next").exists())
+    assert(!new java.io.File(s"$dir/store/index.old").exists())
+    val out = AnnIndex.query(spark, s"$dir/store",
+      clustered(4, 10).filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3, nProbe = 1)
+    assert(out.count() == 3)
+  }
+
+  test("CLI: ann-index then ann-query end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("anncli").toString
+    val corpus = clustered(4, 10)
+    corpus.write.mode("overwrite").parquet(s"$dir/corpus")
+    corpus.filter(col("vec_id") < 3).write.mode("overwrite").parquet(s"$dir/q")
+    val census = graft.Main.run(spark, Map("pipeline" -> "ann-index",
+      "input" -> s"$dir/corpus", "store_dir" -> s"$dir/store",
+      "dim" -> dim.toString, "n_centroids" -> "4"))
+    assert(census.agg(sum("n")).head().getLong(0) == 40L)
+    val res = graft.Main.run(spark, Map("pipeline" -> "ann-query",
+      "store_dir" -> s"$dir/store", "queries" -> s"$dir/q",
+      "output" -> s"$dir/out", "k" -> "5", "n_probe" -> "2"))
+    assert(res.groupBy("qid").count().count() == 3)
+    assert(res.filter(col("rank") > 5).isEmpty)
+  }
+
+  test("query validates nProbe against the stored cell count") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx3").toString
+    clustered(2, 5).write.mode("overwrite").parquet(s"$dir/corpus")
+    AnnIndex.build(spark, AnnIndex.Config(
+      input = s"$dir/corpus", storeDir = s"$dir/store",
+      dim = dim, nCentroids = 2, iters = 1, seedSample = 10))
+    intercept[IllegalArgumentException] {
+      AnnIndex.query(spark, s"$dir/store", clustered(2, 5),
+        "vec_id", "embedding", k = 3, nProbe = 99)
+    }
+  }
+}
