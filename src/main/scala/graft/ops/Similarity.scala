@@ -359,6 +359,47 @@ object Similarity {
     rankTopK(cand, k)
   }
 
+  /** Semantic benchmark contamination — the embedding-space
+    * counterpart of [[graft.ops.Curation.decontaminate]]: n-gram
+    * overlap misses paraphrased or translated benchmark leakage, so
+    * modern decontamination ALSO screens by embedding cosine against
+    * the benchmark set. Every (corpus, bench) pair with
+    * `sim ≥ threshold` (NaN never matches — the [[passesThreshold]]
+    * guard). The bench side broadcasts (small by definition: an eval
+    * set), the corpus streams once through the fused-cosine
+    * projection, and the per-pair filter precedes any shuffle. For a
+    * bench too large to broadcast, route through [[annNearDupPairs]]'
+    * bucketed screen instead.
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("cvec"))
+    val b = bench.select(col(idCol).as("bench_id"), col(vecCol).as("bvec"))
+    c.crossJoin(broadcast(b))
+      .withColumn("sim", cosine(col("cvec"), col("bvec")))
+      .filter(passesThreshold(col("sim"), threshold))
+      .select(col("doc_id"), col("bench_id"), col("sim"))
+  }
+
+  /** Keep only corpus rows with NO semantic match in the benchmark —
+    * the drop-side closure of [[semanticContamination]] (one
+    * left-anti join on the flagged ids).
+    */
+  def decontaminateSemantic(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame =
+    corpus.join(
+      semanticContamination(corpus, bench, idCol, vecCol, threshold)
+        .select(col("doc_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Pair-emission threshold guard shared by every near-dup op: a
     * zero-norm or NaN vector's cosine is NaN (0/0), and Spark ORDERS
     * NaN GREATER than every number — a bare `sim >= threshold` is TRUE

@@ -26,6 +26,8 @@ object MiningQueries {
   private val hnQueryIds = 8 // query set = vec_id < 8
   private val embeddingDim = 64
   private val anonK = 5L
+  private val benchCut = 25 // vec_id < 25 plays the "benchmark set"
+  private val semConThreshold = 0.35
 
   /** 60-bit cross-engine gram hasher for the span oracles (the ops
     * default to xxhash64 in production).
@@ -212,6 +214,31 @@ object MiningQueries {
         d.filter(col("lang") =!= "en"),
         "text", "doc_id")
       TfIdf.scoreTokenLogOdds(d, model, "text", "doc_id").orderBy("doc_id")
+    }),
+
+    // X100: semantic decontamination — embedding-cosine screen of the
+    // corpus (vec_id >= 25) against the "benchmark" vectors
+    // (vec_id < 25); paraphrase leakage the n-gram screen (X25)
+    // cannot see. Flagged pairs, hash-exact.
+    "q_semantic_contamination" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.semanticContamination(
+          e.filter(col("vec_id") >= benchCut),
+          e.filter(col("vec_id") < benchCut),
+          "vec_id", "embedding", threshold = semConThreshold)
+        .withColumn("sim_r", round(col("sim"), 4)).drop("sim")
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // X100b: the survivor side — corpus rows with no semantic match.
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.decontaminateSemantic(
+          e.filter(col("vec_id") >= benchCut),
+          e.filter(col("vec_id") < benchCut),
+          "vec_id", "embedding", threshold = semConThreshold)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
     }),
 
     // X98: LSH banding planner — the candidate-probability grid for
@@ -522,6 +549,38 @@ object MiningQueries {
         |   max(CASE WHEN tier IS NULL THEN 1 ELSE 0 END)) < 4 AS at_risk
         |FROM q GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_semantic_contamination" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |), b AS (
+         |  SELECT vec_id AS bench_id, embedding AS bvec FROM e WHERE vec_id < $benchCut
+         |), c AS (
+         |  SELECT vec_id AS doc_id, embedding AS cvec FROM e WHERE vec_id >= $benchCut
+         |), s AS (
+         |  SELECT doc_id, bench_id,
+         |    ${dotSql("cvec", "bvec")} /
+         |    (sqrt(${dotSql("cvec", "cvec")}) * sqrt(${dotSql("bvec", "bvec")})) AS sim
+         |  FROM c CROSS JOIN b
+         |)
+         |SELECT doc_id, bench_id, round(sim, 4) AS sim_r
+         |FROM s WHERE sim >= $semConThreshold AND NOT isnan(sim)
+         |ORDER BY doc_id, bench_id""".stripMargin,
+    "q_decontaminate_semantic" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |), b AS (
+         |  SELECT vec_id AS bench_id, embedding AS bvec FROM e WHERE vec_id < $benchCut
+         |), c AS (
+         |  SELECT vec_id, embedding, label FROM e WHERE vec_id >= $benchCut
+         |), hit AS (
+         |  SELECT DISTINCT vec_id FROM c CROSS JOIN b
+         |  WHERE ${dotSql("c.embedding", "bvec")} /
+         |    (sqrt(${dotSql("c.embedding", "c.embedding")}) * sqrt(${dotSql("bvec", "bvec")}))
+         |    >= $semConThreshold
+         |)
+         |SELECT vec_id, label FROM c
+         |WHERE vec_id NOT IN (SELECT vec_id FROM hit)
+         |ORDER BY vec_id""".stripMargin,
     "q_lsh_plan" ->
       """WITH cfg(k, bands) AS (VALUES (16, 8), (16, 4), (32, 8)),
         |j(jaccard) AS (VALUES (0.1), (0.2), (0.3), (0.4), (0.5),

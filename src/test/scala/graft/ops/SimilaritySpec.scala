@@ -384,6 +384,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticContamination flags the paraphrase-shaped leak; NaN never matches") {
+    val bench = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(0.99f, 0.1f, 0f, 0f)),  // near-copy of bench 0 → flag
+      (11L, Seq(0f, 0f, 1f, 1f)),       // orthogonal → clean
+      (12L, Seq(0f, 0f, 0f, 0f))        // zero vector: cosine NaN → clean
+    ).toDF("vec_id", "embedding")
+    val flagged = Similarity.semanticContamination(
+        corpus, bench, "vec_id", "embedding", threshold = 0.9)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(flagged == Set((10L, 0L)))
+    val kept = Similarity.decontaminateSemantic(
+        corpus, bench, "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 12L))
+  }
+
   test("hardNegatives: different-label only, dense ranks by descending sim") {
     val df = clustered(nClusters = 3, perCluster = 4, dim = 16)
     val hn = Similarity.hardNegatives(

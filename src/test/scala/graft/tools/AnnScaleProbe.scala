@@ -1,0 +1,63 @@
+package graft.tools
+
+import graft.pipeline.AnnIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev probe for the X99 claim: querying the persisted
+  * cell-partitioned index reads ≈ nProbe/nCentroids of the corpus,
+  * so at N× corpus size the indexed query beats brute force by a
+  * widening margin. Corpus growth = shifted-id replicas of the sf
+  * embeddings (same geometry, more rows).
+  *
+  * Run: `sbt "Test/runMain graft.tools.AnnScaleProbe [sfDir] [N]"`.
+  */
+object AnnScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e1 = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val n1 = e1.agg(max("vec_id")).head().getLong(0) + 1
+    def corpus(n: Int): DataFrame =
+      (0 until n).map { i =>
+        e1.select((col("vec_id") + lit(i * n1)).as("vec_id"), col("embedding"))
+      }.reduce(_ unionByName _)
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("annprobe").toString
+    for (n <- Seq(1, factor)) {
+      val c = corpus(n)
+      c.write.mode("overwrite").parquet(s"$dir/corpus_$n")
+      println(s"[probe] ---- ${n}x = ${spark.read.parquet(s"$dir/corpus_$n").count()} vectors ----")
+      timed(s"index build ${n}x") {
+        AnnIndex.build(spark, AnnIndex.Config(
+          input = s"$dir/corpus_$n", storeDir = s"$dir/store_$n",
+          dim = 64, nCentroids = 16, iters = 2)).count()
+      }
+      val queries = spark.read.parquet(s"$dir/corpus_$n").filter(col("vec_id") < 8)
+      timed(s"indexed query ${n}x (nProbe=2/16)") {
+        AnnIndex.query(spark, s"$dir/store_$n", queries,
+          "vec_id", "embedding", k = 10, nProbe = 2).count()
+      }
+      timed(s"brute force ${n}x") {
+        graft.ops.Similarity.bruteForceTopK(
+          spark.read.parquet(s"$dir/corpus_$n"), queries,
+          "vec_id", "embedding", 10).count()
+      }
+    }
+    spark.stop()
+  }
+}
