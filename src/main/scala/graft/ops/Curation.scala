@@ -750,6 +750,40 @@ object Curation {
       .withColumn("at_risk", col("distinct_sensitive") < l)
   }
 
+  /** Keyed deterministic pseudonymization — the REMEDIATION the
+    * privacy audits point at: replace identifier columns with stable
+    * tokens `md5(secret | value)` (hex prefix, `tokenLen` chars) so
+    * the released table still JOINS and GROUPS on the identifier
+    * (same input → same token, across tables sharing the secret) but
+    * the raw value is gone. NULL stays NULL (a fabricated token for
+    * NULL would invent equality between missing values). The secret
+    * is what separates this from plain hashing: without it a rainbow
+    * table over a known id space (emails, SSNs) reverses the tokens.
+    * Pure codegen'd projection — zero shuffle at any scale.
+    *
+    * This is pseudonymization, NOT anonymization: token-joinability
+    * deliberately preserves linkage, so the k-anonymity/l-diversity/
+    * t-closeness audits still apply to the released table.
+    */
+  def pseudonymizeColumns(
+      df: DataFrame,
+      cols: Seq[String],
+      secret: String,
+      tokenLen: Int = 16): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to pseudonymize")
+    require(secret.nonEmpty, "secret must be non-empty (unkeyed tokens are reversible)")
+    require(tokenLen >= 8 && tokenLen <= 32, s"tokenLen must be in [8, 32]: $tokenLen")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"no such columns: ${missing.mkString(", ")}")
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(
+        c,
+        when(col(c).isNull, lit(null))
+          .otherwise(substring(
+            md5(concat(lit(secret), lit("|"), col(c).cast("string"))), 1, tokenLen)))
+    }
+  }
+
   /** t-closeness — the distribution-skew member of the privacy triad
     * (with [[kAnonymityClasses]] and [[lDiversityClasses]]): a class
     * can be diverse yet still leak when its sensitive-value

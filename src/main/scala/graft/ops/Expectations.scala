@@ -183,6 +183,62 @@ object Expectations {
         round((p - q) * log(p / q), 6).as("psi_contrib"))
   }
 
+  /** PSI drift TIMELINE — the monitoring view of [[psiReport]]: one
+    * PSI figure per calendar `period` of the data against the FIRST
+    * period as baseline, answering "when did the distribution start
+    * moving" in one query instead of N pairwise gate runs. Same fixed
+    * grid and add-1-Laplace smoothing as [[psiReport]] (a data-derived
+    * grid would move with the drift it measures); buckets absent from
+    * a period still contribute through the full (period × bucket)
+    * spine — skipping them would underestimate drift exactly when it
+    * is largest.
+    *
+    * One corpus pass builds the (period, bucket) histogram (map-side
+    * combined, cached — baseline, totals, and spine all derive from
+    * it); everything downstream is bucket×period-scale. Output:
+    * (period, n, psi), psi rounded to 6.
+    */
+  def psiTimeline(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: Column,
+      lo: Double,
+      hi: Double,
+      nBuckets: Int,
+      period: String = "week"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    require(lo < hi, s"need lo < hi: [$lo, $hi)")
+    val spark = df.sparkSession
+    val v = valueCol.cast("double")
+    val idx = least(
+      greatest(floor((v - lo) * nBuckets / (hi - lo)).cast("long"), lit(0L)),
+      lit(nBuckets - 1L))
+    val hist = graft.CachedFrames.persistOnce(
+      df.filter(v.isNotNull)
+        .groupBy(date_trunc(period, col(tsCol)).as("period"), idx.as("bucket"))
+        .agg(count(lit(1)).as("n")))
+    val firstPeriod = hist.agg(min("period").as("period"))
+    val baseline = hist.join(firstPeriod, Seq("period"))
+      .select(col("bucket"), col("n").as("__nb"))
+    val totals = hist.groupBy("period").agg(sum("n").as("__tp"))
+    val baseTotal = baseline.agg(coalesce(sum("__nb"), lit(0L)).as("__tb"))
+    val spine = hist.select("period").distinct()
+      .crossJoin(spark.range(nBuckets).select(col("id").as("bucket")))
+    val p = (coalesce(col("__nb"), lit(0L)).cast("double") + 1) /
+      (col("__tb") + nBuckets)
+    val q = (coalesce(col("n"), lit(0L)).cast("double") + 1) /
+      (col("__tp") + nBuckets)
+    spine
+      .join(hist, Seq("period", "bucket"), "left")
+      .join(broadcast(baseline), Seq("bucket"), "left")
+      .join(broadcast(totals), Seq("period"))
+      .crossJoin(broadcast(baseTotal))
+      .groupBy("period")
+      .agg(
+        coalesce(sum("n"), lit(0L)).as("n"),
+        round(sum((p - q) * log(p / q)), 6).as("psi"))
+  }
+
   /** Benford first-significant-digit audit — the forensic
     * data-quality check for "organic" numeric columns (amounts,
     * populations, counts spanning magnitudes): naturally-arising

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Cdc, Curation, Dedup, Pca, Similarity, Sketches, TextAnalysis, TfIdf}
+import graft.ops.{Cdc, Curation, Dedup, Expectations, Pca, Similarity, Sketches, TextAnalysis, TfIdf}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -214,6 +214,25 @@ object MiningQueries {
         d.filter(col("lang") =!= "en"),
         "text", "doc_id")
       TfIdf.scoreTokenLogOdds(d, model, "text", "doc_id").orderBy("doc_id")
+    }),
+
+    // X101: keyed pseudonymization — identifier columns replaced with
+    // stable md5(secret|value) tokens; joinability survives, values
+    // don't.
+    "q_pseudonymize" -> ((s, dir) => {
+      Curation.pseudonymizeColumns(
+          Tables.customer(s, dir).select("c_custkey", "c_name", "c_mktsegment"),
+          Seq("c_name"), secret = "s3cr3t-2026", tokenLen = 16)
+        .orderBy("c_custkey")
+    }),
+
+    // X102: PSI drift timeline — weekly event-value distribution vs
+    // the first week, one query for the whole monitoring series.
+    "q_drift_timeline" -> ((s, dir) => {
+      Expectations.psiTimeline(
+          Tables.events(s, dir), "ts", col("value"),
+          lo = 0.0, hi = 500.0, nBuckets = 20)
+        .orderBy("period")
     }),
 
     // X100: semantic decontamination — embedding-cosine screen of the
@@ -549,6 +568,44 @@ object MiningQueries {
         |   max(CASE WHEN tier IS NULL THEN 1 ELSE 0 END)) < 4 AS at_risk
         |FROM q GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_pseudonymize" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_name IS NULL THEN NULL
+        |       ELSE substr(md5('s3cr3t-2026|' || c_name), 1, 16) END AS c_name,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_drift_timeline" ->
+      """WITH e AS (
+        |  SELECT date_trunc('week', ts) AS period,
+        |    least(greatest(CAST(floor((value - 0.0) * 20 / 500.0) AS BIGINT), 0), 19) AS bucket
+        |  FROM events WHERE value IS NOT NULL
+        |), h AS (
+        |  SELECT period, bucket, count(*) AS n FROM e GROUP BY 1, 2
+        |), fp AS (
+        |  SELECT min(period) AS period FROM h
+        |), b AS (
+        |  SELECT bucket, n AS nb FROM h JOIN fp USING (period)
+        |), tbl AS (
+        |  SELECT sum(nb) AS tb FROM b
+        |), tp AS (
+        |  SELECT period, sum(n) AS tp FROM h GROUP BY 1
+        |), spine AS (
+        |  SELECT p.period, g.bucket
+        |  FROM (SELECT DISTINCT period FROM h) p
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 19))::BIGINT AS bucket) g
+        |), j AS (
+        |  SELECT s.period, s.bucket,
+        |    (coalesce(b.nb, 0)::DOUBLE + 1) / (tbl.tb + 20) AS p,
+        |    (coalesce(h.n, 0)::DOUBLE + 1) / (tp.tp + 20) AS q,
+        |    coalesce(h.n, 0) AS n
+        |  FROM spine s
+        |  LEFT JOIN h ON h.period = s.period AND h.bucket = s.bucket
+        |  LEFT JOIN b ON b.bucket = s.bucket
+        |  JOIN tp ON tp.period = s.period
+        |  CROSS JOIN tbl
+        |)
+        |SELECT period, sum(n)::BIGINT AS n, round(sum((p - q) * ln(p / q)), 6) AS psi
+        |FROM j GROUP BY 1 ORDER BY period""".stripMargin,
     "q_semantic_contamination" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding FROM embeddings

@@ -542,6 +542,30 @@ class CurationSpec extends SparkSpec {
     assert(r == Map("X" -> 0.0, "Y" -> 0.0))
   }
 
+  test("pseudonymizeColumns: joinability survives, values don't, NULL stays NULL") {
+    val a = Seq((1L, "alice@x.com"), (2L, "bob@y.org"), (3L, null)).toDF("id", "email")
+    val b = Seq((10L, "alice@x.com"), (11L, "carol@z.net")).toDF("uid", "email")
+    val pa = Curation.pseudonymizeColumns(a, Seq("email"), "k1")
+    val pb = Curation.pseudonymizeColumns(b, Seq("email"), "k1")
+    // raw values are gone
+    assert(pa.filter(col("email").contains("@")).isEmpty)
+    // NULL propagates, not a fabricated token
+    assert(pa.filter(col("id") === 3L).head().isNullAt(1))
+    // equal values under one secret still join across tables
+    val joined = pa.join(pb, Seq("email")).select("id", "uid")
+      .as[(Long, Long)].collect().toSet
+    assert(joined == Set((1L, 10L)))
+    // a different secret yields disjoint tokens (no cross-release linkage)
+    val pc = Curation.pseudonymizeColumns(b, Seq("email"), "k2")
+    assert(pb.join(pc, Seq("email")).isEmpty)
+    intercept[IllegalArgumentException] {
+      Curation.pseudonymizeColumns(a, Seq("email"), "")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.pseudonymizeColumns(a, Seq("nope"), "k")
+    }
+  }
+
   test("tCloseness validates its knobs") {
     val rows = Seq(("a", "x")).toDF("zip", "diag")
     intercept[IllegalArgumentException] {

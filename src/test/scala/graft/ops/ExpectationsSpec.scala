@@ -176,4 +176,22 @@ class ExpectationsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(got == Set(3L, 4L))
   }
+
+  test("psiTimeline: baseline week scores exactly zero; a shifted week crosses the drift line") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // week 1 (baseline) and week 2 identical; week 3's mass shifts high
+    val rows =
+      (0 until 100).map(i => (t("2024-01-01 10:00:00"), (i % 10).toDouble)) ++
+      (0 until 100).map(i => (t("2024-01-08 10:00:00"), (i % 10).toDouble)) ++
+      (0 until 100).map(i => (t("2024-01-15 10:00:00"), (i % 10).toDouble + 6.0))
+    val df = rows.toDF("ts", "v")
+    val out = Expectations.psiTimeline(df, "ts", col("v"), 0.0, 20.0, 10)
+      .orderBy("period")
+      .select("n", "psi").as[(Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(100L, 100L, 100L), "n conserved per period")
+    assert(out.head._2 == 0.0, "baseline vs itself is exactly zero (same smoothing)")
+    assert(out(1)._2 == 0.0, "identical week scores zero")
+    assert(out(2)._2 > 0.25, s"shifted week must cross the drift line: ${out(2)._2}")
+    graft.CachedFrames.unpersistAll()
+  }
 }
