@@ -814,6 +814,11 @@ object Curation {
     require(!qidCols.contains(sensitiveCol),
       s"sensitive column $sensitiveCol cannot be a quasi-identifier")
     require(t > 0 && t < 1, s"t must be in (0, 1): $t")
+    val reserved = Set("__sv", "__v", "__gc", "__c", "__n", "__tot",
+      "__pd", "__pm", "n", "distance", "at_risk")
+    val shadowing = (qidCols :+ sensitiveCol).filter(reserved)
+    require(shadowing.isEmpty,
+      s"tClosenessClasses reserves ${reserved.mkString("/")}; rename: ${shadowing.mkString(", ")}")
     val total = df.agg(count(lit(1)).cast("double").as("__tot"))
     val global = df.groupBy(col(sensitiveCol).as("__v"))
       .agg(count(lit(1)).as("__gc"))

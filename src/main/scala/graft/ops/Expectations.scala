@@ -208,6 +208,8 @@ object Expectations {
       period: String = "week"): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
     require(lo < hi, s"need lo < hi: [$lo, $hi)")
+    require(tsCol != "period" && tsCol != "bucket",
+      s"psiTimeline reserves period/bucket; rename column $tsCol")
     val spark = df.sparkSession
     val v = valueCol.cast("double")
     val idx = least(

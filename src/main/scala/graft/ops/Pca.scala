@@ -91,6 +91,8 @@ object Pca {
       whiten: Boolean = false): DataFrame = {
     require(!df.columns.contains(outCol),
       s"transform appends output column $outCol; rename the existing")
+    require(!df.columns.contains("__pca_dots"),
+      "transform stages through __pca_dots; rename the existing column")
     val offsets = model.components.map(c =>
       c.zip(model.mean).map { case (a, b) => a * b }.sum)
     val scales: Array[Double] =

@@ -577,6 +577,10 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.tClosenessClasses(rows, Seq("zip"), "diag", 1.5)
     }
+    val clash = Seq(("a", "x")).toDF("n", "diag")
+    intercept[IllegalArgumentException] {
+      Curation.tClosenessClasses(clash, Seq("n"), "diag", 0.2)
+    }
   }
 
   test("lDiversity validates its knobs") {
