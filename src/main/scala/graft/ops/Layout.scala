@@ -43,13 +43,23 @@ object Layout {
   }
 
   /** Range-partition `df` into `numFiles` output slices along the
-    * Z-order curve of `cols` (low `bits` bits each) and sort each
-    * slice by the curve position — one writer task per slice then
-    * yields files whose min/max stats are tight rectangles over ALL
-    * interleaved columns. One range exchange (sampled bounds) + an
-    * in-partition sort: the exact cost of any global layout, just
-    * pointed at a multi-column curve. The staging key is dropped on
-    * the way out.
+    * Z-order curve of `cols` and sort each slice by the curve
+    * position — one writer task per slice then yields files whose
+    * min/max stats are tight rectangles over ALL interleaved columns.
+    * One range exchange (sampled bounds) + an in-partition sort: the
+    * exact cost of any global layout, just pointed at a multi-column
+    * curve. The staging key is dropped on the way out.
+    *
+    * Columns are min/max-NORMALIZED into equal `bits`-wide lanes
+    * before interleaving. This is not cosmetic: with raw values, a
+    * 15-bit key interleaved against a 10-bit key leaves the top five
+    * interleave rounds holding ONLY the wide column's bits, so the
+    * curve degenerates to a single-column sort and predicates on the
+    * narrow column prune nothing (measured on lineitem: suppkey-only
+    * file pruning was 32/32 files read before normalization, 7/32
+    * after — `LayoutScaleProbe`). The min/max pass is one aggregate
+    * action; the per-row scaling is a codegen'd projection. A
+    * constant column scales to lane 0 (no bits wasted re-proving it).
     */
   def clusterByZOrder(
       df: DataFrame,
@@ -60,7 +70,20 @@ object Layout {
     val reserved = "__zkey"
     require(!df.columns.contains(reserved),
       s"clusterByZOrder reserves column name $reserved; rename the existing")
-    df.withColumn(reserved, zOrderKey(cols.map(col), bits))
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val laneMax = (1L << bits) - 1L
+    val lanes = cols.zipWithIndex.map { case (c, j) =>
+      val (mn, mx) = (r.getDouble(2 * j), r.getDouble(2 * j + 1))
+      if (!(mx > mn)) lit(0L)
+      else least(
+        greatest(
+          floor((col(c).cast("double") - mn) * laneMax / (mx - mn)).cast("long"),
+          lit(0L)),
+        lit(laneMax))
+    }
+    df.withColumn(reserved, zOrderKey(lanes, bits))
       .repartitionByRange(numFiles, col(reserved))
       .sortWithinPartitions(reserved)
       .drop(reserved)

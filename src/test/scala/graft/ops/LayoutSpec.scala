@@ -51,8 +51,10 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("clusterByZOrder range-partitions along the curve and validates input") {
+    // integral lanes spanning exactly [0, 63] so min/max normalization
+    // is the identity and the raw-key tiling assertion below is exact
     val df = spark.range(0, 4096).select(
-      (col("id") % 64).as("x"), (col("id") / 64).as("y"))
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
     val out = Layout.clusterByZOrder(df, Seq("x", "y"), bits = 6, numFiles = 8)
     assert(out.columns.toSeq == Seq("x", "y")) // staging key dropped
     assert(out.rdd.getNumPartitions == 8)
@@ -76,5 +78,24 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Layout.zOrderKey(Seq(col("x"), col("y")), 32) // 64 bits > 62
     }
+  }
+
+  test("clusterByZOrder normalizes unequal-width columns: the narrow key prunes too") {
+    // wide (0..16383) × narrow (0..15): without min/max lane scaling
+    // the wide column's top bits own the curve and narrow-key
+    // predicates prune nothing (measured 32/32 files read on
+    // lineitem — LayoutScaleProbe). With scaling, a narrow-only
+    // range must skip a meaningful share of partitions.
+    val df = spark.range(0, 16384).select(
+      col("id").as("wide"), (col("id") % 16).as("narrow"))
+    val parts = Layout.clusterByZOrder(df, Seq("wide", "narrow"), bits = 10, numFiles = 16)
+      .withColumn("p", spark_partition_id())
+      .groupBy("p")
+      .agg(min("narrow").as("nmin"), max("narrow").as("nmax"))
+      .collect()
+    val surviving = parts.count(r =>
+      r.getAs[Long]("nmin") <= 3L && r.getAs[Long]("nmax") >= 2L)
+    assert(surviving < parts.length,
+      s"narrow-only predicate pruned nothing: $surviving of ${parts.length}")
   }
 }
