@@ -12,12 +12,16 @@ import org.apache.spark.mllib.linalg.distributed.RowMatrix
   * original) and optionally whiten (scale each direction to unit
   * variance, which equalizes the axes LSH hyperplanes cut across).
   *
-  * Fit is the textbook distributed shape: ONE pass over the corpus
-  * through MLlib's `RowMatrix` (tree-aggregated Gramian — executors
-  * accumulate dim×dim partials, never rows to the driver) and a
-  * driver-side eigendecomposition of the dim×dim covariance (dim is
-  * embedding width — 64..4096 — so the driver solve is trivial at any
-  * corpus size). The fitted model is a plain case class of constants.
+  * Fit is the textbook distributed shape: TWO tree-aggregated passes
+  * over the corpus through MLlib's `RowMatrix` (column statistics,
+  * then the dim×dim Gramian — executors accumulate partials, never
+  * rows to the driver; the row RDD persists across the two so the
+  * source is read and decoded once) and a driver-side
+  * eigendecomposition of the dim×dim covariance (dim is embedding
+  * width — 64..4096 — so the driver solve is trivial at any corpus
+  * size). The fitted model is a plain case class of constants. Rows
+  * with a null vector OR null elements are excluded (a null element
+  * would otherwise unbox to a phantom 0.0 and bias the mean).
   *
   * Transform is fully codegen'd via the fused
   * [[graft.functions.MatVecDotsExpr]] kernel: `projᵢ = cᵢ·(x − μ)`
@@ -57,25 +61,28 @@ object Pca {
     */
   def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
     require(k >= 1, s"k must be >= 1: $k")
-    val rows = df.select(col(vecCol).cast("array<double>"))
-      .na.drop()
+    val rows = df.select(col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull && !exists(col("__v"), _.isNull))
       .rdd.map(r => OldVectors.dense(r.getSeq[Double](0).toArray))
-    val mat = new RowMatrix(rows)
-    val dim = mat.numCols().toInt
-    require(k <= dim, s"k=$k exceeds embedding dim $dim")
-    val stats = mat.computeColumnSummaryStatistics()
-    val mean = stats.mean.toArray
-    val totalVariance = stats.variance.toArray.sum
-    val (pc, variance) = mat.computePrincipalComponentsAndExplainedVariance(k)
-    // pc is dim × k column-major; transpose to k per-component rows and
-    // canonicalize each sign so refits agree exactly
-    val comps = Array.tabulate(k) { j =>
-      val c = Array.tabulate(dim)(i => pc(i, j))
-      val lead = c.maxBy(math.abs)
-      if (lead < 0) c.map(-_) else c
-    }
-    val fractions = variance.toArray.take(k)
-    PcaModel(mean, comps, fractions.map(_ * totalVariance), fractions)
+      .persist()
+    try {
+      val mat = new RowMatrix(rows)
+      val dim = mat.numCols().toInt
+      require(k <= dim, s"k=$k exceeds embedding dim $dim")
+      val stats = mat.computeColumnSummaryStatistics()
+      val mean = stats.mean.toArray
+      val totalVariance = stats.variance.toArray.sum
+      val (pc, variance) = mat.computePrincipalComponentsAndExplainedVariance(k)
+      // pc is dim × k column-major; transpose to k per-component rows and
+      // canonicalize each sign so refits agree exactly
+      val comps = Array.tabulate(k) { j =>
+        val c = Array.tabulate(dim)(i => pc(i, j))
+        val lead = c.maxBy(math.abs)
+        if (lead < 0) c.map(-_) else c
+      }
+      val fractions = variance.toArray.take(k)
+      PcaModel(mean, comps, fractions.map(_ * totalVariance), fractions)
+    } finally rows.unpersist(blocking = false)
   }
 
   /** Append `outCol: array<double>` — the centered projection (and,
@@ -95,11 +102,16 @@ object Pca {
       "transform stages through __pca_dots; rename the existing column")
     val offsets = model.components.map(c =>
       c.zip(model.mean).map { case (a, b) => a * b }.sum)
+    // a near-zero eigenvalue means the direction carries no signal —
+    // whitening it with 1/sqrt(λ) would AMPLIFY floating-point noise
+    // by ~1e6; suppress the axis to 0 instead
     val scales: Array[Double] =
-      if (whiten) model.eigenvalues.map(v => 1.0 / math.sqrt(math.max(v, 1e-12)))
+      if (whiten) model.eigenvalues.map(v => if (v < 1e-9) 0.0 else 1.0 / math.sqrt(v))
       else Array.fill(model.k)(1.0)
+    // the fused kernel is float-typed; fit accepts any numeric array,
+    // so transform must too
     val dots = graft.functions.MatVecDotsExpr.matVecDots(
-      col(vecCol), model.components)
+      col(vecCol).cast("array<float>"), model.components)
     // k is small (the projection width): the constant-shift transform
     // runs over k elements per row, not dim
     val shifted = (0 until model.k).map { i =>

@@ -147,7 +147,11 @@ object Similarity {
       .select(col("qid"), col("qlabel"), col("rank"), col("nid"), col("nlabel"), col("sim"))
   }
 
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  /** Shared top-k ranking of a scored (qid, nid, sim) frame — also
+    * used by [[graft.pipeline.AnnIndex]] so tie-breaking can never
+    * diverge between the inline and the store-backed IVF paths.
+    */
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -4,7 +4,6 @@ import graft.io.AtomicSwap
 import graft.ops.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Offline-build / online-query lifecycle for the IVF ANN index —
   * the persisted-store counterpart of [[graft.ops.Similarity.ivfTopK]]
@@ -29,9 +28,15 @@ import org.apache.spark.sql.expressions.Window
   *    query cost reads ≈ corpus × nProbe / nCentroids bytes, not the
   *    corpus.
   *
-  * Store refresh = rerun [[build]]; readers either see the old index
-  * or the new one, never a mix, and a crash between the renames
-  * recovers via [[AtomicSwap.recover]].
+  * Store refresh = rerun [[build]]; a crash between the renames
+  * recovers via [[AtomicSwap.recover]]. Concurrency contract: the
+  * swap keeps the ON-DISK state consistent (both halves always from
+  * one build), but a [[query]] whose centroids were collected BEFORE
+  * a refresh and whose cell scan runs AFTER it would rank probes
+  * against one build and read cells from another — run refreshes
+  * quiesced (the offline-cycle pattern every store in this repo
+  * follows), or version the index directory per build and point
+  * readers at a generation explicitly.
   */
 object AnnIndex {
 
@@ -62,12 +67,17 @@ object AnnIndex {
   /** Build (or refresh) the index store from the corpus at
     * `cfg.input`. Returns the assignment cell census (cell, n) —
     * the balance report an operator checks before trusting probes.
+    * Rows with a NULL vector are excluded up front: the kernel is
+    * null-propagating, so they would otherwise land in a `cell=null`
+    * default partition that no probe ever reads — silently
+    * unqueryable ids and a census row downstream code doesn't expect.
     */
   def build(spark: SparkSession, cfg: Config): DataFrame = {
     import spark.implicits._
     val index = indexPath(cfg.storeDir)
     AtomicSwap.recover(spark, index)
     val corpus = spark.read.parquet(cfg.input)
+      .filter(col(cfg.vecCol).isNotNull)
     val centroids = Similarity.trainCentroids(
       corpus, cfg.idCol, cfg.vecCol, cfg.nCentroids, cfg.dim,
       iters = cfg.iters, seedSample = cfg.seedSample)
@@ -118,12 +128,9 @@ object AnnIndex {
       .select(col("qid"), col("qvec"), explode(probes).as("cell"))
     val cells = spark.read.parquet(cellsPath(index))
       .select(col("cell"), col(idCol).as("nid"), col(vecCol).as("nvec"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    cells.join(broadcast(q), Seq("cell"))
+    val scored = cells.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", Similarity.cosine(col("qvec"), col("nvec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+    Similarity.rankTopK(scored, k)
   }
 }

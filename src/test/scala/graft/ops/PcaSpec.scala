@@ -126,6 +126,35 @@ class PcaSpec extends SparkSpec {
     assert(recall >= 0.9, s"projection recall $recall")
   }
 
+  test("fit and transform accept array<double>; null elements are excluded, not zeroed") {
+    val doubles = fixture.select(
+      col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val m = Pca.fit(doubles, "embedding", k = 2)
+    // the float-typed kernel must not reject a double input column
+    assert(Pca.transform(doubles, "embedding", m, "pca").count() == 200)
+    // a row with a null ELEMENT must not contribute a phantom 0.0
+    val poisoned = doubles.unionByName(
+      Seq((999L, Seq[java.lang.Double](1.0, null, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)))
+        .toDF("vec_id", "embedding"))
+    val m2 = Pca.fit(poisoned, "embedding", k = 2)
+    assert(m.mean.toSeq == m2.mean.toSeq, "null-element row must be excluded from fit")
+  }
+
+  test("whitening suppresses degenerate directions instead of amplifying noise") {
+    // rank-1 data: variance lives in ONE direction; the second
+    // eigenvalue is ~0 and must whiten to a zero axis, not 1/sqrt(eps)
+    val rank1 = (0 until 100).map { i =>
+      val a = prng(9, i) * 5
+      (i.toLong, Array.tabulate(8)(d => (a * (d + 1) / 8.0).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val m = Pca.fit(rank1, "embedding", k = 2)
+    val w = Pca.transform(rank1, "embedding", m, "w", whiten = true)
+      .select(posexplode(col("w"))).toDF("i", "v")
+    val second = w.filter(col("i") === 1)
+      .agg(max(abs(col("v")))).head().getDouble(0)
+    assert(second == 0.0, s"degenerate axis must be suppressed, got |v| up to $second")
+  }
+
   test("fit validates k") {
     intercept[IllegalArgumentException] { Pca.fit(fixture, "embedding", 0) }
     intercept[IllegalArgumentException] { Pca.fit(fixture, "embedding", 9) }

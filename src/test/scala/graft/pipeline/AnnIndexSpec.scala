@@ -87,6 +87,21 @@ class AnnIndexSpec extends SparkSpec {
     assert(res.filter(col("rank") > 5).isEmpty)
   }
 
+  test("build excludes null-vector rows instead of writing an unqueryable cell=null partition") {
+    val dir = java.nio.file.Files.createTempDirectory("annnull").toString
+    val good = clustered(3, 8)
+    val bad = Seq((900L, null: Seq[Float])).toDF("vec_id", "embedding")
+    good.unionByName(bad).write.mode("overwrite").parquet(s"$dir/corpus")
+    val census = AnnIndex.build(spark, AnnIndex.Config(
+      input = s"$dir/corpus", storeDir = s"$dir/store",
+      dim = dim, nCentroids = 3, iters = 1, seedSample = 24))
+    assert(census.agg(sum("n")).head().getLong(0) == 24L, "null row must not be indexed")
+    assert(census.filter(col("cell").isNull).isEmpty, "no cell=null census row")
+    val cellDirs = new java.io.File(s"$dir/store/index/cells.parquet")
+      .listFiles().map(_.getName).filter(_.startsWith("cell="))
+    assert(!cellDirs.exists(_.contains("HIVE_DEFAULT")), cellDirs.mkString(","))
+  }
+
   test("query validates nProbe against the stored cell count") {
     val dir = java.nio.file.Files.createTempDirectory("annidx3").toString
     clustered(2, 5).write.mode("overwrite").parquet(s"$dir/corpus")
