@@ -27,9 +27,18 @@ import org.apache.spark.sql.functions.{col, expr}
   */
 object Main {
 
+  /** Strict `--key value` pairing. A stray token or value-less flag
+    * used to shift every SUBSEQUENT pairing silently (`--verbose
+    * --input a` parsed as `verbose=--input` and dropped the input) —
+    * malformed command lines now fail loudly instead of running with
+    * wrong values.
+    */
   def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    args.sliding(2, 2).map {
+      case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
+        k.stripPrefix("--") -> v
+      case bad =>
+        sys.error(s"malformed args near '${bad.mkString(" ")}': expected --key value pairs")
     }.toMap
 
   /** Dispatch on a parsed arg map against an EXISTING session — the
@@ -54,8 +63,14 @@ object Main {
         Pipelines.clean(spark, medallionCfg,
           deterministicIds = opts.get("deterministic_ids").exists(_.toBoolean))
       case "enrich" =>
-        val dims = opts.getOrElse("dimension_entity_types", "").split(",")
-          .zip(opts.getOrElse("dimension_inputs", "").split(","))
+        val types = opts.getOrElse("dimension_entity_types", "").split(",")
+        val inputs = opts.getOrElse("dimension_inputs", "").split(",")
+        // zip would TRUNCATE to the shorter list — a forgotten path
+        // would silently drop a dimension from the OBT
+        require(types.length == inputs.length,
+          s"dimension_entity_types (${types.length}) and dimension_inputs " +
+            s"(${inputs.length}) must pair up")
+        val dims = types.zip(inputs)
           .collect { case (e, p) if e.nonEmpty => (e.trim, p.trim) }.toSeq
         Pipelines.enrich(spark, medallionCfg, dims)
       case "dedup-increment" =>
@@ -88,13 +103,14 @@ object Main {
         val report = graft.ops.Expectations.check(
           spark.read.parquet(req("input")), rules)
         report.coalesce(1).write.mode("overwrite").parquet(req("output"))
-        val bad = spark.read.parquet(req("output"))
+        val written = spark.read.parquet(req("output"))
+        val bad = written
           .filter(col("violations") > 0)
           .select("rule", "violations").collect()
         if (bad.nonEmpty && !opts.get("fail_on_violation").contains("false"))
           sys.error("expectations violated: " + bad.map(r =>
             s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
-        spark.read.parquet(req("output"))
+        written
       case "gold-increment" =>
         // Incremental gold-table maintenance (X76): fold --input's
         // per-group partials into the state under --store_dir, publish

@@ -103,6 +103,10 @@ object EventStreams {
       watermark: String,
       store: DataFrame,
       fingerprintCol: String = "fingerprint"): DataFrame = {
+    val reserved = Seq("__fp", "__store_fp")
+    val shadowing = docs.columns.filter(reserved.contains)
+    require(shadowing.isEmpty,
+      s"dedupDocStream reserves ${reserved.mkString("/")}; rename: ${shadowing.mkString(", ")}")
     val withFp = docs.withColumn("__fp", graft.ops.Dedup.fingerprint(col(textCol)))
     val inStream =
       if (docs.isStreaming)
@@ -262,6 +266,11 @@ object EventStreams {
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
               cur match {
+                // the gap test fires only when the event lies AFTER the
+                // open session: a cross-micro-batch late event (earlier
+                // than state.lastMs — this path has no watermark) must
+                // merge, not read as a "negative gap" that passes the
+                // split test and then drags lastMs backwards
                 case Some(s) if e.ts.getTime - s.lastMs > gapSeconds * 1000 =>
                   closed += s.toSession(userId)
                   cur = Some(SessionState.start(e))
@@ -278,14 +287,20 @@ object EventStreams {
       }
   }
 
-  /** Mutable-free session accumulator kept in GroupState. */
+  /** Mutable-free session accumulator kept in GroupState. `add` takes
+    * min/max of the bounds rather than trusting arrival order: events
+    * sort only WITHIN a micro-batch, so a late cross-batch event would
+    * otherwise drag `lastMs` backwards and emit a session whose
+    * first_ts > last_ts (then spuriously split on the next event).
+    */
   final case class SessionState(
       n: Long,
       total: Double,
       firstMs: Long,
       lastMs: Long) {
     def add(e: Event): SessionState =
-      SessionState(n + 1, total + e.value, firstMs, e.ts.getTime)
+      SessionState(n + 1, total + e.value,
+        math.min(firstMs, e.ts.getTime), math.max(lastMs, e.ts.getTime))
     def toSession(userId: Long): Session =
       Session(userId, n, total,
         new java.sql.Timestamp(firstMs), new java.sql.Timestamp(lastMs))

@@ -13,8 +13,13 @@ class MainSpec extends AnyFunSuite {
       "dimension_inputs" -> "/a,/b", "dimension_entity_types" -> "business,user"))
   }
 
-  test("parseArgs ignores malformed tokens") {
-    assert(Main.parseArgs(Array("stray")) == Map.empty)
-    assert(Main.parseArgs(Array("--only_key")) == Map.empty)
+  test("parseArgs rejects malformed tokens instead of shifting pairings") {
+    // lenient parsing used to turn `--verbose --input a` into
+    // verbose='--input' and silently drop the input arg
+    intercept[RuntimeException] { Main.parseArgs(Array("stray")) }
+    intercept[RuntimeException] { Main.parseArgs(Array("--only_key")) }
+    intercept[RuntimeException] {
+      Main.parseArgs(Array("--verbose", "--input", "a.ndjson", "--out", "/tmp/x"))
+    }
   }
 }

@@ -278,6 +278,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(kept == Set(1L, 4L), s"got $kept")
   }
 
+  test("SessionState bounds never move backwards on a cross-batch late event") {
+    // events sort only WITHIN a micro-batch; a late event from a later
+    // batch used to drag lastMs backwards (first_ts > last_ts sessions,
+    // then a spurious split on the next on-time event)
+    val s0 = EventStreams.SessionState.start(ev(1, "2024-01-01 10:30:00", 1, "x", 1.0))
+    val late = s0.add(ev(2, "2024-01-01 10:10:00", 1, "x", 2.0))
+    assert(late.firstMs == ts("2024-01-01 10:10:00").getTime)
+    assert(late.lastMs == ts("2024-01-01 10:30:00").getTime)
+    assert(late.n == 2 && late.total == 3.0)
+    // and an on-time follow-up within the gap does NOT split
+    val next = late.add(ev(3, "2024-01-01 10:45:00", 1, "x", 1.0))
+    assert(next.lastMs == ts("2024-01-01 10:45:00").getTime && next.n == 3)
+  }
+
+  test("dedupDocStream rejects frames carrying its staging columns") {
+    import spark.implicits._
+    val store = graft.ops.Dedup.exactFingerprintStore(
+      Seq((1L, "x")).toDF("doc_id", "text"), "text")
+    val bad = Seq((1L, ts("2024-01-01 10:00:00"), "x", "boom"))
+      .toDF("doc_id", "ts", "text", "__fp")
+    intercept[IllegalArgumentException] {
+      dedupDocStream(bad, "text", "ts", "10 minutes", store)
+    }
+  }
+
   test("dedupDocStream batch twin: same semantics on a static frame") {
     import spark.implicits._
     val store = graft.ops.Dedup.exactFingerprintStore(
