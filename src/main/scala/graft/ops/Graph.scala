@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
   * driver-side state beyond the fixed iteration counter.
   * `localCheckpoint` after each iteration truncates lineage so
   * iteration N plans O(1) work, not O(N) (the
-  * [[Dedup.connectedComponents]] lesson). Edges and out-degrees
-  * persist once for the whole loop.
+  * [[Dedup.connectedComponents]] lesson). The out-degree join happens
+  * ONCE, outside the loop: the persisted contribution frame carries
+  * `(src, dst, __deg)`, so iterations pay one edges-sized join, not
+  * two — at corpus scale that removes `iterations − 1` full-edge-list
+  * shuffle joins. The raw edge cache feeds only setup (node census +
+  * degree fusion) and can be dropped after it on a memory-tight
+  * cluster.
   */
 object Graph {
 
@@ -48,16 +53,16 @@ object Graph {
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
         .distinct())
-    val outDeg = graft.CachedFrames.persistOnce(
-      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("__deg")))
+    // degree fused into the edge list once — NOT re-joined per iteration
+    val contribEdges = graft.CachedFrames.persistOnce(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), Seq("src")))
     val n1 = nodes.agg(count(lit(1)).cast("double").as("__n"))
     var ranks = nodes.crossJoin(n1)
       .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val contribs = e
+      val contribs = contribEdges
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outDeg.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("__deg")).as("__in"))
       ranks = nodes
