@@ -61,10 +61,7 @@ object Graph {
       .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val contribs = contribEdges
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") / col("__deg")).as("__in"))
+      val contribs = contributions(contribEdges, ranks)
       ranks = nodes
         .join(contribs, Seq("node"), "left")
         .crossJoin(n1)
@@ -76,4 +73,20 @@ object Graph {
     }
     ranks
   }
+
+  /** One synchronous update's inbound mass: `(node, __in)` where
+    * `__in = Σ_{u→v} rank(u)/outdeg(u)`. Factored out so the plan pin
+    * can assert the fusion contract on the exact frame the loop
+    * builds: `contribEdges` already carries `__deg`, so an iteration
+    * is ONE edge-list equi-join plus a map-side-combined sum — a
+    * refactor that re-joins degrees per iteration fails the pin
+    * before a benchmark notices.
+    */
+  private[graft] def contributions(
+      contribEdges: DataFrame,
+      ranks: DataFrame): DataFrame =
+    contribEdges
+      .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("rank") / col("__deg")).as("__in"))
 }

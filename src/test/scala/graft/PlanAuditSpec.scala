@@ -506,4 +506,34 @@ class PlanAuditSpec extends SparkSpec {
       "partial+final hash aggregation expected")
     assert(!plan.contains("c_name"), "non-QI columns must not be read")
   }
+
+  test("pageRank iterations pay ONE edge-list join each — degree pre-fused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // mirror the loop's context: the (src, dst, __deg) contribution
+    // frame is persisted once, so an iteration's plan must show a
+    // single keyed join (edges ⋈ ranks) — a refactor that re-joins
+    // out-degrees per iteration doubles the join count and fails here
+    val e = CachedFrames.persistOnce(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 2L)).toDF("src", "dst").distinct())
+    val contribEdges = CachedFrames.persistOnce(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), Seq("src")))
+    val ranks = Seq((1L, 0.25), (2L, 0.25), (3L, 0.5)).toDF("node", "rank")
+    val plan = graft.ops.Graph.contributions(contribEdges, ranks)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the explain expands the cached frames' own build plans — count
+    // only the iteration's tree, which prints before the first
+    // InMemoryRelation expansion (a per-iteration degree re-join
+    // would appear there, above the edge cache scan)
+    val iterationTree = plan.linesIterator
+      .takeWhile(!_.contains("InMemoryRelation")).toSeq
+    val joins = iterationTree.count(l =>
+      l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin"))
+    assert(joins == 1,
+      s"iteration must join the edge list exactly once, got $joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no unkeyed products in the iteration:\n$plan")
+    graft.CachedFrames.unpersistAll()
+  }
 }
