@@ -63,16 +63,20 @@ object Main {
         Pipelines.clean(spark, medallionCfg,
           deterministicIds = opts.get("deterministic_ids").exists(_.toBoolean))
       case "enrich" =>
-        val types = opts.getOrElse("dimension_entity_types", "").split(",")
-        val inputs = opts.getOrElse("dimension_inputs", "").split(",")
-        // zip would TRUNCATE to the shorter list — a forgotten path
-        // would silently drop a dimension from the OBT
+        // zip would TRUNCATE to the shorter list — a forgotten flag or
+        // an empty CSV slot would silently drop a dimension from the
+        // OBT (or feed "" to the parquet reader). Empties are stripped
+        // BEFORE the length check: "".split(",") is Array("") of
+        // length 1, which would otherwise pair up with a single real
+        // entry and reproduce the silent drop.
+        val types = opts.getOrElse("dimension_entity_types", "")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val inputs = opts.getOrElse("dimension_inputs", "")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         require(types.length == inputs.length,
           s"dimension_entity_types (${types.length}) and dimension_inputs " +
             s"(${inputs.length}) must pair up")
-        val dims = types.zip(inputs)
-          .collect { case (e, p) if e.nonEmpty => (e.trim, p.trim) }.toSeq
-        Pipelines.enrich(spark, medallionCfg, dims)
+        Pipelines.enrich(spark, medallionCfg, types.zip(inputs))
       case "dedup-increment" =>
         // One crawl cycle of the X48 store lifecycle (see CrawlCycle):
         // screens the --input increment against the persisted stores

@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   * ONCE, outside the loop: the persisted contribution frame carries
   * `(src, dst, __deg)`, so iterations pay one edges-sized join, not
   * two — at corpus scale that removes `iterations − 1` full-edge-list
-  * shuffle joins. The raw edge cache feeds only setup (node census +
-  * degree fusion) and can be dropped after it on a memory-tight
-  * cluster.
+  * shuffle joins. Exactly one edge-sized frame is cached (the fused
+  * one); the raw edge list is setup-only and the node census derives
+  * from the fused frame.
   */
 object Graph {
 
@@ -47,15 +47,18 @@ object Graph {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1): $damping")
-    val e = graft.CachedFrames.persistOnce(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    val nodes = graft.CachedFrames.persistOnce(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node")))
-        .distinct())
-    // degree fused into the edge list once — NOT re-joined per iteration
+    // degree fused into the edge list once — NOT re-joined per
+    // iteration. Only the fused frame persists: the raw edge list is
+    // setup-only, and the node census derives from the fused frame
+    // (the inner degree join keeps every edge — every src has a
+    // degree), so the loop pins ONE edge-sized cache, not two.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val contribEdges = graft.CachedFrames.persistOnce(
       e.join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), Seq("src")))
+    val nodes = graft.CachedFrames.persistOnce(
+      contribEdges.select(col("src").as("node"))
+        .union(contribEdges.select(col("dst").as("node")))
+        .distinct())
     val n1 = nodes.agg(count(lit(1)).cast("double").as("__n"))
     var ranks = nodes.crossJoin(n1)
       .select(col("node"), (lit(1.0) / col("__n")).as("rank"))

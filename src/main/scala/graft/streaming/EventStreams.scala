@@ -260,31 +260,59 @@ object EventStreams {
             state.remove()
             out.iterator
           } else {
-            // events within a micro-batch arrive unordered; sort by ts
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var cur = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              cur match {
-                // the gap test fires only when the event lies AFTER the
-                // open session: a cross-micro-batch late event (earlier
-                // than state.lastMs — this path has no watermark) must
-                // merge, not read as a "negative gap" that passes the
-                // split test and then drags lastMs backwards
-                case Some(s) if e.ts.getTime - s.lastMs > gapSeconds * 1000 =>
-                  closed += s.toSession(userId)
-                  cur = Some(SessionState.start(e))
-                case Some(s) => cur = Some(s.add(e))
-                case None => cur = Some(SessionState.start(e))
-              }
-            }
-            cur.foreach { s =>
+            val (closed, open) =
+              foldBatch(state.getOption, rows.toSeq, gapSeconds * 1000)
+            open.foreach { s =>
               state.update(s)
               state.setTimeoutDuration(gapSeconds * 1000)
             }
-            closed.result().iterator
+            closed.map(_.toSession(userId)).iterator
           }
       }
+  }
+
+  /** One micro-batch of a user's events folded into the carried
+    * session state: returns (closed segments in time order, open
+    * tail). Pure — the streaming wrapper only owns the GroupState
+    * plumbing, so cross-batch semantics are unit-testable without a
+    * streaming query.
+    *
+    * Events sort within the batch and run the plain gap chain —
+    * exactly what [[sessionizeBatch]] computes over the same events —
+    * yielding >gap-separated segments. The carried state then merges
+    * with every segment overlapping or within gap of its own span;
+    * anything separated by more than the gap closes on its own. This
+    * path has no watermark, so a deep-late cross-batch event must NOT
+    * silently stretch the open session across an arbitrary gap (it
+    * emits as its own session, as the batch twin would), and must not
+    * drag the open bounds backwards either. No transitive re-check is
+    * needed: chain segments are >gap apart by construction, so a
+    * segment not connected to the open session's own span cannot
+    * connect through one that is.
+    */
+  private[graft] def foldBatch(
+      prev: Option[SessionState],
+      batch: Seq[Event],
+      gapMs: Long): (List[SessionState], Option[SessionState]) = {
+    val sorted = batch.sortBy(_.ts.getTime)
+    val segs = scala.collection.mutable.ListBuffer.empty[SessionState]
+    sorted.foreach { e =>
+      segs.lastOption match {
+        case Some(c) if e.ts.getTime - c.lastMs <= gapMs =>
+          segs(segs.length - 1) = c.add(e)
+        case _ => segs += SessionState.start(e)
+      }
+    }
+    prev.foreach { s =>
+      val (connected, rest) = segs.partition(c =>
+        c.lastMs >= s.firstMs - gapMs && s.lastMs >= c.firstMs - gapMs)
+      val merged = connected.foldLeft(s)(_.merge(_))
+      segs.clear()
+      segs ++= rest
+      val i = segs.indexWhere(_.firstMs > merged.firstMs)
+      if (i < 0) segs += merged else segs.insert(i, merged)
+    }
+    (segs.toList.dropRight(1), segs.lastOption)
   }
 
   /** Mutable-free session accumulator kept in GroupState. `add` takes
@@ -301,6 +329,11 @@ object EventStreams {
     def add(e: Event): SessionState =
       SessionState(n + 1, total + e.value,
         math.min(firstMs, e.ts.getTime), math.max(lastMs, e.ts.getTime))
+    /** Union of two session spans (used when a late segment connects
+      * to the carried state). */
+    def merge(o: SessionState): SessionState =
+      SessionState(n + o.n, total + o.total,
+        math.min(firstMs, o.firstMs), math.max(lastMs, o.lastMs))
     def toSession(userId: Long): Session =
       Session(userId, n, total,
         new java.sql.Timestamp(firstMs), new java.sql.Timestamp(lastMs))

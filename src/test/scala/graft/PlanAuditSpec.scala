@@ -514,8 +514,7 @@ class PlanAuditSpec extends SparkSpec {
     // frame is persisted once, so an iteration's plan must show a
     // single keyed join (edges ⋈ ranks) — a refactor that re-joins
     // out-degrees per iteration doubles the join count and fails here
-    val e = CachedFrames.persistOnce(
-      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 2L)).toDF("src", "dst").distinct())
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 2L)).toDF("src", "dst").distinct()
     val contribEdges = CachedFrames.persistOnce(
       e.join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), Seq("src")))
     val ranks = Seq((1L, 0.25), (2L, 0.25), (3L, 0.5)).toDF("node", "rank")

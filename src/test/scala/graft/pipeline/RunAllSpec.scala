@@ -39,4 +39,21 @@ class RunAllSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("extract/user"))
   }
+
+  test("enrich dispatch rejects unpaired dimension flags, incl. single-dim") {
+    // "".split(",") is Array("") of length 1 — a forgotten flag used to
+    // pair up with a lone real entry and silently drop the dimension
+    val e = intercept[IllegalArgumentException] {
+      Main.run(spark, Map("pipeline" -> "enrich",
+        "dimension_inputs" -> "/lake/silver/business"))
+    }
+    assert(e.getMessage.contains("must pair up"))
+    // an empty CSV slot on one side shifts the lengths and fails loudly
+    // instead of feeding "" to the parquet reader
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Map("pipeline" -> "enrich",
+        "dimension_entity_types" -> "business,user",
+        "dimension_inputs" -> ",/lake/silver/user"))
+    }
+  }
 }

@@ -292,6 +292,67 @@ class EventStreamsSpec extends SparkSpec {
     assert(next.lastMs == ts("2024-01-01 10:45:00").getTime && next.n == 3)
   }
 
+  test("foldBatch: a deep-late cross-batch event closes as its own session") {
+    val gapMs = 1800 * 1000L
+    // batch 1 (no carried state) opens a session 10:00–10:30
+    val (c1, open1) = EventStreams.foldBatch(None, Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:30:00", 1, "view", 2.0)), gapMs)
+    assert(c1.isEmpty && open1.exists(_.n == 2))
+    // batch 2: 07:00/07:10 are far more than the gap older than the
+    // open session — they must NOT silently stretch it into a
+    // 07:00–10:30 span with a 3h internal hole (what the batch twin
+    // would split); they chain together and close as their own session
+    val (c2, open2) = EventStreams.foldBatch(open1, Seq(
+      ev(3, "2024-01-01 07:00:00", 1, "click", 4.0),
+      ev(4, "2024-01-01 07:10:00", 1, "view", 8.0)), gapMs)
+    assert(c2.map(_.toSession(1L)) == List(
+      Session(1L, 2L, 12.0, ts("2024-01-01 07:00:00"), ts("2024-01-01 07:10:00"))),
+      s"got $c2")
+    assert(open2.exists(s => s.firstMs == ts("2024-01-01 10:00:00").getTime &&
+      s.lastMs == ts("2024-01-01 10:30:00").getTime), s"open=$open2")
+    // batch 3: an on-time event keeps the 10:00 session open and growing
+    val (c3, open3) = EventStreams.foldBatch(open2,
+      Seq(ev(5, "2024-01-01 10:45:00", 1, "click", 1.0)), gapMs)
+    assert(c3.isEmpty && open3.exists(s =>
+      s.n == 3 && s.lastMs == ts("2024-01-01 10:45:00").getTime))
+  }
+
+  test("foldBatch: a late event within the gap of the open session merges") {
+    val gapMs = 1800 * 1000L
+    val (_, open1) = EventStreams.foldBatch(None,
+      Seq(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0)), gapMs)
+    // 09:45 arrives a batch later but lies within the gap of the open
+    // session's start — it belongs to it (extends the bounds backwards)
+    val (c2, open2) = EventStreams.foldBatch(open1,
+      Seq(ev(2, "2024-01-01 09:45:00", 1, "view", 2.0)), gapMs)
+    assert(c2.isEmpty && open2.exists(s =>
+      s.n == 2 && s.firstMs == ts("2024-01-01 09:45:00").getTime))
+    // a >gap jump closes the merged 09:45–10:00 session
+    val (c3, open3) = EventStreams.foldBatch(open2,
+      Seq(ev(3, "2024-01-01 12:00:00", 1, "click", 4.0)), gapMs)
+    assert(c3.map(_.toSession(1L)) == List(
+      Session(1L, 2L, 3.0, ts("2024-01-01 09:45:00"), ts("2024-01-01 10:00:00"))),
+      s"got $c3")
+    assert(open3.exists(_.firstMs == ts("2024-01-01 12:00:00").getTime))
+  }
+
+  test("foldBatch: a late chain connecting to the open session merges whole") {
+    val gapMs = 1800 * 1000L
+    val (_, open1) = EventStreams.foldBatch(None,
+      Seq(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0)), gapMs)
+    // 09:40 is within the gap of 10:00; 09:20 is within the gap of
+    // 09:40 — the chain connects to the open session END-to-start, so
+    // all three belong together (exactly what the batch twin computes)
+    val (c2, open2) = EventStreams.foldBatch(open1, Seq(
+      ev(2, "2024-01-01 09:40:00", 1, "view", 2.0),
+      ev(3, "2024-01-01 09:20:00", 1, "view", 4.0)), gapMs)
+    assert(c2.isEmpty, s"got $c2")
+    assert(open2.exists(s =>
+      s.n == 3 && s.firstMs == ts("2024-01-01 09:20:00").getTime &&
+        s.lastMs == ts("2024-01-01 10:00:00").getTime), s"open=$open2")
+  }
+
   test("dedupDocStream rejects frames carrying its staging columns") {
     import spark.implicits._
     val store = graft.ops.Dedup.exactFingerprintStore(
