@@ -18,9 +18,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale notes: windowed aggregation is an incremental stateful
   * hash-agg keyed by (window, event_type) — state size is bounded by
   * the watermark horizon × group cardinality, not stream length.
-  * Sessionization keys state by user; `ProcessingTimeTimeout`/
-  * watermark expiry bounds state. Both run identically on a
-  * 1000-executor cluster: state is partitioned by the groupBy key.
+  * Sessionization keys state by user; `EventTimeTimeout`/watermark
+  * expiry bounds state. Both run identically on a 1000-executor
+  * cluster: state is partitioned by the groupBy key.
   */
 object EventStreams {
 
@@ -245,15 +245,32 @@ object EventStreams {
 
   /** Event-time sessionization: events for a user belong to one
     * session until a gap larger than `gapSeconds`. Emits a [[Session]]
-    * row when a gap closes a session; remaining state flushes on
-    * processing-time timeout.
+    * row when a gap closes a session; remaining state flushes when the
+    * event-time watermark passes the session's gap horizon
+    * (`EventTimeTimeout`).
+    *
+    * EventTimeTimeout is load-bearing, not a style choice:
+    * ProcessingTimeTimeout makes `FlatMapGroupsWithStateExec
+    * .shouldRunAnotherBatch` return true on EVERY batch, so with the
+    * default (as-fast-as-possible) trigger the engine spins empty
+    * micro-batches back-to-back — reloading and committing every
+    * state store each time — and `processAllAvailable` never observes
+    * a quiescent stream (reproduced here: 849 empty batches in ~3
+    * minutes on a 3-event input). With an event-time timeout the
+    * engine re-triggers only when the watermark advances.
     */
-  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800L): Dataset[Session] = {
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800L,
+      watermark: String = "0 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events
+    val streaming = events.isStreaming
+    val src =
+      if (streaming) events.withWatermark("ts", watermark) else events
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val out = state.getOption.map(_.toSession(userId)).toSeq
@@ -264,7 +281,15 @@ object EventStreams {
               foldBatch(state.getOption, rows.toSeq, gapSeconds * 1000)
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapSeconds * 1000)
+              // the horizon must sit strictly past the current
+              // watermark (another key's events may have advanced it
+              // beyond this session's own gap horizon); batch
+              // execution has no watermark to read, and its timeouts
+              // never fire anyway
+              val horizon = s.lastMs + gapSeconds * 1000
+              state.setTimeoutTimestamp(
+                if (streaming) math.max(horizon, state.getCurrentWatermarkMs() + 1)
+                else horizon)
             }
             closed.map(_.toSession(userId)).iterator
           }

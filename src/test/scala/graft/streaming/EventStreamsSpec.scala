@@ -337,6 +337,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(open3.exists(_.firstMs == ts("2024-01-01 12:00:00").getTime))
   }
 
+  test("sessionize runs as a real stream: gap close + watermark flush, no spin") {
+    // regression: with ProcessingTimeTimeout the engine span empty
+    // micro-batches back-to-back (shouldRunAnotherBatch always true)
+    // and processAllAvailable never returned — this test HUNG. With
+    // EventTimeTimeout it quiesces, and the watermark flushes state.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = sessionize(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    input.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:30:00", 1, "view", 2.0))
+    query.processAllAvailable()
+    // >gap jump closes user 1's first session in-stream
+    input.addData(ev(3, "2024-01-01 13:00:00", 1, "click", 4.0))
+    query.processAllAvailable()
+    // another user's much later event advances the watermark past the
+    // open session's gap horizon (13:30) → event-time timeout flushes it
+    input.addData(ev(4, "2024-01-01 15:00:00", 2, "click", 8.0))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("sess_stream").as[Session].collect().toSet
+    assert(got == Set(
+      Session(1L, 2L, 3.0, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+      Session(1L, 1L, 4.0, ts("2024-01-01 13:00:00"), ts("2024-01-01 13:00:00"))),
+      s"got $got")
+  }
+
   test("foldBatch: a late chain connecting to the open session merges whole") {
     val gapMs = 1800 * 1000L
     val (_, open1) = EventStreams.foldBatch(None,
