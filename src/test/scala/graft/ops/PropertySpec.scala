@@ -413,4 +413,42 @@ class PropertySpec extends SparkSpec {
         }
       }
   }
+
+  test("foldBatch: time-ordered batch splits never change the sessions") {
+    // the streaming sessionize state fold must be split-invariant when
+    // batch boundaries respect event-time order: however a time-ordered
+    // log is cut into micro-batches, (closed ++ open) equals the
+    // single-shot chain — i.e. what sessionizeBatch computes. (Out-of-
+    // order CROSS-batch arrival is intentionally best-effort and pinned
+    // separately in EventStreamsSpec.)
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.Event
+    val gapMs = 600 * 1000L
+    // event values stay 1.0 so double sums are exact under regrouping
+    val gen = Gen.zip(
+      Gen.listOfN(25, Gen.choose(0L, 3 * gapMs)),
+      Gen.listOf(Gen.choose(1, 24)))
+    samples(gen, 12).foreach { case (deltas, cuts) =>
+      var t = 1700000000000L
+      val events = deltas.zipWithIndex.map { case (d, i) =>
+        t += d
+        Event(i.toLong, new java.sql.Timestamp(t), 1L, "x", 1.0)
+      }
+      val (sc, so) = EventStreams.foldBatch(None, events, gapMs)
+      val single = sc ++ so.toList
+      val bounds = (cuts.distinct.sorted :+ events.length).distinct
+      val batches = (0 +: bounds).zip(bounds).collect {
+        case (a, b) if a < b => events.slice(a, b)
+      }
+      var state: Option[EventStreams.SessionState] = None
+      val closed = List.newBuilder[EventStreams.SessionState]
+      batches.foreach { b =>
+        val (c, open) = EventStreams.foldBatch(state, b, gapMs)
+        closed ++= c
+        state = open
+      }
+      val multi = closed.result() ++ state.toList
+      assert(multi == single, s"deltas=$deltas cuts=$cuts")
+    }
+  }
 }
