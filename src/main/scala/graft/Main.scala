@@ -27,19 +27,31 @@ import org.apache.spark.sql.functions.{col, expr}
   */
 object Main {
 
-  /** Strict `--key value` pairing. A stray token or value-less flag
-    * used to shift every SUBSEQUENT pairing silently (`--verbose
-    * --input a` parsed as `verbose=--input` and dropped the input) —
-    * malformed command lines now fail loudly instead of running with
-    * wrong values.
+  /** Strict `--key value` pairing, plus `--key=value`. A stray token
+    * or value-less flag used to shift every SUBSEQUENT pairing
+    * silently (`--verbose --input a` parsed as `verbose=--input` and
+    * dropped the input) — malformed command lines now fail loudly
+    * instead of running with wrong values. A value that legitimately
+    * begins with `--` (a rules expression, a passthrough pattern)
+    * would be indistinguishable from a forgotten value in pair form,
+    * so it must use the `--key=value` form.
     */
-  def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).map {
+  def parseArgs(args: Array[String]): Map[String, String] = {
+    val (inline, positional) = args.partition(a =>
+      a.startsWith("--") && a.contains("="))
+    val fromInline = inline.map { a =>
+      val Array(k, v) = a.stripPrefix("--").split("=", 2)
+      k -> v
+    }
+    val fromPairs = positional.sliding(2, 2).map {
       case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
         k.stripPrefix("--") -> v
       case bad =>
-        sys.error(s"malformed args near '${bad.mkString(" ")}': expected --key value pairs")
-    }.toMap
+        sys.error(s"malformed args near '${bad.mkString(" ")}': expected " +
+          "--key value pairs (use --key=value for values beginning with --)")
+    }
+    (fromInline.iterator ++ fromPairs).toMap
+  }
 
   /** Dispatch on a parsed arg map against an EXISTING session — the
     * whole CLI minus process lifecycle, so specs can drive pipelines

@@ -258,15 +258,32 @@ object EventStreams {
     * a quiescent stream (reproduced here: 849 empty batches in ~3
     * minutes on a 3-event input). With an event-time timeout the
     * engine re-triggers only when the watermark advances.
+    *
+    * Watermark semantics callers must know:
+    * - rows older than the watermark are DROPPED by the engine before
+    *   this function sees them (standard stateful-operator contract).
+    *   `watermark` defaults to the session gap itself, so cross-batch
+    *   disorder up to one gap is sessionized exactly ([[foldBatch]]'s
+    *   late-merge/deep-late handling still applies to rows above the
+    *   watermark — e.g. a key whose open session is much older than
+    *   the global max event time); rows more than `watermark` behind
+    *   the global max are lost, not sessionized. Size it to the
+    *   stream's real disorder.
+    * - trailing sessions flush only when the watermark ADVANCES, i.e.
+    *   when newer data arrives. An idle stream holds its final open
+    *   sessions in state indefinitely (the price of not busy-spinning
+    *   on a wall-clock timeout); drain by stopping the query or by
+    *   injecting heartbeat events past the horizon.
     */
   def sessionize(
       events: Dataset[Event],
       gapSeconds: Long = 1800L,
-      watermark: String = "0 seconds"): Dataset[Session] = {
+      watermark: String = ""): Dataset[Session] = {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming
+    val delay = if (watermark.nonEmpty) watermark else s"$gapSeconds seconds"
     val src =
-      if (streaming) events.withWatermark("ts", watermark) else events
+      if (streaming) events.withWatermark("ts", delay) else events
     src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](

@@ -13,6 +13,15 @@ class MainSpec extends AnyFunSuite {
       "dimension_inputs" -> "/a,/b", "dimension_entity_types" -> "business,user"))
   }
 
+  test("parseArgs accepts --key=value, the escape hatch for -- values") {
+    assert(Main.parseArgs(Array("--rules=--weird LIKE '--%'", "--input", "a")) ==
+      Map("rules" -> "--weird LIKE '--%'", "input" -> "a"))
+    // inline form between pairs does not shift the pair positions,
+    // and values containing '=' survive intact
+    assert(Main.parseArgs(Array("--a", "1", "--b=x=y", "--c", "3")) ==
+      Map("a" -> "1", "b" -> "x=y", "c" -> "3"))
+  }
+
   test("parseArgs rejects malformed tokens instead of shifting pairings") {
     // lenient parsing used to turn `--verbose --input a` into
     // verbose='--input' and silently drop the input arg
