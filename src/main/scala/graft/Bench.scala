@@ -26,6 +26,41 @@ object Bench {
     (p(0).toDouble, p(1).toDouble, p(2).toDouble)
   }
 
+  /** Round to 3 decimals for a compact JSON dump. */
+  def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
+  /** The canonical one-line bench JSON, BOUNDED to `budget` chars by
+    * construction. The driver keeps only a ~2000-char tail of stdout
+    * (with sbt's own "[success] Total time" line landing after us),
+    * so a canonical line carrying all per-query timings stops parsing
+    * once the suite outgrows the tail — exactly what happened in r14
+    * at 151 queries (~4 KB line → `rc: 0, parsed: null`, head with
+    * `"value"` clipped). The full map now rides the BENCH_QUERIES
+    * diagnostics line; this line keeps the total plus the SLOWEST
+    * queries that fit the budget, with an explicit `queries_elided`
+    * count so the truncation is visible, never silent.
+    */
+  def canonicalLine(
+      best: collection.Map[String, Double],
+      total: Double,
+      sfDir: String,
+      extraJson: String = "",
+      budget: Int = 1400): String = {
+    val prefix =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"$extraJson,"queries":{"""
+    def suffix(elided: Int) = s"""},"queries_elided":$elided}"""
+    val entries = best.toSeq.sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val maxSuffix = suffix(entries.size).length
+    val sb = new StringBuilder(prefix)
+    var taken = 0
+    entries.foreach { e =>
+      val add = if (taken == 0) e else "," + e
+      if (sb.length + add.length + maxSuffix <= budget) { sb.append(add); taken += 1 }
+    }
+    sb.append(suffix(entries.size - taken)).toString
+  }
+
   /** Hot = bursty right now (1-min > 2.5) OR residually busy
     * (15-min > 2.0). The 15-min figure alone demonstrably
     * false-cleans: three r9 runs started at 1-min ≈1 but 15-min
@@ -154,13 +189,13 @@ object Bench {
     }
     // Queries that never succeeded would otherwise report Double.MaxValue.
     failed.foreach { n => if (best(n) == Double.MaxValue) best(n) = 0.0 }
-    // Two lines: a verbose diagnostics line first (max-of-N, loadavg),
-    // then the canonical compact line LAST. The driver parses the
-    // canonical line from a bounded tail of the output — round-3's
-    // single line carried both maps at full double precision (~4 KB)
-    // and was truncated past parseability, so keep the canonical line
-    // minimal and 3-decimal rounded (~1 KB for 40 queries).
-    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    // Three lines: verbose diagnostics first (max-of-N, loadavg), the
+    // FULL per-query min-of-N map second (BENCH_QUERIES — for humans
+    // and PLANS), the canonical compact line LAST. The driver parses
+    // the canonical line from a bounded tail of the output, so it is
+    // budget-bounded by construction (see canonicalLine) — the full
+    // map outgrew the tail at 151 queries and turned r14 into
+    // rc:0/parsed:null.
     def obj(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
@@ -186,7 +221,8 @@ object Bench {
     val errJson = warmupError.orElse(firstQueryError)
       .map(e => s""","first_error":${jq(e)}""").getOrElse("")
     println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"failed":$failedJson,"parallelism":$par,"runs":$passesRun,"pass_totals":$passTotalsJson,"loadavg_start":${triple(load0)},"loadavg_end":${triple(loadavg)}$retryJson$errJson}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(best)},"sf":"$sfDir"$contaminatedJson}""")
+    println(s"""BENCH_QUERIES {"queries":${obj(best)}}""")
+    println(canonicalLine(best, total, sfDir, contaminatedJson))
     spark.stop()
   }
 }

@@ -75,6 +75,11 @@ object Layout {
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val laneMax = (1L << bits) - 1L
     val lanes = cols.zipWithIndex.map { case (c, j) =>
+      // min/max are NULL for an empty frame or an all-NULL column —
+      // a plausible empty-increment input; degrade to the constant
+      // lane instead of throwing on getDouble(null).
+      if (r.isNullAt(2 * j) || r.isNullAt(2 * j + 1)) lit(0L)
+      else {
       val (mn, mx) = (r.getDouble(2 * j), r.getDouble(2 * j + 1))
       if (!(mx > mn)) lit(0L)
       else least(
@@ -82,6 +87,7 @@ object Layout {
           floor((col(c).cast("double") - mn) * laneMax / (mx - mn)).cast("long"),
           lit(0L)),
         lit(laneMax))
+      }
     }
     df.withColumn(reserved, zOrderKey(lanes, bits))
       .repartitionByRange(numFiles, col(reserved))

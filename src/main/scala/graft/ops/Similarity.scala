@@ -138,8 +138,12 @@ object Similarity {
       .withColumn("sim", cosine(col("qvec"), col("nvec")))
     // maxSim = 1.0 means "no false-negative filter": an exact duplicate
     // scores exactly 1.0, so a strict `sim < 1.0` would silently drop
-    // it even in keep-everything mode
-    val scored = if (maxSim >= 1.0) base else base.filter(col("sim") < maxSim)
+    // it even in keep-everything mode. NaN is filtered in BOTH modes:
+    // a zero-norm or NaN corpus vector scores sim = NaN, and Spark and
+    // DuckDB order NaN ABOVE every real number — unguarded, one
+    // degenerate vector becomes the rank-1 "negative" for every query.
+    val finite = base.filter(!isnan(col("sim")))
+    val scored = if (maxSim >= 1.0) finite else finite.filter(col("sim") < maxSim)
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -67,17 +67,20 @@ object AnnIndex {
   /** Build (or refresh) the index store from the corpus at
     * `cfg.input`. Returns the assignment cell census (cell, n) —
     * the balance report an operator checks before trusting probes.
-    * Rows with a NULL vector are excluded up front: the kernel is
-    * null-propagating, so they would otherwise land in a `cell=null`
-    * default partition that no probe ever reads — silently
-    * unqueryable ids and a census row downstream code doesn't expect.
+    * Rows with a NULL vector OR any NULL element are excluded up
+    * front: the kernel is element-null-propagating (one NULL element
+    * → NULL dots → NULL argmax), so either shape would otherwise land
+    * in a `cell=null` default partition that no probe ever reads —
+    * silently unqueryable ids and a census row downstream code
+    * doesn't expect. (Same guard as [[graft.ops.Pca.fit]].)
     */
   def build(spark: SparkSession, cfg: Config): DataFrame = {
     import spark.implicits._
     val index = indexPath(cfg.storeDir)
     AtomicSwap.recover(spark, index)
     val corpus = spark.read.parquet(cfg.input)
-      .filter(col(cfg.vecCol).isNotNull)
+      .filter(col(cfg.vecCol).isNotNull &&
+        !exists(col(cfg.vecCol), v => v.isNull))
     val centroids = Similarity.trainCentroids(
       corpus, cfg.idCol, cfg.vecCol, cfg.nCentroids, cfg.dim,
       iters = cfg.iters, seedSample = cfg.seedSample)

@@ -319,14 +319,20 @@ object MiningQueries {
     // X96: PCA whitening of the embedding corpus (rows-only check —
     // no eigensolver exists in the oracle engine; invariants are
     // specced in PcaSpec). Output: per-vector 8-dim whitened
-    // projection, elements rounded for a stable dump.
+    // projection dumped as ONE comma-joined rounded string — the
+    // X60/X82 cross-engine convention. An array<double> column here
+    // crashes the driver's pandas sort ("unhashable type: ndarray"),
+    // which is what made this r14's only red CORRECTNESS row.
+    // `+ 0.0` folds -0.0 to 0.0 so the string dump is sign-stable.
     "q_pca_whiten" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val model = Pca.fit(e, "embedding", k = 8)
       Pca.transform(e, "embedding", model, "pca", whiten = true)
         .select(
           col("vec_id"),
-          transform(col("pca"), v => round(v, 4)).as("pca_r"))
+          concat_ws(",",
+            transform(col("pca"), v => (round(v, 4) + lit(0.0)).cast("string")))
+            .as("pca_r"))
         .orderBy("vec_id")
     }),
 
@@ -751,7 +757,7 @@ object MiningQueries {
          |), ranked AS (
          |  SELECT qid, qlabel, nid, nlabel, sim,
          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
-         |  FROM scored
+         |  FROM scored WHERE NOT isnan(sim)
          |)
          |SELECT qid, qlabel, CAST(rank AS INTEGER) AS rank, nid, nlabel,
          |  round(sim, 4) AS sim_r

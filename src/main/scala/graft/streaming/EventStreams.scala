@@ -85,11 +85,16 @@ object EventStreams {
     * crawl drops (1) re-deliveries and intra-stream copies via
     * watermark-bounded `dropDuplicatesWithinWatermark` on the content
     * fingerprint, then (2) everything history already holds via a
-    * stream-static LEFT ANTI join against the store frame. A
-    * file-backed store is re-read per micro-batch, so the offline
-    * crawl-cycle pipeline (`--pipeline dedup-increment`) can keep
-    * appending to it and the stream picks the updates up without a
-    * restart — the two halves of the X48 lifecycle meet here.
+    * stream-static LEFT ANTI join against the store frame. NOTE the
+    * static-side freshness contract: for a plain parquet-backed store
+    * the FILE LISTING is fixed when the DataFrame is created
+    * (InMemoryFileIndex) — each micro-batch re-reads the listed files
+    * but does NOT discover newly appended ones, so offline appends by
+    * `--pipeline dedup-increment` are only picked up by rebuilding
+    * the store frame (restart the query, or resolve the store inside
+    * `foreachBatch`), or by backing the store with a refreshable
+    * table format. Until then the stream dedups against the listing
+    * it started with.
     *
     * State is bounded by rate × watermark horizon (the fingerprint set
     * inside the watermark), never stream length; the anti-join is

@@ -98,4 +98,16 @@ class LayoutSpec extends SparkSpec {
     assert(surviving < parts.length,
       s"narrow-only predicate pruned nothing: $surviving of ${parts.length}")
   }
+
+  test("clusterByZOrder survives an empty frame and an all-NULL column") {
+    // ADVICE r14: min/max aggregate to NULL on these inputs and the
+    // normalization read them with getDouble — an empty-increment
+    // pipeline input threw where it previously laid out harmlessly.
+    val empty = spark.range(0).select(col("id").as("x"), col("id").as("y"))
+    assert(Layout.clusterByZOrder(empty, Seq("x", "y"), bits = 6, numFiles = 4).isEmpty)
+    val nullCol = spark.range(0, 32).select(
+      col("id").as("x"), lit(null).cast("long").as("y"))
+    val out = Layout.clusterByZOrder(nullCol, Seq("x", "y"), bits = 6, numFiles = 2)
+    assert(out.count() == 32) // degenerate lane, rows intact
+  }
 }

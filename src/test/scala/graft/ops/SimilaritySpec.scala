@@ -439,4 +439,23 @@ class SimilaritySpec extends SparkSpec {
     assert(filtered.filter(col("nid") === 100L).isEmpty)
     assert(filtered.count() == 3) // still k negatives, from real clusters
   }
+
+  test("hardNegatives: a zero-norm corpus vector never ranks (NaN guard, both modes)") {
+    // ADVICE r14: sim(q, zero-vector) = NaN, and NaN orders ABOVE every
+    // real number in Spark — unguarded, the degenerate row becomes the
+    // rank-1 'hard negative' for EVERY query in the default maxSim=1.0
+    // mode (the maxSim<1.0 path dropped it only as a side effect).
+    val base = clustered(nClusters = 3, perCluster = 4, dim = 16)
+    val degenerate = Seq((200L, Seq.fill(16)(0.0f), 99))
+      .toDF("vec_id", "embedding", "cluster")
+    val corpus = base.union(degenerate)
+    val queries = base.filter(col("vec_id") < 2)
+    for (maxSim <- Seq(1.0, 0.95)) {
+      val hn = Similarity.hardNegatives(
+        corpus, queries, "vec_id", "embedding", "cluster", k = 3, maxSim = maxSim)
+      assert(hn.filter(col("nid") === 200L).isEmpty, s"maxSim=$maxSim")
+      assert(hn.filter(isnan(col("sim"))).isEmpty, s"maxSim=$maxSim")
+      assert(hn.count() == 2 * 3, s"maxSim=$maxSim") // still k per query
+    }
+  }
 }

@@ -90,7 +90,13 @@ class AnnIndexSpec extends SparkSpec {
   test("build excludes null-vector rows instead of writing an unqueryable cell=null partition") {
     val dir = java.nio.file.Files.createTempDirectory("annnull").toString
     val good = clustered(3, 8)
-    val bad = Seq((900L, null: Seq[Float])).toDF("vec_id", "embedding")
+    // Both NULL shapes: a NULL vector AND a vector with one NULL
+    // element (ADVICE r14 — the kernel is element-null-propagating,
+    // so an element null also argmaxes to cell=null if not excluded).
+    val bad = Seq(
+      (900L, null: Seq[java.lang.Float]),
+      (901L, Seq[java.lang.Float](1f, null) ++ Seq.fill(dim - 2)(Float.box(0f))))
+      .toDF("vec_id", "embedding")
     good.unionByName(bad).write.mode("overwrite").parquet(s"$dir/corpus")
     val census = AnnIndex.build(spark, AnnIndex.Config(
       input = s"$dir/corpus", storeDir = s"$dir/store",
