@@ -107,6 +107,28 @@ object SparkEntry {
           round(col("total_value"), 2).as("total_value_r"),
           col("session_start"), col("session_end"))
         .orderBy("user_id", "session_idx")
+    }),
+
+    // The STREAMING sessionizer's cross-batch contract (foldBatch),
+    // replayed deterministically in batch: events split into two
+    // arrival batches by event_id parity (deliberately out of time
+    // order), folded through the real foldBatch, final open session
+    // flushed. Pins the deep-late semantics — a late disconnected
+    // segment emits as its OWN session and never re-opens a closed
+    // one — in CORRECTNESS, not just in EventStreamsSpec.
+    "q_sessionize_replay" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.EventStreams.Event]
+      graft.streaming.EventStreams
+        .sessionizeReplay(ev, gapSeconds = 1800L, nBatches = 2)
+        .select(
+          col("user_id"), col("n_events"),
+          round(col("total_value"), 2).as("total_value_r"),
+          col("first_ts").as("session_start"),
+          col("last_ts").as("session_end"))
+        .orderBy("user_id", "session_start", "session_end")
     })
   )
 
@@ -184,6 +206,55 @@ object SparkEntry {
         |  round(sum(value), 2) AS total_value_r,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM g GROUP BY 1, 2
-        |ORDER BY user_id, session_idx""".stripMargin
+        |ORDER BY user_id, session_idx""".stripMargin,
+    // Unrolled two-batch replay of the foldBatch contract: per-batch
+    // gap chains; the batch-0 segment with the greatest start is the
+    // carried open session; a batch-1 segment joins it only when the
+    // spans sit within the gap of each other; everything else is its
+    // own session. LEFT JOIN: a user whose events are all odd-id has
+    // no batch-0 state. All arithmetic in integer MILLISECONDS —
+    // SessionState carries Timestamp.getTime (floor-to-ms), so both
+    // the gap compares and the dumped bounds replicate that exactly.
+    "q_sessionize_replay" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) // 1000 AS ms,
+        |    value, event_id % 2 AS b
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+        |         OR ms - lag(ms) OVER w > 1800000
+        |       THEN 1 ELSE 0 END AS new_seg
+        |  FROM e WINDOW w AS (PARTITION BY user_id, b ORDER BY ms, event_id)
+        |), g AS (
+        |  SELECT *, sum(new_seg) OVER (
+        |    PARTITION BY user_id, b ORDER BY ms, event_id) AS seg
+        |  FROM f
+        |), sp AS (
+        |  SELECT user_id, b, seg,
+        |    min(ms) AS first_ms, max(ms) AS last_ms,
+        |    count(*) AS n, sum(value) AS total
+        |  FROM g GROUP BY 1, 2, 3
+        |), open0 AS (
+        |  SELECT user_id, seg AS open_seg, first_ms, last_ms FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY first_ms DESC) AS rn
+        |    FROM sp WHERE b = 0) WHERE rn = 1
+        |), assigned AS (
+        |  SELECT s.user_id, s.n, s.total, s.first_ms, s.last_ms,
+        |    CASE
+        |      WHEN s.b = 0 AND s.seg = o.open_seg THEN 'open'
+        |      WHEN s.b = 1 AND o.open_seg IS NOT NULL
+        |           AND s.last_ms >= o.first_ms - 1800000
+        |           AND o.last_ms >= s.first_ms - 1800000 THEN 'open'
+        |      ELSE s.b || '_' || s.seg
+        |    END AS grp
+        |  FROM sp s LEFT JOIN open0 o USING (user_id)
+        |)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+        |  round(sum(total), 2) AS total_value_r,
+        |  make_timestamp(min(first_ms) * 1000) AS session_start,
+        |  make_timestamp(max(last_ms) * 1000) AS session_end
+        |FROM assigned GROUP BY user_id, grp
+        |ORDER BY user_id, session_start, session_end""".stripMargin
   )
 }

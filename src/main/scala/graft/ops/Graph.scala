@@ -38,15 +38,33 @@ object Graph {
     *
     * N rides as a 1-row broadcast cross join (the [[TfIdf]] corpus-
     * scalar pattern) — no driver collect anywhere in the loop.
+    *
+    * @param reliableCheckpoint lineage truncation mode. `false`
+    *   (default): `localCheckpoint` — executor-local blocks, fastest,
+    *   right for local mode and short runs, but an executor loss
+    *   kills the whole job because the truncated lineage cannot be
+    *   recomputed. `true`: reliable `checkpoint` to the SparkContext's
+    *   checkpoint dir (caller must `setCheckpointDir` to durable
+    *   storage first) — each iteration's ranks survive executor loss,
+    *   the right trade for a 50-iteration run on a 1000-executor
+    *   cluster where losing one executor mid-run is the expected
+    *   case, not the exception. Identical ranks either way
+    *   (GraphSpec pins this).
     */
   def pageRank(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       iterations: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      reliableCheckpoint: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1): $damping")
+    if (reliableCheckpoint) require(
+      edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliableCheckpoint=true needs SparkContext.setCheckpointDir (durable storage)")
+    def truncate(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
     // degree fused into the edge list once — NOT re-joined per
     // iteration. Only the fused frame persists: the raw edge list is
     // setup-only, and the node census derives from the fused frame
@@ -60,19 +78,17 @@ object Graph {
         .union(contribEdges.select(col("dst").as("node")))
         .distinct())
     val n1 = nodes.agg(count(lit(1)).cast("double").as("__n"))
-    var ranks = nodes.crossJoin(n1)
-      .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
-      .localCheckpoint()
+    var ranks = truncate(nodes.crossJoin(n1)
+      .select(col("node"), (lit(1.0) / col("__n")).as("rank")))
     for (_ <- 1 to iterations) {
       val contribs = contributions(contribEdges, ranks)
-      ranks = nodes
+      ranks = truncate(nodes
         .join(contribs, Seq("node"), "left")
         .crossJoin(n1)
         .select(
           col("node"),
           (lit(1.0 - damping) / col("__n") +
-            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank")))
     }
     ranks
   }

@@ -318,6 +318,43 @@ object EventStreams {
       }
   }
 
+  /** Deterministic batch replay of the [[foldBatch]] micro-batch
+    * contract — the CORRECTNESS-visible oracle surface for the
+    * streaming sessionizer's cross-batch semantics (deep-late events
+    * emit as their own sessions instead of silently stretching the
+    * open one; only segments within the gap of the carried span
+    * merge; closed is closed).
+    *
+    * Each user's events split into `nBatches` arrival batches by
+    * `event_id % nBatches` — a deterministic stand-in for arrival
+    * order that intentionally BREAKS time order, so the late-merge
+    * and deep-late paths actually run — then fold through the real
+    * [[foldBatch]] in batch order and flush the final open session.
+    * Distribution is the stream's own shape: one group per user, the
+    * state machine inside the group, no driver-side state; group
+    * size is a user's event count (the same bound the streaming
+    * state store carries), never the table.
+    */
+  def sessionizeReplay(
+      events: Dataset[Event],
+      gapSeconds: Long,
+      nBatches: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    require(nBatches >= 1, "nBatches must be >= 1")
+    events.groupByKey(_.user_id).flatMapGroups { (userId, it) =>
+      val byBatch = it.toSeq.groupBy(e => math.floorMod(e.event_id, nBatches.toLong))
+      var open: Option[SessionState] = None
+      val closed = List.newBuilder[SessionState]
+      (0L until nBatches.toLong).foreach { b =>
+        val (c, o) =
+          foldBatch(open, byBatch.getOrElse(b, Seq.empty), gapSeconds * 1000)
+        closed ++= c
+        open = o
+      }
+      (closed.result() ++ open.toList).map(_.toSession(userId)).iterator
+    }
+  }
+
   /** One micro-batch of a user's events folded into the carried
     * session state: returns (closed segments in time order, open
     * tail). Pure — the streaming wrapper only owns the GroupState

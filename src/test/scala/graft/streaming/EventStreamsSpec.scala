@@ -337,6 +337,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(open3.exists(_.firstMs == ts("2024-01-01 12:00:00").getTime))
   }
 
+  test("sessionizeReplay folds parity batches through foldBatch, differing from the batch twin") {
+    import spark.implicits._
+    // Even ids land in batch 0, odd in batch 1. Batch 0 alone makes
+    // TWO segments (09:00 | 10:00); 09:00 closes, 10:00 stays open.
+    // The odd-id 09:30 arrives a batch later: within the gap of the
+    // OPEN session it merges (09:30–10:00) — but it can never re-open
+    // the closed 09:00 one, even though in plain batch sessionization
+    // it would bridge all three into a single session.
+    val events = Seq(
+      ev(2, "2024-01-01 09:00:00", 1, "a", 1.0),
+      ev(4, "2024-01-01 10:00:00", 1, "b", 2.0),
+      ev(1, "2024-01-01 09:30:00", 1, "c", 4.0)).toDS()
+    val replay = EventStreams.sessionizeReplay(events, gapSeconds = 1800L, nBatches = 2)
+      .collect().sortBy(_.first_ts.getTime).toList
+    assert(replay == List(
+      Session(1L, 1L, 1.0, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:00")),
+      Session(1L, 2L, 6.0, ts("2024-01-01 09:30:00"), ts("2024-01-01 10:00:00"))),
+      s"got $replay")
+    // the plain batch twin on identical events: ONE bridged session —
+    // the replay demonstrably pins the stream contract, not batch's
+    assert(EventStreams.sessionizeBatch(events.toDF(), gapSeconds = 1800L).count() == 1)
+    // nBatches = 1 degenerates to the batch twin exactly
+    val one = EventStreams.sessionizeReplay(events, gapSeconds = 1800L, nBatches = 1)
+      .collect().toList
+    assert(one == List(
+      Session(1L, 3L, 7.0, ts("2024-01-01 09:00:00"), ts("2024-01-01 10:00:00"))),
+      s"got $one")
+  }
+
   test("sessionize runs as a real stream: gap close + watermark flush, no spin") {
     // regression: with ProcessingTimeTimeout the engine span empty
     // micro-batches back-to-back (shouldRunAnotherBatch always true)
