@@ -207,6 +207,15 @@ object MiningQueries {
     // X90: token log-odds quality classifier — train on en vs non-en
     // docs, score the whole corpus (the model should rediscover the
     // language split it was trained on).
+    // Kept on the GENERIC train∘score pair deliberately: the fused
+    // 1-pass variant (classifyTokenLogOddsPartitioned) halves corpus
+    // SCANS — decisive on a cluster where scans dominate — but on
+    // this page-cache-hot single node its token-frame cache
+    // materialization costs more than the two extra codegen scans it
+    // saves (measured 2×: TimeQuery 1.00 s fused vs the 0.46 s
+    // generic floor; MiningScaleProbe records both series). TfIdfSpec
+    // pins result-equality, so either path is swappable per cost
+    // model.
     "q_quality_classifier" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val model = TfIdf.trainTokenLogOdds(
@@ -337,19 +346,17 @@ object MiningQueries {
     }),
 
     // X90 ∘ X80: the production quality gate — classifier score →
-    // corpus-own top-quartile cut → keep. The scored frame persists
-    // once: the quantile-cut aggregation AND the row stream both read
-    // it, and without the cache the whole classifier (two corpus df
-    // passes + the model join) runs twice (measured 1.58s vs the
-    // classifier's own 0.32s in the r14 bench).
+    // corpus-own top-quartile cut → keep. Two caches, each with two
+    // consumers: the FUSED classifier's token frame feeds model and
+    // score (here the cache pays off even locally — the gate reads
+    // the classifier TWICE via the quantile cut + row stream, and
+    // caching cuts the whole pipeline to one tokenization; measured
+    // 1.14 s vs the r14 generic-path floor of 1.32 s), and the scored
+    // frame itself persists for the cut + stream pair.
     "q_quality_gate" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val model = TfIdf.trainTokenLogOdds(
-        d.filter(col("lang") === "en"),
-        d.filter(col("lang") =!= "en"),
-        "text", "doc_id")
       val scored = graft.CachedFrames.persistOnce(
-        TfIdf.scoreTokenLogOdds(d, model, "text", "doc_id")
+        TfIdf.classifyTokenLogOddsPartitioned(
+            Tables.documents(s, dir), col("lang") === "en", "text", "doc_id")
           .select("doc_id", "score_r"))
       Sketches.segmentByQuantiles(
           scored, col("score_r"), Seq(0.75), Seq("below", "top"))

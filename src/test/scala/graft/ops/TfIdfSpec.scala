@@ -211,6 +211,41 @@ class TfIdfSpec extends SparkSpec {
     assert(r.getAs[Boolean]("is_positive"))
   }
 
+  test("fused partitioned classifier equals the generic train∘score composition") {
+    // VERDICT r14 #4: the fused path exists to cut three corpus
+    // tokenizations to one; it must be RESULT-identical to the
+    // generic pair when pos/neg partition the scored corpus.
+    val docs = Seq(
+      (1L, "en", "clean prose with careful structure"),
+      (2L, "en", "careful clean writing and prose"),
+      (3L, "de", "spam spam click here buy"),
+      (4L, "de", "buy click spam offer now"),
+      (5L, "de", "")  // zero-token doc still counts toward class size
+    ).toDF("doc_id", "lang", "text")
+    val generic = TfIdf.scoreTokenLogOdds(
+        docs,
+        TfIdf.trainTokenLogOdds(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"), "text", "doc_id"),
+        "text", "doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+    val fused = TfIdf.classifyTokenLogOddsPartitioned(
+        docs, col("lang") === "en", "text", "doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+    graft.CachedFrames.unpersistAll()
+    // the empty doc yields no token rows in either path (no score row)
+    assert(fused == generic, s"fused=$fused\ngeneric=$generic")
+    // NULL flag counts as negative, mirroring the generic neg frame
+    val withNull = Seq((1L, "alpha beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+      .withColumn("flag", when(col("doc_id") === 1L, lit(true)))
+    val scored = TfIdf.classifyTokenLogOddsPartitioned(
+        withNull, col("flag"), "text", "doc_id")
+      .select("doc_id", "is_positive").as[(Long, Boolean)].collect().toMap
+    graft.CachedFrames.unpersistAll()
+    assert(scored(1L) && !scored(2L))
+  }
+
   test("rrfFuse: agreement wins, one-list candidates still surface, k0 damps rank gaps") {
     val listA = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("qid", "doc", "rank")
     val listB = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 10L, 3)).toDF("qid", "doc", "rank")

@@ -48,15 +48,28 @@ object AnnScaleProbe {
           dim = 64, nCentroids = 16, iters = 2)).count()
       }
       val queries = spark.read.parquet(s"$dir/corpus_$n").filter(col("vec_id") < 8)
-      timed(s"indexed query ${n}x (nProbe=2/16)") {
-        AnnIndex.query(spark, s"$dir/store_$n", queries,
-          "vec_id", "embedding", k = 10, nProbe = 2).count()
+      val indexed = timed(s"indexed query ${n}x (nProbe=2/16)") {
+        val r = AnnIndex.query(spark, s"$dir/store_$n", queries,
+          "vec_id", "embedding", k = 10, nProbe = 2)
+        r.count(); r
       }
-      timed(s"brute force ${n}x") {
-        graft.ops.Similarity.bruteForceTopK(
+      val truth = timed(s"brute force ${n}x") {
+        val r = graft.ops.Similarity.bruteForceTopK(
           spark.read.parquet(s"$dir/corpus_$n"), queries,
-          "vec_id", "embedding", 10).count()
+          "vec_id", "embedding", 10)
+        r.count(); r
       }
+      // recall@10 vs the brute-force ground truth — the honest-number
+      // series VERDICT r14 #7 asked to track across replica scales.
+      // Replicas create duplicate vectors, so id-exact matching would
+      // under-count pure tie swaps; count an indexed result as a hit
+      // when its sim reaches the query's 10th-best TRUE sim
+      // (threshold recall, the tie-robust standard).
+      val thresh = truth.groupBy("qid").agg(min("sim").as("t_min"))
+      val hits = indexed.join(thresh, Seq("qid"))
+        .filter(col("sim") >= col("t_min") - 1e-9).count()
+      val total = truth.count()
+      println(f"[probe] recall@10 ${n}x: ${hits.toDouble / total}%.3f ($hits/$total)")
     }
     spark.stop()
   }

@@ -70,11 +70,16 @@ object MiningScaleProbe {
         val c = TfIdf.bm25Search(d, q, "text", "doc_id", "query_id", "qtext", k = 5).count()
         graft.CachedFrames.unpersistAll(); c
       }
-      timed(s"logOddsClassifier ${n}x") {
+      timed(s"logOddsClassifier ${n}x (generic 3-pass)") {
         val model = TfIdf.trainTokenLogOdds(
           d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"),
           "text", "doc_id")
         TfIdf.scoreTokenLogOdds(d, model, "text", "doc_id").count()
+      }
+      timed(s"logOddsClassifier ${n}x (fused 1-pass)") {
+        val c = TfIdf.classifyTokenLogOddsPartitioned(
+          d, col("lang") === "en", "text", "doc_id").count()
+        graft.CachedFrames.unpersistAll(); c
       }
     }
     spark.stop()
