@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.{col, expr}
 
 /** CLI entry point mirroring the reference's dispatch
   * (`/root/reference/app.py:20-70`):
-  * `--pipeline {extract|clean|enrich|run-all|dedup-increment|gold-increment|check|drift|privacy|ann-index|ann-query}`
+  * `--pipeline {extract|clean|enrich|run-all|dedup-increment|gold-increment|check|drift|privacy|ann-index|ann-append|ann-compact|ann-query}`
   * plus the known pipeline args; unknown `--k v` pairs pass through
   * (how enrich receives `--dimension_inputs` /
   * `--dimension_entity_types`, both CSV — `enrich.py:22-23`). Typed
@@ -172,6 +172,19 @@ object Main {
           dim = opts.get("dim").map(_.toInt).getOrElse(64),
           nCentroids = opts.get("n_centroids").map(_.toInt).getOrElse(16),
           iters = opts.get("iters").map(_.toInt).getOrElse(3)))
+      case "ann-append" =>
+        // Incremental index maintenance: assign --input's vectors to
+        // the LIVE centroids and commit them as one new increment
+        // generation (no retrain, no base rewrite). Returns the
+        // post-append census spanning base + increments.
+        pipeline.AnnIndex.append(
+          spark, req("store_dir"), req("input"),
+          idCol = opts.getOrElse("id_column", "vec_id"),
+          vecCol = opts.getOrElse("vector_column", "embedding"))
+      case "ann-compact" =>
+        // Fold every committed increment back into one base cells
+        // dataset (atomic swap; centroids unchanged).
+        pipeline.AnnIndex.compact(spark, req("store_dir"))
       case "ann-query" =>
         // Online path: top-k neighbors for --queries against the
         // persisted index, probing --n_probe cells; writes --output.

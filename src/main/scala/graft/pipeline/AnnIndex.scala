@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   *    query cost reads ≈ corpus × nProbe / nCentroids bytes, not the
   *    corpus.
   *
+  * Between full rebuilds, [[append]] indexes new vectors against the
+  * live centroids as committed `cells_inc_N.parquet` generations
+  * (cost ∝ increment, one atomic rename per append) and [[compact]]
+  * folds the generations back into one base — the X49 store
+  * lifecycle applied to the index.
+  *
   * Store refresh = rerun [[build]]; a crash between the renames
   * recovers via [[AtomicSwap.recover]]. Concurrency contract: the
   * swap keeps the ON-DISK state consistent (both halves always from
@@ -100,6 +106,115 @@ object AnnIndex {
       .groupBy("cell").agg(count(lit(1)).as("n")).orderBy("cell")
   }
 
+  /** All committed cell datasets: the base build plus every
+    * `cells_inc_N.parquet` increment, oldest first. In-flight
+    * increments live under a `.tmp` name until their commit rename,
+    * so a crash mid-append leaves nothing a reader would pick up.
+    */
+  private[pipeline] def cellSources(
+      spark: SparkSession, index: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(index)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val incs =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("cells_inc_") && n.endsWith(".parquet"))
+        .sorted
+    cellsPath(index) +: incs.map(n => s"$index/$n")
+  }
+
+  /** Base + increments as one frame. Each generation loads as its own
+    * partitioned root and unions (a single multi-path read trips
+    * CONFLICTING_DIRECTORY_STRUCTURES: the roots are sibling dirs).
+    * Cell filters push into every branch, so partition pruning holds
+    * per generation.
+    */
+  private def readCells(spark: SparkSession, index: String): DataFrame =
+    cellSources(spark, index)
+      .map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
+
+  /** Incrementally index new vectors WITHOUT retraining or rewriting
+    * the base — the crawl-cycle companion (X49 pattern: increments
+    * cost ∝ increment, compaction is a separate maintenance step).
+    * The increment assigns against the LIVE centroids with the same
+    * fused kernel and the same NULL/element-NULL exclusions as
+    * [[build]], lands as a new cell-partitioned
+    * `cells_inc_N.parquet` generation (written under a `.tmp` name,
+    * then one atomic directory rename = the commit), and [[query]]
+    * reads base + all committed increments with partition pruning
+    * intact per generation.
+    *
+    * Contract boundaries, deliberately:
+    *  - centroids do NOT move. Under distribution drift the cell
+    *    census skews and recall decays — watch the returned census
+    *    (now spanning base + increments) and [[build]] to re-train,
+    *    then the increments fold in via that full rebuild, or merge
+    *    file counts down with [[compact]] between rebuilds.
+    *  - ids are NOT deduplicated against the base (that would read
+    *    the whole index per append); the upstream crawl dedup screens
+    *    own identity, exactly as they do for the document stores.
+    *
+    * @return the post-append cell census over base + increments
+    */
+  def append(
+      spark: SparkSession,
+      storeDir: String,
+      input: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val index = indexPath(storeDir)
+    AtomicSwap.recover(spark, index)
+    val centroids = loadCentroids(spark, index)
+    val increment = spark.read.parquet(input)
+      .filter(col(vecCol).isNotNull && !exists(col(vecCol), v => v.isNull))
+    val n = cellSources(spark, index).size - 1 // existing increments
+    val target = s"$index/cells_inc_$n.parquet"
+    val tmp = target + ".tmp"
+    val assign = array_position(col("__cd"), array_max(col("__cd"))).cast("int") - 1
+    withCellDots(increment.select(col(idCol), col(vecCol)), vecCol, centroids)
+      .withColumn("cell", assign)
+      .drop("__cd")
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(index)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.rename(
+        new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(target)))
+      sys.error(s"increment commit failed: $tmp -> $target")
+    census(spark, index)
+  }
+
+  /** Merge the base and every committed increment back into ONE
+    * cell-partitioned `cells.parquet` (fresh index generation behind
+    * the usual [[AtomicSwap]]; centroids carry over unchanged). Run
+    * between appends once generation count — and with it per-query
+    * file listings — grows past taste; [[query]] results are
+    * identical before and after (spec-pinned).
+    */
+  def compact(spark: SparkSession, storeDir: String): DataFrame = {
+    val index = indexPath(storeDir)
+    AtomicSwap.recover(spark, index)
+    val next = index + ".next"
+    spark.read.parquet(centroidsPath(index))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(centroidsPath(next))
+    readCells(spark, index)
+      .write.mode("overwrite").partitionBy("cell").parquet(cellsPath(next))
+    AtomicSwap.swapIn(spark, index, next)
+    census(spark, index)
+  }
+
+  private def census(spark: SparkSession, index: String): DataFrame =
+    readCells(spark, index)
+      .groupBy("cell").agg(count(lit(1)).as("n")).orderBy("cell")
+
+  private def loadCentroids(
+      spark: SparkSession, index: String): Seq[Seq[Float]] =
+    spark.read.parquet(centroidsPath(index))
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq
+
   /** Query the persisted index: top-`k` cosine neighbors per query
     * row, probing each query's `nProbe` best cells only.
     */
@@ -114,9 +229,7 @@ object AnnIndex {
     require(k >= 1 && nProbe >= 1, s"k and nProbe must be >= 1: $k, $nProbe")
     val index = indexPath(storeDir)
     AtomicSwap.recover(spark, index)
-    val centroids = spark.read.parquet(centroidsPath(index))
-      .orderBy("cell").collect()
-      .map(_.getSeq[Float](1).toSeq).toSeq
+    val centroids = loadCentroids(spark, index)
     require(nProbe <= centroids.size,
       s"nProbe=$nProbe exceeds the index's ${centroids.size} cells")
     val probes = {
@@ -129,7 +242,7 @@ object AnnIndex {
         queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
         "qvec", centroids)
       .select(col("qid"), col("qvec"), explode(probes).as("cell"))
-    val cells = spark.read.parquet(cellsPath(index))
+    val cells = readCells(spark, index)
       .select(col("cell"), col(idCol).as("nid"), col(vecCol).as("nvec"))
     val scored = cells.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("nid"))

@@ -87,6 +87,82 @@ class AnnIndexSpec extends SparkSpec {
     assert(res.filter(col("rank") > 5).isEmpty)
   }
 
+  test("append indexes an increment against live centroids; compact folds it back") {
+    val dir = java.nio.file.Files.createTempDirectory("annappend").toString
+    val base = clustered(4, 10)
+    base.write.mode("overwrite").parquet(s"$dir/corpus")
+    AnnIndex.build(spark, AnnIndex.Config(
+      input = s"$dir/corpus", storeDir = s"$dir/store",
+      dim = dim, nCentroids = 4, iters = 2, seedSample = 40))
+    // increment: shifted-id copies of 5 base vectors (same geometry →
+    // same cells), plus both NULL shapes which must be excluded
+    val inc = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+      .unionByName(Seq(
+        (2000L, null: Seq[java.lang.Float]),
+        (2001L, Seq[java.lang.Float](null) ++ Seq.fill(dim - 1)(Float.box(1f))))
+        .toDF("vec_id", "embedding"))
+    inc.write.mode("overwrite").parquet(s"$dir/inc")
+    val census = AnnIndex.append(spark, s"$dir/store", s"$dir/inc")
+    assert(census.agg(sum("n")).head().getLong(0) == 45L) // 40 base + 5 good
+    assert(census.filter(col("cell").isNull).isEmpty)
+    // an in-flight (uncommitted) increment is invisible to readers
+    assert(new java.io.File(s"$dir/store/index/cells_inc_1.parquet.tmp").mkdirs())
+    assert(AnnIndex.cellSources(spark, s"$dir/store/index").size == 2)
+    // a query finds the appended twin of its own vector at rank 1
+    // (sim = 1 exactly; ties with the query row itself are excluded)
+    val q = base.filter(col("vec_id") === 0L)
+    val top = AnnIndex.query(spark, s"$dir/store", q,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+      .filter(col("rank") === 1).head()
+    assert(top.getAs[Long]("nid") == 1000L && top.getAs[Double]("sim") > 0.999999)
+    // a second append lands as the next generation (tmp name is free)
+    new java.io.File(s"$dir/store/index/cells_inc_1.parquet.tmp").delete()
+    AnnIndex.append(spark, s"$dir/store", s"$dir/inc")
+    assert(AnnIndex.cellSources(spark, s"$dir/store/index").size == 3)
+    val preCompact = AnnIndex.query(spark, s"$dir/store", q,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    // plan pin: a cell predicate prunes partitions in EVERY
+    // generation's scan through the union (the scale claim — without
+    // it an increment would re-read whole-index bytes per probe)
+    val unioned = AnnIndex.cellSources(spark, s"$dir/store/index")
+      .map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .filter(col("cell") === 1)
+    val leaves = unioned.queryExecution.executedPlan
+      .collectLeaves().map(_.toString)
+    assert(leaves.size == 3, s"expected 3 generation scans, got ${leaves.size}")
+    assert(leaves.forall("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(_).isDefined),
+      leaves.mkString("\n---\n"))
+    // compact: one base again, same query results, atomic leftovers gone
+    val compacted = AnnIndex.compact(spark, s"$dir/store")
+    assert(compacted.agg(sum("n")).head().getLong(0) == 50L)
+    assert(AnnIndex.cellSources(spark, s"$dir/store/index").size == 1)
+    assert(!new java.io.File(s"$dir/store/index.next").exists())
+    val postCompact = AnnIndex.query(spark, s"$dir/store", q,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    assert(postCompact == preCompact)
+  }
+
+  test("CLI: ann-append and ann-compact drive the increment lifecycle") {
+    val dir = java.nio.file.Files.createTempDirectory("annclia").toString
+    val corpus = clustered(3, 8)
+    corpus.write.mode("overwrite").parquet(s"$dir/corpus")
+    corpus.select((col("vec_id") + 500L).as("vec_id"), col("embedding"))
+      .limit(4).write.mode("overwrite").parquet(s"$dir/inc")
+    graft.Main.run(spark, Map("pipeline" -> "ann-index",
+      "input" -> s"$dir/corpus", "store_dir" -> s"$dir/store",
+      "dim" -> dim.toString, "n_centroids" -> "3"))
+    val census = graft.Main.run(spark, Map("pipeline" -> "ann-append",
+      "input" -> s"$dir/inc", "store_dir" -> s"$dir/store"))
+    assert(census.agg(sum("n")).head().getLong(0) == 28L)
+    val compacted = graft.Main.run(spark, Map("pipeline" -> "ann-compact",
+      "store_dir" -> s"$dir/store"))
+    assert(compacted.agg(sum("n")).head().getLong(0) == 28L)
+    assert(AnnIndex.cellSources(spark, s"$dir/store/index").size == 1)
+  }
+
   test("build excludes null-vector rows instead of writing an unqueryable cell=null partition") {
     val dir = java.nio.file.Files.createTempDirectory("annnull").toString
     val good = clustered(3, 8)
