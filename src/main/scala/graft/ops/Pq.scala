@@ -1,0 +1,268 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for approximate nearest neighbor search
+  * — the compression path that makes billion-vector indexes fit:
+  * each `dim`-float vector is split into `m` contiguous subspaces of
+  * `dim/m` floats, each subspace is vector-quantized against its own
+  * `ksub`-entry codebook, and the vector is stored as `m` small codes
+  * instead of `dim` floats (Jégou, Douze, Schmid, "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+  * textbook material; FAISS popularized the same layout as IVF-PQ).
+  *
+  * Scale shape, which is the whole point:
+  *
+  *  - '''Storage''': `m` codes/vector (1–2 bytes each at ksub ≤ 256)
+  *    vs `4·dim` bytes raw — 64-dim float embeddings compress 16–32×,
+  *    so a corpus whose raw vectors are 100 TB carries a ~4 TB code
+  *    table that joins/scans like any other column.
+  *  - '''Query (ADC — asymmetric distance computation)''': per query,
+  *    one `m × ksub` lookup table of subspace dot products is computed
+  *    once (map-side, against driver-constant codebooks); scoring a
+  *    candidate is then `m` table lookups + adds instead of `dim`
+  *    multiplies, and — critically — '''candidates never carry their
+  *    raw vectors''', only codes, so the scoring join moves
+  *    (id, m codes) rows.
+  *  - '''Training''': per-subspace k-means, all `m` subspaces fused
+  *    into ONE distributed pass per Lloyd iteration (assignment via
+  *    the fused mat-vec kernel per subspace, then a single
+  *    explode + groupBy(subspace, code) with map-side partial
+  *    aggregation — the shuffle is `m × ksub × dsub` cells, never
+  *    corpus-sized).
+  *
+  * Encoding is a pure codegen'd projection: per subspace one
+  * [[graft.functions.MatVecDotsExpr]] call against an AUGMENTED
+  * constant matrix `[c_j | −½‖c_j‖²]` with the input slice augmented
+  * by a literal 1, so `argmax(dot − ½‖c‖²) = argmin ‖x − c‖²` comes
+  * out of a single fused kernel — no join, no shuffle, no
+  * per-element lambda over the corpus.
+  *
+  * ADC ranks by approximate INNER PRODUCT `Σ_s lut_s[code_s] ≈ q·x`
+  * (L2-normalize inputs upstream if cosine ranking is wanted, as the
+  * rest of the ANN family does). ADC is exact in the quantized space:
+  * the error is entirely the quantization residual, which shrinks
+  * with `m` and `ksub`. For bounded candidate generation at scale,
+  * route candidates through the IVF cells ([[Similarity.ivfTopK]],
+  * [[graft.pipeline.AnnIndex]]) and use ADC as the in-cell scorer.
+  */
+object Pq {
+
+  /** Fitted model: `codebooks(s)(j)` is subspace `s`'s `j`-th centroid
+    * (`dsub` doubles). Deterministic for a fixed corpus and knobs.
+    */
+  final case class PqModel(
+      dim: Int,
+      m: Int,
+      codebooks: Array[Array[Array[Double]]]) {
+    def dsub: Int = dim / m
+    def ksub: Int = codebooks.head.length
+  }
+
+  private def validate(dim: Int, m: Int, ksub: Int): Unit = {
+    require(dim >= 1 && m >= 1 && ksub >= 2,
+      s"dim, m must be >= 1 and ksub >= 2: dim=$dim m=$m ksub=$ksub")
+    require(dim % m == 0, s"m=$m must divide dim=$dim evenly")
+  }
+
+  /** Subspace `s`'s slice of `vec` (1-based slice, `array<float>`). */
+  private def subVec(vec: Column, s: Int, dsub: Int): Column =
+    slice(vec, s * dsub + 1, dsub)
+
+  /** Deterministic stand-in codebooks: subspace slices of the `ksub`
+    * lowest-id corpus vectors — the same oracle-replayable quantizer
+    * convention as [[Similarity.ivfTopK]]'s default. Production
+    * recall wants [[train]]; this exists so PQ's encode/ADC algebra
+    * is exactly reproducible by any SQL engine.
+    */
+  def lowestIdCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int): PqModel = {
+    validate(dim, m, ksub)
+    val dsub = dim / m
+    val rows = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(ksub)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(rows.length == ksub, s"corpus has < $ksub rows for the quantizer")
+    val books = Array.tabulate(m)(s =>
+      rows.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+    PqModel(dim, m, books)
+  }
+
+  /** Per-subspace Lloyd k-means, all `m` subspaces in ONE distributed
+    * pass per iteration. Seeding is farthest-point (by L2) over the
+    * `seedSample` lowest-id vectors per subspace — bounded driver
+    * memory, deterministic. Each iteration: assign every row's `m`
+    * subvectors map-side (fused kernel per subspace), explode to
+    * (subspace, code, subvec) and groupBy(subspace, code) with `dsub`
+    * avg aggregates — map-side combined, `m × ksub × dsub` cells
+    * shuffled, `m × ksub` rows collected. Empty cells keep their
+    * previous centroid. Unlike [[Similarity.trainCentroids]] the
+    * centroids are NOT normalized: PQ quantizes raw subvectors by L2
+    * distance, not directions by cosine.
+    */
+  def train(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int = 3,
+      seedSample: Int = 256): PqModel = {
+    validate(dim, m, ksub)
+    val dsub = dim / m
+    val vecs = corpus
+      .select(col(vecCol).as("__vec"))
+      .filter(col("__vec").isNotNull && !exists(col("__vec"), _.isNull))
+
+    // ---- farthest-point seeding per subspace on one bounded sample
+    // (lowest-id rows, so retraining on the same corpus is identical)
+    val seedRows = corpus
+      .select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
+      .orderBy(col(idCol))
+      .limit(seedSample)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(seedRows.nonEmpty, "corpus is empty")
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val subs = seedRows.map(v => v.slice(s * dsub, (s + 1) * dsub))
+      val seeds = scala.collection.mutable.ArrayBuffer(subs.head)
+      while (seeds.size < ksub) {
+        // farthest-point: next seed maximizes distance to its nearest
+        // existing seed (ties: first in sample order); with fewer
+        // distinct sample points than ksub this repeats points, and
+        // Lloyd + empty-cell carry-over resolves the duplicates
+        val next = subs.maxBy(v => seeds.map(c => l2(v, c)).min)
+        seeds += next
+      }
+      seeds.toArray
+    }
+
+    // ---- Lloyd iterations: one exploded groupBy pass each
+    for (_ <- 1 to iters) {
+      val perSub = (0 until m).map { s =>
+        struct(
+          lit(s).as("s"),
+          encodeSub(col("__vec"), s, dsub, codebooks(s)).as("c"),
+          subVec(col("__vec"), s, dsub).as("v"))
+      }
+      val avgs = (0 until dsub).map(d =>
+        avg(element_at(col("sub.v"), d + 1).cast("double")).as(s"__d$d"))
+      val rows = vecs
+        .select(explode(array(perSub: _*)).as("sub"))
+        .groupBy(col("sub.s").as("s"), col("sub.c").as("c"))
+        .agg(avgs.head, avgs.tail: _*)
+        .collect()
+      val next = codebooks.map(_.map(identity))
+      rows.foreach { r =>
+        val s = r.getInt(0); val c = r.getInt(1)
+        if (s >= 0 && s < m && c >= 0 && c < ksub)
+          next(s)(c) = Array.tabulate(dsub)(d => r.getDouble(d + 2))
+      }
+      codebooks = next
+    }
+    PqModel(dim, m, codebooks)
+  }
+
+  /** Subspace code: `argmin_j ‖x_s − c_j‖² = argmax_j (x_s·c_j −
+    * ½‖c_j‖²)`, one fused kernel over the augmented matrix, ties to
+    * the first index.
+    */
+  private def encodeSub(
+      vec: Column, s: Int, dsub: Int,
+      book: Array[Array[Double]]): Column = {
+    val augmented = book.map { c =>
+      // offset summed left-to-right in double — the replayable order
+      var n2 = 0.0; var i = 0
+      while (i < c.length) { n2 += c(i) * c(i); i += 1 }
+      c :+ (-0.5 * n2)
+    }
+    val in = concat(subVec(vec, s, dsub), array(lit(1.0f)))
+    val scores = graft.functions.MatVecDotsExpr.matVecDots(in, augmented)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** Append `codesCol: array<int>` of length `m` — the PQ encoding.
+    * Pure codegen'd projection (one fused kernel per subspace), zero
+    * shuffle. NULL or element-NULL vectors encode to NULL (the
+    * ANN-family exclusion convention; [[adcTopK]] drops them).
+    * A production sink packs the codes to 1–2 bytes each; the array
+    * keeps the algebra engine-portable.
+    */
+  def encode(
+      df: DataFrame,
+      vecCol: String,
+      model: PqModel,
+      codesCol: String = "pq_codes"): DataFrame = {
+    require(!df.columns.contains(codesCol),
+      s"encode appends $codesCol; rename the existing column")
+    val codes = (0 until model.m).map(s =>
+      encodeSub(col(vecCol), s, model.dsub, model.codebooks(s)))
+    df.withColumn(
+      codesCol,
+      when(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull),
+        array(codes: _*)))
+  }
+
+  /** ADC top-`k`: rank every corpus code row against every query by
+    * the table-lookup inner product `Σ_s lut_s[code_s]`. The corpus
+    * side carries ONLY (id, codes) — never raw vectors; the query
+    * side computes its `m × ksub` lookup table map-side from the
+    * driver-constant codebooks and must fit a broadcast (the same
+    * contract as the brute-force and hard-negative scorers). Corpus
+    * streams once; cost per pair is `m` lookups, not `dim` multiplies.
+    *
+    * @param codes   corpus with `idCol` and `codesCol` (from [[encode]])
+    * @param queries query rows with `idCol` and raw `vecCol`
+    * @return (qid, rank, nid, adc) with rank 1..k by (adc desc, nid);
+    *         `adc ≈ q·x` in the quantized space
+    */
+  def adcTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: PqModel,
+      k: Int,
+      codesCol: String = "pq_codes"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val luts = array((0 until model.m).map(s =>
+      graft.functions.MatVecDotsExpr.matVecDots(
+        subVec(col(vecCol), s, model.dsub), model.codebooks(s))): _*)
+    val q = queries
+      .filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
+      .select(col(idCol).as("qid"), luts.as("__luts"))
+    val n = codes
+      .filter(col(codesCol).isNotNull)
+      .select(col(idCol).as("nid"), col(codesCol).as("__codes"))
+    val adc = aggregate(
+      zip_with(col("__codes"), col("__luts"),
+        (c, l) => element_at(l, c + 1)),
+      lit(0.0),
+      (acc, x) => acc + x)
+    val scored = n
+      .join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), adc.as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("adc"))
+  }
+}

@@ -24,6 +24,8 @@ object LlmQueries {
   private val annBits = 4
   private val ivfCentroids = 16
   private val ivfProbe = 4
+  private val pqM = 8 // PQ subspaces over embeddingDim=64 → dsub=8
+  private val pqKsub = 16 // codebook entries per subspace
   private val semClusters = 8
   private val semSubsetIds = 500 // SemDeDup check set = vec_id < 500
   private val semThreshold = 0.4
@@ -508,6 +510,24 @@ object LlmQueries {
           emb, emb.filter(col("vec_id") < simQueryIds), "vec_id", "embedding",
           simK, nCentroids = ivfCentroids, nProbe = ivfProbe)
         .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim_r"))
+        .orderBy("qid", "rank")
+    }),
+
+    // X103 product quantization: the corpus is stored as m=8 codes
+    // per vector (never raw floats on the scoring side), queries rank
+    // by the ADC table-lookup inner product. The deterministic
+    // lowest-id codebooks make every step — subspace argmin codes,
+    // per-query LUTs, the in-order ADC fold — replayable by DuckDB.
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = Pq.lowestIdCodebooks(
+        emb, "vec_id", "embedding", embeddingDim, pqM, pqKsub)
+      val codes = Pq.encode(emb, "embedding", model)
+        .select(col("vec_id"), col("pq_codes"))
+      Pq.adcTopK(codes, emb.filter(col("vec_id") < simQueryIds),
+          "vec_id", "embedding", model, simK)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("adc"), 4).as("adc_r"))
         .orderBy("qid", "rank")
     }),
 
@@ -1231,6 +1251,56 @@ object LlmQueries {
        |  WHERE p.qid <> a.nid
        |)""".stripMargin + rerankSql
 
+  /** PQ oracle: replays [[graft.ops.Pq]] step for step with the
+    * lowest-id codebooks. Codes = per-(vector, subspace) argmax of
+    * `dot − ½‖c‖²` with first-index tie-break (Spark's augmented
+    * kernel adds the offset as the LAST fold term; `a − b ≡ a + (−b)`
+    * in IEEE, so the SQL subtraction is bit-identical). The ADC sum
+    * replays Spark's in-subspace-order `aggregate` fold via
+    * `list_sum(list(lv ORDER BY s))` — a GROUP-BY `sum()` would add
+    * in unspecified order and can differ in the last ulp.
+    */
+  private def pqOracle: String = {
+    val dsub = embeddingDim / pqM
+    def subDot(vec: String) =
+      s"list_sum(list_transform(range(1, ${dsub + 1}), i -> $vec[sub.s*$dsub + i]::DOUBLE * sub.cs[i]::DOUBLE))"
+    s"""WITH cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j,
+       |    embedding AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $pqKsub)
+       |), sub AS (
+       |  SELECT CAST(ss.s AS INTEGER) AS s, c.j,
+       |    list_transform(range(1, ${dsub + 1}), i -> c.cvec[ss.s*$dsub + i]) AS cs
+       |  FROM (SELECT unnest(range(0, $pqM)) AS s) ss CROSS JOIN cent c
+       |), cd AS (
+       |  SELECT e.vec_id, sub.s, sub.j,
+       |    ${subDot("e.embedding")}
+       |      - 0.5 * list_sum(list_transform(range(1, ${dsub + 1}), i -> sub.cs[i]::DOUBLE * sub.cs[i]::DOUBLE)) AS score
+       |  FROM embeddings e CROSS JOIN sub
+       |), codes AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT vec_id, s, j,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, j) AS rn
+       |    FROM cd
+       |  ) WHERE rn = 1
+       |), lut AS (
+       |  SELECT q.vec_id AS qid, sub.s, sub.j, ${subDot("q.embedding")} AS lv
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $simQueryIds) q
+       |  CROSS JOIN sub
+       |), adc AS (
+       |  SELECT l.qid, k.vec_id AS nid, list_sum(list(l.lv ORDER BY l.s)) AS adc
+       |  FROM codes k JOIN lut l ON l.s = k.s AND l.j = k.code
+       |  WHERE l.qid <> k.vec_id
+       |  GROUP BY l.qid, k.vec_id
+       |), ranked AS (
+       |  SELECT qid, nid, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rank
+       |  FROM adc
+       |)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(adc, 4) AS adc_r
+       |FROM ranked WHERE rank <= $simK ORDER BY qid, rank""".stripMargin
+  }
+
   /** SemDeDup oracle: replays [[Similarity.semanticDedupPairs]] —
     * lowest-id quantizer (as q_ivf_topk), max-dot assignment with
     * first-index tie-break (`ORDER BY d DESC, idx`), within-cluster
@@ -1366,6 +1436,7 @@ object LlmQueries {
           |ORDER BY vec_id""".stripMargin),
     "q_ann_topk_q8" -> annQ8Oracle,
     "q_ivf_topk" -> ivfOracle,
+    "q_pq_topk" -> pqOracle,
     // X46 int8 quantization replay: identical IEEE scale/division and
     // ties-away-from-zero rounding make the CODES exact cross-engine;
     // the sum/L1 aggregates pin them without array-typed compare.
