@@ -220,6 +220,208 @@ object Pq {
         array(codes: _*)))
   }
 
+  // ------------------------------------------------------------------
+  // IVF-PQ: the composed billion-vector layout (FAISS's IVFADC;
+  // Jégou et al. TPAMI 2011 §V). The coarse IVF quantizer bounds the
+  // CANDIDATES (each query probes nProbe of nCells inverted lists);
+  // PQ bounds the BYTES (list entries are (id, m codes), never raw
+  // vectors). Codes quantize the RESIDUAL x − c_cell, not x itself:
+  // within a cell the residuals live in a small ball around the
+  // origin, so the same ksub codebook entries spend their resolution
+  // on the part of x the coarse quantizer didn't already explain —
+  // the score error drops accordingly (pinned in PqSpec). ADC then
+  // decomposes q·x ≈ q·c_cell + q·r̂: the first term falls out of the
+  // probe ranking (the query-centroid dot is already computed), the
+  // second is the m-lookup LUT sum.
+  // ------------------------------------------------------------------
+
+  private def centroidMatrix(centroids: Seq[Seq[Float]]): Array[Array[Double]] =
+    centroids.map(_.map(_.toDouble).toArray).toArray
+
+  /** array<array<double>> plan literal of the coarse centroids. */
+  private def centroidLit(cm: Array[Array[Double]]): Column =
+    array(cm.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
+
+  /** Append `cellCol` (best-dot coarse cell, first index wins ties —
+    * the [[Similarity.ivfTopK]] assignment convention) and `resCol`
+    * (float residual vs the assigned centroid, each element
+    * `float(double(x_i) − c_i)` so any engine reproduces the exact
+    * IEEE value). NULL / element-NULL vectors get NULL cell and
+    * residual. Pure projection — the centroid matrix rides the plan
+    * as a constant, no join, no shuffle.
+    */
+  def withCellAndResidual(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Seq[Seq[Float]],
+      cellCol: String = "ivf_cell",
+      resCol: String = "__res"): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val cm = centroidMatrix(centroids)
+    val ok = col(vecCol).isNotNull && !exists(col(vecCol), _.isNull)
+    df.withColumn("__cd",
+        when(ok, graft.functions.MatVecDotsExpr.matVecDots(col(vecCol), cm)))
+      .withColumn(cellCol,
+        (array_position(col("__cd"), array_max(col("__cd"))) - 1).cast("int"))
+      .withColumn(resCol,
+        zip_with(col(vecCol), element_at(centroidLit(cm), col(cellCol) + 1),
+          (x, c) => (x.cast("double") - c).cast("float")))
+      .drop("__cd")
+  }
+
+  /** Deterministic stand-in RESIDUAL codebooks: subspace slices of
+    * the `ksub` lowest-id corpus rows' residuals — the IVF-PQ
+    * counterpart of [[lowestIdCodebooks]], replayable by any SQL
+    * engine (assignment, residual float cast, and slicing all follow
+    * the engine's own conventions). [[trainResidual]] is the recall
+    * path; this one exists for oracle-exact queries.
+    */
+  def lowestIdResidualCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Float]],
+      dim: Int,
+      m: Int,
+      ksub: Int): PqModel = {
+    validate(dim, m, ksub)
+    val dsub = dim / m
+    val cm = centroidMatrix(centroids)
+    val rows = corpus
+      .select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
+      .orderBy(col(idCol))
+      .limit(ksub)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(rows.length == ksub, s"corpus has < $ksub rows for the quantizer")
+    val residuals = rows.map { v =>
+      // same left-to-right dot and first-max-index rules as the kernel
+      val dots = cm.map { c =>
+        var acc = 0.0; var i = 0
+        while (i < c.length) { acc += c(i) * v(i).toDouble; i += 1 }
+        acc
+      }
+      var best = 0; var i = 1
+      while (i < dots.length) { if (dots(i) > dots(best)) best = i; i += 1 }
+      val c = cm(best)
+      Array.tabulate(dim)(d => (v(d).toDouble - c(d)).toFloat.toDouble)
+    }
+    val books = Array.tabulate(m)(s =>
+      residuals.map(r => r.slice(s * dsub, (s + 1) * dsub)))
+    PqModel(dim, m, books)
+  }
+
+  /** Residual-space [[train]]: assign + residual as one projection,
+    * then per-subspace Lloyd over the residual frame. The codebooks
+    * spend their resolution inside the cells, which is where IVF-PQ
+    * scores (pinned in PqSpec: residual ADC beats raw-vector ADC on
+    * a clustered corpus).
+    */
+  def trainResidual(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Float]],
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int = 3,
+      seedSample: Int = 256): PqModel = {
+    validate(dim, m, ksub)
+    val res = withCellAndResidual(
+      corpus.select(col(idCol), col(vecCol)), vecCol, centroids)
+    train(res, idCol, "__res", dim, m, ksub, iters, seedSample)
+  }
+
+  /** Inverted-list build projection: (…, `cellCol`, `codesCol`) where
+    * codes PQ-encode the cell residual against `model` (a residual
+    * model from [[trainResidual]]/[[lowestIdResidualCodebooks]]).
+    * This IS the index row layout at scale — partition the output by
+    * `cellCol` and the raw vectors never need to be read again for
+    * search. NULL shapes get NULL cell/codes (the ANN-family
+    * exclusion convention). Pure projection, zero shuffle.
+    */
+  def encodeIvf(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Seq[Seq[Float]],
+      model: PqModel,
+      cellCol: String = "ivf_cell",
+      codesCol: String = "pq_codes"): DataFrame = {
+    require(centroids.forall(_.length == model.dim),
+      s"centroid dim must equal model dim ${model.dim}")
+    val withRes = withCellAndResidual(df, vecCol, centroids, cellCol)
+    val codes = (0 until model.m).map(s =>
+      encodeSub(col("__res"), s, model.dsub, model.codebooks(s)))
+    withRes
+      .withColumn(codesCol, when(col(cellCol).isNotNull, array(codes: _*)))
+      .drop("__res")
+  }
+
+  /** IVF-PQ top-`k` (ADC over probed inverted lists): each query
+    * ranks the coarse cells by centroid dot, probes the best
+    * `nProbe`, and scores ONLY those cells' entries by
+    * `q·c_cell + Σ_s lut_s[code_s]`. The corpus side of the scoring
+    * join carries (cell, id, m codes); the query side — LUTs, probe
+    * cells, and the already-computed centroid dots — broadcasts.
+    * Per-query cost ≈ corpus × nProbe/nCells candidate rows × m
+    * lookups each; raw vectors appear in no join at any point.
+    */
+  def ivfAdcTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Float]],
+      model: PqModel,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(nProbe >= 1 && nProbe <= centroids.size,
+      s"nProbe must be in [1, ${centroids.size}]: $nProbe")
+    val cm = centroidMatrix(centroids)
+    val n = encodeIvf(
+        corpus.select(col(idCol).as("nid"), col(vecCol)), vecCol, centroids, model)
+      .filter(col("pq_codes").isNotNull)
+      .select(col("ivf_cell").as("cell"), col("nid"), col("pq_codes").as("__codes"))
+    // probe ranking sorts (−dot, idx) structs — lower idx wins ties,
+    // the same rule as ivfTopK; qc recovers the dot by exact negation
+    val probes = {
+      val ranked = array_sort(transform(
+        sequence(lit(0), lit(centroids.size - 1)),
+        i => struct((-element_at(col("__cd"), i + 1)).as("neg"), i.as("idx"))))
+      transform(slice(ranked, lit(1), lit(nProbe)),
+        s => struct(s.getField("idx").cast("int").as("cell"), (-s.getField("neg")).as("qc")))
+    }
+    val q = queries
+      .filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
+      .select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+      .withColumn("__cd", graft.functions.MatVecDotsExpr.matVecDots(col("__qv"), cm))
+      .select(col("qid"), lutArray("__qv", model).as("__luts"), explode(probes).as("__p"))
+      .select(col("qid"), col("__luts"),
+        col("__p.cell").as("cell"), col("__p.qc").as("qc"))
+    val adcSum = aggregate(
+      zip_with(col("__codes"), col("__luts"), (c, l) => element_at(l, c + 1)),
+      lit(0.0),
+      (acc, x) => acc + x)
+    val scored = n
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), (adcSum + col("qc")).as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("adc"))
+  }
+
+  /** Per-subspace LUTs of `vecCol` against the model's codebooks. */
+  private def lutArray(vecCol: String, model: PqModel): Column =
+    array((0 until model.m).map(s =>
+      graft.functions.MatVecDotsExpr.matVecDots(
+        subVec(col(vecCol), s, model.dsub), model.codebooks(s))): _*)
+
   /** ADC top-`k`: rank every corpus code row against every query by
     * the table-lookup inner product `Σ_s lut_s[code_s]`. The corpus
     * side carries ONLY (id, codes) — never raw vectors; the query

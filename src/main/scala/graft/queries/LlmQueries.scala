@@ -531,6 +531,27 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // X104 IVF-PQ (FAISS's IVFADC): candidates bounded by probing
+    // nProbe of the coarse cells, scoring by ADC over RESIDUAL codes
+    // — q·c_cell (already computed by the probe ranking) plus the
+    // m-lookup LUT sum. The corpus side of the scoring join carries
+    // (cell, id, codes) only; raw vectors never move. Deterministic
+    // end to end: lowest-id coarse centroids (the q_ivf_topk seed),
+    // lowest-id residual codebooks, exact float residual cast.
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.select(col("vec_id"), col("embedding"))
+        .orderBy("vec_id").limit(ivfCentroids)
+        .collect().map(_.getSeq[Float](1)).toSeq
+      val model = Pq.lowestIdResidualCodebooks(
+        emb, "vec_id", "embedding", cents, embeddingDim, pqM, pqKsub)
+      Pq.ivfAdcTopK(emb, emb.filter(col("vec_id") < simQueryIds),
+          "vec_id", "embedding", cents, model, ivfProbe, simK)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("adc"), 4).as("adc_r"))
+        .orderBy("qid", "rank")
+    }),
+
     // Full curation pipeline composed end-to-end: quality filter ∩
     // near-dup survivors → per-language corpus stats. The shape a real
     // training-data run executes: each stage is one of the
@@ -1301,6 +1322,85 @@ object LlmQueries {
        |FROM ranked WHERE rank <= $simK ORDER BY qid, rank""".stripMargin
   }
 
+  /** IVF-PQ oracle: composes the [[ivfOracle]] coarse conventions
+    * (lowest-id centroids, best-dot assignment with first-index
+    * tie-break, top-nProbe probes) with the [[pqOracle]] code/LUT
+    * replay, over RESIDUALS. The residual is the exact engine float:
+    * `CAST(x_i::DOUBLE − c_i::DOUBLE AS FLOAT)` (the JVM computes the
+    * same double-subtract-then-narrow). The final score replays
+    * Spark's `Σ_s lut + qc`: the LUT fold in subspace order first,
+    * then ONE add of the query-centroid dot.
+    */
+  private def ivfPqOracle: String = {
+    val dsub = embeddingDim / pqM
+    def subDot(vec: String) =
+      s"list_sum(list_transform(range(1, ${dsub + 1}), i -> $vec[sub.s*$dsub + i]::DOUBLE * sub.cs[i]::DOUBLE))"
+    s"""WITH cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS idx,
+       |    embedding AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $ivfCentroids)
+       |), cd AS (
+       |  SELECT e.vec_id, c.idx,
+       |    ${dotSql("c.cvec", "e.embedding")} AS d
+       |  FROM embeddings e CROSS JOIN cent c
+       |), assign AS (
+       |  SELECT vec_id, idx AS cell FROM (
+       |    SELECT vec_id, idx,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, idx) AS rn
+       |    FROM cd
+       |  ) WHERE rn = 1
+       |), res AS (
+       |  SELECT e.vec_id, a.cell,
+       |    list_transform(range(1, ${embeddingDim + 1}),
+       |      i -> CAST(e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE AS FLOAT)) AS rv
+       |  FROM embeddings e
+       |  JOIN assign a ON a.vec_id = e.vec_id
+       |  JOIN cent c ON c.idx = a.cell
+       |), rbook AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, rv
+       |  FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT $pqKsub)
+       |), sub AS (
+       |  SELECT CAST(ss.s AS INTEGER) AS s, r.j,
+       |    list_transform(range(1, ${dsub + 1}), i -> r.rv[ss.s*$dsub + i]) AS cs
+       |  FROM (SELECT unnest(range(0, $pqM)) AS s) ss CROSS JOIN rbook r
+       |), cdq AS (
+       |  SELECT r.vec_id, r.cell, sub.s, sub.j,
+       |    ${subDot("r.rv")}
+       |      - 0.5 * list_sum(list_transform(range(1, ${dsub + 1}), i -> sub.cs[i]::DOUBLE * sub.cs[i]::DOUBLE)) AS score
+       |  FROM res r CROSS JOIN sub
+       |), codes AS (
+       |  SELECT vec_id, cell, s, j AS code FROM (
+       |    SELECT vec_id, cell, s, j,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, j) AS rn
+       |    FROM cdq
+       |  ) WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS qid, idx AS cell, d AS qc FROM (
+       |    SELECT vec_id, idx, d,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, idx) AS rn
+       |    FROM cd WHERE vec_id < $simQueryIds
+       |  ) WHERE rn <= $ivfProbe
+       |), lut AS (
+       |  SELECT q.vec_id AS qid, sub.s, sub.j, ${subDot("q.embedding")} AS lv
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $simQueryIds) q
+       |  CROSS JOIN sub
+       |), adc AS (
+       |  SELECT l.qid, k.vec_id AS nid,
+       |    list_sum(list(l.lv ORDER BY l.s)) + max(p.qc) AS adc
+       |  FROM codes k
+       |  JOIN probes p ON p.cell = k.cell
+       |  JOIN lut l ON l.qid = p.qid AND l.s = k.s AND l.j = k.code
+       |  WHERE p.qid <> k.vec_id
+       |  GROUP BY l.qid, k.vec_id
+       |), ranked AS (
+       |  SELECT qid, nid, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rank
+       |  FROM adc
+       |)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(adc, 4) AS adc_r
+       |FROM ranked WHERE rank <= $simK ORDER BY qid, rank""".stripMargin
+  }
+
   /** SemDeDup oracle: replays [[Similarity.semanticDedupPairs]] —
     * lowest-id quantizer (as q_ivf_topk), max-dot assignment with
     * first-index tie-break (`ORDER BY d DESC, idx`), within-cluster
@@ -1437,6 +1537,7 @@ object LlmQueries {
     "q_ann_topk_q8" -> annQ8Oracle,
     "q_ivf_topk" -> ivfOracle,
     "q_pq_topk" -> pqOracle,
+    "q_ivfpq_topk" -> ivfPqOracle,
     // X46 int8 quantization replay: identical IEEE scale/division and
     // ties-away-from-zero rounding make the CODES exact cross-engine;
     // the sum/L1 aggregates pin them without array-typed compare.

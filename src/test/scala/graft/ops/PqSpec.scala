@@ -146,6 +146,97 @@ class PqSpec extends SparkSpec {
       s"query side must broadcast:\n$plan")
   }
 
+  // ---- IVF-PQ -------------------------------------------------------
+
+  /** One true cluster center per cell — the honest coarse quantizer
+    * for this fixture (member 0 of each cluster).
+    */
+  private def clusterHeads(corpus: org.apache.spark.sql.DataFrame, nClusters: Int, perCluster: Int): Seq[Seq[Float]] =
+    corpus.filter(col("vec_id") % perCluster === 0).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0)).toSeq
+
+  test("IVF-PQ: cells track clusters and the residual replays the exact float cast") {
+    val corpus = clustered(6, 20)
+    val cents = clusterHeads(corpus, 6, 20)
+    val cm = cents.map(_.map(_.toDouble).toArray).toArray
+    val got = Pq.withCellAndResidual(corpus, "embedding", cents)
+      .select("vec_id", "ivf_cell", "__res").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray)).toList
+    val vecs = collectVecs(corpus)
+    got.foreach { case (id, cell, res) =>
+      assert(cell == (id / 20).toInt, s"vec $id assigned to cell $cell")
+      // exact replay: float(double(x_i) − c_i)
+      val expect = Array.tabulate(dim)(d => (vecs(id)(d) - cm(cell)(d)).toFloat)
+      assert(res.sameElements(expect), s"residual mismatch for vec $id")
+    }
+    // NULL-shape vectors get NULL cell (and therefore NULL codes)
+    val bad = Seq((100L, null: Seq[java.lang.Float])).toDF("vec_id", "embedding")
+    val model = Pq.lowestIdResidualCodebooks(corpus, "vec_id", "embedding", cents, dim, m = 4, ksub = 4)
+    assert(Pq.encodeIvf(bad, "embedding", cents, model).select("pq_codes")
+      .collect().forall(_.isNullAt(0)))
+  }
+
+  test("IVF-PQ: residual quantization reconstructs strictly better than raw PQ") {
+    val corpus = clustered(6, 20)
+    val cents = clusterHeads(corpus, 6, 20)
+    val cm = cents.map(_.map(_.toDouble).toArray).toArray
+    val raw = Pq.train(corpus, "vec_id", "embedding", dim, m = 4, ksub = 4, iters = 2)
+    val res = Pq.trainResidual(corpus, "vec_id", "embedding", cents, dim, m = 4, ksub = 4, iters = 2)
+    val vecs = collectVecs(corpus)
+    def recon(model: Pq.PqModel, v: Array[Double]): Array[Double] = {
+      val codes = encodeRef(v, model)
+      (0 until model.m).flatMap(s => model.codebooks(s)(codes(s))).toArray
+    }
+    def err(xs: Seq[(Array[Double], Array[Double])]): Double =
+      xs.map { case (a, b) => a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum }.sum / xs.size
+    val rawErr = err(vecs.values.toSeq.map(v => (v, recon(raw, v))))
+    val resErr = err(vecs.toSeq.map { case (id, v) =>
+      val c = cm((id / 20).toInt)
+      val residual = Array.tabulate(dim)(d => (v(d) - c(d)).toFloat.toDouble)
+      (v, c.zip(recon(res, residual)).map { case (x, y) => x + y })
+    })
+    assert(resErr < rawErr * 0.5,
+      s"residual MSE $resErr should be well under raw MSE $rawErr")
+  }
+
+  test("IVF-PQ: ADC over probed cells preserves the true neighborhood") {
+    val corpus = clustered(6, 20)
+    val cents = clusterHeads(corpus, 6, 20)
+    val model = Pq.trainResidual(corpus, "vec_id", "embedding", cents, dim, m = 8, ksub = 16, iters = 3)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val got = Pq.ivfAdcTopK(corpus, queries, "vec_id", "embedding", cents, model, nProbe = 2, k = 10)
+      .collect().map(r =>
+        (r.getAs[Long]("qid"), r.getAs[Int]("rank"), r.getAs[Long]("nid"), r.getAs[Double]("adc")))
+    assert(got.length == 50)
+    val vecs = collectVecs(corpus)
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    got.foreach { case (q, _, n, adc) =>
+      // candidates stay in the probed (true) cluster and ADC tracks the true dot
+      assert(n / 20 == q / 20, s"neighbor $n left query $q's cluster")
+      val truth = dot(vecs(q), vecs(n))
+      assert(math.abs(adc - truth) / math.abs(truth) < 0.05, s"adc $adc vs true $truth")
+    }
+    got.filter(_._2 == 1).foreach { case (q, _, n, _) =>
+      val best = vecs.collect { case (id, v) if id != q => dot(vecs(q), v) }.max
+      assert(dot(vecs(q), vecs(n)) >= best * 0.95)
+    }
+  }
+
+  test("IVF-PQ plan pins: encode is shuffle-free, scoring is a broadcast hash join on cell") {
+    val corpus = clustered(4, 10)
+    val cents = clusterHeads(corpus, 4, 10)
+    val model = Pq.lowestIdResidualCodebooks(corpus, "vec_id", "embedding", cents, dim, m = 4, ksub = 4)
+    val encodePlan = Pq.encodeIvf(corpus, "embedding", cents, model)
+      .queryExecution.executedPlan.toString
+    assert(!encodePlan.contains("Exchange"), s"encodeIvf must not shuffle:\n$encodePlan")
+    val q = Pq.ivfAdcTopK(corpus, corpus.filter(col("vec_id") < 2),
+      "vec_id", "embedding", cents, model, nProbe = 2, k = 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"cell join must broadcast-hash:\n$plan")
+    // the corpus side of the scoring join never carries the raw vectors
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"no all-pairs join:\n$plan")
+  }
+
   test("knob validation") {
     val corpus = clustered(2, 4)
     intercept[IllegalArgumentException] {
@@ -157,6 +248,11 @@ class PqSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       val model = Pq.lowestIdCodebooks(corpus, "vec_id", "embedding", dim, m = 4, ksub = 4)
       Pq.adcTopK(corpus, corpus, "vec_id", "embedding", model, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      val cents = clusterHeads(corpus, 2, 4)
+      val model = Pq.lowestIdResidualCodebooks(corpus, "vec_id", "embedding", cents, dim, m = 4, ksub = 4)
+      Pq.ivfAdcTopK(corpus, corpus, "vec_id", "embedding", cents, model, nProbe = 3, k = 1)
     }
   }
 }
