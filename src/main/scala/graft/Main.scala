@@ -163,7 +163,9 @@ object Main {
         // Offline IVF index build (X99): train the quantizer over
         // --input, persist centroids + cell-partitioned assignments
         // under --store_dir in one atomic swap. Returns the cell
-        // census (the balance report).
+        // census (the balance report). --pq_m > 0 builds the
+        // PQ-compressed layout (X104): cell rows carry m codes
+        // instead of raw vectors, codebooks persist with the index.
         pipeline.AnnIndex.build(spark, pipeline.AnnIndex.Config(
           input = req("input"),
           storeDir = req("store_dir"),
@@ -171,7 +173,9 @@ object Main {
           vecCol = opts.getOrElse("vector_column", "embedding"),
           dim = opts.get("dim").map(_.toInt).getOrElse(64),
           nCentroids = opts.get("n_centroids").map(_.toInt).getOrElse(16),
-          iters = opts.get("iters").map(_.toInt).getOrElse(3)))
+          iters = opts.get("iters").map(_.toInt).getOrElse(3),
+          pqM = opts.get("pq_m").map(_.toInt).getOrElse(0),
+          pqKsub = opts.get("pq_ksub").map(_.toInt).getOrElse(16)))
       case "ann-append" =>
         // Incremental index maintenance: assign --input's vectors to
         // the LIVE centroids and commit them as one new increment
@@ -188,13 +192,17 @@ object Main {
       case "ann-query" =>
         // Online path: top-k neighbors for --queries against the
         // persisted index, probing --n_probe cells; writes --output.
+        // Against a PQ store, --refine_with=<corpus path> re-ranks
+        // the ADC shortlist (k × --refine_factor) by exact cosine.
         val out = pipeline.AnnIndex.query(
           spark, req("store_dir"),
           spark.read.parquet(req("queries")),
           idCol = opts.getOrElse("id_column", "vec_id"),
           vecCol = opts.getOrElse("vector_column", "embedding"),
           k = opts.get("k").map(_.toInt).getOrElse(10),
-          nProbe = opts.get("n_probe").map(_.toInt).getOrElse(4))
+          nProbe = opts.get("n_probe").map(_.toInt).getOrElse(4),
+          refineWith = opts.get("refine_with").map(spark.read.parquet(_)),
+          refineFactor = opts.get("refine_factor").map(_.toInt).getOrElse(4))
         out.write.mode("overwrite").parquet(req("output"))
         spark.read.parquet(req("output"))
       case "privacy" =>

@@ -68,7 +68,7 @@ object Pq {
   }
 
   /** Subspace `s`'s slice of `vec` (1-based slice, `array<float>`). */
-  private def subVec(vec: Column, s: Int, dsub: Int): Column =
+  private[graft] def subVec(vec: Column, s: Int, dsub: Int): Column =
     slice(vec, s * dsub + 1, dsub)
 
   /** Deterministic stand-in codebooks: subspace slices of the `ksub`
@@ -401,10 +401,7 @@ object Pq {
       .select(col("qid"), lutArray("__qv", model).as("__luts"), explode(probes).as("__p"))
       .select(col("qid"), col("__luts"),
         col("__p.cell").as("cell"), col("__p.qc").as("qc"))
-    val adcSum = aggregate(
-      zip_with(col("__codes"), col("__luts"), (c, l) => element_at(l, c + 1)),
-      lit(0.0),
-      (acc, x) => acc + x)
+    val adcSum = adcFold(col("__codes"), col("__luts"))
     val scored = n
       .join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
@@ -416,8 +413,17 @@ object Pq {
       .select(col("qid"), col("rank"), col("nid"), col("adc"))
   }
 
+  /** `Σ_s lut_s[code_s]` — the in-subspace-order ADC fold shared by
+    * every scorer (replayable: left-to-right over subspaces).
+    */
+  private[graft] def adcFold(codes: Column, luts: Column): Column =
+    aggregate(
+      zip_with(codes, luts, (c, l) => element_at(l, c + 1)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
   /** Per-subspace LUTs of `vecCol` against the model's codebooks. */
-  private def lutArray(vecCol: String, model: PqModel): Column =
+  private[graft] def lutArray(vecCol: String, model: PqModel): Column =
     array((0 until model.m).map(s =>
       graft.functions.MatVecDotsExpr.matVecDots(
         subVec(col(vecCol), s, model.dsub), model.codebooks(s))): _*)
@@ -453,11 +459,7 @@ object Pq {
     val n = codes
       .filter(col(codesCol).isNotNull)
       .select(col(idCol).as("nid"), col(codesCol).as("__codes"))
-    val adc = aggregate(
-      zip_with(col("__codes"), col("__luts"),
-        (c, l) => element_at(l, c + 1)),
-      lit(0.0),
-      (acc, x) => acc + x)
+    val adc = adcFold(col("__codes"), col("__luts"))
     val scored = n
       .join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), adc.as("adc"))

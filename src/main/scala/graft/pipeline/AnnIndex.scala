@@ -34,6 +34,17 @@ import org.apache.spark.sql.functions._
   * folds the generations back into one base — the X49 store
   * lifecycle applied to the index.
   *
+  * With `pqM > 0` the store is PQ-COMPRESSED (the X104 IVFADC
+  * layout, [[graft.ops.Pq]]): cell rows are (id, m codes) of the
+  * unit vector's cell residual instead of `dim` raw floats — 16–32×
+  * less index to store AND scan — and `codebooks.parquet` joins the
+  * swap as a third half. [[query]] then scores ADC-approximate
+  * cosine from the codes (raw vectors move through no join), with an
+  * optional exact-cosine refine of the bounded shortlist against the
+  * source corpus. This is what makes a billion-vector index FIT: at
+  * 100 TB of raw embeddings the probed scan reads ~nProbe/nCells of
+  * a ~4 TB code table, not of the vectors.
+  *
   * Store refresh = rerun [[build]]; a crash between the renames
   * recovers via [[AtomicSwap.recover]]. Concurrency contract: the
   * swap keeps the ON-DISK state consistent (both halves always from
@@ -46,6 +57,13 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** `pqM > 0` builds a PQ-COMPRESSED store (X104 layout): cell rows
+    * carry `m` small codes instead of `dim` floats — 16–32× less
+    * index to store and scan — and [[query]] scores by ADC against
+    * the persisted residual codebooks (approximate cosine; optional
+    * exact refine against the source corpus). `pqM = 0` keeps the
+    * exact raw-vector store.
+    */
   final case class Config(
       input: String,
       storeDir: String,
@@ -54,11 +72,14 @@ object AnnIndex {
       dim: Int = 64,
       nCentroids: Int = 16,
       iters: Int = 3,
-      seedSample: Int = 256)
+      seedSample: Int = 256,
+      pqM: Int = 0,
+      pqKsub: Int = 16)
 
   def indexPath(storeDir: String): String = s"$storeDir/index"
   private def centroidsPath(index: String): String = s"$index/centroids.parquet"
   private def cellsPath(index: String): String = s"$index/cells.parquet"
+  private def codebooksPath(index: String): String = s"$index/codebooks.parquet"
 
   /** The fused-kernel cell assignment both paths share: dots against
     * every centroid in one call, argmax index (first wins ties).
@@ -70,6 +91,52 @@ object AnnIndex {
       graft.functions.MatVecDotsExpr.matVecDots(
         col(vecCol), centroids.map(_.map(_.toDouble).toArray).toArray))
 
+  /** Unit-normalize `vecCol` into `outCol` (each element the exact
+    * `float(double(x_i) / ‖x‖)`) and drop zero-norm rows — a zero
+    * vector has no direction, the same exclusion the cosine family
+    * applies through its NaN guards. The PQ store quantizes
+    * DIRECTIONS: residuals of unit vectors against the (unit,
+    * spherical-k-means) centroids stay small, and cosine then needs
+    * no stored norm at query time — `cos(q, x) = q·(x/‖x‖) / ‖q‖`.
+    */
+  private def unitized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("__norm",
+        sqrt(aggregate(col(vecCol), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))))
+      .filter(col("__norm") > 0.0)
+      .withColumn(outCol,
+        transform(col(vecCol), e => (e.cast("double") / col("__norm")).cast("float")))
+      .drop("__norm")
+
+  private def writeCodebooks(
+      spark: SparkSession, model: graft.ops.Pq.PqModel, path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- 0 until model.m
+      j <- 0 until model.ksub
+    } yield (s, j, model.codebooks(s)(j).toSeq)
+    rows.toDF("s", "j", "cvec").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  private def loadCodebooks(
+      spark: SparkSession, index: String): graft.ops.Pq.PqModel = {
+    val rows = spark.read.parquet(codebooksPath(index))
+      .select("s", "j", "cvec").orderBy("s", "j").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val books = Array.tabulate(m, ksub)((s, j) => rows(s * ksub + j)._3)
+    graft.ops.Pq.PqModel(m * books(0)(0).length, m, books)
+  }
+
+  /** A store built with `pqM > 0` persists its residual codebooks —
+    * their presence selects the ADC query path.
+    */
+  private def isPqStore(spark: SparkSession, index: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(codebooksPath(index))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Build (or refresh) the index store from the corpus at
     * `cfg.input`. Returns the assignment cell census (cell, n) —
     * the balance report an operator checks before trusting probes.
@@ -78,7 +145,10 @@ object AnnIndex {
     * → NULL dots → NULL argmax), so either shape would otherwise land
     * in a `cell=null` default partition that no probe ever reads —
     * silently unqueryable ids and a census row downstream code
-    * doesn't expect. (Same guard as [[graft.ops.Pca.fit]].)
+    * doesn't expect. (Same guard as [[graft.ops.Pca.fit]].) A PQ
+    * build (`pqM > 0`) additionally drops zero-norm vectors (no
+    * direction to quantize) and stores (id, codes) per cell instead
+    * of raw vectors, plus the codebooks as a third swap half.
     */
   def build(spark: SparkSession, cfg: Config): DataFrame = {
     import spark.implicits._
@@ -96,11 +166,26 @@ object AnnIndex {
       .toDF("cell", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(centroidsPath(next))
-    val assign = array_position(col("__cd"), array_max(col("__cd"))).cast("int") - 1
-    withCellDots(corpus.select(col(cfg.idCol), col(cfg.vecCol)), cfg.vecCol, centroids)
-      .withColumn("cell", assign)
-      .drop("__cd")
-      .write.mode("overwrite").partitionBy("cell").parquet(cellsPath(next))
+    if (cfg.pqM > 0) {
+      // PQ layout: assignment is identical (dot(x/‖x‖, c) shares the
+      // raw path's argmax — positive scaling never moves it), but the
+      // cell rows carry codes of the unit vector's cell residual.
+      val normed = unitized(
+        corpus.select(col(cfg.idCol), col(cfg.vecCol)), cfg.vecCol, "__xn")
+      val model = graft.ops.Pq.trainResidual(
+        normed, cfg.idCol, "__xn", centroids, cfg.dim, cfg.pqM, cfg.pqKsub,
+        iters = cfg.iters, seedSample = cfg.seedSample)
+      writeCodebooks(spark, model, codebooksPath(next))
+      graft.ops.Pq.encodeIvf(normed, "__xn", centroids, model, cellCol = "cell")
+        .select(col(cfg.idCol), col("pq_codes"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(cellsPath(next))
+    } else {
+      val assign = array_position(col("__cd"), array_max(col("__cd"))).cast("int") - 1
+      withCellDots(corpus.select(col(cfg.idCol), col(cfg.vecCol)), cfg.vecCol, centroids)
+        .withColumn("cell", assign)
+        .drop("__cd")
+        .write.mode("overwrite").partitionBy("cell").parquet(cellsPath(next))
+    }
     AtomicSwap.swapIn(spark, index, next)
     spark.read.parquet(cellsPath(index))
       .groupBy("cell").agg(count(lit(1)).as("n")).orderBy("cell")
@@ -171,11 +256,22 @@ object AnnIndex {
     val n = cellSources(spark, index).size - 1 // existing increments
     val target = s"$index/cells_inc_$n.parquet"
     val tmp = target + ".tmp"
-    val assign = array_position(col("__cd"), array_max(col("__cd"))).cast("int") - 1
-    withCellDots(increment.select(col(idCol), col(vecCol)), vecCol, centroids)
-      .withColumn("cell", assign)
-      .drop("__cd")
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    if (isPqStore(spark, index)) {
+      // encode the increment against the LIVE codebooks — the same
+      // frozen-model contract as the frozen centroids
+      val model = loadCodebooks(spark, index)
+      val normed = unitized(
+        increment.select(col(idCol), col(vecCol)), vecCol, "__xn")
+      graft.ops.Pq.encodeIvf(normed, "__xn", centroids, model, cellCol = "cell")
+        .select(col(idCol), col("pq_codes"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    } else {
+      val assign = array_position(col("__cd"), array_max(col("__cd"))).cast("int") - 1
+      withCellDots(increment.select(col(idCol), col(vecCol)), vecCol, centroids)
+        .withColumn("cell", assign)
+        .drop("__cd")
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    }
     val fs = new org.apache.hadoop.fs.Path(index)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.rename(
@@ -199,6 +295,10 @@ object AnnIndex {
     spark.read.parquet(centroidsPath(index))
       .coalesce(1)
       .write.mode("overwrite").parquet(centroidsPath(next))
+    if (isPqStore(spark, index))
+      spark.read.parquet(codebooksPath(index))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(codebooksPath(next))
     readCells(spark, index)
       .write.mode("overwrite").partitionBy("cell").parquet(cellsPath(next))
     AtomicSwap.swapIn(spark, index, next)
@@ -217,6 +317,15 @@ object AnnIndex {
 
   /** Query the persisted index: top-`k` cosine neighbors per query
     * row, probing each query's `nProbe` best cells only.
+    *
+    * Against a PQ store the scores are ADC-approximate cosine —
+    * `(q·c_cell + Σ_s lut_s[code_s]) / ‖q‖`, the cell term recovered
+    * for free from the probe ranking — and the scan moves (cell, id,
+    * codes) rows only. `refineWith = Some(corpus)` then re-ranks each
+    * query's ADC top-`k × refineFactor` shortlist by EXACT cosine
+    * against the source corpus (one broadcast-semi join by id — the
+    * shortlist is queries × k × factor rows, bounded): the standard
+    * two-stage ANN serving shape, quantized scan + exact refine.
     */
   def query(
       spark: SparkSession,
@@ -225,28 +334,81 @@ object AnnIndex {
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      refineWith: Option[DataFrame] = None,
+      refineFactor: Int = 4): DataFrame = {
     require(k >= 1 && nProbe >= 1, s"k and nProbe must be >= 1: $k, $nProbe")
     val index = indexPath(storeDir)
     AtomicSwap.recover(spark, index)
     val centroids = loadCentroids(spark, index)
     require(nProbe <= centroids.size,
       s"nProbe=$nProbe exceeds the index's ${centroids.size} cells")
-    val probes = {
-      val ranked = array_sort(transform(
-        sequence(lit(0), lit(centroids.size - 1)),
-        i => struct((-element_at(col("__cd"), i + 1)).as("neg"), i.as("idx"))))
-      transform(slice(ranked, lit(1), lit(nProbe)), s => s.getField("idx"))
+    if (!isPqStore(spark, index)) {
+      require(refineWith.isEmpty,
+        "refineWith applies to PQ stores; the raw store is already exact")
+      val probes = {
+        val ranked = array_sort(transform(
+          sequence(lit(0), lit(centroids.size - 1)),
+          i => struct((-element_at(col("__cd"), i + 1)).as("neg"), i.as("idx"))))
+        transform(slice(ranked, lit(1), lit(nProbe)), s => s.getField("idx"))
+      }
+      val q = withCellDots(
+          queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+          "qvec", centroids)
+        .select(col("qid"), col("qvec"), explode(probes).as("cell"))
+      val cells = readCells(spark, index)
+        .select(col("cell"), col(idCol).as("nid"), col(vecCol).as("nvec"))
+      val scored = cells.join(broadcast(q), Seq("cell"))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("sim", Similarity.cosine(col("qvec"), col("nvec")))
+      Similarity.rankTopK(scored, k)
+    } else {
+      require(refineFactor >= 1, s"refineFactor must be >= 1: $refineFactor")
+      val model = loadCodebooks(spark, index)
+      // (probe cell, q·c_cell) pairs — qc by exact negation of the
+      // sort key, the ivfAdcTopK convention
+      val probes = {
+        val ranked = array_sort(transform(
+          sequence(lit(0), lit(centroids.size - 1)),
+          i => struct((-element_at(col("__cd"), i + 1)).as("neg"), i.as("idx"))))
+        transform(slice(ranked, lit(1), lit(nProbe)),
+          s => struct(s.getField("idx").cast("int").as("cell"),
+            (-s.getField("neg")).as("qc")))
+      }
+      val q = withCellDots(
+          queries
+            .filter(col(vecCol).isNotNull && !exists(col(vecCol), v => v.isNull))
+            .select(col(idCol).as("qid"), col(vecCol).as("__qv")),
+          "__qv", centroids)
+        .withColumn("__qnorm",
+          sqrt(aggregate(col("__qv"), lit(0.0),
+            (a, x) => a + x.cast("double") * x.cast("double"))))
+        .filter(col("__qnorm") > 0.0)
+        .select(col("qid"), graft.ops.Pq.lutArray("__qv", model).as("__luts"),
+          col("__qnorm"), explode(probes).as("__p"))
+        .select(col("qid"), col("__luts"), col("__qnorm"),
+          col("__p.cell").as("cell"), col("__p.qc").as("qc"))
+      val cells = readCells(spark, index)
+        .select(col("cell"), col(idCol).as("nid"), col("pq_codes").as("__codes"))
+      val scored = cells.join(broadcast(q), Seq("cell"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          ((graft.ops.Pq.adcFold(col("__codes"), col("__luts")) + col("qc"))
+            / col("__qnorm")).as("sim"))
+      refineWith match {
+        case None => Similarity.rankTopK(scored, k)
+        case Some(corpus) =>
+          val shortlist = Similarity.rankTopK(scored, k * refineFactor)
+            .select("qid", "nid")
+          val nv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+          val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+          val exact = nv
+            .join(broadcast(shortlist), Seq("nid"))
+            .join(broadcast(qv), Seq("qid"))
+            .withColumn("sim", Similarity.cosine(col("qvec"), col("nvec")))
+            .select("qid", "nid", "sim")
+          Similarity.rankTopK(exact, k)
+      }
     }
-    val q = withCellDots(
-        queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
-        "qvec", centroids)
-      .select(col("qid"), col("qvec"), explode(probes).as("cell"))
-    val cells = readCells(spark, index)
-      .select(col("cell"), col(idCol).as("nid"), col(vecCol).as("nvec"))
-    val scored = cells.join(broadcast(q), Seq("cell"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", Similarity.cosine(col("qvec"), col("nvec")))
-    Similarity.rankTopK(scored, k)
   }
 }

@@ -184,6 +184,123 @@ class AnnIndexSpec extends SparkSpec {
     assert(!cellDirs.exists(_.contains("HIVE_DEFAULT")), cellDirs.mkString(","))
   }
 
+  test("PQ store: codes-only cells shrink the index; ADC + refine recall; lifecycle") {
+    val dir = java.nio.file.Files.createTempDirectory("annpq").toString
+    val corpus = clustered(6, 200)
+    corpus.write.mode("overwrite").parquet(s"$dir/corpus")
+    def cfg(store: String, m: Int) = AnnIndex.Config(
+      input = s"$dir/corpus", storeDir = store, dim = dim,
+      nCentroids = 6, iters = 2, seedSample = 120, pqM = m, pqKsub = 16)
+    AnnIndex.build(spark, cfg(s"$dir/raw", 0))
+    val census = AnnIndex.build(spark, cfg(s"$dir/pq", 4))
+    assert(census.agg(sum("n")).head().getLong(0) == 1200L)
+
+    // the compression claim, measured: the PQ cells dataset is less
+    // than half the raw one on disk (1200 × 4 small codes vs 16 floats)
+    def bytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(p))
+    }
+    val rawB = bytes(s"$dir/raw/index/cells.parquet")
+    val pqB = bytes(s"$dir/pq/index/cells.parquet")
+    assert(pqB < rawB / 2, s"pq cells $pqB bytes vs raw $rawB")
+    // and the cells carry NO raw vectors — only ids and codes
+    assert(spark.read.parquet(s"$dir/pq/index/cells.parquet").columns.toSet
+      == Set("vec_id", "pq_codes", "cell"))
+
+    // ADC-only query: coarse neighborhood is exact on this fixture
+    val queries = corpus.filter(col("vec_id") < 5)
+    val adc = AnnIndex.query(spark, s"$dir/pq", queries,
+      "vec_id", "embedding", k = 10, nProbe = 2)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    assert(adc.length == 50)
+    adc.foreach { case (q, n) => assert(n / 200 == q / 200, s"$n left $q's cluster") }
+
+    // exact refine over the bounded ADC shortlist recovers brute-force
+    // recall — measured on a corpus with REAL neighborhood structure
+    // (noise comparable to the spread: distinct cosine gaps). The
+    // tight fixture above is the adversarial case for ANY quantizer:
+    // within a cluster every member is a 1e-5-level near-tie, so an
+    // ADC shortlist is as good as random there — which is exactly why
+    // the contract pins the coarse neighborhood on it, not rank order.
+    val noisy = {
+      val centers = Array.tabulate(6, dim)((c, d) => prng(1, c, d) * 10f)
+      val rows = for { c <- 0 until 6; m <- 0 until 100 } yield {
+        val id = (c * 100 + m).toLong
+        (id, Array.tabulate(dim)(d => centers(c)(d) + prng(3, id.toInt, d) * 4f).toSeq)
+      }
+      rows.toDF("vec_id", "embedding")
+    }
+    noisy.write.mode("overwrite").parquet(s"$dir/noisy")
+    AnnIndex.build(spark, AnnIndex.Config(
+      input = s"$dir/noisy", storeDir = s"$dir/pq2", dim = dim,
+      nCentroids = 6, iters = 2, seedSample = 120, pqM = 8, pqKsub = 16))
+    val nq = noisy.filter(col("vec_id") < 5)
+    val refined = AnnIndex.query(spark, s"$dir/pq2", nq,
+      "vec_id", "embedding", k = 10, nProbe = 2,
+      refineWith = Some(noisy), refineFactor = 8)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = graft.ops.Similarity.bruteForceTopK(
+        noisy, nq, "vec_id", "embedding", 10)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recall = exact.keys.toSeq
+      .map(q => (exact(q) & refined(q)).size.toDouble / 10).sum / exact.size
+    assert(recall >= 0.9, s"refined recall $recall")
+
+    // append encodes against the live codebooks; the refined query
+    // finds the appended twin at rank 1 with sim = 1 (on the noisy
+    // store, where ADC rank order is meaningful)
+    noisy.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/inc")
+    val census2 = AnnIndex.append(spark, s"$dir/pq2", s"$dir/inc")
+    assert(census2.agg(sum("n")).head().getLong(0) == 601L)
+    val q0 = noisy.filter(col("vec_id") === 0L)
+    val fullCorpus = noisy.unionByName(spark.read.parquet(s"$dir/inc"))
+    val top = AnnIndex.query(spark, s"$dir/pq2", q0,
+      "vec_id", "embedding", k = 3, nProbe = 2,
+      refineWith = Some(fullCorpus)).filter(col("rank") === 1).head()
+    assert(top.getAs[Long]("nid") == 5000L && top.getAs[Double]("sim") > 0.999999)
+
+    // compact carries the codebooks and preserves results exactly
+    val pre = AnnIndex.query(spark, s"$dir/pq2", q0,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    AnnIndex.compact(spark, s"$dir/pq2")
+    assert(AnnIndex.cellSources(spark, s"$dir/pq2/index").size == 1)
+    val post = AnnIndex.query(spark, s"$dir/pq2", q0,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    assert(post == pre)
+
+    // the raw store is already exact — refineWith is a contract error
+    intercept[IllegalArgumentException] {
+      AnnIndex.query(spark, s"$dir/raw", q0,
+        "vec_id", "embedding", k = 3, nProbe = 2, refineWith = Some(corpus))
+    }
+    graft.CachedFrames.unpersistAll()
+  }
+
+  test("CLI: pq-compressed ann-index with refined ann-query") {
+    val dir = java.nio.file.Files.createTempDirectory("annpqcli").toString
+    val corpus = clustered(3, 10)
+    corpus.write.mode("overwrite").parquet(s"$dir/corpus")
+    corpus.filter(col("vec_id") < 2).write.mode("overwrite").parquet(s"$dir/q")
+    graft.Main.run(spark, Map("pipeline" -> "ann-index",
+      "input" -> s"$dir/corpus", "store_dir" -> s"$dir/store",
+      "dim" -> dim.toString, "n_centroids" -> "3", "pq_m" -> "4", "pq_ksub" -> "8"))
+    assert(new java.io.File(s"$dir/store/index/codebooks.parquet").exists())
+    val res = graft.Main.run(spark, Map("pipeline" -> "ann-query",
+      "store_dir" -> s"$dir/store", "queries" -> s"$dir/q",
+      "output" -> s"$dir/out", "k" -> "5", "n_probe" -> "2",
+      "refine_with" -> s"$dir/corpus", "refine_factor" -> "2"))
+    assert(res.groupBy("qid").count().count() == 2)
+    assert(res.filter(col("rank") > 5).isEmpty)
+  }
+
   test("query validates nProbe against the stored cell count") {
     val dir = java.nio.file.Files.createTempDirectory("annidx3").toString
     clustered(2, 5).write.mode("overwrite").parquet(s"$dir/corpus")
