@@ -41,6 +41,16 @@ object CachedFrames {
     registry.clear()
   }
 
+  /** Unpersist and forget ONE registered frame — for a bounded
+    * working set (an index build's training cache) that should not
+    * wait for the end-of-run [[unpersistAll]] in a long-lived app.
+    * No-op if the plan isn't registered.
+    */
+  def release(df: DataFrame): Unit = synchronized {
+    registry.remove(df.queryExecution.analyzed.canonicalized)
+      .foreach(_.unpersist(blocking = false))
+  }
+
   /** Number of live registered cache entries (test hook). */
   def size: Int = synchronized(registry.size)
 }

@@ -170,15 +170,22 @@ object AnnIndex {
       // PQ layout: assignment is identical (dot(x/‖x‖, c) shares the
       // raw path's argmax — positive scaling never moves it), but the
       // cell rows carry codes of the unit vector's cell residual.
-      val normed = unitized(
-        corpus.select(col(cfg.idCol), col(cfg.vecCol)), cfg.vecCol, "__xn")
-      val model = graft.ops.Pq.trainResidual(
-        normed, cfg.idCol, "__xn", centroids, cfg.dim, cfg.pqM, cfg.pqKsub,
-        iters = cfg.iters, seedSample = cfg.seedSample)
-      writeCodebooks(spark, model, codebooksPath(next))
-      graft.ops.Pq.encodeIvf(normed, "__xn", centroids, model, cellCol = "cell")
-        .select(col(cfg.idCol), col("pq_codes"), col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(cellsPath(next))
+      // Persist the normalized frame: training re-scans it once per
+      // Lloyd iteration plus the seed collect and the final encode —
+      // without the persist each pass would redo the parquet scan AND
+      // the per-element normalize (measured: the dominant build cost
+      // at the 100× probe scale).
+      val normed = graft.CachedFrames.persistOnce(unitized(
+        corpus.select(col(cfg.idCol), col(cfg.vecCol)), cfg.vecCol, "__xn"))
+      try {
+        val model = graft.ops.Pq.trainResidual(
+          normed, cfg.idCol, "__xn", centroids, cfg.dim, cfg.pqM, cfg.pqKsub,
+          iters = cfg.iters, seedSample = cfg.seedSample)
+        writeCodebooks(spark, model, codebooksPath(next))
+        graft.ops.Pq.encodeIvf(normed, "__xn", centroids, model, cellCol = "cell")
+          .select(col(cfg.idCol), col("pq_codes"), col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(cellsPath(next))
+      } finally graft.CachedFrames.release(normed)
     } else {
       val assign = array_position(col("__cd"), array_max(col("__cd"))).cast("int") - 1
       withCellDots(corpus.select(col(cfg.idCol), col(cfg.vecCol)), cfg.vecCol, centroids)

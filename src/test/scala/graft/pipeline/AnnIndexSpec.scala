@@ -192,7 +192,11 @@ class AnnIndexSpec extends SparkSpec {
       input = s"$dir/corpus", storeDir = store, dim = dim,
       nCentroids = 6, iters = 2, seedSample = 120, pqM = m, pqKsub = 16)
     AnnIndex.build(spark, cfg(s"$dir/raw", 0))
+    val cachesBefore = graft.CachedFrames.size
     val census = AnnIndex.build(spark, cfg(s"$dir/pq", 4))
+    // the training cache is a bounded working set, released by build
+    // itself — a long-lived app must not accumulate one per refresh
+    assert(graft.CachedFrames.size == cachesBefore)
     assert(census.agg(sum("n")).head().getLong(0) == 1200L)
 
     // the compression claim, measured: the PQ cells dataset is less

@@ -76,6 +76,49 @@ object AnnScaleProbe {
           .filter(col("sim") >= col("t_min") - 1e-9).count()
         println(f"[probe] recall@10 ${n}x nProbe=$nProbe: ${hits.toDouble / total}%.3f ($hits/$total)")
       }
+
+      // ---- X104 PQ-compressed store: the same honest series, plus
+      // the compression ratio the codes-only layout actually buys and
+      // what the ADC approximation / exact refine give back in recall.
+      // The fine config (m=16, ksub=64 — 16 codes vs 64 floats, the
+      // production-shaped resolution) runs at 1x only, where the raw
+      // numbers already show the weakly-clustered-corpus worst case.
+      def bytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+        walk(new java.io.File(p))
+      }
+      val rawB = bytes(s"$dir/store_$n/index/cells.parquet")
+      val fullCorpus = spark.read.parquet(s"$dir/corpus_$n")
+      val configs = Seq(("pq", 8, 16)) ++ (if (n == 1) Seq(("pqfine", 16, 64)) else Nil)
+      for ((tag, m, ksub) <- configs) {
+        timed(s"$tag index build ${n}x (m=$m,ksub=$ksub)") {
+          AnnIndex.build(spark, AnnIndex.Config(
+            input = s"$dir/corpus_$n", storeDir = s"$dir/${tag}_$n",
+            dim = 64, nCentroids = 16, iters = 2, pqM = m, pqKsub = ksub)).count()
+        }
+        val pqB = bytes(s"$dir/${tag}_$n/index/cells.parquet")
+        println(f"[probe] cells bytes ${n}x $tag: raw=$rawB pq=$pqB ratio=${rawB.toDouble / pqB}%.1f")
+        for ((refine, label) <- Seq(
+            (None: Option[DataFrame], s"$tag adc"),
+            (Some(fullCorpus): Option[DataFrame], s"$tag refined(4x)"))) {
+          val r = timed(s"$label query ${n}x (nProbe=4/16)") {
+            val out = AnnIndex.query(spark, s"$dir/${tag}_$n", queries,
+              "vec_id", "embedding", k = 10, nProbe = 4,
+              refineWith = refine, refineFactor = 4)
+            out.count(); out
+          }
+          // ADC sims are approximations — threshold-compare on the TRUE
+          // cosine of the returned pairs, not the store's score
+          val withTrue = r.select("qid", "nid")
+            .join(fullCorpus.select(col("vec_id").as("nid"), col("embedding").as("nvec")), Seq("nid"))
+            .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))), Seq("qid"))
+            .withColumn("tsim", graft.ops.Similarity.cosine(col("qvec"), col("nvec")))
+          val hits = withTrue.join(thresh, Seq("qid"))
+            .filter(col("tsim") >= col("t_min") - 1e-9).count()
+          println(f"[probe] recall@10 ${n}x $label: ${hits.toDouble / total}%.3f ($hits/$total)")
+        }
+      }
     }
     spark.stop()
   }
