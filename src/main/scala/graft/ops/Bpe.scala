@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer INDUCTION over a corpus — the
+  * train-your-own-tokenizer step of an LLM data pipeline (Sennrich,
+  * Haddow, Birch, "Neural Machine Translation of Rare Words with
+  * Subword Units", ACL 2016 — the algorithm every BPE/WordPiece-style
+  * vocab builder implements; cf. `/root/reference` has no tokenizer
+  * surface, this extends the X12/X31 token ops from *applying* a
+  * fixed tokenizer to *learning* one).
+  *
+  * Scale shape — the textbook algorithm is a per-corpus-pass loop,
+  * the distributed shape is NOT:
+  *
+  *  - '''One corpus-sized pass, total.''' The corpus collapses to the
+  *    (word, count) table first (one tokenize + map-side-combined
+  *    groupBy — the X28 vocabulary shape). Every merge iteration
+  *    after that operates on the VOCABULARY-sized table: pair counts
+  *    are an explode + map-side-combined sum weighted by word count,
+  *    never a re-scan of the documents.
+  *  - '''One driver row per iteration.''' Each Lloyd-style step
+  *    collects exactly the argmax pair (count desc, pair asc —
+  *    deterministic, engine-replayable); the merge list is a
+  *    `nMerges`-row driver constant, like the ANN centroids.
+  *  - '''Merge application is a codegen'd projection''': the pair
+  *    `(a, b)` merges via one literal-pattern `regexp_replace` over
+  *    the space-joined symbol sequence (` a b ` → ` ab ` on the
+  *    padded string — the classic representation; left-to-right
+  *    non-overlapping in the JVM and in every SQL engine's literal
+  *    `replace`, so the greedy semantics replay exactly).
+  *  - '''Encoding new text never touches the loop''': [[encode]]
+  *    applies the learned merge list in order inside one `transform`
+  *    lambda per word — a pure projection, zero shuffle, usable on a
+  *    corpus the trainer never saw.
+  *
+  * Choices, documented: words are the repo's whitespace/lowercase
+  * tokens ([[TextAnalysis.tokens]]); symbols start as single
+  * characters with NO end-of-word marker (subwords from different
+  * word positions therefore share counts — the marker variant is one
+  * extra literal on [[symInit]]); ties on pair count break by the
+  * pair string ascending, making retraining — and the DuckDB oracle —
+  * bit-deterministic.
+  */
+object Bpe {
+
+  /** One learned merge: at `step`, `pair` ("a b") had weighted
+    * frequency `cnt` and became the symbol `ab`.
+    */
+  final case class Merge(step: Int, pair: String, cnt: Long)
+
+  /** The (word, n) table — the ONLY corpus-sized pass of training. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+
+  /** Initial symbol sequence: the word's characters joined by single
+    * spaces (`"low"` → `"l o w"`). Words never contain spaces (they
+    * come from a whitespace split), so the representation is
+    * unambiguous.
+    */
+  private def symInit(word: Column): Column =
+    trim(regexp_replace(word, "(.)", "$1 "))
+
+  /** Adjacent symbol pairs of a space-joined sequence, as "a b"
+    * strings — empty for single-symbol words.
+    */
+  private def pairsOf(sym: Column): Column = {
+    val s = split(sym, " ", -1)
+    zip_with(
+      slice(s, lit(1), size(s) - 1),
+      slice(s, lit(2), size(s) - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Apply one learned merge to a space-joined symbol sequence:
+    * ` a b ` → ` ab ` on the space-padded string, literal and
+    * left-to-right — the exact semantics any SQL engine's `replace`
+    * reproduces.
+    */
+  private def applyMerge(sym: Column, pair: String): Column = {
+    val merged = pair.replace(" ", "")
+    trim(regexp_replace(
+      concat(lit(" "), sym, lit(" ")),
+      java.util.regex.Pattern.quote(s" $pair "),
+      java.util.regex.Matcher.quoteReplacement(s" $merged ")))
+  }
+
+  /** Learn `nMerges` merges. Returns the merge list (a driver
+    * constant, like the ANN centroids) and the final segmented
+    * vocabulary frame (word, n, sym) — which IS the corpus encoding:
+    * joining any training document's words to it by word yields the
+    * document's subword sequence without re-running a single merge.
+    *
+    * Stops early if every word has collapsed to one symbol.
+    */
+  def train(
+      docs: DataFrame,
+      textCol: String,
+      nMerges: Int): (Seq[Merge], DataFrame) = {
+    require(nMerges >= 1, s"nMerges must be >= 1: $nMerges")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var words = graft.CachedFrames.persistOnce(
+      wordCounts(docs, textCol).withColumn("sym", symInit(col("word"))))
+    for (step <- 1 to nMerges if merges.size == step - 1) {
+      val top = words
+        .select(col("n"), explode(pairsOf(col("sym"))).as("pair"))
+        .groupBy("pair")
+        .agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1)
+        .collect()
+      top.headOption.foreach { r =>
+        val pair = r.getString(0)
+        merges += Merge(step, pair, r.getLong(1))
+        val next = graft.CachedFrames.persistOnce(
+          words.withColumn("sym", applyMerge(col("sym"), pair)))
+        graft.CachedFrames.release(words)
+        words = next
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** Segment arbitrary text with a learned merge list: per document,
+    * one `array<string>` of subword tokens. Pure projection — the
+    * merge chain runs inside a single `transform` lambda per word,
+    * zero shuffle, no join; exactly the shape that encodes a 100 TB
+    * corpus with a vocabulary trained on a sample.
+    */
+  def encode(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[Merge],
+      outCol: String = "bpe_tokens"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"encode appends $outCol; rename the existing column")
+    val segmented = transform(
+      filter(TextAnalysis.tokens(col(textCol)), w => w =!= ""),
+      w => split(merges.foldLeft(symInit(w))((s, m) => applyMerge(s, m.pair)), " ", -1))
+    df.withColumn(outCol, flatten(segmented))
+  }
+
+  /** The merge list as a frame (step, pair, cnt) — the persistable /
+    * oracle-comparable artifact.
+    */
+  def mergesFrame(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("step", "pair", "cnt")
+  }
+}

@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Curation, TextAnalysis}
+import graft.ops.{Bpe, Curation, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked queries for the corpus-curation operators
@@ -20,6 +21,8 @@ object CurationQueries {
   private val packBudget = 512L
   private val vocabK = 100
   private val lineBanMax = 200L // lines in more docs than this are boilerplate
+  private val bpeMerges = 8 // X105: learned merge steps (oracle chains 8 CTEs)
+  private val bpeVocabK = 200
 
   /** Deterministic multi-line page synthesis for the line-dedup
     * queries (mirrored literally in the oracle SQL): chrome line
@@ -148,6 +151,41 @@ object CurationQueries {
         .orderBy("rank")
     }),
 
+    // X105 BPE tokenizer induction: the learned merge table. One
+    // corpus pass builds the word-count table; every merge step is a
+    // vocabulary-sized explode + map-side-combined sum + a 1-row
+    // argmax collect — the oracle replays all 8 steps as chained
+    // CTEs (the q_pagerank iteration-replay pattern).
+    "q_bpe_merges" -> ((s, dir) => {
+      val (merges, _) = Bpe.train(Tables.documents(s, dir), "text", bpeMerges)
+      Bpe.mergesFrame(s, merges).orderBy("step")
+    }),
+
+    // The post-merge segmented vocabulary (top words): training's
+    // final word table IS the corpus encoding.
+    "q_bpe_vocab" -> ((s, dir) => {
+      val (_, vocab) = Bpe.train(Tables.documents(s, dir), "text", bpeMerges)
+      val top = vocab.orderBy(col("n").desc, col("word")).limit(bpeVocabK)
+      top
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("word"))).cast("int"))
+        .select("rank", "word", "n", "sym")
+        .orderBy("rank")
+    }),
+
+    // Applying the learned tokenizer to the corpus: subword counts +
+    // the first-12-subword prefix per document, as one shuffle-free
+    // projection over the merge-chain lambda.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (merges, _) = Bpe.train(docs, "text", bpeMerges)
+      Bpe.encode(docs, "text", merges)
+        .select(col("doc_id"), size(col("bpe_tokens")).as("n_subwords"),
+          concat_ws(" ", slice(col("bpe_tokens"), 1, 12)).as("prefix"))
+        .filter(col("n_subwords") > 0)
+        .orderBy("doc_id")
+    }),
+
     // X57 line-level boilerplate removal. The fixture corpus is
     // single-line word soup, so multi-line pages are synthesized
     // deterministically in BOTH engines (the q_pii_redact
@@ -258,7 +296,64 @@ object CurationQueries {
       |  FROM raw
       |)""".stripMargin
 
+  /** X105 BPE replay: `w0` is the word-count table with per-character
+    * symbol sequences; each step chains (pair counts from `w{i-1}`) →
+    * (1-row argmax, ties by pair string) → (padded literal replace —
+    * left-to-right non-overlapping in DuckDB's `replace` exactly as
+    * in the JVM's `regexp_replace` with a quoted pattern). The
+    * q_pagerank iteration-replay pattern, generated per step.
+    */
+  private def bpeCtes: String = {
+    val sb = new StringBuilder(
+      """WITH w0 AS (
+        |  SELECT word, count(*)::BIGINT AS n,
+        |    trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word
+        |)""".stripMargin)
+    for (i <- 1 to bpeMerges) sb ++= s""", p$i AS (
+        |  SELECT pair, sum(n)::BIGINT AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(s)), j -> s[j] || ' ' || s[j+1])) AS pair
+        |    FROM (SELECT n, string_split(sym, ' ') AS s FROM w${i - 1})
+        |  ) GROUP BY pair
+        |), m$i AS (
+        |  SELECT $i AS step, pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1
+        |), w$i AS (
+        |  SELECT w.word, w.n,
+        |    trim(replace(' ' || w.sym || ' ', ' ' || m.pair || ' ',
+        |      ' ' || replace(m.pair, ' ', '') || ' ')) AS sym
+        |  FROM w${i - 1} w CROSS JOIN m$i m
+        |)""".stripMargin
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_merges" -> (bpeCtes +
+      s"""
+         |SELECT step, pair, cnt FROM (${(1 to bpeMerges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
+         |ORDER BY step""".stripMargin),
+    "q_bpe_vocab" -> (bpeCtes +
+      s"""
+         |SELECT rank, word, n, sym FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INTEGER) AS rank,
+         |    word, n, sym
+         |  FROM w$bpeMerges
+         |) WHERE rank <= $bpeVocabK ORDER BY rank""".stripMargin),
+    "q_bpe_encode" -> (bpeCtes +
+      s""", encw AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+         |  FROM documents
+         |), enc AS (
+         |  SELECT doc_id, unnest(range(1, len(ws)+1)) AS idx, ws FROM encw
+         |), seq AS (
+         |  SELECT e.doc_id, string_agg(w.sym, ' ' ORDER BY e.idx) AS syms
+         |  FROM (SELECT doc_id, idx, ws[idx] AS word FROM enc) e
+         |  JOIN w$bpeMerges w ON w.word = e.word
+         |  GROUP BY e.doc_id
+         |)
+         |SELECT doc_id, CAST(len(string_split(syms, ' ')) AS INTEGER) AS n_subwords,
+         |  array_to_string(list_slice(string_split(syms, ' '), 1, 12), ' ') AS prefix
+         |FROM seq ORDER BY doc_id""".stripMargin),
     "q_split_assign" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** X105 BPE tokenizer induction ([[Bpe]]): the distributed trainer
+  * replays the textbook algorithm exactly (driver reference), stays
+  * deterministic, encodes unseen text as a pure projection, and the
+  * iteration cost is vocabulary-sized.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Textbook reference BPE on a word-count map: pair counts
+    * weighted by word frequency, argmax by (count desc, pair asc),
+    * left-to-right non-overlapping merge — the authority the
+    * relational trainer must match merge for merge.
+    */
+  private def refBpe(
+      words: Map[String, Long], nMerges: Int): (Seq[(Int, String, Long)], Map[String, Seq[String]]) = {
+    var segs: Map[String, (Vector[String], Long)] =
+      words.map { case (w, n) => w -> (w.map(_.toString).toVector, n) }
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var step = 0
+    var continue = true
+    while (step < nMerges && continue) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.values.foreach { case (s, n) =>
+        s.zip(s.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + n)
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        step += 1
+        val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, s"$x $y") }
+        merges += ((step, s"$a $b", cnt))
+        segs = segs.map { case (w, (s, n)) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += a + b; i += 2 }
+            else { out += s(i); i += 1 }
+          }
+          w -> (out.result(), n)
+        }
+      }
+    }
+    (merges.result(), segs.map { case (w, (s, _)) => w -> s })
+  }
+
+  private val docs = Seq(
+    (0L, "low low low low low lower lower newest newest"),
+    (1L, "newest newest newest newest widest widest widest lower low"),
+    (2L, "the newest widest low the the")).toDF("doc_id", "text")
+
+  private def wordMap =
+    Bpe.wordCounts(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("train matches the textbook reference merge for merge, segmentations included") {
+    val (expMerges, expSegs) = refBpe(wordMap, 10)
+    val (merges, vocab) = Bpe.train(docs, "text", 10)
+    assert(merges.map(m => (m.step, m.pair, m.cnt)) == expMerges)
+    val gotSegs = vocab.select("word", "sym").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ").toSeq).toMap
+    assert(gotSegs == expSegs)
+    // deterministic retrain
+    val (merges2, _) = Bpe.train(docs, "text", 10)
+    assert(merges2 == merges)
+    graft.CachedFrames.unpersistAll()
+  }
+
+  test("the classic first merges come out: frequent pairs win, ties break by pair string") {
+    // "e s" appears in newest(7) + widest(4) = 11 — the clear winner;
+    // the reference decides every later tie the same way the engine does
+    val (merges, _) = Bpe.train(docs, "text", 3)
+    assert(merges.head.pair == "e s" && merges.head.cnt == 11L)
+    graft.CachedFrames.unpersistAll()
+  }
+
+  test("encode segments unseen text with the learned merges, as a shuffle-free projection") {
+    val (merges, _) = Bpe.train(docs, "text", 6)
+    val unseen = Seq((9L, "slowest newlow")).toDF("doc_id", "text")
+    val enc = Bpe.encode(unseen, "text", merges)
+    val got = enc.select("bpe_tokens").head().getSeq[String](0)
+    // driver replay on the unseen words
+    val expected = Seq("slowest", "newlow").flatMap { w =>
+      var s = w.map(_.toString).mkString(" ")
+      merges.foreach { m =>
+        s = (" " + s + " ").replace(s" ${m.pair} ", s" ${m.pair.replace(" ", "")} ").trim
+      }
+      s.split(" ").toSeq
+    }
+    assert(got == expected, s"$got vs $expected")
+    // merged symbols only where the learned pairs occur
+    assert(got.forall(_.nonEmpty))
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
+    graft.CachedFrames.unpersistAll()
+  }
+
+  test("early stop: once every word is a single symbol there is nothing to merge") {
+    val tiny = Seq((0L, "ab ab ab")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.train(tiny, "text", 10)
+    assert(merges.size == 1 && merges.head.pair == "a b")
+    assert(vocab.select("sym").head().getString(0) == "ab")
+    graft.CachedFrames.unpersistAll()
+  }
+
+  test("knob validation and cache hygiene") {
+    intercept[IllegalArgumentException] { Bpe.train(docs, "text", 0) }
+    val before = graft.CachedFrames.size
+    val (m, _) = Bpe.train(docs, "text", 2)
+    // train keeps exactly ONE live frame (the final vocabulary) —
+    // intermediate generations are released as it goes
+    assert(graft.CachedFrames.size == before + 1)
+    intercept[IllegalArgumentException] {
+      Bpe.encode(docs.withColumn("bpe_tokens", lit(1)), "text", m)
+    }
+    graft.CachedFrames.unpersistAll()
+  }
+}
