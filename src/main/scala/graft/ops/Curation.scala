@@ -844,4 +844,67 @@ object Curation {
             .as("distance"): _*)
       .withColumn("at_risk", col("distance") > t)
   }
+
+  /** ε-differentially-private histogram release — the Laplace
+    * mechanism (Dwork, McSherry, Nissim, Smith, TCC 2006), the
+    * REMEDIATION that closes the privacy family: where X88/X94/X95
+    * audit a release and X101 pseudonymizes identifiers, this
+    * releases an aggregate with a formal guarantee.
+    *
+    * Mechanics: counts over the FIXED `[lo, hi) × nBuckets` grid
+    * ([[Expectations.histogram]] — clamping bounds every row's
+    * contribution to exactly one bucket, so the L1 sensitivity of the
+    * whole histogram is 1 per ROW; for user-level ε pre-aggregate to
+    * one row per user first). Laplace(b = 1/ε) noise is added to
+    * EVERY bucket of the grid including empty ones — releasing only
+    * occupied buckets would leak exactly the set membership the noise
+    * is meant to hide — then the release clamps at 0 and prunes below
+    * `threshold` (the standard noisy-threshold trick for long sparse
+    * grids).
+    *
+    * Noise derivation, deliberately: `u ∈ (0,1)` comes from the
+    * md5-backbone hash of `secret|bucket` (53 bits + half-ulp offset,
+    * never exactly 0, ½, or 1), then the standard inverse CDF
+    * `−b·sign(u−½)·ln(1−2|u−½|)`. The mechanism's guarantee is only
+    * as good as `u`'s unpredictability, so a production release MUST
+    * pass a fresh cryptographically-random `secret` per publication —
+    * what the determinism buys is replayability (the oracle
+    * reproduces every noisy cell bit-for-bit given the secret) and
+    * retry-stability (a re-run task adds the SAME noise instead of
+    * doubling it — `rand()`-based noise silently degrades ε under
+    * Spark task retries).
+    *
+    * Scale shape: one corpus scan (map-side-combined histogram);
+    * everything after is nBuckets-sized arithmetic on the generated
+    * spine. 100 TB in, nBuckets rows out.
+    */
+  def dpHistogram(
+      df: DataFrame,
+      valueCol: Column,
+      lo: Double,
+      hi: Double,
+      nBuckets: Int,
+      epsilon: Double,
+      secret: String,
+      threshold: Double = 0.0): DataFrame = {
+    require(epsilon > 0, s"epsilon must be > 0: $epsilon")
+    require(threshold >= 0, s"threshold must be >= 0: $threshold")
+    val spark = df.sparkSession
+    val hist = Expectations.histogram(df, valueCol, lo, hi, nBuckets)
+      .select("bucket", "n")
+    val spine = spark.range(nBuckets).select(col("id").as("bucket"))
+    val m53 = 9007199254740992.0 // 2^53
+    val u = ((TextAnalysis.h64(lit(secret), col("bucket").cast("string"))
+      % (1L << 53)).cast("double") + 0.5) / m53
+    val noise = -lit(1.0 / epsilon) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    spine
+      .join(hist, Seq("bucket"), "left")
+      .withColumn("released",
+        round(greatest(lit(0.0), coalesce(col("n"), lit(0L)).cast("double") + noise), 4))
+      .filter(col("released") >= threshold)
+      .withColumn("bucket_lo", round(lit(lo) + col("bucket") * (hi - lo) / nBuckets, 6))
+      .withColumn("bucket_hi", round(lit(lo) + (col("bucket") + 1) * (hi - lo) / nBuckets, 6))
+      .select("bucket", "bucket_lo", "bucket_hi", "released")
+  }
 }

@@ -235,6 +235,19 @@ object MiningQueries {
         .orderBy("c_custkey")
     }),
 
+    // X106: ε-DP histogram release — the Laplace mechanism over
+    // q_histogram's fixed grid. Per-bucket noise is the md5-backbone
+    // inverse-CDF draw (replayable here; a production release passes
+    // a fresh cryptographically-random secret per publication), every
+    // grid bucket is released including empty ones, clamped at 0.
+    "q_dp_histogram" -> ((s, dir) => {
+      Curation.dpHistogram(
+          Tables.lineitem(s, dir), col("l_extendedprice"),
+          lo = 0.0, hi = 110000.0, nBuckets = 22,
+          epsilon = 0.5, secret = "dp-2026")
+        .orderBy("bucket")
+    }),
+
     // X102: PSI drift timeline — weekly event-value distribution vs
     // the first week, one query for the whole monitoring series.
     "q_drift_timeline" -> ((s, dir) => {
@@ -587,6 +600,23 @@ object MiningQueries {
         |       ELSE substr(md5('s3cr3t-2026|' || c_name), 1, 16) END AS c_name,
         |  c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_dp_histogram" ->
+      """WITH h AS (
+        |  SELECT least(greatest(CAST(floor((l_extendedprice::DOUBLE - 0.0) * 22 / 110000.0) AS BIGINT), 0), 21) AS bucket,
+        |    count(*) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+        |), spine AS (
+        |  SELECT unnest(range(0, 22)) AS bucket
+        |), r AS (
+        |  SELECT s.bucket, coalesce(h.n, 0) AS n,
+        |    ((('0x' || substr(md5('dp-2026|' || s.bucket::VARCHAR), 1, 15))::BIGINT % 9007199254740992) + 0.5) / 9007199254740992.0 AS u
+        |  FROM spine s LEFT JOIN h USING (bucket)
+        |)
+        |SELECT bucket,
+        |  round(0.0 + (bucket * 110000.0) / 22, 6) AS bucket_lo,
+        |  round(0.0 + ((bucket + 1) * 110000.0) / 22, 6) AS bucket_hi,
+        |  round(greatest(0.0, n + (-(1.0/0.5) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)))), 4) AS released
+        |FROM r ORDER BY bucket""".stripMargin,
     "q_drift_timeline" ->
       """WITH e AS (
         |  SELECT date_trunc('week', ts) AS period,

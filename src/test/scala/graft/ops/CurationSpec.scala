@@ -632,4 +632,59 @@ class CurationSpec extends SparkSpec {
       Curation.kAnonymityReport(rows, Seq("zip"), 1L)
     }
   }
+
+  // ---- X106 DP histogram release ------------------------------------
+
+  private def dpInput = {
+    import spark.implicits._
+    // 1000 values in [0, 100): heavy bucket 0-10, empty tail
+    (0 until 1000).map(i => (i.toLong, (i % 50).toDouble / 5.0)).toDF("id", "v")
+  }
+
+  test("dpHistogram: full-spine release, clamped, deterministic per secret") {
+    val rel = Curation.dpHistogram(dpInput, col("v"), 0.0, 100.0, 20, epsilon = 1.0, secret = "s1")
+      .orderBy("bucket").collect()
+    // every grid bucket is released — including the empty tail
+    // (occupied-only release would leak the support set)
+    assert(rel.map(_.getLong(0)).toSeq == (0L until 20L))
+    assert(rel.forall(_.getDouble(3) >= 0.0), "non-negativity clamp")
+    // empty buckets carry pure noise, not structural zero
+    val tail = rel.filter(_.getLong(0) >= 2)
+    assert(tail.exists(_.getDouble(3) > 0.0), "empty buckets must be noised")
+    // determinism: same secret → identical release; fresh secret → different
+    val rel2 = Curation.dpHistogram(dpInput, col("v"), 0.0, 100.0, 20, 1.0, "s1")
+      .orderBy("bucket").collect()
+    assert(rel.map(_.getDouble(3)).toSeq == rel2.map(_.getDouble(3)).toSeq)
+    val rel3 = Curation.dpHistogram(dpInput, col("v"), 0.0, 100.0, 20, 1.0, "s2")
+      .orderBy("bucket").collect()
+    assert(rel.map(_.getDouble(3)).toSeq != rel3.map(_.getDouble(3)).toSeq)
+  }
+
+  test("dpHistogram: noise scales with 1/epsilon and stays Laplace-bounded") {
+    def errs(eps: Double) = {
+      val truth = Map(0L -> 500L, 1L -> 500L) // v in [0,10) → buckets 0 and 1
+      Curation.dpHistogram(dpInput, col("v"), 0.0, 100.0, 20, eps, "s1")
+        .orderBy("bucket").collect()
+        .map(r => math.abs(r.getDouble(3) - truth.getOrElse(r.getLong(0), 0L).toDouble))
+    }
+    val loose = errs(0.1) // b = 10
+    val tight = errs(10.0) // b = 0.1
+    assert(tight.sum < loose.sum, s"ε=10 total error ${tight.sum} vs ε=0.1 ${loose.sum}")
+    // Laplace tail: |noise| ≤ b·ln(2^53) ≈ 36.7·b before the clamp
+    assert(tight.forall(_ <= 0.1 * 37), s"ε=10 outlier: ${tight.max}")
+    assert(loose.forall(_ <= 10.0 * 37), s"ε=0.1 outlier: ${loose.max}")
+  }
+
+  test("dpHistogram: threshold prunes small noisy cells; knob validation") {
+    val all = Curation.dpHistogram(dpInput, col("v"), 0.0, 100.0, 20, 1.0, "s1")
+    val pruned = Curation.dpHistogram(dpInput, col("v"), 0.0, 100.0, 20, 1.0, "s1", threshold = 50.0)
+    assert(pruned.count() < all.count())
+    assert(pruned.agg(min("released")).head().getDouble(0) >= 50.0)
+    intercept[IllegalArgumentException] {
+      Curation.dpHistogram(dpInput, col("v"), 0.0, 100.0, 20, epsilon = 0.0, "s")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.dpHistogram(dpInput, col("v"), 0.0, 100.0, 20, 1.0, "s", threshold = -1.0)
+    }
+  }
 }
