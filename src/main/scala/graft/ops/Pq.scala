@@ -385,6 +385,20 @@ object Pq {
         corpus.select(col(idCol).as("nid"), col(vecCol)), vecCol, centroids, model)
       .filter(col("pq_codes").isNotNull)
       .select(col("ivf_cell").as("cell"), col("nid"), col("pq_codes").as("__codes"))
+      // Materialization barrier, deliberately: the scoring join below
+      // is a codegen'd BroadcastHashJoin, and whole-stage codegen
+      // defers a pipelined projection to its USE site — which for a
+      // join emitting multiple rows per stream row means the whole
+      // encode expression re-evaluates PER CANDIDATE, not per corpus
+      // row (measured: 6.1 s vs 1 s on q_ivfpq_topk at sf0.1, ~25×
+      // redundant encode work at nProbe=4 × 100 queries). The
+      // exchange pins codes to one evaluation per corpus row AND
+      // lands the code table in its inverted-list layout (clustered
+      // by cell) — the same bytes the join must move anyway, 16–32×
+      // smaller than the raw vectors. The persisted-store path
+      // ([[graft.pipeline.AnnIndex]]) reads codes from parquet and
+      // needs no barrier.
+      .repartition(col("cell"))
     // probe ranking sorts (−dot, idx) structs — lower idx wins ties,
     // the same rule as ivfTopK; qc recovers the dot by exact negation
     val probes = {
@@ -414,11 +428,21 @@ object Pq {
   }
 
   /** `Σ_s lut_s[code_s]` — the in-subspace-order ADC fold shared by
-    * every scorer (replayable: left-to-right over subspaces).
+    * every scorer, as the codegen'd [[graft.functions.AdcSumExpr]]
+    * loop (bit-identical to the composed
+    * `aggregate(zip_with(codes, luts, element_at))` fold — pinned in
+    * PqSpec — which evaluates INTERPRETED and was measured as the
+    * dominant cost of the candidate-scoring join).
     */
   private[graft] def adcFold(codes: Column, luts: Column): Column =
+    graft.functions.AdcSumExpr.adcSum(codes, luts)
+
+  /** The composed-built-ins form of [[adcFold]] — kept as the
+    * equivalence-spec reference, never on the hot path.
+    */
+  private[graft] def adcFoldComposed(codes: Column, luts: Column): Column =
     aggregate(
-      zip_with(codes, luts, (c, l) => element_at(l, c + 1)),
+      zip_with(codes, luts, (c, l) => try_element_at(l, c + 1)),
       lit(0.0),
       (acc, x) => acc + x)
 

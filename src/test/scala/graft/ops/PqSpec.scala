@@ -237,6 +237,30 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"no all-pairs join:\n$plan")
   }
 
+  test("codegen'd ADC sum is bit-identical to the composed fold, NULL on corrupt codes") {
+    val corpus = clustered(4, 10)
+    val model = Pq.train(corpus, "vec_id", "embedding", dim, m = 4, ksub = 4, iters = 2)
+    val codes = Pq.encode(corpus, "embedding", model)
+    val luts = array((0 until model.m).map(s =>
+      graft.functions.MatVecDotsExpr.matVecDots(
+        Pq.subVec(col("embedding"), s, model.dsub), model.codebooks(s))): _*)
+    val both = codes
+      .withColumn("fast", Pq.adcFold(col("pq_codes"), luts))
+      .withColumn("slow", Pq.adcFoldComposed(col("pq_codes"), luts))
+      .select("fast", "slow").collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1), s"$r"))
+    // corrupted store row: a code outside its codebook scores NULL in
+    // both forms (element_at out-of-range → NULL through the fold)
+    val corrupt = codes.withColumn("pq_codes",
+      concat(slice(col("pq_codes"), 1, model.m - 1), array(lit(99))))
+    val c = corrupt
+      .withColumn("fast", Pq.adcFold(col("pq_codes"), luts))
+      .withColumn("slow", Pq.adcFoldComposed(col("pq_codes"), luts))
+      .select("fast", "slow").collect()
+    c.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1), s"$r"))
+  }
+
   test("knob validation") {
     val corpus = clustered(2, 4)
     intercept[IllegalArgumentException] {
