@@ -104,6 +104,12 @@ object Bpe {
       nMerges: Int): (Seq[Merge], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1: $nMerges")
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    // Every generation stays REGISTERED (nMerges+1 vocabulary-sized
+    // frames, reclaimed at the run's unpersistAll): training is
+    // deterministic, so a second train over the same corpus builds
+    // plan-identical generations and the registry turns its whole
+    // loop into cache reads — the three q_bpe_* queries share one
+    // training instead of paying it three times.
     var words = graft.CachedFrames.persistOnce(
       wordCounts(docs, textCol).withColumn("sym", symInit(col("word"))))
     for (step <- 1 to nMerges if merges.size == step - 1) {
@@ -117,10 +123,8 @@ object Bpe {
       top.headOption.foreach { r =>
         val pair = r.getString(0)
         merges += Merge(step, pair, r.getLong(1))
-        val next = graft.CachedFrames.persistOnce(
+        words = graft.CachedFrames.persistOnce(
           words.withColumn("sym", applyMerge(col("sym"), pair)))
-        graft.CachedFrames.release(words)
-        words = next
       }
     }
     (merges.toSeq, words)

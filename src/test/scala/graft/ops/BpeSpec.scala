@@ -110,9 +110,13 @@ class BpeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Bpe.train(docs, "text", 0) }
     val before = graft.CachedFrames.size
     val (m, _) = Bpe.train(docs, "text", 2)
-    // train keeps exactly ONE live frame (the final vocabulary) —
-    // intermediate generations are released as it goes
-    assert(graft.CachedFrames.size == before + 1)
+    // train registers nMerges+1 vocabulary-sized generations (all
+    // reclaimed at unpersistAll) so a deterministic retrain becomes
+    // pure cache reads — the three q_bpe_* queries share ONE training
+    assert(graft.CachedFrames.size == before + 3)
+    val (m2, _) = Bpe.train(docs, "text", 2)
+    assert(m2 == m && graft.CachedFrames.size == before + 3,
+      "retrain must reuse the registered generations, not add more")
     intercept[IllegalArgumentException] {
       Bpe.encode(docs.withColumn("bpe_tokens", lit(1)), "text", m)
     }
