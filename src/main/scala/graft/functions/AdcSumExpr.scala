@@ -51,10 +51,15 @@ case class AdcSumExpr(left: Expression, right: Expression)
   override def nullSafeEval(codesAny: Any, lutsAny: Any): Any = {
     val codes = codesAny.asInstanceOf[ArrayData]
     val luts = lutsAny.asInstanceOf[ArrayData]
-    val n = math.min(codes.numElements(), luts.numElements())
+    val n = codes.numElements()
+    // a truncated codes array must NOT yield a silent partial score —
+    // the composed fold zips the shorter side with nulls and returns
+    // NULL, and a partial sum could rank in top-k
+    if (n != luts.numElements()) return null
     var acc = 0.0
     var s = 0
     while (s < n) {
+      if (codes.isNullAt(s)) return null
       val lut = luts.getArray(s)
       val c = codes.getInt(s)
       if (c < 0 || c >= lut.numElements()) return null
@@ -72,9 +77,11 @@ case class AdcSumExpr(left: Expression, right: Expression)
       val lut = ctx.freshName("lut")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($codes.numElements(), $luts.numElements());
+         |int $n = $codes.numElements();
          |double $acc = 0.0;
-         |for (int $s = 0; $s < $n; $s++) {
+         |if ($n != $luts.numElements()) { ${ev.isNull} = true; }
+         |else for (int $s = 0; $s < $n; $s++) {
+         |  if ($codes.isNullAt($s)) { ${ev.isNull} = true; break; }
          |  org.apache.spark.sql.catalyst.util.ArrayData $lut = $luts.getArray($s);
          |  int $c = $codes.getInt($s);
          |  if ($c < 0 || $c >= $lut.numElements()) { ${ev.isNull} = true; break; }

@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   *    `nMerges`-row driver constant, like the ANN centroids.
   *  - '''Merge application is a codegen'd projection''': the pair
   *    `(a, b)` merges via one literal-pattern `regexp_replace` over
-  *    the space-joined symbol sequence (` a b ` → ` ab ` on the
-  *    padded string — the classic representation; left-to-right
-  *    non-overlapping in the JVM and in every SQL engine's literal
-  *    `replace`, so the greedy semantics replay exactly).
+  *    the DOUBLE-space-joined symbol sequence (` a  b ` → ` ab ` on
+  *    the padded string; left-to-right non-overlapping in the JVM and
+  *    in every SQL engine's literal `replace` — and because every
+  *    boundary carries two spaces, adjacent matches never compete for
+  *    a shared delimiter, making replace-all EXACTLY the textbook
+  *    greedy scan; see [[applyMerge]]).
   *  - '''Encoding new text never touches the loop''': [[encode]]
   *    applies the learned merge list in order inside one `transform`
   *    lambda per word — a pure projection, zero shuffle, usable on a
@@ -58,36 +60,49 @@ object Bpe {
       .groupBy("word")
       .agg(count(lit(1)).as("n"))
 
-  /** Initial symbol sequence: the word's characters joined by single
-    * spaces (`"low"` → `"l o w"`). Words never contain spaces (they
+  /** Initial symbol sequence: the word's characters joined by DOUBLE
+    * spaces (`"low"` → `"l  o  w"`). Words never contain spaces (they
     * come from a whitespace split), so the representation is
-    * unambiguous.
+    * unambiguous. The double separator is load-bearing, not
+    * cosmetic: see [[applyMerge]].
     */
   private def symInit(word: Column): Column =
-    trim(regexp_replace(word, "(.)", "$1 "))
+    trim(regexp_replace(word, "(.)", "$1  "))
 
-  /** Adjacent symbol pairs of a space-joined sequence, as "a b"
-    * strings — empty for single-symbol words.
+  /** Adjacent symbol pairs of a double-space-joined sequence, as
+    * "a b" display strings — empty for single-symbol words.
     */
   private def pairsOf(sym: Column): Column = {
-    val s = split(sym, " ", -1)
+    val s = split(sym, "  ", -1)
     zip_with(
       slice(s, lit(1), size(s) - 1),
       slice(s, lit(2), size(s) - 1),
       (a, b) => concat(a, lit(" "), b))
   }
 
-  /** Apply one learned merge to a space-joined symbol sequence:
-    * ` a b ` → ` ab ` on the space-padded string, literal and
-    * left-to-right — the exact semantics any SQL engine's `replace`
-    * reproduces.
+  /** Apply one learned merge: on the single-space-padded double-space
+    * sequence, replace ` a  b ` with ` ab ` — literal, left-to-right,
+    * non-overlapping (the semantics of both the JVM's quoted
+    * `regexp_replace` and any SQL engine's `replace`).
+    *
+    * WHY the double separator: with single spaces the pattern
+    * ` a b ` CONSUMES the delimiter it shares with the next
+    * occurrence, so an overlapping chain merges every OTHER eligible
+    * position differently from the textbook greedy scan — `banana`
+    * with pair `a n` came out `b an a n a` instead of `b an an a`
+    * (round-15 review find, reproduced). With two spaces per
+    * boundary, a match takes ONE space from each side and the
+    * replacement ` ab ` restores it, so adjacent matches never
+    * compete for a character and replace-all IS the textbook
+    * left-to-right non-overlapping merge — including `a a a a → aa
+    * aa` and `a a a → aa a` (pinned against the driver reference).
     */
-  private def applyMerge(sym: Column, pair: String): Column = {
-    val merged = pair.replace(" ", "")
+  private[ops] def applyMerge(sym: Column, pair: String): Column = {
+    val Array(a, b) = pair.split(" ", 2)
     trim(regexp_replace(
       concat(lit(" "), sym, lit(" ")),
-      java.util.regex.Pattern.quote(s" $pair "),
-      java.util.regex.Matcher.quoteReplacement(s" $merged ")))
+      java.util.regex.Pattern.quote(s" $a  $b "),
+      java.util.regex.Matcher.quoteReplacement(s" $a$b ")))
   }
 
   /** Learn `nMerges` merges. Returns the merge list (a driver
@@ -145,7 +160,7 @@ object Bpe {
       s"encode appends $outCol; rename the existing column")
     val segmented = transform(
       filter(TextAnalysis.tokens(col(textCol)), w => w =!= ""),
-      w => split(merges.foldLeft(symInit(w))((s, m) => applyMerge(s, m.pair)), " ", -1))
+      w => split(merges.foldLeft(symInit(w))((s, m) => applyMerge(s, m.pair)), "  ", -1))
     df.withColumn(outCol, flatten(segmented))
   }
 

@@ -399,15 +399,7 @@ object Pq {
       // ([[graft.pipeline.AnnIndex]]) reads codes from parquet and
       // needs no barrier.
       .repartition(col("cell"))
-    // probe ranking sorts (−dot, idx) structs — lower idx wins ties,
-    // the same rule as ivfTopK; qc recovers the dot by exact negation
-    val probes = {
-      val ranked = array_sort(transform(
-        sequence(lit(0), lit(centroids.size - 1)),
-        i => struct((-element_at(col("__cd"), i + 1)).as("neg"), i.as("idx"))))
-      transform(slice(ranked, lit(1), lit(nProbe)),
-        s => struct(s.getField("idx").cast("int").as("cell"), (-s.getField("neg")).as("qc")))
-    }
+    val probes = probeRanking(col("__cd"), centroids.size, nProbe)
     val q = queries
       .filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
       .select(col(idCol).as("qid"), col(vecCol).as("__qv"))
@@ -425,6 +417,25 @@ object Pq {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("adc"))
+  }
+
+  /** The shared probe ranking: the `nProbe` best cells of a
+    * materialized centroid-dots array `cdCol`, as
+    * `array<struct<cell:int, qc:double>>`. Sorts (−dot, idx) structs
+    * so LOWER index wins dot ties — the [[Similarity.ivfTopK]]
+    * convention every oracle replays — and recovers the dot (`qc`,
+    * the `q·c_cell` ADC term) by exact IEEE negation of the sort key.
+    * One definition on purpose: this tie rule is pinned by three
+    * consumers (inline IVF-PQ, and both [[graft.pipeline.AnnIndex]]
+    * query branches); a divergence would silently desynchronize the
+    * store path from the inline path.
+    */
+  private[graft] def probeRanking(cdCol: Column, nCells: Int, nProbe: Int): Column = {
+    val ranked = array_sort(transform(
+      sequence(lit(0), lit(nCells - 1)),
+      i => struct((-element_at(cdCol, i + 1)).as("neg"), i.as("idx"))))
+    transform(slice(ranked, lit(1), lit(nProbe)),
+      s => struct(s.getField("idx").cast("int").as("cell"), (-s.getField("neg")).as("qc")))
   }
 
   /** `Σ_s lut_s[code_s]` — the in-subspace-order ADC fold shared by
@@ -474,12 +485,9 @@ object Pq {
       k: Int,
       codesCol: String = "pq_codes"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val luts = array((0 until model.m).map(s =>
-      graft.functions.MatVecDotsExpr.matVecDots(
-        subVec(col(vecCol), s, model.dsub), model.codebooks(s))): _*)
     val q = queries
       .filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
-      .select(col(idCol).as("qid"), luts.as("__luts"))
+      .select(col(idCol).as("qid"), lutArray(vecCol, model).as("__luts"))
     val n = codes
       .filter(col(codesCol).isNotNull)
       .select(col(idCol).as("nid"), col(codesCol).as("__codes"))

@@ -353,35 +353,28 @@ object AnnIndex {
     if (!isPqStore(spark, index)) {
       require(refineWith.isEmpty,
         "refineWith applies to PQ stores; the raw store is already exact")
-      val probes = {
-        val ranked = array_sort(transform(
-          sequence(lit(0), lit(centroids.size - 1)),
-          i => struct((-element_at(col("__cd"), i + 1)).as("neg"), i.as("idx"))))
-        transform(slice(ranked, lit(1), lit(nProbe)), s => s.getField("idx"))
-      }
+      val probes = graft.ops.Pq.probeRanking(col("__cd"), centroids.size, nProbe)
       val q = withCellDots(
           queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
           "qvec", centroids)
-        .select(col("qid"), col("qvec"), explode(probes).as("cell"))
+        .select(col("qid"), col("qvec"), explode(probes).as("__p"))
+        .select(col("qid"), col("qvec"), col("__p.cell").as("cell"))
       val cells = readCells(spark, index)
         .select(col("cell"), col(idCol).as("nid"), col(vecCol).as("nvec"))
       val scored = cells.join(broadcast(q), Seq("cell"))
         .filter(col("qid") =!= col("nid"))
         .withColumn("sim", Similarity.cosine(col("qvec"), col("nvec")))
+        // a zero-norm stored vector scores NaN, and Spark orders NaN
+        // ABOVE every number — unguarded it becomes rank 1 for every
+        // query probing its cell (the hardNegatives/passesThreshold
+        // trap; the PQ branch excludes such rows at build via the
+        // unit-normalize, the raw store may carry them)
+        .filter(!isnan(col("sim")))
       Similarity.rankTopK(scored, k)
     } else {
       require(refineFactor >= 1, s"refineFactor must be >= 1: $refineFactor")
       val model = loadCodebooks(spark, index)
-      // (probe cell, q·c_cell) pairs — qc by exact negation of the
-      // sort key, the ivfAdcTopK convention
-      val probes = {
-        val ranked = array_sort(transform(
-          sequence(lit(0), lit(centroids.size - 1)),
-          i => struct((-element_at(col("__cd"), i + 1)).as("neg"), i.as("idx"))))
-        transform(slice(ranked, lit(1), lit(nProbe)),
-          s => struct(s.getField("idx").cast("int").as("cell"),
-            (-s.getField("neg")).as("qc")))
-      }
+      val probes = graft.ops.Pq.probeRanking(col("__cd"), centroids.size, nProbe)
       val q = withCellDots(
           queries
             .filter(col(vecCol).isNotNull && !exists(col(vecCol), v => v.isNull))
@@ -405,16 +398,35 @@ object AnnIndex {
       refineWith match {
         case None => Similarity.rankTopK(scored, k)
         case Some(corpus) =>
+          // A shortlist id the refine corpus lacks (an appended-
+          // increment vector when refineWith points at the original
+          // build input — the natural operator choice) must not
+          // silently VANISH from results: it keeps its ADC estimate,
+          // which is on the same cosine scale. Outer-joining would
+          // put the big corpus on the build side, so: broadcast-inner
+          // for the covered ids, then a small anti-join recovers the
+          // uncovered remainder. A refine-side zero-norm vector
+          // scores exact NaN — same ADC fallback, rather than letting
+          // NaN sort to rank 1.
           val shortlist = Similarity.rankTopK(scored, k * refineFactor)
-            .select("qid", "nid")
+            .select(col("qid"), col("nid"), col("sim").as("__adc"))
           val nv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
           val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-          val exact = nv
+          // matched is bounded (≤ queries × k × factor rows) and
+          // feeds both the union and the anti-join — persist it so
+          // the corpus scan behind it runs once (registry-released
+          // at the run's unpersistAll, as every query cache is)
+          val matched = graft.CachedFrames.persistOnce(nv
             .join(broadcast(shortlist), Seq("nid"))
             .join(broadcast(qv), Seq("qid"))
-            .withColumn("sim", Similarity.cosine(col("qvec"), col("nvec")))
-            .select("qid", "nid", "sim")
-          Similarity.rankTopK(exact, k)
+            .withColumn("__exact", Similarity.cosine(col("qvec"), col("nvec")))
+            .select(col("qid"), col("nid"),
+              when(!isnan(col("__exact")), col("__exact"))
+                .otherwise(col("__adc")).as("sim")))
+          val uncovered = shortlist
+            .join(matched.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
+            .select(col("qid"), col("nid"), col("__adc").as("sim"))
+          Similarity.rankTopK(matched.unionByName(uncovered), k)
       }
     }
   }

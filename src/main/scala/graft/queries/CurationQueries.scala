@@ -169,6 +169,8 @@ object CurationQueries {
       top
         .withColumn("rank",
           row_number().over(Window.orderBy(col("n").desc, col("word"))).cast("int"))
+        // single-space display of the double-space internal form
+        .withColumn("sym", regexp_replace(col("sym"), "  ", " "))
         .select("rank", "word", "n", "sym")
         .orderBy("rank")
     }),
@@ -300,27 +302,31 @@ object CurationQueries {
     * symbol sequences; each step chains (pair counts from `w{i-1}`) →
     * (1-row argmax, ties by pair string) → (padded literal replace —
     * left-to-right non-overlapping in DuckDB's `replace` exactly as
-    * in the JVM's `regexp_replace` with a quoted pattern). The
-    * q_pagerank iteration-replay pattern, generated per step.
+    * in the JVM's `regexp_replace` with a quoted pattern). Symbols
+    * join on DOUBLE spaces so adjacent matches never consume a shared
+    * delimiter — replace-all is then exactly the textbook greedy scan
+    * (see [[graft.ops.Bpe.applyMerge]]). The q_pagerank
+    * iteration-replay pattern, generated per step.
     */
   private def bpeCtes: String = {
     val sb = new StringBuilder(
       """WITH w0 AS (
         |  SELECT word, count(*)::BIGINT AS n,
-        |    trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym
+        |    trim(regexp_replace(word, '(.)', '\1  ', 'g')) AS sym
         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
         |  WHERE word <> '' GROUP BY word
         |)""".stripMargin)
     for (i <- 1 to bpeMerges) sb ++= s""", p$i AS (
         |  SELECT pair, sum(n)::BIGINT AS cnt FROM (
         |    SELECT n, unnest(list_transform(range(1, len(s)), j -> s[j] || ' ' || s[j+1])) AS pair
-        |    FROM (SELECT n, string_split(sym, ' ') AS s FROM w${i - 1})
+        |    FROM (SELECT n, string_split(sym, '  ') AS s FROM w${i - 1})
         |  ) GROUP BY pair
         |), m$i AS (
         |  SELECT $i AS step, pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1
         |), w$i AS (
         |  SELECT w.word, w.n,
-        |    trim(replace(' ' || w.sym || ' ', ' ' || m.pair || ' ',
+        |    trim(replace(' ' || w.sym || ' ',
+        |      ' ' || split_part(m.pair, ' ', 1) || '  ' || split_part(m.pair, ' ', 2) || ' ',
         |      ' ' || replace(m.pair, ' ', '') || ' ')) AS sym
         |  FROM w${i - 1} w CROSS JOIN m$i m
         |)""".stripMargin
@@ -336,7 +342,7 @@ object CurationQueries {
       s"""
          |SELECT rank, word, n, sym FROM (
          |  SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INTEGER) AS rank,
-         |    word, n, sym
+         |    word, n, replace(sym, '  ', ' ') AS sym
          |  FROM w$bpeMerges
          |) WHERE rank <= $bpeVocabK ORDER BY rank""".stripMargin),
     "q_bpe_encode" -> (bpeCtes +
@@ -346,7 +352,7 @@ object CurationQueries {
          |), enc AS (
          |  SELECT doc_id, unnest(range(1, len(ws)+1)) AS idx, ws FROM encw
          |), seq AS (
-         |  SELECT e.doc_id, string_agg(w.sym, ' ' ORDER BY e.idx) AS syms
+         |  SELECT e.doc_id, string_agg(replace(w.sym, '  ', ' '), ' ' ORDER BY e.idx) AS syms
          |  FROM (SELECT doc_id, idx, ws[idx] AS word FROM enc) e
          |  JOIN w$bpeMerges w ON w.word = e.word
          |  GROUP BY e.doc_id

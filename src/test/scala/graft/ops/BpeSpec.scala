@@ -50,7 +50,11 @@ class BpeSpec extends SparkSpec {
   private val docs = Seq(
     (0L, "low low low low low lower lower newest newest"),
     (1L, "newest newest newest newest widest widest widest lower low"),
-    (2L, "the newest widest low the the")).toDF("doc_id", "text")
+    // banana/aaaa force OVERLAPPING pair occurrences — the round-15
+    // review find: a single-space padded replace merged every other
+    // eligible position (banana → b an a n a); the double-space
+    // representation must match the textbook scan (b an an a)
+    (2L, "the newest widest low the the banana banana aaaa anana")).toDF("doc_id", "text")
 
   private def wordMap =
     Bpe.wordCounts(docs, "text").collect()
@@ -61,7 +65,7 @@ class BpeSpec extends SparkSpec {
     val (merges, vocab) = Bpe.train(docs, "text", 10)
     assert(merges.map(m => (m.step, m.pair, m.cnt)) == expMerges)
     val gotSegs = vocab.select("word", "sym").collect()
-      .map(r => r.getString(0) -> r.getString(1).split(" ").toSeq).toMap
+      .map(r => r.getString(0) -> r.getString(1).split("  ").toSeq).toMap
     assert(gotSegs == expSegs)
     // deterministic retrain
     val (merges2, _) = Bpe.train(docs, "text", 10)
@@ -79,16 +83,24 @@ class BpeSpec extends SparkSpec {
 
   test("encode segments unseen text with the learned merges, as a shuffle-free projection") {
     val (merges, _) = Bpe.train(docs, "text", 6)
-    val unseen = Seq((9L, "slowest newlow")).toDF("doc_id", "text")
+    val unseen = Seq((9L, "slowest newlow bananas")).toDF("doc_id", "text")
     val enc = Bpe.encode(unseen, "text", merges)
     val got = enc.select("bpe_tokens").head().getSeq[String](0)
-    // driver replay on the unseen words
-    val expected = Seq("slowest", "newlow").flatMap { w =>
-      var s = w.map(_.toString).mkString(" ")
+    // driver replay on the unseen words — the textbook greedy scan
+    // (left-to-right non-overlapping merge on the symbol vector)
+    val expected = Seq("slowest", "newlow", "bananas").flatMap { w =>
+      var s = w.map(_.toString).toVector
       merges.foreach { m =>
-        s = (" " + s + " ").replace(s" ${m.pair} ", s" ${m.pair.replace(" ", "")} ").trim
+        val Array(a, b) = m.pair.split(" ", 2)
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += a + b; i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        s = out.result()
       }
-      s.split(" ").toSeq
+      s
     }
     assert(got == expected, s"$got vs $expected")
     // merged symbols only where the learned pairs occur

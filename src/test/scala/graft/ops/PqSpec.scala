@@ -250,15 +250,21 @@ class PqSpec extends SparkSpec {
       .select("fast", "slow").collect()
     assert(both.nonEmpty)
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1), s"$r"))
-    // corrupted store row: a code outside its codebook scores NULL in
-    // both forms (element_at out-of-range → NULL through the fold)
-    val corrupt = codes.withColumn("pq_codes",
-      concat(slice(col("pq_codes"), 1, model.m - 1), array(lit(99))))
-    val c = corrupt
-      .withColumn("fast", Pq.adcFold(col("pq_codes"), luts))
-      .withColumn("slow", Pq.adcFoldComposed(col("pq_codes"), luts))
-      .select("fast", "slow").collect()
-    c.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1), s"$r"))
+    // corrupted store rows score NULL in both forms — never a silent
+    // partial score that could rank in top-k: out-of-range code,
+    // TRUNCATED codes array, and a NULL code element
+    val corruptions = Seq(
+      ("out-of-range", concat(slice(col("pq_codes"), 1, model.m - 1), array(lit(99)))),
+      ("truncated", slice(col("pq_codes"), 1, model.m - 1)),
+      ("null element", concat(slice(col("pq_codes"), 1, model.m - 1),
+        array(lit(null).cast("int")))))
+    corruptions.foreach { case (label, corruptCodes) =>
+      val c = codes.withColumn("pq_codes", corruptCodes)
+        .withColumn("fast", Pq.adcFold(col("pq_codes"), luts))
+        .withColumn("slow", Pq.adcFoldComposed(col("pq_codes"), luts))
+        .select("fast", "slow").collect()
+      c.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1), s"$label: $r"))
+    }
   }
 
   test("knob validation") {

@@ -268,6 +268,13 @@ class AnnIndexSpec extends SparkSpec {
       "vec_id", "embedding", k = 3, nProbe = 2,
       refineWith = Some(fullCorpus)).filter(col("rank") === 1).head()
     assert(top.getAs[Long]("nid") == 5000L && top.getAs[Double]("sim") > 0.999999)
+    // a refine corpus LACKING the appended twin (refineWith pointed at
+    // the original build input — the natural operator choice) must not
+    // silently drop it: the twin stays, carrying its ADC estimate
+    val partial = AnnIndex.query(spark, s"$dir/pq2", q0,
+      "vec_id", "embedding", k = 3, nProbe = 2, refineWith = Some(noisy))
+    assert(partial.filter(col("nid") === 5000L).count() == 1,
+      "appended id must survive a refine corpus that lacks it")
 
     // compact carries the codebooks and preserves results exactly
     val pre = AnnIndex.query(spark, s"$dir/pq2", q0,
@@ -303,6 +310,25 @@ class AnnIndexSpec extends SparkSpec {
       "refine_with" -> s"$dir/corpus", "refine_factor" -> "2"))
     assert(res.groupBy("qid").count().count() == 2)
     assert(res.filter(col("rank") > 5).isEmpty)
+  }
+
+  test("raw store: a zero-norm stored vector scores NaN and must never reach the ranking") {
+    val dir = java.nio.file.Files.createTempDirectory("annzero").toString
+    val corpus = clustered(3, 8)
+      .unionByName(Seq((900L, Seq.fill(dim)(0f))).toDF("vec_id", "embedding"))
+    corpus.write.mode("overwrite").parquet(s"$dir/corpus")
+    AnnIndex.build(spark, AnnIndex.Config(
+      input = s"$dir/corpus", storeDir = s"$dir/store",
+      dim = dim, nCentroids = 3, iters = 1, seedSample = 24))
+    // probing every cell guarantees the zero row's cell is read;
+    // unguarded, cosine(q, 0) = NaN sorts ABOVE every real sim and
+    // the degenerate row becomes rank 1 for every query
+    val out = AnnIndex.query(spark, s"$dir/store",
+      corpus.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      k = 3, nProbe = 3).collect()
+    assert(out.length == 3)
+    assert(!out.exists(_.getAs[Long]("nid") == 900L), "zero vector must not rank")
+    assert(out.forall(r => !r.getAs[Double]("sim").isNaN))
   }
 
   test("query validates nProbe against the stored cell count") {
