@@ -34,4 +34,14 @@ class DocsSyncSpec extends AnyFunSuite {
     assert(phantom.isEmpty,
       s"SURVEY.md references unknown queries: ${phantom.toSeq.sorted.mkString(", ")}")
   }
+
+  test("PLANS.md names no phantom queries (the plan-audit doc drifts too)") {
+    val plans = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("PLANS.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val mentioned = "q_[a-z0-9_]+".r.findAllIn(plans).toSet.filterNot(_.endsWith("_"))
+    val phantom = mentioned -- SparkEntry.queries.keySet
+    assert(phantom.isEmpty,
+      s"PLANS.md references unknown queries: ${phantom.toSeq.sorted.mkString(", ")}")
+  }
 }
