@@ -134,6 +134,34 @@ class PropertySpec extends SparkSpec {
       (u, new java.sql.Timestamp(1700000000000L + sec * 1000), i.toLong, t)
     }.toDF("user_id", "ts", "event_id", "event_type")
 
+  test("round-15 families are partitioning-invariant (retry/cluster-layout stability)") {
+    // the 100 TB claim behind X103/X105/X106: results must not depend
+    // on how the input happens to be split across tasks — integer
+    // aggregates, hash-derived noise, and lowest-id quantizer seeds
+    // are all layout-free by construction; pin it
+    val docs = samples(text, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t + " banana aaaa") }
+      .toDF("doc_id", "text")
+    def bpe(df: org.apache.spark.sql.DataFrame) = Bpe.train(df, "text", 4)._1
+    assert(bpe(docs.repartition(7)) == bpe(docs.coalesce(1)))
+    graft.CachedFrames.unpersistAll()
+
+    val vecs = (0 until 60)
+      .map(i => (i.toLong, Seq.tabulate(8)(d => (math.sin(i * 8 + d) * 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val model = Pq.lowestIdCodebooks(vecs, "vec_id", "embedding", 8, m = 2, ksub = 4)
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      Pq.encode(df, "embedding", model).select("vec_id", "pq_codes")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(vecs.repartition(13)) == codes(vecs.coalesce(1)))
+
+    def dp(df: org.apache.spark.sql.DataFrame) =
+      Curation.dpHistogram(df.select(col("doc_id").cast("double").as("v")),
+          col("v"), 0.0, 40.0, 8, epsilon = 1.0, secret = "p")
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(dp(docs.repartition(5)) == dp(docs.coalesce(1)))
+  }
+
   test("funnel step counts are monotonically non-increasing on any event log") {
     samples(eventLog, 6).foreach { log =>
       val counts = EventAnalytics.funnel(
