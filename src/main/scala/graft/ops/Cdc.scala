@@ -28,7 +28,7 @@ object Cdc {
       changes: DataFrame,
       keyCols: Seq[String],
       versionCol: String): DataFrame = {
-    val payload = changes.columns.filterNot(keyCols.contains)
+    val payload = changes.columns.toIndexedSeq.filterNot(keyCols.contains)
     changes.groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(payload.map(col): _*), col(versionCol)).as("__w"))
       .select(keyCols.map(col) ++ payload.map(c => col(s"__w.$c").as(c)): _*)
@@ -63,7 +63,7 @@ object Cdc {
     // `op =!= deleteOp` is NULL for NULL ops and the filter would
     // treat an op-less change as a delete.
     val upserts = latest.filter(!coalesce(col(opCol) === deleteOp, lit(false)))
-      .select(base.columns.map(col): _*)
+      .select(base.columns.toIndexedSeq.map(col): _*)
     untouched.unionByName(upserts)
   }
 
