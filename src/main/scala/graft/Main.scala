@@ -205,6 +205,25 @@ object Main {
           refineFactor = opts.get("refine_factor").map(_.toInt).getOrElse(4))
         out.write.mode("overwrite").parquet(req("output"))
         spark.read.parquet(req("output"))
+      case "bpe-train" =>
+        // X105 tokenizer lifecycle, offline half: learn --n_merges
+        // merges over --input's text column, persist merges +
+        // segmented vocabulary under --store_dir in one atomic swap.
+        // Returns the merge table.
+        ops.Bpe.trainToStore(
+          spark, req("input"), req("store_dir"),
+          textCol = opts.getOrElse("text_column", "text"),
+          nMerges = opts.get("n_merges").map(_.toInt).getOrElse(32))
+      case "bpe-encode" =>
+        // Online half: segment --input with the persisted tokenizer
+        // (a pure projection over the merge-chain lambda) and write
+        // --output with the subword array appended.
+        val merges = ops.Bpe.loadMerges(spark, req("store_dir"))
+        ops.Bpe.encode(
+            spark.read.parquet(req("input")),
+            opts.getOrElse("text_column", "text"), merges)
+          .write.mode("overwrite").parquet(req("output"))
+        spark.read.parquet(req("output"))
       case "privacy" =>
         // Privacy release gate (X88/X94/X95): audit --input's
         // quasi-identifier columns (--qid_columns, comma-separated)

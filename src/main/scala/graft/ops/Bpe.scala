@@ -171,4 +171,48 @@ object Bpe {
     import spark.implicits._
     merges.toDF("step", "pair", "cnt")
   }
+
+  // ------------------------------------------------------------------
+  // Persisted tokenizer store — the offline-train / online-encode
+  // lifecycle (the X99 AnnIndex pattern): a tokenizer is learned once
+  // per refresh and applied to every corpus after, so the merge list
+  // and the segmented training vocabulary live on disk behind one
+  // [[graft.io.AtomicSwap]] (a model whose merges came from one
+  // training and vocab from another would mis-segment silently).
+  // ------------------------------------------------------------------
+
+  def modelPath(storeDir: String): String = s"$storeDir/model"
+  private def mergesPath(model: String): String = s"$model/merges.parquet"
+  private def vocabPath(model: String): String = s"$model/vocab.parquet"
+
+  /** Train on `input`'s text column and persist the model (merge list
+    * + segmented vocabulary) under `storeDir` in one atomic swap.
+    * Returns the merge table.
+    */
+  def trainToStore(
+      spark: SparkSession,
+      input: String,
+      storeDir: String,
+      textCol: String = "text",
+      nMerges: Int = 32): DataFrame = {
+    val model = modelPath(storeDir)
+    graft.io.AtomicSwap.recover(spark, model)
+    val (merges, vocab) = train(spark.read.parquet(input), textCol, nMerges)
+    val next = model + ".next"
+    mergesFrame(spark, merges)
+      .coalesce(1).write.mode("overwrite").parquet(mergesPath(next))
+    vocab.select("word", "n", "sym")
+      .write.mode("overwrite").parquet(vocabPath(next))
+    graft.io.AtomicSwap.swapIn(spark, model, next)
+    spark.read.parquet(mergesPath(model)).orderBy("step")
+  }
+
+  /** Load the persisted merge list, in training order. */
+  def loadMerges(spark: SparkSession, storeDir: String): Seq[Merge] = {
+    val model = modelPath(storeDir)
+    graft.io.AtomicSwap.recover(spark, model)
+    spark.read.parquet(mergesPath(model))
+      .orderBy("step").collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+  }
 }

@@ -118,6 +118,30 @@ class BpeSpec extends SparkSpec {
     graft.CachedFrames.unpersistAll()
   }
 
+  test("CLI: bpe-train persists the model atomically; bpe-encode replays it exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("bpecli").toString
+    docs.write.mode("overwrite").parquet(s"$dir/corpus")
+    val mergesTable = graft.Main.run(spark, Map("pipeline" -> "bpe-train",
+      "input" -> s"$dir/corpus", "store_dir" -> s"$dir/store", "n_merges" -> "6"))
+    assert(mergesTable.count() == 6)
+    assert(new java.io.File(s"$dir/store/model/merges.parquet").exists())
+    assert(!new java.io.File(s"$dir/store/model.next").exists())
+    // retrain swaps over the live model instead of failing
+    graft.Main.run(spark, Map("pipeline" -> "bpe-train",
+      "input" -> s"$dir/corpus", "store_dir" -> s"$dir/store", "n_merges" -> "6"))
+    assert(!new java.io.File(s"$dir/store/model.old").exists())
+    val out = graft.Main.run(spark, Map("pipeline" -> "bpe-encode",
+      "input" -> s"$dir/corpus", "store_dir" -> s"$dir/store", "output" -> s"$dir/enc"))
+    // store round-trip ≡ the in-memory encode, token for token
+    val (m, _) = Bpe.train(docs, "text", 6)
+    val direct = Bpe.encode(docs, "text", m).select("doc_id", "bpe_tokens")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaStore = out.select("doc_id", "bpe_tokens")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaStore == direct)
+    graft.CachedFrames.unpersistAll()
+  }
+
   test("knob validation and cache hygiene") {
     intercept[IllegalArgumentException] { Bpe.train(docs, "text", 0) }
     val before = graft.CachedFrames.size
