@@ -213,9 +213,10 @@ object TfIdf {
           |  slice(__toks, 1, greatest(size(__toks) - 1, 0)),
           |  (x, i) -> struct(
           |    x AS w1,
+          |    element_at(__toks, i + 2) AS w2,
           |    concat(x, ' ', element_at(__toks, i + 2)) AS bigram))"""
           .stripMargin)).as("__b"))
-      .select(col(idCol), col("__b.w1"), col("__b.bigram"))
+      .select(col(idCol), col("__b.w1"), col("__b.w2"), col("__b.bigram"))
 
   /** Per-document mean bigram log-probability under the corpus's own
     * bigram model: `avg over adjacent pairs of ln(c(w1 w2) / c(w1 ·))`
@@ -251,6 +252,61 @@ object TfIdf {
       .agg(
         round(avg(log(col("__c2").cast("double") / col("__c1"))), 4)
           .as("avg_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  /** Per-document mean bigram log-probability under an interpolated
+    * KNESER-NEY model (Kneser & Ney, ICASSP 1995; the Chen–Goodman
+    * 1998 formulation with one fixed discount) — the serious form of
+    * the [[bigramLogProb]] perplexity filter:
+    *
+    *   P(w2|w1) = (max(c(w1 w2) − D, 0) + D·N1+(w1·)·P_cont(w2)) / c(w1·)
+    *   P_cont(w2) = N1+(·w2) / N1+(··)
+    *
+    * where N1+(w1·)/N1+(·w2) count DISTINCT continuations/contexts
+    * and N1+(··) the distinct bigram types. The continuation
+    * distribution is KN's insight: "francisco" is frequent but
+    * follows almost nothing except "san", so its reserved mass is
+    * tiny where a raw-unigram backoff would inflate it. Per context
+    * the model is exactly normalized (Σ over the vocabulary = 1 —
+    * spec-pinned), unlike add-k. Self-scored (every scored bigram is
+    * in the model), so the discounting never hits a zero count; the
+    * interpolation still separates formulaic high-count adjacency
+    * from one-off co-occurrence, which is what the filter ranks by.
+    *
+    * Scale shape, same contract as [[bigramLogProb]]: pair
+    * construction is a per-row projection; ONE cached
+    * pair-types-sized aggregate feeds all four model tables (pair
+    * counts, prefix marginals + distinct-continuation counts,
+    * distinct-context counts, the scalar type total riding a
+    * broadcast 1-row frame); scoring re-joins the corpus pair stream
+    * BY KEY.
+    */
+  def kneserNeyLogProb(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    val bg = bigramRows(df, textCol, idCol)
+    val pairCounts = graft.CachedFrames.persistOnce(
+      bg.groupBy("w1", "w2", "bigram").agg(count(lit(1)).as("__c2")))
+    val prefix = pairCounts.groupBy("w1")
+      .agg(sum("__c2").as("__c1"), count(lit(1)).as("__n1f"))
+    val continuation = pairCounts.groupBy("w2").agg(count(lit(1)).as("__n1r"))
+    val types = broadcast(pairCounts.agg(count(lit(1)).as("__t")))
+    val p = (greatest(col("__c2").cast("double") - lit(discount), lit(0.0)) +
+      lit(discount) * col("__n1f").cast("double") *
+        (col("__n1r").cast("double") / col("__t").cast("double"))) /
+      col("__c1").cast("double")
+    bg
+      .join(pairCounts.select("bigram", "__c2"), Seq("bigram"))
+      .join(prefix, Seq("w1"))
+      .join(continuation, Seq("w2"))
+      .crossJoin(types)
+      .groupBy(col(idCol))
+      .agg(
+        round(avg(log(p)), 4).as("avg_logprob"),
         count(lit(1)).as("n_bigrams"))
   }
 

@@ -561,6 +561,16 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     }),
 
+    // X107 interpolated Kneser-Ney bigram scoring — the serious form
+    // of q_bigram_logprob: absolute discount D=0.75 with the
+    // continuation-count backoff, exactly normalized per context
+    // (spec-pinned), so formulaic adjacency and one-off co-occurrence
+    // separate where raw count ratios conflate them.
+    "q_kn_logprob" -> ((s, dir) => {
+      TfIdf.kneserNeyLogProb(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // DSIR-style importance weights: corpus docs scored by mean
     // unigram log-likelihood ratio against a target domain (source
     // src0), add-1 smoothed — the data-selection signal for
@@ -1319,6 +1329,28 @@ object AnalyticsQueries {
         |SELECT doc_id, round(avg(ln(c2.c2::DOUBLE / c1.c1)), 4) AS avg_logprob,
         |       count(*) AS n_bigrams
         |FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_kn_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |), x AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks FROM t
+        |), bg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM x
+        |), pc AS (
+        |  SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY 1, 2
+        |), pre AS (
+        |  SELECT w1, sum(c2)::BIGINT AS c1, count(*)::BIGINT AS n1f FROM pc GROUP BY 1
+        |), cont AS (
+        |  SELECT w2, count(*)::BIGINT AS n1r FROM pc GROUP BY 1
+        |), tot AS (
+        |  SELECT count(*)::BIGINT AS t FROM pc
+        |)
+        |SELECT doc_id,
+        |  round(avg(ln((greatest(c2::DOUBLE - 0.75, 0.0)
+        |    + 0.75 * n1f::DOUBLE * (n1r::DOUBLE / t::DOUBLE)) / c1::DOUBLE)), 4) AS avg_logprob,
+        |  count(*) AS n_bigrams
+        |FROM bg JOIN pc USING (w1, w2) JOIN pre USING (w1) JOIN cont USING (w2) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_importance_weights" ->
       """WITH tok AS (

@@ -110,6 +110,62 @@ class TfIdfSpec extends SparkSpec {
     assert(uni(0L) == uni(99L))
   }
 
+  test("kneserNeyLogProb: exact driver replay, per-context normalization, salad separation") {
+    val fluent = (0 until 8).map(i => (i.toLong, "the cat sat on the mat"))
+    val salad = Seq((99L, "mat the on sat cat the"))
+    val corpus = (fluent ++ salad).toDF("doc_id", "text")
+    val D = 0.75
+
+    // driver-side model from the corpus's bigram multiset
+    val allBigrams = (fluent ++ salad).flatMap { case (_, t) =>
+      val w = t.split(" "); w.zip(w.tail)
+    }
+    val c2 = allBigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = allBigrams.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n1f = c2.keys.toSeq.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n1r = c2.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val t = c2.size.toDouble
+    def p(w1: String, w2: String): Double =
+      (math.max(c2((w1, w2)) - D, 0.0) + D * n1f(w1) * (n1r(w2) / t)) / c1(w1)
+
+    // (a) per-context normalization: Σ over the FULL continuation
+    // vocabulary is exactly 1 — KN's defining property vs add-k
+    val vocab = allBigrams.flatMap(b => Seq(b._1, b._2)).distinct
+    c1.keys.foreach { w1 =>
+      val total = vocab.map { w2 =>
+        (math.max(c2.getOrElse((w1, w2), 0L) - D, 0.0) + D * n1f(w1) * (n1r.getOrElse(w2, 0L) / t)) / c1(w1)
+      }.sum
+      // mass over unseen-in-corpus continuations is 0 only if n1r
+      // covers them; within the closed vocab the sum must hit 1
+      assert(math.abs(total - 1.0) < 1e-9, s"context $w1 sums to $total")
+    }
+
+    // (b) engine result == driver replay, doc for doc
+    val got = TfIdf.kneserNeyLogProb(corpus, "text", "doc_id")
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    (fluent ++ salad).foreach { case (id, text) =>
+      val w = text.split(" ")
+      val pairs = w.zip(w.tail)
+      val expect = math.rint(pairs.map { case (a, b) => math.log(p(a, b)) }.sum / pairs.size * 1e4) / 1e4
+      assert(got(id)._1 == expect && got(id)._2 == pairs.size.toLong, s"doc $id")
+    }
+
+    // (c) the salad still scores lower; and KN discounts relative to
+    // the raw MLE ratio on every seen bigram (mass reserved)
+    assert(got(0L)._1 > got(99L)._1)
+    val mle = TfIdf.bigramLogProb(corpus, "text", "doc_id")
+      .select($"doc_id", $"avg_logprob").as[(Long, Double)].collect().toMap
+    assert(got(0L)._1 <= mle(0L), "KN must not exceed the unsmoothed ratio on fluent text")
+    graft.CachedFrames.unpersistAll()
+  }
+
+  test("kneserNeyLogProb validates the discount") {
+    intercept[IllegalArgumentException] {
+      TfIdf.kneserNeyLogProb(docs, "text", "doc_id", discount = 1.0)
+    }
+  }
+
   test("invertedIndex: exact df/tf with postings bounded and ascending") {
     val idx = TfIdf.invertedIndex(docs, "text", "doc_id", maxPostings = 10)
       .as[(String, Long, Long, String)].collect()
