@@ -845,6 +845,51 @@ object Curation {
       .withColumn("at_risk", col("distance") > t)
   }
 
+  /** ROC-AUC (the Mann–Whitney statistic with the standard ½-credit
+    * tie correction) plus class counts for a binary-labeled score —
+    * the evaluation that CLOSES the filter loop (train → score →
+    * gate → evaluate against labels): does the quality/fluency/
+    * classifier score actually rank the positive class higher?
+    *
+    *   AUC = Σ_s pos(s) · (negBelow(s) + neg(s)/2) / (P·N)
+    *
+    * Scale shape: one map-side-combined groupBy collapses the corpus
+    * to the per-DISTINCT-SCORE frame; the cumulative window runs over
+    * THAT frame only — cost bounded by distinct scores, never a
+    * corpus-sized global sort (scores arriving from this repo's
+    * scorers are already rounded to 4 decimals, which is what keeps
+    * the frame bounded; round a raw continuous score upstream).
+    * Every summand is a multiple of ½ below 2^52, so the aggregate is
+    * ORDER-EXACT in IEEE double — replayable without tolerance games.
+    *
+    * NULL/NaN scores and NULL labels are excluded; a degenerate input
+    * (one class absent) returns AUC NULL rather than ±∞/NaN.
+    */
+  def binaryEval(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val g = df
+      .select(scoreCol.cast("double").as("__s"), labelCol.cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && !isnan(col("__s")) && col("__y").isNotNull)
+      .groupBy("__s")
+      .agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__n"))
+    import org.apache.spark.sql.expressions.Window
+    val below = Window.orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g
+      .withColumn("__nb", coalesce(sum("__n").over(below), lit(0L)))
+      .agg(
+        sum("__p").as("n_pos"),
+        sum("__n").as("n_neg"),
+        sum(col("__p").cast("double") *
+          (col("__nb").cast("double") + col("__n").cast("double") / 2.0)).as("__num"))
+      .select(
+        col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__num") / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          .as("auc"))
+  }
+
   /** ε-differentially-private histogram release — the Laplace
     * mechanism (Dwork, McSherry, Nissim, Smith, TCC 2006), the
     * REMEDIATION that closes the privacy family: where X88/X94/X95

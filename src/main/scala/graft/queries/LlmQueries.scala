@@ -93,6 +93,19 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // X108 filter evaluation: ROC-AUC of the unigram fluency score
+    // against the language-ID labels — the closes-the-loop audit
+    // (train → score → gate → EVALUATE). Distinct-score grouped AUC,
+    // order-exact ½-multiples arithmetic, replayable in DuckDB.
+    "q_filter_auc" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = TfIdf.unigramLogProb(d, "text", "doc_id")
+      val labels = d.select(col("doc_id"),
+        (TextAnalysis.langId(col("text")) === "en").as("is_en"))
+      Curation.binaryEval(scored.join(labels, Seq("doc_id")),
+        col("avg_logprob"), col("is_en"))
+    }),
+
     // Per-source corpus-health rollup: the dashboard row a training
     // pipeline publishes per ingestion source — doc/token volume,
     // mean alpha ratio, quality-gate and English-ID pass counts —
@@ -789,6 +802,60 @@ object LlmQueries {
        |    ${cases.mkString("\n    ")}
        |    ELSE 'und' END AS lang_pred
        |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** X108 AUC oracle: the [[langOracle]] profile scoring (labels) +
+    * the q_unigram_logprob model (scores) + the grouped Mann–Whitney
+    * AUC — `Σ_s p(s)·(negBelow(s) + n(s)/2) / (P·N)`, every summand a
+    * multiple of ½ so the sum is order-exact cross-engine.
+    */
+  private def filterAucOracle: String = {
+    val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> list_contains([$lst], x)))::BIGINT AS score_$lang"
+    }
+    val names = TextAnalysis.langProfiles.map { case (l, _) => s"score_$l" }
+    val top = s"greatest(${names.mkString(", ")})"
+    val cases = TextAnalysis.langProfiles.map { case (lang, _) =>
+      s"WHEN score_$lang = $top THEN '$lang'"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+       |), ls AS (
+       |  SELECT doc_id, ${scores.mkString(",\n    ")}
+       |  FROM t
+       |), lang AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $top = 0 THEN 'und'
+       |      ${cases.mkString("\n      ")}
+       |      ELSE 'und' END AS lang_pred
+       |  FROM ls
+       |), tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+       |), c AS (
+       |  SELECT term, count(*) AS tc FROM tok GROUP BY 1
+       |), tt AS (
+       |  SELECT count(*) AS total FROM tok
+       |), uni AS (
+       |  SELECT doc_id, round(avg(ln(tc::DOUBLE / total)), 4) AS s
+       |  FROM tok JOIN c USING (term) CROSS JOIN tt GROUP BY doc_id
+       |), ev AS (
+       |  SELECT u.s, (l.lang_pred = 'en') AS y
+       |  FROM uni u JOIN lang l USING (doc_id)
+       |), g AS (
+       |  SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
+       |    sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS n
+       |  FROM ev GROUP BY s
+       |), cw AS (
+       |  SELECT p, n,
+       |    coalesce(sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+       |  FROM g
+       |)
+       |SELECT sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg,
+       |  CASE WHEN sum(p) > 0 AND sum(n) > 0
+       |    THEN round(sum(p::DOUBLE * (nb::DOUBLE + n::DOUBLE / 2.0))
+       |               / (sum(p)::DOUBLE * sum(n)::DOUBLE), 6) END AS auc
+       |FROM cw""".stripMargin
   }
 
   /** Per-source health rollup oracle: statsOracle's per-doc signal
@@ -1592,6 +1659,7 @@ object LlmQueries {
         |FROM m ORDER BY doc_id, fp""".stripMargin,
     "q_text_stats" -> statsOracle,
     "q_lang_id" -> langOracle,
+    "q_filter_auc" -> filterAucOracle,
     "q_corpus_health" -> corpusHealthOracle,
     "q_repetition" ->
       """WITH docs AS (

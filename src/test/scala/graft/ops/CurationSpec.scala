@@ -675,6 +675,35 @@ class CurationSpec extends SparkSpec {
     assert(loose.forall(_ <= 10.0 * 37), s"ε=0.1 outlier: ${loose.max}")
   }
 
+  // ---- X108 filter evaluation --------------------------------------
+
+  test("binaryEval: known AUCs — separation 1, inversion 0, all-tied ½, ties half-credit") {
+    def auc(rows: Seq[(Double, Boolean)]): Option[Double] = {
+      val r = Curation.binaryEval(rows.toDF("s", "y"), col("s"), col("y")).head()
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    // perfect separation and its inversion
+    assert(auc(Seq((1.0, true), (2.0, true), (0.1, false), (0.2, false))).contains(1.0))
+    assert(auc(Seq((0.1, true), (0.2, true), (1.0, false), (2.0, false))).contains(0.0))
+    // every score tied → exactly ½ (the tie credit, not an accident)
+    assert(auc(Seq((5.0, true), (5.0, true), (5.0, false))).contains(0.5))
+    // one tied pair gets half credit: pairs = (1t,0f)✓ + (1t,1f=tie ½)
+    // + (2t over both ✓✓) → (1 + 0.5 + 2) / (2·2) = 0.875
+    assert(auc(Seq((1.0, true), (1.0, false), (0.0, false), (2.0, true))).contains(0.875))
+    // degenerate single-class inputs yield NULL, not ±∞/NaN
+    assert(auc(Seq((1.0, true), (2.0, true))).isEmpty)
+    assert(auc(Seq.empty[(Double, Boolean)]).isEmpty)
+    // NULL/NaN hygiene: excluded rows don't poison the statistic
+    val messy = Seq(
+      (java.lang.Double.valueOf(1.0), java.lang.Boolean.TRUE),
+      (java.lang.Double.valueOf(Double.NaN), java.lang.Boolean.TRUE),
+      (null.asInstanceOf[java.lang.Double], java.lang.Boolean.FALSE),
+      (java.lang.Double.valueOf(0.0), java.lang.Boolean.FALSE))
+      .toDF("s", "y")
+    val m = Curation.binaryEval(messy, col("s"), col("y")).head()
+    assert(m.getLong(0) == 1L && m.getLong(1) == 1L && m.getDouble(2) == 1.0)
+  }
+
   test("dpHistogram: threshold prunes small noisy cells; knob validation") {
     val all = Curation.dpHistogram(dpInput, col("v"), 0.0, 100.0, 20, 1.0, "s1")
     val pruned = Curation.dpHistogram(dpInput, col("v"), 0.0, 100.0, 20, 1.0, "s1", threshold = 50.0)
