@@ -890,6 +890,47 @@ object Curation {
           .as("auc"))
   }
 
+  /** The threshold-sweep companion of [[binaryEval]]: one row per
+    * DISTINCT score value with the confusion counts and metrics of
+    * the gate "keep everything scoring ≥ this threshold" — the table
+    * an operator reads to PICK the gate cut (AUC says whether the
+    * score ranks; this says what each cut costs). Same scale shape:
+    * the corpus collapses to the per-distinct-score frame first and
+    * every window runs over that bounded frame. Counts are exact
+    * longs; precision/recall/F1 are single divisions of exact longs
+    * (F1 derived from the UNROUNDED ratios, rounded once at the end)
+    * — deterministic cross-engine. Degenerate no-positive inputs
+    * yield an empty frame.
+    */
+  def prCurve(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df
+      .select(scoreCol.cast("double").as("__s"), labelCol.cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && !isnan(col("__s")) && col("__y").isNotNull)
+      .groupBy("__s")
+      .agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__n"))
+    val cum = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prec = col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+    val rec = col("tp").cast("double") / col("__ptot").cast("double")
+    g
+      .withColumn("tp", sum("__p").over(cum))
+      .withColumn("fp", sum("__n").over(cum))
+      .withColumn("__ptot", sum("__p").over(all))
+      .filter(col("__ptot") > 0)
+      .select(
+        col("__s").as("threshold"), col("tp"), col("fp"),
+        round(prec, 6).as("precision"),
+        round(rec, 6).as("recall"),
+        when(prec + rec > 0,
+          round(lit(2.0) * prec * rec / (prec + rec), 6))
+          .otherwise(lit(0.0)).as("f1"))
+  }
+
   /** ε-differentially-private histogram release — the Laplace
     * mechanism (Dwork, McSherry, Nissim, Smith, TCC 2006), the
     * REMEDIATION that closes the privacy family: where X88/X94/X95

@@ -106,6 +106,19 @@ object LlmQueries {
         col("avg_logprob"), col("is_en"))
     }),
 
+    // X108's threshold sweep: what each "keep score ≥ t" cut costs in
+    // precision/recall over the same score/label pair — the table the
+    // operator reads to place the gate.
+    "q_pr_curve" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = TfIdf.unigramLogProb(d, "text", "doc_id")
+      val labels = d.select(col("doc_id"),
+        (TextAnalysis.langId(col("text")) === "en").as("is_en"))
+      Curation.prCurve(scored.join(labels, Seq("doc_id")),
+          col("avg_logprob"), col("is_en"))
+        .orderBy(col("threshold").desc)
+    }),
+
     // Per-source corpus-health rollup: the dashboard row a training
     // pipeline publishes per ingestion source — doc/token volume,
     // mean alpha ratio, quality-gate and English-ID pass counts —
@@ -809,7 +822,11 @@ object LlmQueries {
     * AUC — `Σ_s p(s)·(negBelow(s) + n(s)/2) / (P·N)`, every summand a
     * multiple of ½ so the sum is order-exact cross-engine.
     */
-  private def filterAucOracle: String = {
+  /** Shared labeled-score CTE chain for the X108 evaluation pair:
+    * language-ID labels + unigram fluency scores + the per-distinct-
+    * score class counts `g(s, p, n)`.
+    */
+  private def evalScoreCtes: String = {
     val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(toks, x -> list_contains([$lst], x)))::BIGINT AS score_$lang"
@@ -846,7 +863,11 @@ object LlmQueries {
        |  SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
        |    sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS n
        |  FROM ev GROUP BY s
-       |), cw AS (
+       |)""".stripMargin
+  }
+
+  private def filterAucOracle: String = evalScoreCtes +
+    s""", cw AS (
        |  SELECT p, n,
        |    coalesce(sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
        |  FROM g
@@ -856,7 +877,27 @@ object LlmQueries {
        |    THEN round(sum(p::DOUBLE * (nb::DOUBLE + n::DOUBLE / 2.0))
        |               / (sum(p)::DOUBLE * sum(n)::DOUBLE), 6) END AS auc
        |FROM cw""".stripMargin
-  }
+
+  /** X108 threshold-sweep oracle: [[filterAucOracle]]'s labeled-score
+    * CTEs, then cumulative confusion counts over the distinct-score
+    * frame ordered descending; F1 from the UNROUNDED ratios.
+    */
+  private def prCurveOracle: String = evalScoreCtes +
+    s""", cw AS (
+       |  SELECT s,
+       |    sum(p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp,
+       |    sum(n) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS fp,
+       |    sum(p) OVER ()::BIGINT AS ptot
+       |  FROM g
+       |)
+       |SELECT s AS threshold, tp, fp,
+       |  round(tp::DOUBLE / (tp + fp)::DOUBLE, 6) AS precision,
+       |  round(tp::DOUBLE / ptot::DOUBLE, 6) AS recall,
+       |  CASE WHEN tp::DOUBLE / (tp + fp)::DOUBLE + tp::DOUBLE / ptot::DOUBLE > 0
+       |    THEN round(2.0 * (tp::DOUBLE / (tp + fp)::DOUBLE) * (tp::DOUBLE / ptot::DOUBLE)
+       |               / (tp::DOUBLE / (tp + fp)::DOUBLE + tp::DOUBLE / ptot::DOUBLE), 6)
+       |    ELSE 0.0 END AS f1
+       |FROM cw WHERE ptot > 0 ORDER BY threshold DESC""".stripMargin
 
   /** Per-source health rollup oracle: statsOracle's per-doc signal
     * replay + langOracle's profile scoring, grouped by source.
@@ -1660,6 +1701,7 @@ object LlmQueries {
     "q_text_stats" -> statsOracle,
     "q_lang_id" -> langOracle,
     "q_filter_auc" -> filterAucOracle,
+    "q_pr_curve" -> prCurveOracle,
     "q_corpus_health" -> corpusHealthOracle,
     "q_repetition" ->
       """WITH docs AS (

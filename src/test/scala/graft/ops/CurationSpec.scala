@@ -704,6 +704,30 @@ class CurationSpec extends SparkSpec {
     assert(m.getLong(0) == 1L && m.getLong(1) == 1L && m.getDouble(2) == 1.0)
   }
 
+  test("prCurve: hand-checked confusion counts per threshold; degenerate input is empty") {
+    val rows = Seq(
+      (0.9, true), (0.9, false), (0.7, true), (0.5, false), (0.3, true))
+      .toDF("s", "y")
+    val got = Curation.prCurve(rows, col("s"), col("y"))
+      .orderBy(col("threshold").desc).collect()
+    // thresholds 0.9, 0.7, 0.5, 0.3 → tp/fp cumulate from the top
+    val expect = Seq(
+      (0.9, 1L, 1L, 0.5, 1.0 / 3, 0.4),
+      (0.7, 2L, 1L, 2.0 / 3, 2.0 / 3, 2.0 / 3),
+      (0.5, 2L, 2L, 0.5, 2.0 / 3, 4.0 / 7),
+      (0.3, 3L, 2L, 0.6, 1.0, 0.75))
+    assert(got.length == 4)
+    got.zip(expect).foreach { case (r, (t, tp, fp, p, rc, f1)) =>
+      assert(r.getDouble(0) == t && r.getLong(1) == tp && r.getLong(2) == fp)
+      assert(r.getDouble(3) == math.rint(p * 1e6) / 1e6, s"precision at $t")
+      assert(r.getDouble(4) == math.rint(rc * 1e6) / 1e6, s"recall at $t")
+      assert(r.getDouble(5) == math.rint(f1 * 1e6) / 1e6, s"f1 at $t")
+    }
+    // no positives → empty frame, not division noise
+    val neg = Seq((1.0, false), (2.0, false)).toDF("s", "y")
+    assert(Curation.prCurve(neg, col("s"), col("y")).isEmpty)
+  }
+
   test("dpHistogram: threshold prunes small noisy cells; knob validation") {
     val all = Curation.dpHistogram(dpInput, col("v"), 0.0, 100.0, 20, 1.0, "s1")
     val pruned = Curation.dpHistogram(dpInput, col("v"), 0.0, 100.0, 20, 1.0, "s1", threshold = 50.0)
