@@ -113,18 +113,25 @@ object Bpe {
     *
     * Stops early if every word has collapsed to one symbol.
     */
+  /** With `shareGenerations = true` (the query-path default) every
+    * generation stays REGISTERED (nMerges+1 vocabulary-sized frames,
+    * reclaimed at the run's unpersistAll): training is deterministic,
+    * so a second train over the same corpus builds plan-identical
+    * generations and the registry turns its whole loop into cache
+    * reads — the three q_bpe_* queries share one training. A one-shot
+    * caller (the `bpe-train` CLI) passes `false` instead: each
+    * generation releases its predecessor as the loop advances, and
+    * only the FINAL frame stays registered (release it when done) —
+    * a long-lived session running many trainings must not accumulate
+    * a registry entry per generation per corpus.
+    */
   def train(
       docs: DataFrame,
       textCol: String,
-      nMerges: Int): (Seq[Merge], DataFrame) = {
+      nMerges: Int,
+      shareGenerations: Boolean = true): (Seq[Merge], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1: $nMerges")
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    // Every generation stays REGISTERED (nMerges+1 vocabulary-sized
-    // frames, reclaimed at the run's unpersistAll): training is
-    // deterministic, so a second train over the same corpus builds
-    // plan-identical generations and the registry turns its whole
-    // loop into cache reads — the three q_bpe_* queries share one
-    // training instead of paying it three times.
     var words = graft.CachedFrames.persistOnce(
       wordCounts(docs, textCol).withColumn("sym", symInit(col("word"))))
     for (step <- 1 to nMerges if merges.size == step - 1) {
@@ -138,8 +145,10 @@ object Bpe {
       top.headOption.foreach { r =>
         val pair = r.getString(0)
         merges += Merge(step, pair, r.getLong(1))
-        words = graft.CachedFrames.persistOnce(
+        val next = graft.CachedFrames.persistOnce(
           words.withColumn("sym", applyMerge(col("sym"), pair)))
+        if (!shareGenerations) graft.CachedFrames.release(words)
+        words = next
       }
     }
     (merges.toSeq, words)
@@ -197,14 +206,23 @@ object Bpe {
       nMerges: Int = 32): DataFrame = {
     val model = modelPath(storeDir)
     graft.io.AtomicSwap.recover(spark, model)
-    val (merges, vocab) = train(spark.read.parquet(input), textCol, nMerges)
+    // one-shot training: generations release as the loop advances and
+    // the final frame releases after the store write — the CLI must
+    // not pin nMerges+1 frames for the session's lifetime
+    val (merges, vocab) =
+      train(spark.read.parquet(input), textCol, nMerges, shareGenerations = false)
     val next = model + ".next"
-    mergesFrame(spark, merges)
-      .coalesce(1).write.mode("overwrite").parquet(mergesPath(next))
-    vocab.select("word", "n", "sym")
-      .write.mode("overwrite").parquet(vocabPath(next))
+    try {
+      mergesFrame(spark, merges)
+        .coalesce(1).write.mode("overwrite").parquet(mergesPath(next))
+      vocab.select("word", "n", "sym")
+        .write.mode("overwrite").parquet(vocabPath(next))
+    } finally graft.CachedFrames.release(vocab)
     graft.io.AtomicSwap.swapIn(spark, model, next)
-    spark.read.parquet(mergesPath(model)).orderBy("step")
+    // driver-local result, deliberately: a lazy frame over the live
+    // model path would throw FileNotFound after the NEXT retrain's
+    // swap renames the part files out from under it
+    mergesFrame(spark, loadMerges(spark, storeDir))
   }
 
   /** Load the persisted merge list, in training order. */

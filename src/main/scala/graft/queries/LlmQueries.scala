@@ -97,27 +97,15 @@ object LlmQueries {
     // against the language-ID labels — the closes-the-loop audit
     // (train → score → gate → EVALUATE). Distinct-score grouped AUC,
     // order-exact ½-multiples arithmetic, replayable in DuckDB.
-    "q_filter_auc" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val scored = TfIdf.unigramLogProb(d, "text", "doc_id")
-      val labels = d.select(col("doc_id"),
-        (TextAnalysis.langId(col("text")) === "en").as("is_en"))
-      Curation.binaryEval(scored.join(labels, Seq("doc_id")),
-        col("avg_logprob"), col("is_en"))
-    }),
+    "q_filter_auc" -> ((s, dir) =>
+      Curation.binaryEval(evalPair(s, dir), col("avg_logprob"), col("is_en"))),
 
     // X108's threshold sweep: what each "keep score ≥ t" cut costs in
     // precision/recall over the same score/label pair — the table the
     // operator reads to place the gate.
-    "q_pr_curve" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val scored = TfIdf.unigramLogProb(d, "text", "doc_id")
-      val labels = d.select(col("doc_id"),
-        (TextAnalysis.langId(col("text")) === "en").as("is_en"))
-      Curation.prCurve(scored.join(labels, Seq("doc_id")),
-          col("avg_logprob"), col("is_en"))
-        .orderBy(col("threshold").desc)
-    }),
+    "q_pr_curve" -> ((s, dir) =>
+      Curation.prCurve(evalPair(s, dir), col("avg_logprob"), col("is_en"))
+        .orderBy(col("threshold").desc)),
 
     // Per-source corpus-health rollup: the dashboard row a training
     // pipeline publishes per ingestion source — doc/token volume,
@@ -817,14 +805,28 @@ object LlmQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
-  /** X108 AUC oracle: the [[langOracle]] profile scoring (labels) +
-    * the q_unigram_logprob model (scores) + the grouped Mann–Whitney
-    * AUC — `Σ_s p(s)·(negBelow(s) + n(s)/2) / (P·N)`, every summand a
-    * multiple of ½ so the sum is order-exact cross-engine.
+  /** The ONE X108 score/label frame both evaluation queries consume:
+    * unigram fluency scores joined to is-English labels — defined
+    * once so the AUC and the PR curve can never silently evaluate
+    * different gates.
     */
+  private def evalPair(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    TfIdf.unigramLogProb(d, "text", "doc_id").join(
+      d.select(col("doc_id"),
+        (TextAnalysis.langId(col("text")) === "en").as("is_en")),
+      Seq("doc_id"))
+  }
+
   /** Shared labeled-score CTE chain for the X108 evaluation pair:
     * language-ID labels + unigram fluency scores + the per-distinct-
-    * score class counts `g(s, p, n)`.
+    * score class counts `g(s, p, n)`. KEEP IN SYNC, deliberately
+    * duplicated: the lang-scoring SQL mirrors [[langOracle]] /
+    * [[corpusHealthOracle]] and the score CTEs mirror
+    * AnalyticsQueries' q_unigram_logprob oracle — a change to
+    * `TextAnalysis.langProfiles` scoring or the unigram model must
+    * land in all of them (each stays hash-checked against the same
+    * engine ops, so a missed sync fails CORRECTNESS loudly).
     */
   private def evalScoreCtes: String = {
     val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
@@ -866,6 +868,10 @@ object LlmQueries {
        |)""".stripMargin
   }
 
+  /** X108 AUC oracle: grouped Mann–Whitney over [[evalScoreCtes]] —
+    * `Σ_s p(s)·(negBelow(s) + n(s)/2) / (P·N)`, every summand a
+    * multiple of ½ so the sum is order-exact cross-engine.
+    */
   private def filterAucOracle: String = evalScoreCtes +
     s""", cw AS (
        |  SELECT p, n,

@@ -121,8 +121,12 @@ class BpeSpec extends SparkSpec {
   test("CLI: bpe-train persists the model atomically; bpe-encode replays it exactly") {
     val dir = java.nio.file.Files.createTempDirectory("bpecli").toString
     docs.write.mode("overwrite").parquet(s"$dir/corpus")
+    val cachesBefore = graft.CachedFrames.size
     val mergesTable = graft.Main.run(spark, Map("pipeline" -> "bpe-train",
       "input" -> s"$dir/corpus", "store_dir" -> s"$dir/store", "n_merges" -> "6"))
+    // the one-shot CLI path releases its generations as it goes — a
+    // session running many trainings must not pin one frame per merge
+    assert(graft.CachedFrames.size == cachesBefore)
     assert(mergesTable.count() == 6)
     assert(new java.io.File(s"$dir/store/model/merges.parquet").exists())
     assert(!new java.io.File(s"$dir/store/model.next").exists())
