@@ -931,6 +931,98 @@ object Curation {
           .otherwise(lit(0.0)).as("f1"))
   }
 
+  /** Shared binning pass of [[calibration]] / [[calibrationError]]:
+    * NULL/NaN-filtered scores clamped to [0, 1], assigned to the
+    * fixed nBins grid, and QUANTIZED to 1e-4 fixed-point longs before
+    * any aggregation — from here on every sum is an exact integer
+    * sum, so the reliability means and the ECE are ORDER-EXACT and
+    * replay bit-for-bit in any engine (the [[binaryEval]] ½-multiples
+    * argument, bought here by quantization; ≤5e-5 of score resolution
+    * is immaterial to a calibration diagram and matches the 4-decimal
+    * rounding this repo's scorers already apply).
+    */
+  private def calibrationBins(
+      df: DataFrame,
+      scoreCol: Column,
+      labelCol: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 10000, s"nBins must be in [2, 10000]: $nBins")
+    df
+      .select(scoreCol.cast("double").as("__s0"), labelCol.cast("boolean").as("__y"))
+      .filter(col("__s0").isNotNull && !isnan(col("__s0")) && col("__y").isNotNull)
+      .withColumn("__s", least(greatest(col("__s0"), lit(0.0)), lit(1.0)))
+      .withColumn("bin", least(floor(col("__s") * nBins).cast("long"), lit(nBins - 1L)))
+      .withColumn("__sfp", round(col("__s") * 10000).cast("long"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__sfp")).as("__sfp"))
+  }
+
+  /** Reliability table — the calibration companion of [[binaryEval]]
+    * and [[prCurve]], completing the filter-evaluation triad: AUC
+    * says whether the score RANKS the positive class, the PR curve
+    * says what each cut COSTS, this says whether the score can be
+    * read as a PROBABILITY (Guo et al., ICML 2017 formulation).
+    * Scores are clamped to [0, 1] and bucketed on the fixed
+    * equal-width nBins grid; each occupied bin reports its count,
+    * positive count, mean score, observed positive rate, and the
+    * |mean − rate| gap — the per-bin summand of ECE.
+    *
+    * Scale shape: ONE map-side-combined groupBy collapses the corpus
+    * to ≤ nBins rows; everything downstream is bin-grid arithmetic.
+    * 100 TB in, nBins rows out. Exactness: see [[calibrationBins]] —
+    * the mean and the gap divide exact integer sums once at the end,
+    * so the table is deterministic cross-engine and retry-stable.
+    * NULL/NaN scores and NULL labels are excluded; empty input yields
+    * an empty table.
+    */
+  def calibration(
+      df: DataFrame,
+      scoreCol: Column,
+      labelCol: Column,
+      nBins: Int = 10): DataFrame =
+    calibrationBins(df, scoreCol, labelCol, nBins).select(
+      col("bin"),
+      round(col("bin") / nBins.toDouble, 6).as("bin_lo"),
+      round((col("bin") + 1) / nBins.toDouble, 6).as("bin_hi"),
+      col("n"),
+      col("n_pos"),
+      round(col("__sfp") / (col("n") * 10000.0), 6).as("mean_score"),
+      round(col("n_pos").cast("double") / col("n").cast("double"), 6).as("pos_rate"),
+      round(abs(col("__sfp") - lit(10000L) * col("n_pos")) / (col("n") * 10000.0), 6)
+        .as("gap"))
+
+  /** The 1-row summary of [[calibration]]: expected calibration error
+    * (bin-size-weighted mean gap — with both terms over the SAME bin
+    * the weights cancel into `Σ_b |sfp_b − 10⁴·pos_b| / (10⁴·N)`, an
+    * exact integer numerator summed as longs and divided ONCE) and
+    * maximum calibration error (the worst single bin's gap — each a
+    * single division of exact integers, so the max is deterministic).
+    * Degenerate empty input reports (0, 0, NULL, NULL) rather than a
+    * division error.
+    */
+  def calibrationError(
+      df: DataFrame,
+      scoreCol: Column,
+      labelCol: Column,
+      nBins: Int = 10): DataFrame = {
+    val dev = abs(col("__sfp") - lit(10000L) * col("n_pos"))
+    calibrationBins(df, scoreCol, labelCol, nBins)
+      .agg(
+        sum(col("n")).as("__n"),
+        sum(col("n_pos")).as("__p"),
+        sum(dev).as("__dev"),
+        max(dev.cast("double") / (col("n") * 10000.0)).as("__mce"))
+      .select(
+        coalesce(col("__n"), lit(0L)).as("n"),
+        coalesce(col("__p"), lit(0L)).as("n_pos"),
+        when(col("__n") > 0,
+          round(col("__dev") / (col("__n") * 10000.0), 6)).as("ece"),
+        when(col("__n") > 0, round(col("__mce"), 6)).as("mce"))
+  }
+
   /** ε-differentially-private histogram release — the Laplace
     * mechanism (Dwork, McSherry, Nissim, Smith, TCC 2006), the
     * REMEDIATION that closes the privacy family: where X88/X94/X95

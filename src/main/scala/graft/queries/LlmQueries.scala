@@ -107,6 +107,21 @@ object LlmQueries {
       Curation.prCurve(evalPair(s, dir), col("avg_logprob"), col("is_en"))
         .orderBy(col("threshold").desc)),
 
+    // X109 calibration: the reliability table over the en-stopword
+    // FRACTION read as P(en) vs the lang-ID label — completes the
+    // evaluation triad (AUC ranks, PR curve prices the cut, this asks
+    // whether the score is a probability). The fraction is NOT a
+    // calibrated probability, and the table shows exactly how it is
+    // over/under-confident per bin — the audit's point.
+    "q_calibration" -> ((s, dir) =>
+      Curation.calibration(calibrationPair(s, dir), col("p_en"), col("is_en"), nBins = 10)
+        .orderBy("bin")),
+
+    // X109's 1-row summary: ECE (bin-weighted mean gap, order-exact
+    // integer arithmetic) and MCE (worst bin) of the same pair.
+    "q_calibration_error" -> ((s, dir) =>
+      Curation.calibrationError(calibrationPair(s, dir), col("p_en"), col("is_en"), nBins = 10)),
+
     // Per-source corpus-health rollup: the dashboard row a training
     // pipeline publishes per ingestion source — doc/token volume,
     // mean alpha ratio, quality-gate and English-ID pass counts —
@@ -818,6 +833,22 @@ object LlmQueries {
       Seq("doc_id"))
   }
 
+  /** X109's score/label pair: the en-stopword token FRACTION read as
+    * P(en) (a [0,1] ratio of exact integer counts — replayable
+    * division, no transcendental) against the lang-ID label. One
+    * projection over one scan; the `n_tokens > 0` guard keeps the
+    * division NULL-free identically in both engines.
+    */
+  private def calibrationPair(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val t = TextAnalysis.tokens(col("text"))
+    val scoreEn = TextAnalysis.langScores(col("text")).head._2
+    d.filter(size(t) > 0).select(
+      col("doc_id"),
+      (scoreEn.cast("double") / size(t).cast("double")).as("p_en"),
+      (TextAnalysis.langId(col("text")) === "en").as("is_en"))
+  }
+
   /** Shared labeled-score CTE chain for the X108 evaluation pair:
     * language-ID labels + unigram fluency scores + the per-distinct-
     * score class counts `g(s, p, n)`. KEEP IN SYNC, deliberately
@@ -904,6 +935,66 @@ object LlmQueries {
        |               / (tp::DOUBLE / (tp + fp)::DOUBLE + tp::DOUBLE / ptot::DOUBLE), 6)
        |    ELSE 0.0 END AS f1
        |FROM cw WHERE ptot > 0 ORDER BY threshold DESC""".stripMargin
+
+  /** X109 shared CTEs: the en-stopword-fraction score and lang-ID
+    * label per doc, then the clamp / fixed-bin / 1e-4-fixed-point
+    * quantize / group pipeline of [[graft.ops.Curation.calibrationBins]]
+    * — every aggregate an exact integer sum, replayed operand for
+    * operand.
+    */
+  private def calibrationCtes: String = {
+    val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> list_contains([$lst], x)))::BIGINT AS score_$lang"
+    }
+    val names = TextAnalysis.langProfiles.map { case (l, _) => s"score_$l" }
+    val top = s"greatest(${names.mkString(", ")})"
+    val cases = TextAnalysis.langProfiles.map { case (lang, _) =>
+      s"WHEN score_$lang = $top THEN '$lang'"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+       |), ls AS (
+       |  SELECT doc_id, ${scores.mkString(",\n    ")}, len(toks)::BIGINT AS nt
+       |  FROM t
+       |), pair AS (
+       |  SELECT score_en::DOUBLE / nt::DOUBLE AS s,
+       |    (CASE WHEN $top = 0 THEN 'und'
+       |      ${cases.mkString("\n      ")}
+       |      ELSE 'und' END) = 'en' AS y
+       |  FROM ls WHERE nt > 0
+       |), b AS (
+       |  SELECT least(floor(least(greatest(s, 0.0), 1.0) * 10), 9)::BIGINT AS bin,
+       |    round(least(greatest(s, 0.0), 1.0) * 10000)::BIGINT AS sfp, y
+       |  FROM pair
+       |), g AS (
+       |  SELECT bin, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       |    sum(sfp)::BIGINT AS sfp
+       |  FROM b GROUP BY 1
+       |)""".stripMargin
+  }
+
+  /** X109 reliability-table oracle over [[calibrationCtes]]. */
+  private def calibrationOracle: String = calibrationCtes +
+    s"""
+       |SELECT bin, round(bin / 10.0, 6) AS bin_lo,
+       |  round((bin + 1) / 10.0, 6) AS bin_hi, n, n_pos,
+       |  round(sfp::DOUBLE / (n * 10000.0), 6) AS mean_score,
+       |  round(n_pos::DOUBLE / n::DOUBLE, 6) AS pos_rate,
+       |  round(abs(sfp - 10000 * n_pos)::DOUBLE / (n * 10000.0), 6) AS gap
+       |FROM g ORDER BY bin""".stripMargin
+
+  /** X109 ECE/MCE oracle: the same bins summarized to one row. */
+  private def calibrationErrorOracle: String = calibrationCtes +
+    s"""
+       |SELECT coalesce(sum(n), 0)::BIGINT AS n,
+       |  coalesce(sum(n_pos), 0)::BIGINT AS n_pos,
+       |  CASE WHEN coalesce(sum(n), 0) > 0
+       |    THEN round(sum(abs(sfp - 10000 * n_pos))::DOUBLE / (sum(n) * 10000.0), 6) END AS ece,
+       |  CASE WHEN coalesce(sum(n), 0) > 0
+       |    THEN round(max(abs(sfp - 10000 * n_pos)::DOUBLE / (n * 10000.0)), 6) END AS mce
+       |FROM g""".stripMargin
 
   /** Per-source health rollup oracle: statsOracle's per-doc signal
     * replay + langOracle's profile scoring, grouped by source.
@@ -1708,6 +1799,8 @@ object LlmQueries {
     "q_lang_id" -> langOracle,
     "q_filter_auc" -> filterAucOracle,
     "q_pr_curve" -> prCurveOracle,
+    "q_calibration" -> calibrationOracle,
+    "q_calibration_error" -> calibrationErrorOracle,
     "q_corpus_health" -> corpusHealthOracle,
     "q_repetition" ->
       """WITH docs AS (

@@ -728,6 +728,57 @@ class CurationSpec extends SparkSpec {
     assert(Curation.prCurve(neg, col("s"), col("y")).isEmpty)
   }
 
+  test("calibration: hand-checked bins — calibrated fixture gaps 0, inverted fixture gap 0.9") {
+    // perfectly calibrated: bin 2 (4 rows @0.25, 1 pos), bin 7 (4 @0.75, 3 pos)
+    val cal = (Seq.fill(3)((0.25, false)) ++ Seq((0.25, true)) ++
+      Seq.fill(3)((0.75, true)) ++ Seq((0.75, false))).toDF("s", "y")
+    val t = Curation.calibration(cal, col("s"), col("y")).orderBy("bin").collect()
+    assert(t.map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((2L, 4L, 1L), (7L, 4L, 3L)))
+    t.foreach { r =>
+      assert(r.getDouble(5) == r.getDouble(6), s"mean == rate in bin ${r.getLong(0)}")
+      assert(r.getDouble(7) == 0.0, s"gap 0 in bin ${r.getLong(0)}")
+    }
+    val e = Curation.calibrationError(cal, col("s"), col("y")).head()
+    assert(e.getLong(0) == 8L && e.getLong(1) == 4L)
+    assert(e.getDouble(2) == 0.0 && e.getDouble(3) == 0.0)
+    // anti-calibrated: confident-wrong both ways → every gap 0.9
+    val inv = Seq((0.9, false), (0.9, false), (0.1, true), (0.1, true)).toDF("s", "y")
+    val ti = Curation.calibration(inv, col("s"), col("y")).orderBy("bin").collect()
+    assert(ti.map(_.getDouble(7)).toSeq == Seq(0.9, 0.9))
+    val ei = Curation.calibrationError(inv, col("s"), col("y")).head()
+    assert(ei.getDouble(2) == 0.9 && ei.getDouble(3) == 0.9)
+  }
+
+  test("calibration: clamping, quantization, NULL/NaN hygiene, degenerate input, knobs") {
+    // out-of-range scores clamp into the edge bins; exactly 1.0 stays in the last
+    val edges = Seq((-0.5, false), (1.7, true), (1.0, true)).toDF("s", "y")
+    val te = Curation.calibration(edges, col("s"), col("y")).orderBy("bin").collect()
+    assert(te.map(r => (r.getLong(0), r.getLong(3))).toSeq == Seq((0L, 1L), (9L, 2L)))
+    assert(te(0).getDouble(5) == 0.0 && te(1).getDouble(5) == 1.0)
+    // scores quantize to 1e-4 before averaging (round-half-up at the 4th decimal)
+    val q = Curation.calibration(
+      Seq((0.123456, true)).toDF("s", "y"), col("s"), col("y")).head()
+    assert(q.getDouble(5) == 0.1235)
+    // NULL/NaN scores and NULL labels are excluded, not binned
+    val messy = Seq(
+      (java.lang.Double.valueOf(0.5), java.lang.Boolean.TRUE),
+      (java.lang.Double.valueOf(Double.NaN), java.lang.Boolean.TRUE),
+      (null.asInstanceOf[java.lang.Double], java.lang.Boolean.FALSE),
+      (java.lang.Double.valueOf(0.5), null.asInstanceOf[java.lang.Boolean]))
+      .toDF("s", "y")
+    val tm = Curation.calibration(messy, col("s"), col("y")).collect()
+    assert(tm.length == 1 && tm(0).getLong(3) == 1L)
+    // empty input: empty table; error row degrades to (0, 0, NULL, NULL)
+    val empty = Seq.empty[(Double, Boolean)].toDF("s", "y")
+    assert(Curation.calibration(empty, col("s"), col("y")).isEmpty)
+    val ee = Curation.calibrationError(empty, col("s"), col("y")).head()
+    assert(ee.getLong(0) == 0L && ee.getLong(1) == 0L && ee.isNullAt(2) && ee.isNullAt(3))
+    intercept[IllegalArgumentException] {
+      Curation.calibration(empty, col("s"), col("y"), nBins = 1)
+    }
+  }
+
   test("dpHistogram: threshold prunes small noisy cells; knob validation") {
     val all = Curation.dpHistogram(dpInput, col("v"), 0.0, 100.0, 20, 1.0, "s1")
     val pruned = Curation.dpHistogram(dpInput, col("v"), 0.0, 100.0, 20, 1.0, "s1", threshold = 50.0)
