@@ -779,6 +779,17 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("calibration is one map-side-combined aggregation pass over one scan") {
+    val d = Seq((0.25, true), (0.75, false)).toDF("s", "y")
+    val plan = Curation.calibration(d, col("s"), col("y"))
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan"))
+    assert(scans == 1, s"expected a single scan, got $scans:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected one shuffle (partial → final agg), got $exchanges:\n$plan")
+    assert(plan.contains("partial_"), s"expected map-side partial aggregation:\n$plan")
+  }
+
   test("dpHistogram: threshold prunes small noisy cells; knob validation") {
     val all = Curation.dpHistogram(dpInput, col("v"), 0.0, 100.0, 20, 1.0, "s1")
     val pruned = Curation.dpHistogram(dpInput, col("v"), 0.0, 100.0, 20, 1.0, "s1", threshold = 50.0)
