@@ -197,6 +197,118 @@ object TfIdf {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Shared per-term frame of [[tokenJsDivergence]] /
+    * [[divergingTerms]]: the two corpora's unigram distributions
+    * full-outer-joined on term, with each term's Jensen–Shannon
+    * contribution (nats) QUANTIZED to a 1e-9 fixed-point long — the
+    * [[graft.ops.Curation.calibration]] exactness trick: from here
+    * every aggregate is an exact integer sum, so the divergence total
+    * is ORDER-EXACT cross-engine despite the `ln` terms. Totals ride
+    * one broadcast 1-row frame (derived from the vocabulary-sized
+    * count frames, not a second corpus scan); 0·ln(0/m) is 0 by the
+    * `pa > 0` guards, and m > 0 always (a joined term appears in at
+    * least one side).
+    */
+  private def jsTermFrame(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val ca = tokenRows(a, textCol, idCol).groupBy("term").agg(count(lit(1)).as("__ca"))
+    val cb = tokenRows(b, textCol, idCol).groupBy("term").agg(count(lit(1)).as("__cb"))
+    val totals = ca.agg(coalesce(sum("__ca"), lit(0L)).cast("double").as("__na"))
+      .crossJoin(cb.agg(coalesce(sum("__cb"), lit(0L)).cast("double").as("__nb")))
+    // try_divide: an EMPTY side has total 0, and under ANSI a plain
+    // division throws even inside the un-taken when() branch (m
+    // references both sides). NULL propagates through the term math
+    // instead, and the callers surface the degenerate case as a NULL
+    // divergence rather than a crash or a silent 0.
+    val pa = try_divide(col("__ca").cast("double"), col("__na"))
+    val pb = try_divide(col("__cb").cast("double"), col("__nb"))
+    val m = (pa + pb) / 2.0
+    val contribNats = lit(0.5) *
+      (when(col("__ca") > 0, pa * log(pa / m)).otherwise(lit(0.0)) +
+        when(col("__cb") > 0, pb * log(pb / m)).otherwise(lit(0.0)))
+    ca.join(cb, Seq("term"), "full_outer")
+      .select(
+        col("term"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__cq", round(contribNats * 1e9).cast("long"))
+  }
+
+  /** Jensen–Shannon divergence between two corpora's unigram token
+    * distributions — the distribution-shift audit of a training MIX
+    * (is this source's language like the rest of the blend? did this
+    * month's crawl drift from last month's?). JS = ½KL(p‖m) + ½KL(q‖m)
+    * with m = (p+q)/2: symmetric, finite on disjoint supports
+    * (unlike KL), and in [0, 1] in bits — 0 = identical distributions,
+    * 1 = disjoint vocabularies. The feature-level sibling of
+    * [[graft.ops.Expectations.psiReport]], over the open token
+    * vocabulary instead of fixed numeric bins.
+    *
+    * Scale shape: two map-side-combined vocabulary-sized count
+    * aggregates, one vocabulary-sized full-outer join, totals on a
+    * broadcast 1-row frame — the corpus streams once per side and
+    * nothing downstream exceeds vocabulary size. Exactness: per-term
+    * contributions quantize to 1e-9 fixed-point longs before the sum
+    * (see [[jsTermFrame]]), so the total replays bit-for-bit in any
+    * engine with `ln`.
+    *
+    * Output: one row — (n_terms union vocabulary, total_a, total_b,
+    * js_bits). An empty side makes the divergence undefined (its
+    * distribution doesn't exist): js_bits degrades to NULL, never a
+    * silent 0 — the [[graft.ops.Curation.binaryEval]] degeneracy
+    * convention.
+    */
+  def tokenJsDivergence(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame =
+    jsTermFrame(a, b, textCol, idCol)
+      .agg(
+        count(lit(1)).as("n_terms"),
+        coalesce(sum("__ca"), lit(0L)).as("total_a"),
+        coalesce(sum("__cb"), lit(0L)).as("total_b"),
+        coalesce(sum("__cq"), lit(0L)).as("__jsq"))
+      .select(
+        col("n_terms"), col("total_a"), col("total_b"),
+        when(col("total_a") > 0 && col("total_b") > 0,
+          round(col("__jsq") / 1e9 / lit(Ln2), 6)).as("js_bits"))
+
+  /** The term-level drill-down of [[tokenJsDivergence]]: the k terms
+    * contributing MOST to the divergence (count on each side +
+    * contribution in bits), descending with a deterministic term
+    * tie-break — the table an operator reads to see WHAT shifted
+    * (a new domain's jargon, a spam token, a template artifact).
+    * Prunes via TakeOrderedAndProject: each partition retains k rows,
+    * no global sort at any vocabulary size.
+    */
+  def divergingTerms(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    jsTermFrame(a, b, textCol, idCol)
+      .select(
+        col("term"),
+        col("__ca").as("count_a"),
+        col("__cb").as("count_b"),
+        round(col("__cq") / 1e9 / lit(Ln2), 9).as("contrib_bits"))
+      .orderBy(col("contrib_bits").desc, col("term"))
+      .limit(k)
+  }
+
+  /** ln 2 as the exact double literal, embedded (rather than computed)
+    * so the Spark plan and the DuckDB oracle divide by bit-identical
+    * constants.
+    */
+  private val Ln2: Double = 0.6931471805599453
+
   /** (id, w1, bigram) adjacent-token pair rows, built INSIDE the row
     * by a `transform` over the token array (no positional self-join:
     * pairing by explode + join on (id, pos+1) would shuffle the

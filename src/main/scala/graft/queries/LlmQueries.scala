@@ -144,6 +144,29 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // X110: Jensen–Shannon divergence of one source's token
+    // distribution vs the rest of the training mix — the
+    // distribution-shift audit behind mixing decisions. One row;
+    // order-exact via per-term 1e-9 fixed-point quantization.
+    "q_js_divergence" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TfIdf.tokenJsDivergence(
+        d.filter(col("source") === "src0"),
+        d.filter(col("source") =!= "src0"),
+        "text", "doc_id")
+    }),
+
+    // X110's drill-down: the 25 terms contributing most to the same
+    // divergence — WHAT shifted, not just how much.
+    "q_diverging_terms" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TfIdf.divergingTerms(
+          d.filter(col("source") === "src0"),
+          d.filter(col("source") =!= "src0"),
+          "text", "doc_id", k = 25)
+        .orderBy(col("contrib_bits").desc, col("term"))
+    }),
+
     // Gopher-style repetition signals (top/dup gram fractions).
     "q_repetition" -> ((s, dir) => {
       TextAnalysis.repetitionProfile(Tables.documents(s, dir), "text", "doc_id")
@@ -996,6 +1019,60 @@ object LlmQueries {
        |    THEN round(max(abs(sfp - 10000 * n_pos)::DOUBLE / (n * 10000.0)), 6) END AS mce
        |FROM g""".stripMargin
 
+  /** X110 shared CTEs: both corpora's unigram counts (src0 vs the
+    * rest), the full-outer per-term frame, and each term's JS
+    * contribution quantized to a 1e-9 fixed-point BIGINT — operand
+    * order mirrors [[graft.ops.TfIdf.jsTermFrame]] exactly (pa, pb,
+    * m, the two guarded `p·ln(p/m)` halves, the 0.5 factor, the 1e9
+    * scale); per-term totals are non-negative by the log-sum
+    * inequality, so HALF_UP and half-away-from-zero rounding agree.
+    */
+  private def jsCtes: String =
+    s"""WITH t AS (
+       |  SELECT source, string_split(lower(text), ' ') AS toks FROM documents
+       |), tok AS (
+       |  SELECT source, unnest(toks) AS term FROM t
+       |), ca AS (
+       |  SELECT term, count(*)::BIGINT AS c FROM tok WHERE source = 'src0' GROUP BY 1
+       |), cb AS (
+       |  SELECT term, count(*)::BIGINT AS c FROM tok WHERE source <> 'src0' GROUP BY 1
+       |), tot AS (
+       |  SELECT (SELECT coalesce(sum(c), 0) FROM ca)::DOUBLE AS na,
+       |         (SELECT coalesce(sum(c), 0) FROM cb)::DOUBLE AS nb
+       |), j AS (
+       |  SELECT coalesce(ca.term, cb.term) AS term,
+       |    coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b
+       |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+       |), q AS (
+       |  SELECT term, c_a, c_b,
+       |    round(0.5 * (
+       |      CASE WHEN c_a > 0 THEN (c_a::DOUBLE / na)
+       |        * ln((c_a::DOUBLE / na) / ((c_a::DOUBLE / na + c_b::DOUBLE / nb) / 2.0))
+       |        ELSE 0.0 END +
+       |      CASE WHEN c_b > 0 THEN (c_b::DOUBLE / nb)
+       |        * ln((c_b::DOUBLE / nb) / ((c_a::DOUBLE / na + c_b::DOUBLE / nb) / 2.0))
+       |        ELSE 0.0 END) * 1e9)::BIGINT AS cq
+       |  FROM j CROSS JOIN tot
+       |)""".stripMargin
+
+  /** X110 one-row divergence oracle over [[jsCtes]]. */
+  private def jsDivergenceOracle: String = jsCtes +
+    s"""
+       |SELECT count(*)::BIGINT AS n_terms,
+       |  coalesce(sum(c_a), 0)::BIGINT AS total_a,
+       |  coalesce(sum(c_b), 0)::BIGINT AS total_b,
+       |  CASE WHEN coalesce(sum(c_a), 0) > 0 AND coalesce(sum(c_b), 0) > 0
+       |    THEN round(coalesce(sum(cq), 0)::DOUBLE / 1e9 / 0.6931471805599453, 6)
+       |  END AS js_bits
+       |FROM q""".stripMargin
+
+  /** X110 drill-down oracle: top-25 contributing terms. */
+  private def divergingTermsOracle: String = jsCtes +
+    s"""
+       |SELECT term, c_a AS count_a, c_b AS count_b,
+       |  round(cq::DOUBLE / 1e9 / 0.6931471805599453, 9) AS contrib_bits
+       |FROM q ORDER BY contrib_bits DESC, term LIMIT 25""".stripMargin
+
   /** Per-source health rollup oracle: statsOracle's per-doc signal
     * replay + langOracle's profile scoring, grouped by source.
     */
@@ -1801,6 +1878,8 @@ object LlmQueries {
     "q_pr_curve" -> prCurveOracle,
     "q_calibration" -> calibrationOracle,
     "q_calibration_error" -> calibrationErrorOracle,
+    "q_js_divergence" -> jsDivergenceOracle,
+    "q_diverging_terms" -> divergingTermsOracle,
     "q_corpus_health" -> corpusHealthOracle,
     "q_repetition" ->
       """WITH docs AS (

@@ -351,4 +351,57 @@ class TfIdfSpec extends SparkSpec {
     }
     graft.CachedFrames.unpersistAll()
   }
+
+  test("tokenJsDivergence: identical → 0, disjoint → 1 bit, exact quantized replay") {
+    val a = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    // identical distributions (same corpus twice) → exactly 0
+    val same = TfIdf.tokenJsDivergence(a, a, "text", "doc_id").head()
+    assert(same.getDouble(3) == 0.0)
+    assert(same.getLong(0) == 3L && same.getLong(1) == 5L && same.getLong(2) == 5L)
+    // disjoint vocabularies → exactly 1 bit
+    val b = Seq((1L, "p q"), (2L, "q r r")).toDF("doc_id", "text")
+    val disj = TfIdf.tokenJsDivergence(a, b, "text", "doc_id").head()
+    assert(disj.getDouble(3) == 1.0)
+    assert(disj.getLong(0) == 6L)
+    // exact replay of the quantized arithmetic on a hand case:
+    // a = {x:2, y:1}, b = {x:1, y:2}
+    val a2 = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val b2 = Seq((1L, "x y y")).toDF("doc_id", "text")
+    def contrib(pa: Double, pb: Double): Long = {
+      val m = (pa + pb) / 2.0
+      val nats = 0.5 * ((if (pa > 0) pa * math.log(pa / m) else 0.0) +
+        (if (pb > 0) pb * math.log(pb / m) else 0.0))
+      math.round(nats * 1e9)
+    }
+    val expQ = contrib(2.0 / 3, 1.0 / 3) + contrib(1.0 / 3, 2.0 / 3)
+    val expBits = math.rint(expQ / 1e9 / 0.6931471805599453 * 1e6) / 1e6
+    val got = TfIdf.tokenJsDivergence(a2, b2, "text", "doc_id").head()
+    assert(got.getDouble(3) == expBits)
+    assert(got.getDouble(3) > 0.05 && got.getDouble(3) < 0.15, "x↔y swap is a mild shift")
+  }
+
+  test("tokenJsDivergence: an empty side degrades to NULL, never a silent 0") {
+    val a = Seq((1L, "x y")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = TfIdf.tokenJsDivergence(a, empty, "text", "doc_id").head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 0L)
+    assert(r.isNullAt(3), "undefined divergence must be NULL")
+    val both = TfIdf.tokenJsDivergence(empty, empty, "text", "doc_id").head()
+    assert(both.getLong(0) == 0L && both.isNullAt(3))
+  }
+
+  test("divergingTerms: one-sided terms outrank shared ones; k bounds; validation") {
+    // "spam" floods corpus b only; "x"/"y" are near-identical filler
+    val a = Seq((1L, "x y x y x")).toDF("doc_id", "text")
+    val b = Seq((1L, "x y x y spam spam spam")).toDF("doc_id", "text")
+    val top = TfIdf.divergingTerms(a, b, "text", "doc_id", k = 2)
+      .orderBy(col("contrib_bits").desc, col("term")).collect()
+    assert(top.length == 2)
+    assert(top(0).getString(0) == "spam", "the one-sided token drives the divergence")
+    assert(top(0).getLong(1) == 0L && top(0).getLong(2) == 3L)
+    assert(top(0).getDouble(3) > top(1).getDouble(3))
+    intercept[IllegalArgumentException] {
+      TfIdf.divergingTerms(a, b, "text", "doc_id", k = 0)
+    }
+  }
 }
