@@ -402,6 +402,57 @@ object Curation {
         .add("pack_offset", LongType, nullable = false))
   }
 
+  /** Temperature-scaled source mixing weights — the standard
+    * multinomial upsampling rule (`p_s ∝ n_s^(1/T)`, the mT5/XLM-R
+    * recipe) that DECIDES the `weights` argument of [[mixSources]]:
+    * T = 1 reproduces natural proportions, T > 1 flattens the blend
+    * toward uniform (boosting low-resource sources), T < 1 sharpens
+    * it. One row per source: exact token count, natural share, the
+    * normalized temperature weight, and the oversample factor
+    * (weight / natural share — how many epochs of the source the
+    * blend effectively takes; the number an operator sanity-checks
+    * against duplication harm before committing a mix).
+    *
+    * Scale shape: one map-side-combined groupBy collapses the corpus
+    * to |sources| rows; the total and the normalizer ride broadcast
+    * 1-row frames. 100 TB in, |sources| rows out. Exactness: each
+    * `p^(1/T)` quantizes to a 1e-12 fixed-point long BEFORE the
+    * normalizing sum (the [[calibration]] trick), so the weights are
+    * order-exact; the oversample factor is one deterministic division
+    * of exact-integer products in double. An oracle must embed the
+    * same `1/T` double literal this computes. Zero-token sources and
+    * an empty corpus degrade to NULL shares via try_divide, never an
+    * ANSI divide-by-zero.
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      sourceCol: String,
+      tokenCol: String,
+      temperature: Double): DataFrame = {
+    require(temperature > 0, s"temperature must be > 0: $temperature")
+    val exponent = 1.0 / temperature
+    val perSource = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokenCol)).as("n_tokens"))
+    val total = perSource.agg(coalesce(sum("n_tokens"), lit(0L)).as("__nn"))
+    val share = try_divide(col("n_tokens").cast("double"), col("__nn").cast("double"))
+    val weighted = perSource
+      .crossJoin(broadcast(total))
+      .withColumn("__wq", round(pow(share, exponent) * 1e12).cast("long"))
+    val norm = weighted.agg(coalesce(sum("__wq"), lit(0L)).as("__sumw"))
+    weighted
+      .crossJoin(broadcast(norm))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        round(share, 6).as("natural_share"),
+        round(try_divide(col("__wq").cast("double"), col("__sumw").cast("double")), 6)
+          .as("weight"),
+        round(try_divide(
+          col("__wq").cast("double") * col("__nn").cast("double"),
+          col("__sumw").cast("double") * col("n_tokens").cast("double")), 6)
+          .as("oversample"))
+  }
+
   /** Source-weighted token-budget mixing: compose a training corpus
     * from `weights`-proportioned slices of each source. Every source
     * `s` gets an allocation `floor(tokenBudget × wₛ / Σw)`; within a

@@ -254,6 +254,17 @@ object CurationQueries {
           tokenBudget = mixBudget, seed = 13L, hasher = TextAnalysis.h64)
         .select("doc_id", "source", "n_tokens", "mix_tokens_before")
         .orderBy("doc_id")
+    }),
+
+    // X111: temperature-scaled mixing weights (p_s ∝ n_s^(1/T), the
+    // mT5 recipe) at T=2 — the table that DECIDES q_mix_sources'
+    // weights argument: natural share, flattened weight, and the
+    // oversample factor an operator checks against duplication harm.
+    "q_temperature_weights" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      Curation.temperatureWeights(d, "source", "n_tokens", temperature = 2.0)
+        .orderBy("source")
     }))
 
   private val mixBudget = 2000L
@@ -534,5 +545,31 @@ object CurationQueries {
          |SELECT doc_id, source, n_tokens, mix_tokens_before FROM c
          |WHERE mix_tokens_before <
          |  CASE source WHEN 'src0' THEN 1000 ELSE 500 END
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+
+    // X111: each p^(1/T) quantizes to a 1e-12 fixed-point BIGINT
+    // before the normalizing sum, so the weights replay order-exactly;
+    // 1/T = 0.5 is exactly representable, so both engines raise to
+    // bit-identical exponents.
+    "q_temperature_weights" ->
+      s"""WITH t AS (
+         |  SELECT source, len(string_split(lower(text), ' '))::BIGINT AS nt
+         |  FROM documents
+         |), s AS (
+         |  SELECT source, sum(nt)::BIGINT AS n FROM t GROUP BY 1
+         |), tot AS (
+         |  SELECT coalesce(sum(n), 0)::BIGINT AS nn FROM s
+         |), w AS (
+         |  SELECT source, n, nn,
+         |    round(pow(n::DOUBLE / nn::DOUBLE, 0.5) * 1e12)::BIGINT AS wq
+         |  FROM s CROSS JOIN tot
+         |), sw AS (
+         |  SELECT coalesce(sum(wq), 0)::BIGINT AS sumw FROM w
+         |)
+         |SELECT source, n AS n_tokens,
+         |  round(n::DOUBLE / nn::DOUBLE, 6) AS natural_share,
+         |  round(wq::DOUBLE / sumw::DOUBLE, 6) AS weight,
+         |  round((wq::DOUBLE * nn::DOUBLE) / (sumw::DOUBLE * n::DOUBLE), 6)
+         |    AS oversample
+         |FROM w CROSS JOIN sw ORDER BY source""".stripMargin)
 }

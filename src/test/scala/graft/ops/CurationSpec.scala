@@ -728,6 +728,47 @@ class CurationSpec extends SparkSpec {
     assert(Curation.prCurve(neg, col("s"), col("y")).isEmpty)
   }
 
+  test("temperatureWeights: T=1 reproduces natural shares; T=2 replays the quantized math") {
+    val d = Seq(("a", 1L), ("b", 2L), ("b", 1L)).toDF("source", "n") // a:1, b:3 of 4
+    val t1 = Curation.temperatureWeights(d, "source", "n", temperature = 1.0)
+      .orderBy("source").collect()
+    t1.foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(3), s"T=1 weight == share for ${r.getString(0)}")
+      assert(r.getDouble(4) == 1.0, s"T=1 oversample 1 for ${r.getString(0)}")
+    }
+    // T=2: exact replay of the 1e-12 fixed-point pipeline
+    def wq(p: Double): Long = math.round(math.pow(p, 0.5) * 1e12)
+    val (wa, wb) = (wq(0.25), wq(0.75))
+    val sumw = wa + wb
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val t2 = Curation.temperatureWeights(d, "source", "n", temperature = 2.0)
+      .orderBy("source").collect()
+    assert(t2(0).getDouble(3) == r6(wa.toDouble / sumw.toDouble))
+    assert(t2(1).getDouble(3) == r6(wb.toDouble / sumw.toDouble))
+    assert(t2(0).getDouble(4) == r6((wa.toDouble * 4.0) / (sumw.toDouble * 1.0)))
+    // flattening: the minority source's weight grows with T, toward uniform
+    val t4 = Curation.temperatureWeights(d, "source", "n", temperature = 4.0)
+      .orderBy("source").head()
+    assert(0.25 < t2(0).getDouble(3) && t2(0).getDouble(3) < t4.getDouble(3))
+    assert(t4.getDouble(3) < 0.5)
+    // weights sum to 1 within rounding
+    assert(math.abs(t2.map(_.getDouble(3)).sum - 1.0) < 2e-6)
+    intercept[IllegalArgumentException] {
+      Curation.temperatureWeights(d, "source", "n", temperature = 0.0)
+    }
+  }
+
+  test("temperatureWeights: zero-token sources and empty input degrade to NULL, not a crash") {
+    val d = Seq(("a", 0L), ("b", 2L)).toDF("source", "n")
+    val rows = Curation.temperatureWeights(d, "source", "n", temperature = 2.0)
+      .orderBy("source").collect()
+    assert(rows(0).getDouble(3) == 0.0 && rows(0).isNullAt(4),
+      "a zero-token source weighs 0 with an undefined oversample")
+    assert(rows(1).getDouble(4) > 0.0)
+    val empty = Seq.empty[(String, Long)].toDF("source", "n")
+    assert(Curation.temperatureWeights(empty, "source", "n", 2.0).isEmpty)
+  }
+
   test("calibration: hand-checked bins — calibrated fixture gaps 0, inverted fixture gap 0.9") {
     // perfectly calibrated: bin 2 (4 rows @0.25, 1 pos), bin 7 (4 @0.75, 3 pos)
     val cal = (Seq.fill(3)((0.25, false)) ++ Seq((0.25, true)) ++
