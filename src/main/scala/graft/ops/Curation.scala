@@ -420,9 +420,15 @@ object Curation {
     * normalizing sum (the [[calibration]] trick), so the weights are
     * order-exact; the oversample factor is one deterministic division
     * of exact-integer products in double. An oracle must embed the
-    * same `1/T` double literal this computes. Zero-token sources and
-    * an empty corpus degrade to NULL shares via try_divide, never an
-    * ANSI divide-by-zero.
+    * same `1/T` double literal this computes — and note the
+    * transcendental caveat: `pow` is only 1-ulp-accurate on the JVM,
+    * so a cross-engine replay can flip the fixed-point long when
+    * `p^(1/T)·1e12` lands within ~1e-4 of a half-integer. T = 2 (the
+    * flagship) routes through `sqrt`, which IEEE 754 REQUIRES to be
+    * correctly rounded in every engine — bit-exact by mandate, not by
+    * luck; other temperatures carry the (small) pow exposure.
+    * Zero-token sources and an empty corpus degrade to NULL shares
+    * via try_divide, never an ANSI divide-by-zero.
     */
   def temperatureWeights(
       df: DataFrame,
@@ -435,9 +441,10 @@ object Curation {
       .agg(sum(col(tokenCol)).as("n_tokens"))
     val total = perSource.agg(coalesce(sum("n_tokens"), lit(0L)).as("__nn"))
     val share = try_divide(col("n_tokens").cast("double"), col("__nn").cast("double"))
+    val scaled = if (exponent == 0.5) sqrt(share) else pow(share, exponent)
     val weighted = perSource
       .crossJoin(broadcast(total))
-      .withColumn("__wq", round(pow(share, exponent) * 1e12).cast("long"))
+      .withColumn("__wq", round(scaled * 1e12).cast("long"))
     val norm = weighted.agg(coalesce(sum("__wq"), lit(0L)).as("__sumw"))
     weighted
       .crossJoin(broadcast(norm))

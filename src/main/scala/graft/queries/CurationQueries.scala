@@ -549,8 +549,9 @@ object CurationQueries {
 
     // X111: each p^(1/T) quantizes to a 1e-12 fixed-point BIGINT
     // before the normalizing sum, so the weights replay order-exactly;
-    // 1/T = 0.5 is exactly representable, so both engines raise to
-    // bit-identical exponents.
+    // T=2 routes through sqrt, which IEEE 754 requires to be correctly
+    // rounded in BOTH engines — bit-exact by mandate, where pow is
+    // only 1-ulp-accurate.
     "q_temperature_weights" ->
       s"""WITH t AS (
          |  SELECT source, len(string_split(lower(text), ' '))::BIGINT AS nt
@@ -561,7 +562,7 @@ object CurationQueries {
          |  SELECT coalesce(sum(n), 0)::BIGINT AS nn FROM s
          |), w AS (
          |  SELECT source, n, nn,
-         |    round(pow(n::DOUBLE / nn::DOUBLE, 0.5) * 1e12)::BIGINT AS wq
+         |    round(sqrt(n::DOUBLE / nn::DOUBLE) * 1e12)::BIGINT AS wq
          |  FROM s CROSS JOIN tot
          |), sw AS (
          |  SELECT coalesce(sum(wq), 0)::BIGINT AS sumw FROM w

@@ -865,7 +865,12 @@ object LlmQueries {
   private def calibrationPair(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val t = TextAnalysis.tokens(col("text"))
-    val scoreEn = TextAnalysis.langScores(col("text")).head._2
+    // keyed, not positional: head would silently re-target if a
+    // language were ever prepended to langProfiles while the oracle
+    // still replays score_en
+    val scoreEn = TextAnalysis.langScores(col("text"))
+      .find(_._1 == "score_en")
+      .getOrElse(sys.error("langScores no longer emits score_en"))._2
     d.filter(size(t) > 0).select(
       col("doc_id"),
       (scoreEn.cast("double") / size(t).cast("double")).as("p_en"),

@@ -54,6 +54,10 @@ class DeployConfSpec extends AnyFunSuite {
     assert(entries("spark.sql.extensions")
       .contains("IcebergSparkSessionExtensions"))
     assert(entries.contains("spark.sql.catalog.lake"))
-    assert(entries("spark.sql.defaultCatalog") == "lake")
+    // defaultCatalog must stay a COMMENTED placeholder: uncommented it
+    // hard-fails every unqualified table reference on a jar-less
+    // cluster (the conf's own warning), breaking the parquet fallback
+    assert(!entries.contains("spark.sql.defaultCatalog"),
+      "defaultCatalog must not ship uncommented — it breaks jar-less deployments")
   }
 }

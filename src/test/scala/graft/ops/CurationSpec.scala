@@ -737,7 +737,7 @@ class CurationSpec extends SparkSpec {
       assert(r.getDouble(4) == 1.0, s"T=1 oversample 1 for ${r.getString(0)}")
     }
     // T=2: exact replay of the 1e-12 fixed-point pipeline
-    def wq(p: Double): Long = math.round(math.pow(p, 0.5) * 1e12)
+    def wq(p: Double): Long = math.round(math.sqrt(p) * 1e12)
     val (wa, wb) = (wq(0.25), wq(0.75))
     val sumw = wa + wb
     def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
