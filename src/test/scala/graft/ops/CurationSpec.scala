@@ -758,6 +758,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("temperatureWeights composes into mixSources: the derived blend fills each allocation") {
+    // skewed corpus: source a dwarfs b; T=2 boosts b's slice of the mix
+    val d = (1 to 300).map(i => (i.toLong, if (i <= 270) "a" else "b", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val w = Curation.temperatureWeights(d, "source", "n_tokens", temperature = 2.0)
+      .select("source", "weight").as[(String, Double)].collect().toSeq // |sources| rows
+    val budget = 1000L
+    val mixed = Curation.mixSources(d, "doc_id", "source", "n_tokens", w, budget)
+    val taken = mixed.groupBy("source").agg(sum("n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    val totalW = w.map(_._2).sum
+    w.foreach { case (s, wt) =>
+      val alloc = math.floor(budget * wt / totalW).toLong
+      // allocation filled, straddler convention bounds the overshoot
+      assert(taken(s) >= alloc && taken(s) < alloc + 10L,
+        s"source $s took ${taken(s)} of alloc $alloc")
+    }
+    // the temperature did its job: b exceeds its 10% natural share of the blend
+    assert(taken("b").toDouble / taken.values.sum > 0.2)
+    graft.CachedFrames.unpersistAll()
+  }
+
   test("temperatureWeights: zero-token sources and empty input degrade to NULL, not a crash") {
     val d = Seq(("a", 0L), ("b", 2L)).toDF("source", "n")
     val rows = Curation.temperatureWeights(d, "source", "n", temperature = 2.0)
