@@ -989,6 +989,53 @@ object Curation {
           .otherwise(lit(0.0)).as("f1"))
   }
 
+  /** Sliced (per-group) ROC-AUC — [[binaryEval]] computed
+    * independently per group: the robustness audit behind a global
+    * AUC (a score can rank well overall while failing one source,
+    * language, or time slice outright — Simpson's-paradox territory;
+    * slicing is how an operator finds the failing stratum before the
+    * filter ships). One row per group: class counts + the group's
+    * Mann–Whitney AUC with ½-credit ties, NULL on single-class
+    * groups — exactly [[binaryEval]]'s conventions.
+    *
+    * Scale shape improves on the global form: the distinct-score
+    * frame is per (group, score), and the cumulative window is
+    * PARTITIONED BY the group columns — parallel across groups, never
+    * the one-partition WindowExec the ungrouped statistic needs.
+    * Arithmetic is the same order-exact ½-multiples sum.
+    */
+  def binaryEvalBy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val g = df
+      .select(groupCols.map(col) :+ scoreCol.cast("double").as("__s") :+
+        labelCol.cast("boolean").as("__y"): _*)
+      .filter(col("__s").isNotNull && !isnan(col("__s")) && col("__y").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("__s"): _*)
+      .agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__n"))
+    val below = Window.partitionBy(groupCols.map(col): _*).orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g
+      .withColumn("__nb", coalesce(sum("__n").over(below), lit(0L)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum("__p").as("n_pos"),
+        sum("__n").as("n_neg"),
+        sum(col("__p").cast("double") *
+          (col("__nb").cast("double") + col("__n").cast("double") / 2.0)).as("__num"))
+      .select(
+        groupCols.map(col) :+ col("n_pos") :+ col("n_neg") :+
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            round(col("__num") / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+            .as("auc"): _*)
+  }
+
   /** Shared binning pass of [[calibration]] / [[calibrationError]]:
     * NULL/NaN-filtered scores clamped to [0, 1], assigned to the
     * fixed nBins grid, and QUANTIZED to 1e-4 fixed-point longs before

@@ -107,6 +107,16 @@ object LlmQueries {
       Curation.prCurve(evalPair(s, dir), col("avg_logprob"), col("is_en"))
         .orderBy(col("threshold").desc)),
 
+    // X112: the same AUC audit SLICED by ingestion source — a score
+    // can rank well globally while failing one stratum outright;
+    // the per-group table finds it before the filter ships. The
+    // cumulative window is partitioned by source (parallel), unlike
+    // the global statistic's one-partition window.
+    "q_sliced_auc" -> ((s, dir) =>
+      Curation.binaryEvalBy(
+          evalPair(s, dir), Seq("source"), col("avg_logprob"), col("is_en"))
+        .orderBy("source")),
+
     // X109 calibration: the reliability table over the en-stopword
     // FRACTION read as P(en) vs the lang-ID label — completes the
     // evaluation triad (AUC ranks, PR curve prices the cut, this asks
@@ -852,7 +862,8 @@ object LlmQueries {
     val d = Tables.documents(s, dir)
     TfIdf.unigramLogProb(d, "text", "doc_id").join(
       d.select(col("doc_id"),
-        (TextAnalysis.langId(col("text")) === "en").as("is_en")),
+        (TextAnalysis.langId(col("text")) === "en").as("is_en"),
+        col("source")),
       Seq("doc_id"))
   }
 
@@ -886,8 +897,12 @@ object LlmQueries {
     * `TextAnalysis.langProfiles` scoring or the unigram model must
     * land in all of them (each stays hash-checked against the same
     * engine ops, so a missed sync fails CORRECTNESS loudly).
+    * `groupCol` slices the class counts by a documents column for the
+    * X112 per-group form — `g(group, s, p, n)` instead of `g(s, p, n)`.
     */
-  private def evalScoreCtes: String = {
+  private def evalScoreCtes: String = evalScoreCtesBy(None)
+
+  private def evalScoreCtesBy(groupCol: Option[String]): String = {
     val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(toks, x -> list_contains([$lst], x)))::BIGINT AS score_$lang"
@@ -918,14 +933,30 @@ object LlmQueries {
        |  SELECT doc_id, round(avg(ln(tc::DOUBLE / total)), 4) AS s
        |  FROM tok JOIN c USING (term) CROSS JOIN tt GROUP BY doc_id
        |), ev AS (
-       |  SELECT u.s, (l.lang_pred = 'en') AS y
-       |  FROM uni u JOIN lang l USING (doc_id)
+       |  SELECT ${groupCol.map(c => s"d.$c, ").getOrElse("")}u.s, (l.lang_pred = 'en') AS y
+       |  FROM uni u JOIN lang l USING (doc_id)${groupCol.map(_ => " JOIN documents d USING (doc_id)").getOrElse("")}
        |), g AS (
-       |  SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
+       |  SELECT ${groupCol.map(c => s"$c, ").getOrElse("")}s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
        |    sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS n
-       |  FROM ev GROUP BY s
+       |  FROM ev GROUP BY ${groupCol.map(c => s"$c, ").getOrElse("")}s
        |)""".stripMargin
   }
+
+  /** X112 sliced-AUC oracle: [[evalScoreCtesBy]] grouped by source,
+    * the cumulative window partitioned per group, then the grouped
+    * Mann–Whitney sum — [[filterAucOracle]]'s arithmetic per stratum.
+    */
+  private def slicedAucOracle: String = evalScoreCtesBy(Some("source")) +
+    s""", cw AS (
+       |  SELECT source, p, n,
+       |    coalesce(sum(n) OVER (PARTITION BY source ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+       |  FROM g
+       |)
+       |SELECT source, sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg,
+       |  CASE WHEN sum(p) > 0 AND sum(n) > 0
+       |    THEN round(sum(p::DOUBLE * (nb::DOUBLE + n::DOUBLE / 2.0))
+       |               / (sum(p)::DOUBLE * sum(n)::DOUBLE), 6) END AS auc
+       |FROM cw GROUP BY source ORDER BY source""".stripMargin
 
   /** X108 AUC oracle: grouped Mann–Whitney over [[evalScoreCtes]] —
     * `Σ_s p(s)·(negBelow(s) + n(s)/2) / (P·N)`, every summand a
@@ -1883,6 +1914,7 @@ object LlmQueries {
     "q_pr_curve" -> prCurveOracle,
     "q_calibration" -> calibrationOracle,
     "q_calibration_error" -> calibrationErrorOracle,
+    "q_sliced_auc" -> slicedAucOracle,
     "q_js_divergence" -> jsDivergenceOracle,
     "q_diverging_terms" -> divergingTermsOracle,
     "q_corpus_health" -> corpusHealthOracle,

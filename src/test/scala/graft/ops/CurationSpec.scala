@@ -704,6 +704,42 @@ class CurationSpec extends SparkSpec {
     assert(m.getLong(0) == 1L && m.getLong(1) == 1L && m.getDouble(2) == 1.0)
   }
 
+  test("binaryEvalBy: per-group AUCs are independent; single-class groups are NULL") {
+    // g1 perfectly separated, g2 perfectly inverted, g3 single-class:
+    // a global AUC would average the story away; the slices tell it
+    val d = Seq(
+      ("g1", 2.0, true), ("g1", 1.5, true), ("g1", 0.5, false),
+      ("g2", 0.1, true), ("g2", 0.9, false),
+      ("g3", 1.0, true), ("g3", 2.0, true)
+    ).toDF("g", "s", "y")
+    val rows = Curation.binaryEvalBy(d, Seq("g"), col("s"), col("y"))
+      .orderBy("g").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("g1", "g2", "g3"))
+    assert(rows(0).getDouble(3) == 1.0 && rows(1).getDouble(3) == 0.0)
+    assert(rows(2).isNullAt(3) && rows(2).getLong(1) == 2L && rows(2).getLong(2) == 0L)
+    // one group ≡ the global statistic
+    val one = Curation.binaryEvalBy(
+      d.filter(col("g") === "g1").withColumn("k", lit("all")),
+      Seq("k"), col("s"), col("y")).head()
+    val global = Curation.binaryEval(
+      d.filter(col("g") === "g1"), col("s"), col("y")).head()
+    assert(one.getDouble(3) == global.getDouble(2))
+    intercept[IllegalArgumentException] {
+      Curation.binaryEvalBy(d, Seq.empty, col("s"), col("y"))
+    }
+  }
+
+  test("binaryEvalBy: the cumulative window is partitioned by the group columns") {
+    val d = Seq(("g1", 1.0, true), ("g2", 0.5, false)).toDF("g", "s", "y")
+    val plan = Curation.binaryEvalBy(d, Seq("g"), col("s"), col("y"))
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.contains("partitionBy")) ||
+      plan.contains("hashpartitioning(g"),
+      s"expected a group-partitioned window, not a global one:\n$plan")
+  }
+
   test("prCurve: hand-checked confusion counts per threshold; degenerate input is empty") {
     val rows = Seq(
       (0.9, true), (0.9, false), (0.7, true), (0.5, false), (0.3, true))
