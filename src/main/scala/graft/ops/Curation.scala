@@ -428,7 +428,11 @@ object Curation {
     * correctly rounded in every engine — bit-exact by mandate, not by
     * luck; other temperatures carry the (small) pow exposure.
     * Zero-token sources and an empty corpus degrade to NULL shares
-    * via try_divide, never an ANSI divide-by-zero.
+    * via try_divide, never an ANSI divide-by-zero. The audit table
+    * deliberately KEEPS zero-weight rows (an empty source is a
+    * finding); a caller feeding the table into [[mixSources]] must
+    * filter `weight > 0` first — mixSources' positive-weights
+    * contract rejects them (spec-pinned in the composition test).
     */
   def temperatureWeights(
       df: DataFrame,
@@ -1010,6 +1014,11 @@ object Curation {
       scoreCol: Column,
       labelCol: Column): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
+    val reserved = Seq("__s", "__y", "__p", "__n", "__nb", "n_pos", "n_neg", "auc")
+    val shadowing = groupCols.filter(reserved.contains)
+    require(shadowing.isEmpty,
+      s"binaryEvalBy reserves ${reserved.mkString("/")} for staging and " +
+        s"output; rename group columns: ${shadowing.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
     val g = df
       .select(groupCols.map(col) :+ scoreCol.cast("double").as("__s") :+

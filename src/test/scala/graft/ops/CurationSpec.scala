@@ -733,11 +733,19 @@ class CurationSpec extends SparkSpec {
     val d = Seq(("g1", 1.0, true), ("g2", 0.5, false)).toDF("g", "s", "y")
     val plan = Curation.binaryEvalBy(d, Seq("g"), col("s"), col("y"))
       .queryExecution.executedPlan.toString
-    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
-    assert(windows.nonEmpty)
-    assert(windows.forall(_.contains("partitionBy")) ||
-      plan.contains("hashpartitioning(g"),
-      s"expected a group-partitioned window, not a global one:\n$plan")
+    // the Window NODE's own spec must name the group column —
+    // windowspecdefinition(g#N, __s#N ...). Checking the surrounding
+    // exchanges would pass vacuously (the groupBys hash-partition on g
+    // regardless of how the window is specified).
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"no window in plan:\n$plan")
+    assert(windows.forall(_.contains("windowspecdefinition(g#")),
+      s"expected the window spec itself partitioned by g, not a global window:\n$plan")
+    // reserved-name guard (the mixSources convention)
+    intercept[IllegalArgumentException] {
+      Curation.binaryEvalBy(
+        d.withColumnRenamed("g", "n_pos"), Seq("n_pos"), col("s"), col("y"))
+    }
   }
 
   test("prCurve: hand-checked confusion counts per threshold; degenerate input is empty") {
@@ -795,25 +803,33 @@ class CurationSpec extends SparkSpec {
   }
 
   test("temperatureWeights composes into mixSources: the derived blend fills each allocation") {
-    // skewed corpus: source a dwarfs b; T=2 boosts b's slice of the mix
-    val d = (1 to 300).map(i => (i.toLong, if (i <= 270) "a" else "b", 10L))
-      .toDF("doc_id", "source", "n_tokens")
-    val w = Curation.temperatureWeights(d, "source", "n_tokens", temperature = 2.0)
-      .select("source", "weight").as[(String, Double)].collect().toSeq // |sources| rows
-    val budget = 1000L
-    val mixed = Curation.mixSources(d, "doc_id", "source", "n_tokens", w, budget)
-    val taken = mixed.groupBy("source").agg(sum("n_tokens").as("t"))
-      .as[(String, Long)].collect().toMap
-    val totalW = w.map(_._2).sum
-    w.foreach { case (s, wt) =>
-      val alloc = math.floor(budget * wt / totalW).toLong
-      // allocation filled, straddler convention bounds the overshoot
-      assert(taken(s) >= alloc && taken(s) < alloc + 10L,
-        s"source $s took ${taken(s)} of alloc $alloc")
-    }
-    // the temperature did its job: b exceeds its 10% natural share of the blend
-    assert(taken("b").toDouble / taken.values.sum > 0.2)
-    graft.CachedFrames.unpersistAll()
+    try {
+      // skewed corpus: source a dwarfs b, c is EMPTY (zero tokens);
+      // T=2 boosts b's slice of the mix
+      val d = ((1 to 300).map(i => (i.toLong, if (i <= 270) "a" else "b", 10L)) :+
+        (301L, "c", 0L)).toDF("doc_id", "source", "n_tokens")
+      val all = Curation.temperatureWeights(d, "source", "n_tokens", temperature = 2.0)
+        .select("source", "weight").as[(String, Double)].collect().toSeq // |sources| rows
+      // the zero-token source's 0.0 weight violates mixSources'
+      // positive-weights contract by design — the composition filters
+      intercept[IllegalArgumentException] {
+        Curation.mixSources(d, "doc_id", "source", "n_tokens", all, 1000L)
+      }
+      val w = all.filter(_._2 > 0)
+      val budget = 1000L
+      val mixed = Curation.mixSources(d, "doc_id", "source", "n_tokens", w, budget)
+      val taken = mixed.groupBy("source").agg(sum("n_tokens").as("t"))
+        .as[(String, Long)].collect().toMap
+      val totalW = w.map(_._2).sum
+      w.foreach { case (s, wt) =>
+        val alloc = math.floor(budget * wt / totalW).toLong
+        // allocation filled, straddler convention bounds the overshoot
+        assert(taken(s) >= alloc && taken(s) < alloc + 10L,
+          s"source $s took ${taken(s)} of alloc $alloc")
+      }
+      // the temperature did its job: b exceeds its 10% natural share of the blend
+      assert(taken("b").toDouble / taken.values.sum > 0.2)
+    } finally graft.CachedFrames.unpersistAll()
   }
 
   test("temperatureWeights: zero-token sources and empty input degrade to NULL, not a crash") {
