@@ -81,6 +81,26 @@ object MiningScaleProbe {
           d, col("lang") === "en", "text", "doc_id").count()
         graft.CachedFrames.unpersistAll(); c
       }
+      // X110: same vocabulary at any N → the per-term frame (and the
+      // full-outer join feeding it) must stay constant-size while the
+      // two count scans grow linearly.
+      timed(s"tokenJsDivergence ${n}x") {
+        TfIdf.tokenJsDivergence(
+          d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"),
+          "text", "doc_id").head().getLong(0)
+      }
+      timed(s"divergingTerms ${n}x") {
+        TfIdf.divergingTerms(
+          d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"),
+          "text", "doc_id", 25).count()
+      }
+      // X109: one grouped pass to <= nBins rows regardless of N.
+      timed(s"calibration ${n}x") {
+        val pair = d.select(
+          ((col("doc_id") % 100).cast("double") / 100.0).as("s"),
+          (col("lang") === "en").as("y"))
+        Curation.calibration(pair, col("s"), col("y")).count()
+      }
     }
     spark.stop()
   }
