@@ -173,6 +173,50 @@ object Bpe {
     df.withColumn(outCol, flatten(segmented))
   }
 
+  /** Tokenizer fertility report — subwords-per-word by group (the
+    * standard tokenizer-quality metric: how efficiently the learned
+    * vocabulary encodes each language/source; a lang whose fertility
+    * is 2× another's pays 2× the sequence length for the same words,
+    * the mT5-era argument for temperature-balancing the TRAINING
+    * corpus of the tokenizer itself). One row per group: exact word
+    * and subword counts, fertility = subwords/words, and
+    * chars-per-subword (the compression view of the same ratio).
+    *
+    * Scale shape: [[encode]]'s shuffle-free projection plus ONE
+    * map-side-combined groupBy to |groups| rows — the corpus streams
+    * once. Ratios are single divisions of exact long sums (rounded
+    * once), so the report replays in any engine; a zero-word group
+    * degrades to NULL ratios via try_divide.
+    */
+  def fertility(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[Merge],
+      groupCol: String): DataFrame = {
+    val reserved = Seq("n_words", "n_subwords", "fertility", "chars_per_subword",
+      "__nw", "__ns", "__nc")
+    require(!reserved.contains(groupCol),
+      s"fertility reserves ${reserved.mkString("/")}; rename the group column")
+    val words = filter(TextAnalysis.tokens(col(textCol)), w => w =!= "")
+    encode(df, textCol, merges)
+      .select(
+        col(groupCol),
+        size(words).cast("long").as("__nw"),
+        size(col("bpe_tokens")).cast("long").as("__ns"),
+        aggregate(words, lit(0L), (a, w) => a + length(w)).as("__nc"))
+      .groupBy(groupCol)
+      .agg(
+        sum("__nw").as("n_words"),
+        sum("__ns").as("n_subwords"),
+        sum("__nc").as("__nc"))
+      .select(
+        col(groupCol), col("n_words"), col("n_subwords"),
+        round(try_divide(col("n_subwords").cast("double"), col("n_words").cast("double")), 6)
+          .as("fertility"),
+        round(try_divide(col("__nc").cast("double"), col("n_subwords").cast("double")), 6)
+          .as("chars_per_subword"))
+  }
+
   /** The merge list as a frame (step, pair, cnt) — the persistable /
     * oracle-comparable artifact.
     */

@@ -188,6 +188,16 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // X113: tokenizer fertility by language — subwords-per-word under
+    // the learned tokenizer, the metric that shows which languages
+    // the vocabulary serves poorly (and pay longer sequences for it).
+    // Shares the cached training with the other q_bpe_* queries.
+    "q_bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (merges, _) = Bpe.train(docs, "text", bpeMerges)
+      Bpe.fertility(docs, "text", merges, "lang").orderBy("lang")
+    }),
+
     // X57 line-level boilerplate removal. The fixture corpus is
     // single-line word soup, so multi-line pages are synthesized
     // deterministically in BOTH engines (the q_pii_redact
@@ -356,6 +366,27 @@ object CurationQueries {
          |    word, n, replace(sym, '  ', ' ') AS sym
          |  FROM w$bpeMerges
          |) WHERE rank <= $bpeVocabK ORDER BY rank""".stripMargin),
+    // X113: every corpus word instance joins its trained-vocabulary
+    // row (training corpus ≡ encode corpus, so the join is total);
+    // per-word subword counts come from the merged symbol string,
+    // grouped by lang — exact long sums, single divisions.
+    "q_bpe_fertility" -> (bpeCtes +
+      s""", encw AS (
+         |  SELECT lang, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+         |  FROM documents
+         |), enc AS (
+         |  SELECT lang, unnest(ws) AS word FROM encw
+         |), persub AS (
+         |  SELECT e.lang,
+         |    len(string_split(replace(w.sym, '  ', ' '), ' '))::BIGINT AS nsub,
+         |    length(e.word)::BIGINT AS nchar
+         |  FROM enc e JOIN w$bpeMerges w ON w.word = e.word
+         |)
+         |SELECT lang, count(*)::BIGINT AS n_words, sum(nsub)::BIGINT AS n_subwords,
+         |  round(sum(nsub)::DOUBLE / count(*)::DOUBLE, 6) AS fertility,
+         |  round(sum(nchar)::DOUBLE / sum(nsub)::DOUBLE, 6) AS chars_per_subword
+         |FROM persub GROUP BY lang ORDER BY lang""".stripMargin),
+
     "q_bpe_encode" -> (bpeCtes +
       s""", encw AS (
          |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws

@@ -118,6 +118,32 @@ class BpeSpec extends SparkSpec {
     graft.CachedFrames.unpersistAll()
   }
 
+  test("fertility: hand-checked per-group ratios; zero-word groups degrade to NULL") {
+    // one merge learned: (x y) — "xy"→1 subword, "xyz"→2, "q"→1
+    val d = Seq(
+      (0L, "g1", "xy xyz q"),
+      (1L, "g2", "xy xy"),
+      (2L, "g3", "")
+    ).toDF("doc_id", "lang", "text")
+    try {
+      val (merges, _) = Bpe.train(d, "text", 1)
+      assert(merges.head.pair == "x y")
+      val rows = Bpe.fertility(d, "text", merges, "lang").orderBy("lang").collect()
+      // g1: 3 words, 1+2+1 = 4 subwords, 6 chars
+      assert(rows(0).getLong(1) == 3L && rows(0).getLong(2) == 4L)
+      assert(rows(0).getDouble(3) == math.rint(4.0 / 3.0 * 1e6) / 1e6)
+      assert(rows(0).getDouble(4) == 1.5)
+      // g2: fully merged — fertility exactly 1, 2 chars per subword
+      assert(rows(1).getLong(1) == 2L && rows(1).getDouble(3) == 1.0)
+      assert(rows(1).getDouble(4) == 2.0)
+      // g3: no words → NULL ratios, not a division error
+      assert(rows(2).getLong(1) == 0L && rows(2).isNullAt(3) && rows(2).isNullAt(4))
+      intercept[IllegalArgumentException] {
+        Bpe.fertility(d.withColumnRenamed("lang", "fertility"), "text", merges, "fertility")
+      }
+    } finally graft.CachedFrames.unpersistAll()
+  }
+
   test("CLI: bpe-train persists the model atomically; bpe-encode replays it exactly") {
     val dir = java.nio.file.Files.createTempDirectory("bpecli").toString
     docs.write.mode("overwrite").parquet(s"$dir/corpus")
