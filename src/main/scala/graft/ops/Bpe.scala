@@ -198,12 +198,17 @@ object Bpe {
     require(!reserved.contains(groupCol),
       s"fertility reserves ${reserved.mkString("/")}; rename the group column")
     val words = filter(TextAnalysis.tokens(col(textCol)), w => w =!= "")
+    // char total from the SUBWORDS, not a second pass over the words:
+    // merges only concatenate adjacent symbols, so each word's
+    // subwords partition its characters exactly — and higher-order
+    // lambdas are interpreted (no codegen CSE), so every avoided
+    // re-tokenization is a real saved pass over the text.
     encode(df, textCol, merges)
       .select(
         col(groupCol),
         size(words).cast("long").as("__nw"),
         size(col("bpe_tokens")).cast("long").as("__ns"),
-        aggregate(words, lit(0L), (a, w) => a + length(w)).as("__nc"))
+        aggregate(col("bpe_tokens"), lit(0L), (a, w) => a + length(w)).as("__nc"))
       .groupBy(groupCol)
       .agg(
         sum("__nw").as("n_words"),

@@ -369,11 +369,17 @@ object CurationQueries {
     // X113: every corpus word instance joins its trained-vocabulary
     // row (training corpus ≡ encode corpus, so the join is total);
     // per-word subword counts come from the merged symbol string,
-    // grouped by lang — exact long sums, single divisions.
+    // grouped by lang — exact long sums, single divisions. The LEFT
+    // JOIN from the distinct-lang base mirrors the engine's
+    // zero-word-group contract: a lang whose docs are all empty still
+    // emits its row with 0 counts and NULL ratios (an inner join
+    // would silently drop it and row-count-mismatch the compare).
     "q_bpe_fertility" -> (bpeCtes +
       s""", encw AS (
          |  SELECT lang, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
          |  FROM documents
+         |), langs AS (
+         |  SELECT DISTINCT lang FROM documents
          |), enc AS (
          |  SELECT lang, unnest(ws) AS word FROM encw
          |), persub AS (
@@ -382,10 +388,14 @@ object CurationQueries {
          |    length(e.word)::BIGINT AS nchar
          |  FROM enc e JOIN w$bpeMerges w ON w.word = e.word
          |)
-         |SELECT lang, count(*)::BIGINT AS n_words, sum(nsub)::BIGINT AS n_subwords,
-         |  round(sum(nsub)::DOUBLE / count(*)::DOUBLE, 6) AS fertility,
-         |  round(sum(nchar)::DOUBLE / sum(nsub)::DOUBLE, 6) AS chars_per_subword
-         |FROM persub GROUP BY lang ORDER BY lang""".stripMargin),
+         |SELECT l.lang, count(p.nsub)::BIGINT AS n_words,
+         |  coalesce(sum(p.nsub), 0)::BIGINT AS n_subwords,
+         |  CASE WHEN count(p.nsub) > 0
+         |    THEN round(sum(p.nsub)::DOUBLE / count(p.nsub)::DOUBLE, 6) END AS fertility,
+         |  CASE WHEN coalesce(sum(p.nsub), 0) > 0
+         |    THEN round(sum(p.nchar)::DOUBLE / sum(p.nsub)::DOUBLE, 6) END AS chars_per_subword
+         |FROM langs l LEFT JOIN persub p ON p.lang = l.lang
+         |GROUP BY l.lang ORDER BY l.lang""".stripMargin),
 
     "q_bpe_encode" -> (bpeCtes +
       s""", encw AS (
