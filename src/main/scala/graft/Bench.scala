@@ -30,36 +30,44 @@ object Bench {
   def r3(v: Double): Double = math.rint(v * 1000) / 1000
 
   /** The canonical one-line bench JSON, BOUNDED to `budget` chars by
-    * construction. The driver keeps only a ~2000-char tail of stdout
-    * (with sbt's own "[success] Total time" line landing after us),
-    * so a canonical line carrying all per-query timings stops parsing
-    * once the suite outgrows the tail — exactly what happened in r14
-    * at 151 queries (~4 KB line → `rc: 0, parsed: null`, head with
-    * `"value"` clipped). The full map now rides the BENCH_QUERIES
-    * diagnostics line; this line keeps the total plus the SLOWEST
-    * queries that fit the budget, with an explicit `queries_elided`
-    * count so the truncation is visible, never silent.
+    * construction AND byte-compatible with the driver-documented
+    * template — key order {"metric","value","unit","queries","sf"},
+    * NO extra keys. Evidence the driver's parser is shape-anchored,
+    * not a generic json.loads: the r15 total line was complete, valid
+    * JSON sitting fully inside the driver's 2000-char tail, but
+    * carried "sf" before "queries" plus extra keys ("contaminated",
+    * "queries_elided") and recorded `parsed: null`; r10's line — the
+    * documented order, no extras — parsed fine. So every diagnostic
+    * (contamination flag, elision count, the FULL per-query map) now
+    * rides the BENCH_DIAG / BENCH_QUERIES lines printed before this
+    * one, and this line keeps the total plus the SLOWEST queries that
+    * fit the budget.
     */
-  def canonicalLine(
+  def canonicalParts(
       best: collection.Map[String, Double],
       total: Double,
       sfDir: String,
-      extraJson: String = "",
-      budget: Int = 1400): String = {
+      budget: Int = 1400): (String, Int) = {
     val prefix =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"$extraJson,"queries":{"""
-    def suffix(elided: Int) = s"""},"queries_elided":$elided}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
+    val suffix = s"""},"sf":"$sfDir"}"""
     val entries = best.toSeq.sortBy { case (k, v) => (-v, k) }
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
-    val maxSuffix = suffix(entries.size).length
     val sb = new StringBuilder(prefix)
     var taken = 0
     entries.foreach { e =>
       val add = if (taken == 0) e else "," + e
-      if (sb.length + add.length + maxSuffix <= budget) { sb.append(add); taken += 1 }
+      if (sb.length + add.length + suffix.length <= budget) { sb.append(add); taken += 1 }
     }
-    sb.append(suffix(entries.size - taken)).toString
+    (sb.append(suffix).toString, entries.size - taken)
   }
+
+  def canonicalLine(
+      best: collection.Map[String, Double],
+      total: Double,
+      sfDir: String,
+      budget: Int = 1400): String =
+    canonicalParts(best, total, sfDir, budget)._1
 
   /** Hot = bursty right now (1-min > 2.5) OR residually busy
     * (15-min > 2.0). The 15-min figure alone demonstrably
@@ -208,7 +216,6 @@ object Bench {
     // retry pass above, the flag means "still hot at retry start".
     // Gated on isHot (1-min OR 15-min), per VERDICT r9 #1.
     val contaminated = isHot(load0) && isHot(loadRetry)
-    val contaminatedJson = if (contaminated) ""","contaminated":true""" else ""
     def triple(l: (Double, Double, Double)): String =
       s"[${r3(l._1)},${r3(l._2)},${r3(l._3)}]"
     val retryJson = if (isHot(load0)) s""","loadavg_retry":${triple(loadRetry)}""" else ""
@@ -220,9 +227,10 @@ object Bench {
     } + "\""
     val errJson = warmupError.orElse(firstQueryError)
       .map(e => s""","first_error":${jq(e)}""").getOrElse("")
-    println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"failed":$failedJson,"parallelism":$par,"runs":$passesRun,"pass_totals":$passTotalsJson,"loadavg_start":${triple(load0)},"loadavg_end":${triple(loadavg)}$retryJson$errJson}""")
+    val (canonical, elided) = canonicalParts(best, total, sfDir)
+    println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"failed":$failedJson,"parallelism":$par,"runs":$passesRun,"pass_totals":$passTotalsJson,"loadavg_start":${triple(load0)},"loadavg_end":${triple(loadavg)},"contaminated":$contaminated,"queries_elided":$elided$retryJson$errJson}""")
     println(s"""BENCH_QUERIES {"queries":${obj(best)}}""")
-    println(canonicalLine(best, total, sfDir, contaminatedJson))
+    println(canonical)
     spark.stop()
   }
 }

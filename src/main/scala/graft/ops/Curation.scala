@@ -54,6 +54,11 @@ object Curation {
       seed: Long = 42L,
       hasher: (Column, Column) => Column = TextAnalysis.fastH64): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val reserved = Set("bucket", "split")
+    val shadowing = df.columns.filter(reserved)
+    require(shadowing.isEmpty,
+      s"assignSplit appends ${reserved.mkString("/")}; " +
+        s"rename: ${shadowing.mkString(", ")}")
     val total = weights.map(_._2).sum
     val cuts = weights.scanLeft(0.0)(_ + _._2).tail.map(w => (w / total * 10000).round)
     val b = bucket10k(seed, col(idCol), hasher)
@@ -733,7 +738,16 @@ object Curation {
       overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlapTokens must be in [0, chunkTokens): $overlapTokens")
     val step = chunkTokens - overlapTokens
+    // Tokenization is split-with-trailing-empties (identical in DuckDB),
+    // so even an empty document yields [""] — one 1-token chunk of the
+    // empty token, the same in both engines — and a NULL document's
+    // NULL sequence explodes to no rows. A zero-length token array is
+    // unreachable through that tokenizer; the guard below pins the
+    // contract (no zero-token chunks) against any future tokenizer that
+    // CAN return an empty array, where the unguarded sequence(0,
+    // greatest(n-1,0)) would leak one chunk_tokens=0 row downstream.
     df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
       .withColumn("__n", size(col("__toks")))
       .withColumn(
         "__start",

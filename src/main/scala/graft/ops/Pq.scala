@@ -88,6 +88,10 @@ object Pq {
     val dsub = dim / m
     val rows = corpus
       .select(col(idCol), col(vecCol))
+      // ANN-family convention (same as train/lowestIdResidualCodebooks):
+      // a NULL or element-NULL vector among the lowest ids is excluded,
+      // not NPE'd on the driver-side getSeq map below.
+      .filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
       .orderBy(col(idCol))
       .limit(ksub)
       .collect()

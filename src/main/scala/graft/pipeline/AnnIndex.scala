@@ -211,7 +211,12 @@ object AnnIndex {
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toSeq.map(_.getPath.getName)
         .filter(n => n.startsWith("cells_inc_") && n.endsWith(".parquet"))
-        .sorted
+        // numeric suffix, not lexicographic: cells_inc_10 must order
+        // AFTER cells_inc_2 for "oldest first" to stay true past nine
+        // increments.
+        .sortBy(n => scala.util.Try(
+          n.stripPrefix("cells_inc_").stripSuffix(".parquet").toLong)
+          .getOrElse(Long.MaxValue))
     cellsPath(index) +: incs.map(n => s"$index/$n")
   }
 

@@ -327,7 +327,12 @@ object CurationQueries {
     * join on DOUBLE spaces so adjacent matches never consume a shared
     * delimiter — replace-all is then exactly the textbook greedy scan
     * (see [[graft.ops.Bpe.applyMerge]]). The q_pagerank
-    * iteration-replay pattern, generated per step.
+    * iteration-replay pattern, generated per step. Each `w\$i` takes
+    * its merge via LEFT JOIN ON TRUE (not CROSS JOIN): when a step
+    * finds no pairs (every word already one symbol before nMerges),
+    * `m\$i` is empty and a cross join would empty `w\$i` and every
+    * later CTE — the coalesce carries `w{i-1}` through unchanged,
+    * mirroring [[graft.ops.Bpe.train]]'s early stop.
     */
   private def bpeCtes: String = {
     val sb = new StringBuilder(
@@ -346,10 +351,10 @@ object CurationQueries {
         |  SELECT $i AS step, pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1
         |), w$i AS (
         |  SELECT w.word, w.n,
-        |    trim(replace(' ' || w.sym || ' ',
+        |    coalesce(trim(replace(' ' || w.sym || ' ',
         |      ' ' || split_part(m.pair, ' ', 1) || '  ' || split_part(m.pair, ' ', 2) || ' ',
-        |      ' ' || replace(m.pair, ' ', '') || ' ')) AS sym
-        |  FROM w${i - 1} w CROSS JOIN m$i m
+        |      ' ' || replace(m.pair, ' ', '') || ' ')), w.sym) AS sym
+        |  FROM w${i - 1} w LEFT JOIN m$i m ON TRUE
         |)""".stripMargin
     sb.toString
   }

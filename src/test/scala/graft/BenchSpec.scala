@@ -26,39 +26,45 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.isHot((2.5, 1.0, 2.0))) // thresholds are strict
   }
 
-  // VERDICT r14 #2: at 151 queries the full per-query map (~4 KB)
-  // outgrew the driver's ~2000-char stdout tail and the canonical
-  // line's head — "value" included — was clipped (rc:0/parsed:null).
-  // The line is now bounded by construction; pin it with a suite the
-  // size of the real one.
-  test("canonicalLine stays under budget for a 151-query suite and elides visibly") {
-    val best = (1 to 151)
+  // VERDICT r14 #2 and the r15 regression of the fix: at 151 queries
+  // the full per-query map (~4 KB) outgrew the driver's ~2000-char
+  // stdout tail (r14, rc:0/parsed:null), and the r15 bounded line —
+  // complete and valid inside the tail — STILL recorded parsed:null
+  // because it reordered "sf" before "queries" and carried extra keys
+  // ("contaminated", "queries_elided"). The last line that parsed
+  // (r10) was exactly the documented template. Pin that the canonical
+  // line is byte-compatible with it: key order metric,value,unit,
+  // queries,sf — no extra keys — and bounded for a 170-query suite.
+  test("canonicalLine matches the documented template exactly and stays under budget") {
+    val best = (1 to 170)
       .map(i => f"q_query_with_a_realistic_name_$i%03d" -> (0.05 * i))
       .toMap
     val total = best.values.sum
-    val line = Bench.canonicalLine(best, total, "/root/testdata/sf0.1",
-      extraJson = ""","contaminated":true""")
+    val (line, elided) =
+      Bench.canonicalParts(best, total, "/root/testdata/sf0.1")
     assert(line.length <= 1400, s"line is ${line.length} chars")
-    // Valid JSON with the fields the driver needs, by simple probes.
+    // Byte-anchored template probes: documented key order, no extras.
     assert(line.startsWith("""{"metric":"total","value":"""))
-    assert(line.endsWith("}"))
-    assert(line.contains(""""sf":"/root/testdata/sf0.1""""))
-    assert(line.contains(""""queries_elided":"""))
+    assert(line.contains(""","unit":"sec","queries":{"""))
+    assert(line.endsWith("""},"sf":"/root/testdata/sf0.1"}"""))
+    assert(!line.contains("queries_elided") && !line.contains("contaminated"))
+    // The driver-documented key set, in order.
+    val keyOrder = """"(metric|value|unit|queries|sf)":""".r
+      .findAllMatchIn(line).map(_.group(1)).toSeq
+    assert(keyOrder == Seq("metric", "value", "unit", "queries", "sf"))
     // Slowest queries survive; the elision count covers the rest.
-    assert(line.contains("q_query_with_a_realistic_name_151"))
+    assert(line.contains("q_query_with_a_realistic_name_170"))
     val kept = """"q_query_with_a_realistic_name_""".r.findAllIn(line).size
-    val elided = """"queries_elided":(\d+)""".r
-      .findFirstMatchIn(line).get.group(1).toInt
-    assert(kept + elided == 151)
+    assert(kept + elided == 170)
     assert(elided > 0) // the budget genuinely binds at this suite size
   }
 
   test("canonicalLine keeps every query when the suite fits the budget") {
-    val best = Map("q_a" -> 1.0, "q_b" -> 2.5)
-    val line = Bench.canonicalLine(best, 3.5, "/tmp/sf")
+    val (line, elided) = Bench.canonicalParts(Map("q_a" -> 1.0, "q_b" -> 2.5), 3.5, "/tmp/sf")
     assert(line.contains(""""q_a":1.0""") && line.contains(""""q_b":2.5"""))
-    assert(line.contains(""""queries_elided":0"""))
+    assert(elided == 0)
     assert(line.contains(""""value":3.5"""))
+    assert(line.endsWith("""},"sf":"/tmp/sf"}"""))
     // Slowest-first ordering inside the map.
     assert(line.indexOf("q_b") < line.indexOf("q_a"))
   }

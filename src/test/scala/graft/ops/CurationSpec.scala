@@ -31,6 +31,20 @@ class CurationSpec extends SparkSpec {
     assert(split.select("doc_id", "split").except(reseeded.select("doc_id", "split")).count() > 0)
   }
 
+  test("assignSplit refuses to shadow an existing bucket/split column") {
+    // same reserved-name contract as tokenBudget/mixSources: appending
+    // over an existing column would silently overwrite user data.
+    val withSplit = docs.withColumn("split", lit("gold"))
+    val e = intercept[IllegalArgumentException] {
+      Curation.assignSplit(withSplit, "doc_id", Seq("train" -> 1.0))
+    }
+    assert(e.getMessage.contains("split"))
+    val withBucket = docs.withColumn("bucket", lit(1))
+    intercept[IllegalArgumentException] {
+      Curation.assignSplitBy(withBucket, "lang", Seq("train" -> 1.0))
+    }
+  }
+
   test("stratifiedSample keeps roughly rate-per-stratum, deterministically") {
     val kept = Curation.stratifiedSample(
       docs, "doc_id", "lang", Seq("en" -> 0.5, "fr" -> 0.2), defaultRate = 0.0)
@@ -466,6 +480,22 @@ class CurationSpec extends SparkSpec {
     val one = Curation.chunkDocuments(short, "text", "doc_id", 4, 2).collect()
     assert(one.length == 1 && one.head.getAs[String]("chunk_text") == "x y"
       && one.head.getAs[Int]("chunk_tokens") == 2)
+  }
+
+  test("chunkDocuments: empty text is one empty-token chunk, NULL text vanishes, no zero-token chunks") {
+    // split-with-trailing-empties tokenizes "" as [""] (same in DuckDB):
+    // an empty doc is one 1-token chunk of the empty token, never a
+    // chunk_tokens=0 row; a NULL doc explodes to nothing.
+    val docs = Seq((0L, ""), (2L, "a b c")).toDF("doc_id", "text")
+      .union(Seq(Tuple1(1L)).toDF("doc_id").withColumn("text", lit(null: String)))
+    val chunks = Curation.chunkDocuments(docs, "text", "doc_id", 2, 0)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_tokens", "chunk_text")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(chunks.forall(_._2 > 0))
+    assert(chunks.filter(_._1 == 0L) == Seq((0L, 1, "")))
+    assert(!chunks.exists(_._1 == 1L))
+    assert(chunks.filter(_._1 == 2L).map(_._3) == Seq("a b", "c"))
   }
 
   test("chunkDocuments validates its knobs") {

@@ -267,6 +267,23 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("lowestIdCodebooks skips NULL/element-NULL vectors among the lowest ids") {
+    // ANN-family convention: a degenerate vector in the id prefix is
+    // excluded (as in train/lowestIdResidualCodebooks), not NPE'd.
+    val corpus = clustered(2, 4)
+    val poisoned = Seq(
+      (-2L, null: Seq[java.lang.Float]),
+      (-1L, Seq[java.lang.Float](null) ++ Seq.fill(dim - 1)(Float.box(1f))))
+      .toDF("vec_id", "embedding")
+      .unionByName(corpus.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding")))
+    val clean = Pq.lowestIdCodebooks(corpus, "vec_id", "embedding", dim, m = 4, ksub = 4)
+    val fromPoisoned =
+      Pq.lowestIdCodebooks(poisoned, "vec_id", "embedding", dim, m = 4, ksub = 4)
+    assert(fromPoisoned.codebooks.flatten.flatten.toSeq ==
+      clean.codebooks.flatten.flatten.toSeq)
+  }
+
   test("knob validation") {
     val corpus = clustered(2, 4)
     intercept[IllegalArgumentException] {

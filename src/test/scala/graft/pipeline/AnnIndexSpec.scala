@@ -28,6 +28,21 @@ class AnnIndexSpec extends SparkSpec {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("cellSources orders increments by numeric suffix, not lexicographically") {
+    val dir = java.nio.file.Files.createTempDirectory("annsrc").toString
+    val index = s"$dir/index"
+    for (n <- Seq(2, 10, 1))
+      assert(new java.io.File(s"$index/cells_inc_$n.parquet").mkdirs())
+    val srcs = AnnIndex.cellSources(spark, index)
+    // base first, then oldest-first by generation number: 1, 2, 10
+    // (lexicographic would put cells_inc_10 before cells_inc_2).
+    assert(srcs == Seq(
+      s"$index/cells.parquet",
+      s"$index/cells_inc_1.parquet",
+      s"$index/cells_inc_2.parquet",
+      s"$index/cells_inc_10.parquet"))
+  }
+
   test("build + query: cell census partitions the corpus; probe recall matches brute force") {
     val dir = java.nio.file.Files.createTempDirectory("annidx").toString
     val corpus = clustered(nClusters = 6, perCluster = 20)
