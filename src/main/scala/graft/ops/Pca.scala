@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
 import org.apache.spark.mllib.linalg.distributed.RowMatrix
@@ -120,5 +120,162 @@ object Pca {
     df.withColumn("__pca_dots", dots)
       .withColumn(outCol, array(shifted: _*))
       .drop("__pca_dots")
+  }
+
+  // ------------------------------------------------ replayable variant
+
+  /** Moment quantization scale for [[fitReplayable]]: every per-row
+    * term is `round(x * 1e9)` to a long before summing, so the sums
+    * are INTEGER — exact and associativity-free — and any physical
+    * aggregation shape (map-side combine, AQE re-plan, a different
+    * partitioning, another SQL engine) produces bit-identical moments.
+    * Magnitudes: |x| and |x·y| are O(1) for unit-ish embeddings, so
+    * quantized terms are ≤ ~1e10 and even billions of rows stay far
+    * from the long range.
+    */
+  val replayQuantScale: Double = 1e9
+
+  /** Eigenvalue floor under which a whitening axis is suppressed to 0
+    * (same guard as [[transform]]). */
+  val replayLambdaFloor: Double = 1e-9
+
+  /** Deterministic start vector for power-iteration component `c` —
+    * a fixed integer recurrence (exact in 64-bit arithmetic in any
+    * engine), NOT a solver-dependent random draw, so a SQL replay can
+    * embed the identical values. */
+  def replayStart(c: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      ((c.toLong * dim + i) * 2654435761L + 12345L) % 1000003L / 1000003.0 - 0.5
+    }
+
+  /** Fit `k` principal components by QUANTIZED moments + fixed-order
+    * power iteration with deflation — every floating-point operation
+    * in a pinned order, so the fit (and the whitened projection built
+    * from it) is replayable BIT-EXACTLY by any IEEE-754 SQL engine:
+    * the oracle-exactness counterpart of [[fit]], same convention as
+    * [[Pq.lowestIdCodebooks]] vs [[Pq.train]].
+    *
+    * Distributed pass (the only one): each row explodes to its
+    * dim linear + dim(dim+1)/2 upper-triangle product terms, each
+    * term quantized to a long ([[replayQuantScale]]) — integer sums
+    * are exact and order-free, so the map-side-combined groupBy (one
+    * shuffle of ≤ (dim²/2 + dim + 1) × partitions tiny rows) matches
+    * a driver loop, a different partitioning, or DuckDB no matter how
+    * the plan executes. Cost is the same dim²-products-per-row bill
+    * as [[fit]]'s Gramian; [[fit]] remains the production path
+    * (BLAS-fused, no explode fan-out).
+    *
+    * Driver solve: `iters` power-iteration steps per component over
+    * the dim×dim covariance, Rayleigh-quotient eigenvalue, rank-one
+    * deflation — all left-to-right loops mirrored token-for-token by
+    * the SQL oracle's recursive CTE (list_sum is a strict sequential
+    * fold; verified to 4096 elements). With a flat spectrum the
+    * vectors need not converge to true eigenvectors — replay
+    * exactness never depends on convergence, only the ORDER of
+    * operations — but they are always unit-norm and the projection
+    * still whitens the directions found. Signs follow the start
+    * vector (no canonicalization: the largest-|coefficient| rule of
+    * [[fit]] would need a tie rule the SQL side must copy; the start
+    * vectors are already deterministic so signs are too).
+    */
+  def fitReplayable(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      iters: Int = 24): PcaModel = {
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim]: $k")
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val qs = replayQuantScale
+    val v = col("__v")
+    // functions.transform, not this object's transform (name clash)
+    def xform(a: Column, f: Column => Column): Column =
+      org.apache.spark.sql.functions.transform(a, f)
+    def q(c: Column): Column = round(c * lit(qs)).cast("long")
+    val lin = xform(sequence(lit(0), lit(dim - 1)), i =>
+      struct(i.as("i"), lit(-1).as("j"), q(element_at(v, i + 1)).as("q")))
+    val quad = flatten(xform(sequence(lit(0), lit(dim - 1)), i =>
+      xform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          q(element_at(v, i + 1) * element_at(v, j + 1)).as("q")))))
+    val cnt = array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("q")))
+    val sums = df
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .filter(v.isNotNull && !exists(v, _.isNull))
+      .select(explode(concat(cnt, lin, quad)).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.q")).as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val n = sums((-1, -1))
+    require(n > 1, "fitReplayable needs at least two valid vectors")
+    val mu = Array.tabulate(dim)(i => sums((i, -1)).toDouble / qs / n)
+    // SAMPLE covariance (n−1), the same normalization as [[fit]]'s
+    // MLlib path — so eigenvalues and whitening scales agree between
+    // the two fits instead of differing by n/(n−1).
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      sums((math.min(i, j), math.max(i, j))).toDouble / qs / (n - 1) -
+        mu(i) * mu(j) * n / (n - 1))
+    val totalVariance = (0 until dim).map(i => cov(i)(i)).sum
+
+    def matvec(c: Array[Array[Double]], x: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += c(i)(j) * x(j); j += 1 }
+        acc
+      }
+    val comps = Array.ofDim[Array[Double]](k)
+    val lams = Array.ofDim[Double](k)
+    for (c <- 0 until k) {
+      var vv = replayStart(c, dim)
+      for (_ <- 1 to iters) {
+        val w = matvec(cov, vv)
+        var ss = 0.0; var i = 0
+        while (i < dim) { ss += w(i) * w(i); i += 1 }
+        val nrm = math.sqrt(ss)
+        vv = w.map(_ / nrm)
+      }
+      val cv = matvec(cov, vv)
+      var lam = 0.0; var i = 0
+      while (i < dim) { lam += vv(i) * cv(i); i += 1 }
+      comps(c) = vv; lams(c) = lam
+      var a = 0
+      while (a < dim) {
+        var b = 0
+        while (b < dim) { cov(a)(b) -= lam * vv(a) * vv(b); b += 1 }
+        a += 1
+      }
+    }
+    PcaModel(mu, comps, lams, lams.map(_ / totalVariance))
+  }
+
+  /** The k whitened-projection columns for a [[fitReplayable]] model,
+    * every double op in the pinned replay order: per row,
+    * `pcᶜ = (Σᵢ xᵢ·vᶜᵢ − vᶜ·μ) · (λc < floor ? 0 : 1/√λc)` with the
+    * dot an explicit left-to-right chain in DOUBLE (the fused
+    * [[graft.functions.MatVecDotsExpr]] kernel accumulates in float —
+    * fine for ANN recall, wrong for bit replay). Codegen'd projection,
+    * no shuffle; `dim` terms per component per row.
+    */
+  def replayableWhitened(
+      vecCol: Column,
+      model: PcaModel,
+      outPrefix: String = "pc"): Seq[Column] = {
+    val dim = model.dim
+    val offs = model.components.map { c =>
+      var o = 0.0; var i = 0
+      while (i < dim) { o += c(i) * model.mean(i); i += 1 }
+      o
+    }
+    val scls = model.eigenvalues.map(l =>
+      if (l < replayLambdaFloor) 0.0 else 1.0 / math.sqrt(l))
+    (0 until model.k).map { c =>
+      val dot = (0 until dim).foldLeft(lit(0.0)) { (acc, i) =>
+        acc + element_at(vecCol, i + 1).cast("double") * lit(model.components(c)(i))
+      }
+      // `+ 0.0` folds -0.0 so the dump is sign-stable cross-engine.
+      (round((dot - lit(offs(c))) * lit(scls(c)), 4) + lit(0.0)).as(s"$outPrefix${c + 1}")
+    }
   }
 }

@@ -25,6 +25,8 @@ object MiningQueries {
   private val hnK = 5
   private val hnQueryIds = 8 // query set = vec_id < 8
   private val embeddingDim = 64
+  private val pcaK = 8
+  private val pcaIters = 24
   private val anonK = 5L
   private val benchCut = 25 // vec_id < 25 plays the "benchmark set"
   private val semConThreshold = 0.35
@@ -338,23 +340,25 @@ object MiningQueries {
         .orderBy("c_nationkey", "c_mktsegment")
     }),
 
-    // X96: PCA whitening of the embedding corpus (rows-only check —
-    // no eigensolver exists in the oracle engine; invariants are
-    // specced in PcaSpec). Output: per-vector 8-dim whitened
-    // projection dumped as ONE comma-joined rounded string — the
-    // X60/X82 cross-engine convention. An array<double> column here
-    // crashes the driver's pandas sort ("unhashable type: ndarray"),
-    // which is what made this r14's only red CORRECTNESS row.
-    // `+ 0.0` folds -0.0 to 0.0 so the string dump is sign-stable.
+    // X96: PCA whitening of the embedding corpus — now a HASH-EXACT
+    // oracle row (was rows-only through r15): the fit is the
+    // replayable variant (quantized integer moments + fixed-order
+    // power iteration, [[graft.ops.Pca.fitReplayable]]), whose every
+    // double op the DuckDB oracle replays through a recursive CTE —
+    // no eigensolver needed on either side. Output is k scalar DOUBLE
+    // columns (never array<double>: that crashed the r14 driver
+    // compare, and a string dump would couple the two engines'
+    // double-formatting). The MLlib eigensolver fit stays the
+    // production path (PcaSpec).
     "q_pca_whiten" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val model = Pca.fit(e, "embedding", k = 8)
-      Pca.transform(e, "embedding", model, "pca", whiten = true)
-        .select(
-          col("vec_id"),
-          concat_ws(",",
-            transform(col("pca"), v => (round(v, 4) + lit(0.0)).cast("string")))
-            .as("pca_r"))
+      val model = Pca.fitReplayable(
+        e, "embedding", embeddingDim, pcaK, pcaIters)
+      val valid = col("embedding").isNotNull &&
+        !exists(col("embedding"), _.isNull)
+      e.filter(valid)
+        .select(col("vec_id") +:
+          Pca.replayableWhitened(col("embedding"), model): _*)
         .orderBy("vec_id")
     }),
 
@@ -487,7 +491,116 @@ object MiningQueries {
       |  GROUP BY 1
       |)""".stripMargin
 
+  /** A double literal DuckDB parses AS DOUBLE. A bare decimal literal
+    * (`0.0009732008797355829`) parses as DECIMAL first and the cast
+    * to DOUBLE then rounds DIFFERENTLY than the JVM's shortest-repr
+    * round-trip — measured 1-ulp divergences that broke bit replay.
+    * A scientific-notation literal (`…e0`) parses directly as DOUBLE,
+    * correctly rounded, bit-identical to the JVM value.
+    */
+  private def sqlDouble(x: Double): String = {
+    val r = x.toString
+    if (r.contains("E") || r.contains("e")) r else r + "e0"
+  }
+
+  /** X96 oracle: bit-exact SQL replay of
+    * [[graft.ops.Pca.fitReplayable]] + [[graft.ops.Pca.replayableWhitened]].
+    *
+    * Exactness contract, mirrored step for step with the Scala driver:
+    *  - moments: per-term `round(x·1e9)::BIGINT` then integer sums —
+    *    order-free, so the engines' different aggregation shapes
+    *    cannot diverge;
+    *  - covariance/means: the same two divisions then products, in
+    *    the same order;
+    *  - power iteration: a recursive CTE over (comp, t, cov, v);
+    *    every dot is `list_sum(list_transform(...))` — DuckDB's
+    *    list_sum is a strict sequential fold (verified against a JVM
+    *    left-to-right loop to 4096 elements), matching the driver's
+    *    `while` loops; normalization, Rayleigh λ, and rank-one
+    *    deflation use identical operation order;
+    *  - start vectors: [[graft.ops.Pca.replayStart]]'s integer
+    *    recurrence embedded as `e0` DOUBLE literals ([[sqlDouble]]);
+    *  - projection: per-row sequential dot, the same
+    *    `(dot − off)·scale` shift, `round(…,4) + 0e0` sign-folding.
+    */
+  private def pcaOracle: String = {
+    val d = embeddingDim
+    val starts = "[" + (0 until pcaK).map(c =>
+      "[" + Pca.replayStart(c, d).map(sqlDouble).mkString(",") + "]")
+      .mkString(",") + "]"
+    val pcCols = (1 to pcaK).map(c =>
+      s"max(CASE WHEN comp = ${c - 1} THEN p END) AS pc$c").mkString(",\n  ")
+    s"""WITH RECURSIVE valid AS (
+       |  SELECT vec_id, embedding AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0
+       |), nrow AS (SELECT count(*)::BIGINT AS n FROM valid),
+       |lin AS (
+       |  SELECT i, sum(CAST(round(v[CAST(i+1 AS INTEGER)]::DOUBLE * 1e9) AS BIGINT)) AS q
+       |  FROM valid, (SELECT unnest(range(0, $d)) AS i) ii GROUP BY i
+       |), quad AS (
+       |  SELECT i, j, sum(CAST(round(v[CAST(i+1 AS INTEGER)]::DOUBLE * v[CAST(j+1 AS INTEGER)]::DOUBLE * 1e9) AS BIGINT)) AS q
+       |  FROM valid, (SELECT a.i, b.j
+       |               FROM (SELECT unnest(range(0, $d)) AS i) a,
+       |                    (SELECT unnest(range(0, $d)) AS j) b WHERE b.j >= a.i) pp
+       |  GROUP BY i, j
+       |), mu AS (
+       |  SELECT list(q::DOUBLE / 1e9 / n ORDER BY i) AS m FROM lin, nrow GROUP BY n
+       |), ut AS (
+       |  SELECT list(q::DOUBLE / 1e9 / (n-1) ORDER BY i, j) AS u FROM quad, nrow GROUP BY n
+       |), cov0 AS (
+       |  SELECT list_transform(range(0, $d), i ->
+       |    list_transform(range(0, $d), j ->
+       |      u[CAST(least(i,j)*$d - least(i,j)*(least(i,j)-1)//2 + greatest(i,j)-least(i,j) + 1 AS INTEGER)]
+       |        - m[CAST(i+1 AS INTEGER)] * m[CAST(j+1 AS INTEGER)] * n / (n-1))) AS c
+       |  FROM ut, mu, nrow
+       |), pi AS (
+       |  SELECT 0 AS comp, 0 AS t, c, ($starts)[1] AS v FROM cov0
+       |  UNION ALL
+       |  SELECT
+       |    CASE WHEN t < $pcaIters THEN comp ELSE comp + 1 END AS comp,
+       |    CASE WHEN t < $pcaIters THEN t + 1 ELSE 0 END AS t,
+       |    CASE WHEN t < $pcaIters THEN c ELSE
+       |      list_transform(range(0, $d), i -> list_transform(range(0, $d), j ->
+       |        c[CAST(i+1 AS INTEGER)][CAST(j+1 AS INTEGER)]
+       |          - list_sum(list_transform(range(1, ${d + 1}), i2 ->
+       |              v[CAST(i2 AS INTEGER)] * list_sum(list_transform(range(1, ${d + 1}), j2 ->
+       |                c[CAST(i2 AS INTEGER)][CAST(j2 AS INTEGER)] * v[CAST(j2 AS INTEGER)]))))
+       |            * v[CAST(i+1 AS INTEGER)] * v[CAST(j+1 AS INTEGER)]))
+       |    END AS c,
+       |    CASE WHEN t < $pcaIters THEN
+       |      list_transform(
+       |        list_transform(c, row -> list_sum(list_transform(range(1, ${d + 1}), j -> row[CAST(j AS INTEGER)] * v[CAST(j AS INTEGER)]))),
+       |        x -> x / sqrt(list_sum(list_transform(
+       |          list_transform(c, row -> list_sum(list_transform(range(1, ${d + 1}), j -> row[CAST(j AS INTEGER)] * v[CAST(j AS INTEGER)]))),
+       |          y -> y * y))))
+       |    ELSE ($starts)[CAST(comp + 2 AS INTEGER)] END AS v
+       |  FROM pi
+       |  WHERE t < $pcaIters OR comp < ${pcaK - 1}
+       |), model AS (
+       |  SELECT comp, v,
+       |    list_sum(list_transform(range(1, ${d + 1}), i2 ->
+       |      v[CAST(i2 AS INTEGER)] * list_sum(list_transform(range(1, ${d + 1}), j2 ->
+       |        c[CAST(i2 AS INTEGER)][CAST(j2 AS INTEGER)] * v[CAST(j2 AS INTEGER)])))) AS lam
+       |  FROM pi WHERE t = $pcaIters
+       |), moff AS (
+       |  SELECT comp, v, lam,
+       |    list_sum(list_transform(range(1, ${d + 1}), i ->
+       |      v[CAST(i AS INTEGER)] * m[CAST(i AS INTEGER)])) AS off,
+       |    CASE WHEN lam < 1e-9 THEN 0e0 ELSE 1e0 / sqrt(lam) END AS scl
+       |  FROM model, mu
+       |), proj AS (
+       |  SELECT e.vec_id, mo.comp,
+       |    round((list_sum(list_transform(range(1, ${d + 1}), i ->
+       |      e.v[CAST(i AS INTEGER)]::DOUBLE * mo.v[CAST(i AS INTEGER)])) - mo.off) * mo.scl, 4) + 0e0 AS p
+       |  FROM valid e, moff mo
+       |)
+       |SELECT vec_id,
+       |  $pcCols
+       |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_pca_whiten" -> pcaOracle,
     "q_bm25_search" -> bm25OracleSql(
       "WITH corp AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)",
       bmK),

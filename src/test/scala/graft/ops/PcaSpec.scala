@@ -155,6 +155,67 @@ class PcaSpec extends SparkSpec {
     assert(second == 0.0, s"degenerate axis must be suppressed, got |v| up to $second")
   }
 
+  // ---------------------------------------------- replayable variant
+
+  test("fitReplayable: partitioning-invariant bit-exact model (integer moments)") {
+    val a = Pca.fitReplayable(fixture, "embedding", dim = 8, k = 3, iters = 24)
+    val b = Pca.fitReplayable(fixture.repartition(7), "embedding", dim = 8, k = 3, iters = 24)
+    // unlike fit (ulp drift across partitionings), the quantized
+    // moments are integer sums — ANY physical shape is bit-identical
+    assert(a.components.map(_.toSeq).toSeq == b.components.map(_.toSeq).toSeq)
+    assert(a.eigenvalues.toSeq == b.eigenvalues.toSeq)
+    assert(a.mean.toSeq == b.mean.toSeq)
+  }
+
+  test("fitReplayable agrees with the eigensolver fit on a strong spectrum") {
+    val r = Pca.fitReplayable(fixture, "embedding", dim = 8, k = 2, iters = 24)
+    val f = Pca.fit(fixture, "embedding", k = 2)
+    // unit norm
+    r.components.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-12, s"|v| = $n")
+    }
+    // mutual orthogonality via deflation
+    val cross = r.components(0).zip(r.components(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(cross) < 1e-6, s"v0·v1 = $cross")
+    // same principal directions as MLlib (up to sign) and same variances
+    r.components.zip(f.components).foreach { case (rv, fv) =>
+      val dot = rv.zip(fv).map { case (a, b) => a * b }.sum
+      assert(math.abs(math.abs(dot) - 1.0) < 1e-6, s"|v_replay·v_fit| = ${math.abs(dot)}")
+    }
+    r.eigenvalues.zip(f.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) / b < 1e-4, s"λ $a vs $b")
+    }
+  }
+
+  test("replayableWhitened: unit variance per component") {
+    val m = Pca.fitReplayable(fixture, "embedding", dim = 8, k = 2, iters = 24)
+    val cols = Pca.replayableWhitened(col("embedding"), m)
+    val out = fixture.select(cols: _*)
+    for (c <- 1 to 2) {
+      val stats = out.agg(avg(col(s"pc$c")), variance(col(s"pc$c")))
+        .as[(Double, Double)].head()
+      assert(math.abs(stats._1) < 1e-3, s"pc$c mean ${stats._1}")
+      assert(math.abs(stats._2 - 1.0) < 0.02, s"pc$c variance ${stats._2}")
+    }
+  }
+
+  test("fitReplayable validates knobs and excludes null/element-null vectors") {
+    intercept[IllegalArgumentException] {
+      Pca.fitReplayable(fixture, "embedding", dim = 8, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Pca.fitReplayable(fixture, "embedding", dim = 8, k = 9)
+    }
+    val withNulls = fixture.unionByName(
+      Seq((900L, null: Seq[java.lang.Float]),
+        (901L, Seq[java.lang.Float](null) ++ Seq.fill(7)(Float.box(1f))))
+        .toDF("vec_id", "embedding"))
+    val clean = Pca.fitReplayable(fixture, "embedding", dim = 8, k = 2)
+    val guarded = Pca.fitReplayable(withNulls, "embedding", dim = 8, k = 2)
+    assert(clean.components.map(_.toSeq).toSeq == guarded.components.map(_.toSeq).toSeq)
+  }
+
   test("fit validates k") {
     intercept[IllegalArgumentException] { Pca.fit(fixture, "embedding", 0) }
     intercept[IllegalArgumentException] { Pca.fit(fixture, "embedding", 9) }
