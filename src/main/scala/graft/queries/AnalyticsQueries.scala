@@ -13,6 +13,8 @@ import graft.ops.{Curation, Joins, Sketches, TextAnalysis, TfIdf}
   */
 object AnalyticsQueries {
 
+  private val hllB = 6 // HLL register-index bits: m = 64 buckets
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // As-of join: each purchase event picks up the most recent view
@@ -605,6 +607,45 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // X114 HyperLogLog distinct tokens per language, with the exact
+    // count beside it for an auditable error ratio. Registers come
+    // from the md5-derived 60-bit hash (bucket = low 6 bits, ρ =
+    // leading-zero rank of the top 54), so DuckDB replays sketch AND
+    // estimate bit-exactly. No distinct pass anywhere in the sketch —
+    // the shape that beats KMV when the value stream is huge.
+    "q_hll_distinct" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val est = Sketches.hllDistinct(tok, Seq("lang"), col("tok"), b = hllB)
+      val exact = tok.groupBy("lang")
+        .agg(countDistinct(col("tok")).as("n_exact"))
+      est.join(exact, Seq("lang"))
+        .withColumn("err_ratio", round(col("est_distinct") / col("n_exact"), 4))
+        .orderBy("lang")
+    }),
+
+    // X114 mergeability: sketches of the two doc_id-parity halves fold
+    // via per-bucket max into EXACTLY the whole-corpus sketch — the
+    // property that lets daily partials estimate the union without a
+    // rescan. `lossless` replays the equality in both engines.
+    "q_hll_merge" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      def tok(f: DataFrame) =
+        f.select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val ska = Sketches.hllSketch(
+        tok(d.filter(col("doc_id") % 2 === 0)), Seq("lang"), col("tok"), b = hllB)
+      val skb = Sketches.hllSketch(
+        tok(d.filter(col("doc_id") % 2 === 1)), Seq("lang"), col("tok"), b = hllB)
+      val merged = Sketches.hllEstimate(
+        Sketches.hllMerge(ska, skb, Seq("lang")), Seq("lang"), b = hllB)
+      val whole = Sketches
+        .hllDistinct(tok(d), Seq("lang"), col("tok"), b = hllB)
+        .select(col("lang"), col("est_distinct").as("est_whole"))
+      merged.join(whole, Seq("lang"))
+        .withColumn("lossless", col("est_distinct") === col("est_whole"))
+        .orderBy("lang")
+    }),
+
     // CountMin heavy hitters over document tokens (d=3 rows × w=256
     // buckets), top 20 by estimated count.
     "q_cms_topk" -> ((s, dir) => {
@@ -706,6 +747,63 @@ object AnalyticsQueries {
          |SELECT node, round(rank * 1000000, 4) AS rank_ppm
          |FROM r$iterations ORDER BY node""".stripMargin
   }
+
+  /** A double literal DuckDB parses directly AS DOUBLE (bare decimals
+    * route through DECIMAL and can land 1 ulp off the JVM value —
+    * see the PCA oracle's discovery in MiningQueries.sqlDouble). */
+  private def hllLit(x: Double): String = {
+    val r = x.toString
+    if (r.contains("E") || r.contains("e")) r else r + "e0"
+  }
+
+  /** X114 oracle pieces — each mirrors one stage of
+    * [[graft.ops.Sketches.hllSketch]]/[[graft.ops.Sketches.hllEstimate]]
+    * with the identical operation order. `m = 2^hllB` buckets,
+    * `W = 60 − hllB` rank bits, `unit = 2^(W+1)` (the ρ=0 register
+    * contribution, so the register sum stays in exact integer space).
+    */
+  private def hllRegSql(tokCte: String): String = {
+    val m = 1 << hllB
+    val wp1 = 60 - hllB + 1
+    s"""
+       |  SELECT lang, (h % $m)::INTEGER AS bucket,
+       |    max(CASE WHEN h // $m = 0 THEN $wp1
+       |             ELSE $wp1 - length(bin(h // $m)) END)::INTEGER AS r
+       |  FROM (SELECT lang, ('0x' || substr(md5('hll|' || tok), 1, 15))::BIGINT AS h
+       |        FROM $tokCte)
+       |  GROUP BY 1, 2""".stripMargin
+  }
+
+  private def hllSumSql(regCte: String): String = {
+    val unit = 1L << (60 - hllB + 1)
+    s"""
+       |  SELECT lang, count(*)::INTEGER AS n_present,
+       |    sum(CAST($unit AS BIGINT) >> r)::BIGINT AS qsum
+       |  FROM $regCte GROUP BY 1""".stripMargin
+  }
+
+  private def hllFinSql(estCte: String): String = {
+    val m = 1 << hllB
+    val unit = 1L << (60 - hllB + 1)
+    val alpha = hllLit(Sketches.hllAlpha(m))
+    s"""
+       |  SELECT lang, n_present,
+       |    round(CASE WHEN raw <= ${hllLit(2.5 * m)} AND v > 0
+       |               THEN $m * ln(${hllLit(m.toDouble)} / v) ELSE raw END, 4) AS est_distinct
+       |  FROM (SELECT lang, n_present,
+       |          $alpha * $m * $m
+       |            / (($m - n_present)::DOUBLE + qsum::DOUBLE / ${hllLit(unit.toDouble)}) AS raw,
+       |          $m - n_present AS v
+       |        FROM $estCte)""".stripMargin
+  }
+
+  private def hllOracleCtes(tokSelect: String): String =
+    s"""WITH tok AS (
+       |  $tokSelect
+       |), reg AS (${hllRegSql("tok")}
+       |), est AS (${hllSumSql("reg")}
+       |), ed AS (${hllFinSql("est")}
+       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_asof_join" ->
@@ -1442,6 +1540,35 @@ object AnalyticsQueries {
         |  round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
         |             ELSE 63.0 * 1152921504606846976.0 / max(h) END, 4) AS est_distinct
         |FROM r WHERE rk <= 64 GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_hll_distinct" -> (hllOracleCtes(
+      "SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents") +
+      s""", ex AS (
+         |  SELECT lang, count(DISTINCT tok)::BIGINT AS n_exact FROM tok GROUP BY 1
+         |)
+         |SELECT e.lang, ${1 << hllB} AS m_buckets, e.n_present, e.est_distinct,
+         |  x.n_exact, round(e.est_distinct / x.n_exact, 4) AS err_ratio
+         |FROM ed e JOIN ex x ON x.lang = e.lang ORDER BY e.lang""".stripMargin),
+    "q_hll_merge" -> (hllOracleCtes(
+      "SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents") +
+      s""", toka AS (
+         |  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents WHERE doc_id % 2 = 0
+         |), tokb AS (
+         |  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents WHERE doc_id % 2 = 1
+         |), rega AS (${hllRegSql("toka")}
+         |), regb AS (${hllRegSql("tokb")}
+         |), regm AS (
+         |  SELECT lang, bucket, max(r) AS r
+         |  FROM (SELECT * FROM rega UNION ALL SELECT * FROM regb)
+         |  GROUP BY 1, 2
+         |), estm AS (${hllSumSql("regm")}
+         |), edm AS (${hllFinSql("estm")}
+         |)
+         |SELECT m.lang, ${1 << hllB} AS m_buckets, m.n_present, m.est_distinct,
+         |  w.est_distinct AS est_whole,
+         |  m.est_distinct = w.est_distinct AS lossless
+         |FROM edm m JOIN ed w ON w.lang = m.lang ORDER BY m.lang""".stripMargin),
     "q_cms_topk" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents

@@ -152,4 +152,60 @@ class SketchesSpec extends SparkSpec {
       .select($"q_0", $"q_1").as[(Double, Double)].head()
     assert(math.abs(ap._1 - 51.0) <= 2 && math.abs(ap._2 - 91.0) <= 2)
   }
+
+  // ------------------------------------------------------ HyperLogLog
+
+  test("hllDistinct estimates within the published error band; duplicates are free") {
+    val big = (1 to 5000).map(i => ("g1", s"v$i")).toDF("g", "v")
+    val est = Sketches.hllDistinct(big, Seq("g"), $"v", b = 6)
+      .select($"est_distinct").as[Double].head()
+    // std error ~ 1.04/sqrt(64) ≈ 13%; allow 4 sigma
+    assert(math.abs(est - 5000) < 2600, s"estimate $est too far from 5000")
+    // max-of-rho is idempotent: duplicating every value changes nothing
+    val dup = Sketches.hllDistinct(big.unionAll(big), Seq("g"), $"v", b = 6)
+      .select($"est_distinct").as[Double].head()
+    assert(dup == est)
+  }
+
+  test("hll small range routes through linear counting and stays near-exact") {
+    val small = (1 to 12).map(i => ("g", s"v$i")).toDF("g", "v")
+    val out = Sketches.hllDistinct(small, Seq("g"), $"v", b = 6)
+      .select($"n_present", $"est_distinct").as[(Int, Double)].head()
+    // 12 distinct values into 64 buckets: collisions possible but
+    // linear counting over zero registers is accurate to ~±2 here
+    assert(out._1 <= 12)
+    assert(math.abs(out._2 - 12.0) < 3.0, s"linear-counting estimate ${out._2}")
+  }
+
+  test("hllMerge is lossless: per-bucket max of partials == whole-corpus sketch") {
+    val all = (1 to 3000).map(i => (s"g${i % 2}", s"v$i")).toDF("g", "v")
+    val half1 = all.filter(expr("substring(v, 2) % 3 != 0"))
+    // overlapping halves: merge must behave like a set union
+    val half2 = all.filter(expr("substring(v, 2) % 3 = 0")).unionAll(half1.limit(100))
+    val merged = Sketches.hllMerge(
+      Sketches.hllSketch(half1, Seq("g"), $"v", b = 6),
+      Sketches.hllSketch(half2, Seq("g"), $"v", b = 6), Seq("g"))
+    val whole = Sketches.hllSketch(all, Seq("g"), $"v", b = 6)
+    assert(merged.orderBy("g", "bucket").collect().toSeq ==
+      whole.orderBy("g", "bucket").collect().toSeq)
+  }
+
+  test("hll sketch state is bounded by 2^b and the plan has no distinct or window") {
+    val df = (1 to 4000).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
+    val sk = Sketches.hllSketch(df, Seq("g"), $"v", b = 4)
+    val counts = sk.groupBy("g").count().as[(String, Long)].collect()
+    assert(counts.forall(_._2 <= 16), counts.mkString(","))
+    val plan = Sketches.hllDistinct(df, Seq("g"), $"v", b = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "HLL must not plan a window")
+    // exactly the two hash aggregations (register max, group fold) —
+    // each map-side combined: partial+final pairs, nothing else
+    assert(!plan.contains("SortAggregate"), s"hash aggs expected:\n$plan")
+  }
+
+  test("hll knobs validate") {
+    val df = Seq(("g", "v")).toDF("g", "v")
+    intercept[IllegalArgumentException] { Sketches.hllSketch(df, Seq("g"), $"v", b = 3) }
+    intercept[IllegalArgumentException] { Sketches.hllEstimate(df, Seq("g"), b = 17) }
+  }
 }
