@@ -654,4 +654,83 @@ object Similarity {
       .withColumn("sim", cosine(col("qvec"), col("nvec")))
     rankTopK(scored, k)
   }
+
+  /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein 1998):
+    * per query, greedily pick `k` results from a `poolK`-deep cosine
+    * shortlist, each step taking
+    * `argmax λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` —
+    * relevance traded against redundancy, the standard diversification
+    * in front of RAG context assembly (k near-duplicate chunks teach a
+    * model less than k distinct ones) and dedup review queues. The
+    * empty-selection max-sim is 0, so step 1 is the plain relevance
+    * argmax; ties break by ascending id.
+    *
+    * Scale shape: the CORPUS appears only in the shortlist build
+    * (the [[bruteForceTopK]] broadcast-queries scan here; swap in
+    * [[annTopK]]/[[ivfTopK]] candidates upstream for corpora past
+    * brute force — the re-rank is source-agnostic given (qid, nid,
+    * rel, nvec)). The greedy loop itself runs on queries×poolK rows:
+    * `k` driver-composed steps, each one bounded join (remaining ×
+    * selected, ≤ poolK×k rows per query) + max aggregate + top-1
+    * window — nothing corpus-sized moves after the pool persists
+    * (one [[graft.CachedFrames]] entry, released by `unpersistAll`).
+    *
+    * Determinism for the oracle: relevance and pairwise sims are the
+    * fused [[cosine]] (a left-to-right double fold), `max` is exact,
+    * and the MMR combine is the pinned order
+    * `(λ·rel) − ((1−λ)·maxsim)` with both constants embedded — so a
+    * SQL engine replays every pick and score bit-exactly.
+    *
+    * @return (qid, rank, nid, rel, mmr) with rank 1..k in pick order
+    */
+  def mmrRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      poolK: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need poolK >= k >= 1: k=$k poolK=$poolK")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val pool = graft.CachedFrames.persistOnce(
+      c.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("rel", cosine(col("qvec"), col("nvec")))
+        .withColumn("rank",
+          row_number().over(Window.partitionBy("qid")
+            .orderBy(col("rel").desc, col("nid"))))
+        .filter(col("rank") <= poolK)
+        .select(col("qid"), col("nid"), col("rel"), col("nvec")))
+    val mmrOf = (rel: Column, maxsim: Column) =>
+      lit(lambda) * rel - lit(1.0 - lambda) * maxsim
+    def pick(scored: DataFrame, step: Int): DataFrame = scored
+      .withColumn("__rk",
+        row_number().over(Window.partitionBy("qid")
+          .orderBy(col("mmr").desc, col("nid"))))
+      .filter(col("__rk") === 1)
+      .select(col("qid"), lit(step).as("rank"), col("nid"),
+        col("rel"), col("mmr"), col("nvec"))
+    var sel = pick(pool.withColumn("mmr", mmrOf(col("rel"), lit(0.0))), 1)
+    for (step <- 2 to k) {
+      val chosen = sel.select(col("qid"), col("nid"), col("nvec").as("__svec"))
+      val scored = pool
+        .join(chosen.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
+        .join(chosen.select(col("qid"), col("__svec")), Seq("qid"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(
+          first(col("rel")).as("rel"),
+          first(col("nvec")).as("nvec"),
+          max(cosine(col("nvec"), col("__svec"))).as("__maxsim"))
+        .withColumn("mmr", mmrOf(col("rel"), col("__maxsim")))
+      // each step reads `sel` twice (anti-join + union); persisting the
+      // growing selection keeps the composed plan linear in k instead
+      // of doubling per step (2^k recomputation of the early picks)
+      sel = graft.CachedFrames.persistOnce(sel.unionByName(pick(scored, step)))
+    }
+    sel.select(col("qid"), col("rank"), col("nid"),
+      round(col("rel"), 4).as("rel_r"), round(col("mmr"), 4).as("mmr_r"))
+  }
 }

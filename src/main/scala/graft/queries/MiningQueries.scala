@@ -27,6 +27,9 @@ object MiningQueries {
   private val embeddingDim = 64
   private val pcaK = 8
   private val pcaIters = 24
+  private val mmrK = 5
+  private val mmrPoolK = 12
+  private val mmrLambda = 0.7
   private val anonK = 5L
   private val benchCut = 25 // vec_id < 25 plays the "benchmark set"
   private val semConThreshold = 0.35
@@ -362,6 +365,19 @@ object MiningQueries {
         .orderBy("vec_id")
     }),
 
+    // X115: MMR diversified re-rank — per query, 5 picks from the
+    // 12-deep cosine shortlist trading relevance against redundancy
+    // (λ=0.7). Every pick and score replays in DuckDB: fused-cosine
+    // relevance, exact max over the selected set, pinned combine
+    // order. The corpus appears only in the shortlist build.
+    "q_mmr_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.mmrRerank(
+          e, e.filter(col("vec_id") < hnQueryIds), "vec_id", "embedding",
+          k = mmrK, poolK = mmrPoolK, lambda = mmrLambda)
+        .orderBy("qid", "rank")
+    }),
+
     // X90 ∘ X80: the production quality gate — classifier score →
     // corpus-own top-quartile cut → keep. Two caches, each with two
     // consumers: the FUSED classifier's token frame feeds model and
@@ -599,8 +615,65 @@ object MiningQueries {
        |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  /** X115 oracle: the MMR greedy loop as one chained-CTE replay —
+    * pool (brute-force cosine shortlist, rank ≤ poolK), then per step
+    * `i`: max-sim of every pool row against the selected set,
+    * `λ·rel − (1−λ)·maxsim` in the op's pinned order, top-1 by
+    * (mmr DESC, nid), union into the selection. Identical constants
+    * via [[sqlDouble]].
+    */
+  private def mmrOracle: String = {
+    def cosSql(a: String, b: String): String =
+      s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    val lam = sqlDouble(mmrLambda)
+    val oneMinus = sqlDouble(1.0 - mmrLambda)
+    val sb = new StringBuilder(
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS qid, embedding AS qvec FROM e WHERE vec_id < $hnQueryIds
+         |), sc AS (
+         |  SELECT q.qid, c.vec_id AS nid, c.embedding AS nvec,
+         |    ${cosSql("q.qvec", "c.embedding")} AS rel
+         |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.qid
+         |), p AS (
+         |  SELECT qid, nid, rel, nvec FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rk
+         |    FROM sc
+         |  ) WHERE rk <= $mmrPoolK
+         |), sel1 AS (
+         |  SELECT qid, 1 AS rank, nid, rel, mmr, nvec FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, nid) AS rk
+         |    FROM (SELECT *, $lam * rel - $oneMinus * 0e0 AS mmr FROM p)
+         |  ) WHERE rk = 1
+         |)""".stripMargin)
+    for (i <- 2 to mmrK) sb ++= s""", ms$i AS (
+         |  SELECT p.qid, p.nid, max(${cosSql("p.nvec", "s.nvec")}) AS maxsim
+         |  FROM p JOIN sel${i - 1} s ON s.qid = p.qid
+         |  GROUP BY 1, 2
+         |), pick$i AS (
+         |  SELECT qid, $i AS rank, nid, rel, mmr, nvec FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, nid) AS rk
+         |    FROM (
+         |      SELECT p.qid, p.nid, p.rel, p.nvec,
+         |        $lam * p.rel - $oneMinus * m.maxsim AS mmr
+         |      FROM p JOIN ms$i m ON m.qid = p.qid AND m.nid = p.nid
+         |      WHERE NOT EXISTS (
+         |        SELECT 1 FROM sel${i - 1} s2 WHERE s2.qid = p.qid AND s2.nid = p.nid)
+         |    )
+         |  ) WHERE rk = 1
+         |), sel$i AS (
+         |  SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i
+         |)""".stripMargin
+    sb ++= s"""
+         |SELECT qid, rank, nid, round(rel, 4) AS rel_r, round(mmr, 4) AS mmr_r
+         |FROM sel$mmrK ORDER BY qid, rank""".stripMargin
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_pca_whiten" -> pcaOracle,
+    "q_mmr_rerank" -> mmrOracle,
     "q_bm25_search" -> bm25OracleSql(
       "WITH corp AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)",
       bmK),

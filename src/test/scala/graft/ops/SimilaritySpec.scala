@@ -458,4 +458,49 @@ class SimilaritySpec extends SparkSpec {
       assert(hn.count() == 2 * 3, s"maxSim=$maxSim") // still k per query
     }
   }
+
+  test("mmrRerank: λ=1 is the plain relevance order; diversification pulls in other clusters") {
+    graft.CachedFrames.unpersistAll()
+    val corpus = clustered(nClusters = 4, perCluster = 6, dim = 16)
+    val queries = corpus.filter(col("vec_id") === 0L)
+    // λ=1: MMR reduces to relevance — must equal bruteForceTopK order
+    val plain = Similarity.mmrRerank(corpus, queries, "vec_id", "embedding",
+        k = 4, poolK = 12, lambda = 1.0)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 4)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    assert(plain == brute)
+    graft.CachedFrames.unpersistAll()
+    // λ=0.5 on a clustered corpus: the relevance-only top-4 is all
+    // own-cluster (5 same-cluster members fill the head of the pool);
+    // MMR must break out of it — a redundancy-punished pick list
+    // reaches a second cluster within 4 picks.
+    val diverse = Similarity.mmrRerank(corpus, queries, "vec_id", "embedding",
+        k = 4, poolK = 12, lambda = 0.5)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    assert(brute.forall(_ < 6L), s"sanity: relevance top-4 is own-cluster: $brute")
+    assert(diverse.exists(_ >= 6L), s"MMR picks must leave the query's cluster: $diverse")
+    // rank 1 is always the relevance argmax
+    assert(diverse.head == brute.head)
+    graft.CachedFrames.unpersistAll()
+  }
+
+  test("mmrRerank: deterministic across partitionings; knob validation") {
+    graft.CachedFrames.unpersistAll()
+    val corpus = clustered(nClusters = 3, perCluster = 5, dim = 16)
+    val queries = corpus.filter(col("vec_id") < 2L)
+    val a = Similarity.mmrRerank(corpus, queries, "vec_id", "embedding",
+      k = 3, poolK = 8).collect().map(_.toSeq).toSeq
+    graft.CachedFrames.unpersistAll()
+    val b = Similarity.mmrRerank(corpus.repartition(7), queries, "vec_id", "embedding",
+      k = 3, poolK = 8).collect().map(_.toSeq).toSeq
+    assert(a.sortBy(_.toString) == b.sortBy(_.toString))
+    graft.CachedFrames.unpersistAll()
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(corpus, queries, "vec_id", "embedding", k = 5, poolK = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(corpus, queries, "vec_id", "embedding", k = 2, poolK = 4, lambda = 1.5)
+    }
+  }
 }
