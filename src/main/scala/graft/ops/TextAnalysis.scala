@@ -88,6 +88,54 @@ object TextAnalysis {
           sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
 
+  /** Distinct-n corpus diversity report — the standard
+    * generation/corpus diversity metric (distinct-1, distinct-2 of Li
+    * et al. 2016): per group and n-gram order, the distinct-to-total
+    * n-gram ratio. A template-stamped or mode-collapsed source shows a
+    * cratered distinct-2 long before eyeballing finds it; the metric
+    * is the cheap corpus-level screen in front of the per-document
+    * repetition ops ([[graft.ops.Dedup.spanDuplication]] etc.).
+    *
+    * Documents shorter than n contribute no n-grams (the textbook
+    * definition — no whole-text fallback here, unlike [[shingles]]
+    * where an empty shingle set would break MinHash).
+    *
+    * Scale shape: ONE scan — every requested n rides one
+    * `(n, gram)`-struct explode — into a map-side-combinable count +
+    * a distinct aggregation per (group, n). The exact distinct is the
+    * oracle-checkable form; at corpus scale swap the distinct count
+    * for [[graft.ops.Sketches.hllDistinct]] over the same exploded
+    * frame and keep the totals.
+    *
+    * @return (group cols..., n, total_ngrams, distinct_ngrams,
+    *         distinct_ratio) — ratio NULL on zero totals
+    */
+  def ngramDiversity(
+      df: DataFrame,
+      textCol: String,
+      groupCols: Seq[String],
+      ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be >= 1: $ns")
+    val toks = col("__toks")
+    val gramsOf = (n: Int) =>
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => struct(lit(n).as("n"), concat_ws(" ", slice(toks, i, lit(n))).as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+    val exploded = df
+      .select(groupCols.map(col) :+ tokens(col(textCol)).as("__toks"): _*)
+      .select(groupCols.map(col) :+
+        explode(concat(ns.map(gramsOf): _*)).as("__e"): _*)
+    exploded
+      .groupBy(groupCols.map(col) :+ col("__e.n").as("n"): _*)
+      .agg(
+        count(lit(1)).as("total_ngrams"),
+        count_distinct(col("__e.g")).as("distinct_ngrams"))
+      .withColumn("distinct_ratio",
+        round(try_divide(col("distinct_ngrams").cast("double"),
+          col("total_ngrams")), 6))
+  }
+
   /** BPE-ish token count: alpha runs, digit runs, and single
     * punctuation marks each count as one token — a cheap proxy for
     * subword tokenizer counts that needs no vocabulary.

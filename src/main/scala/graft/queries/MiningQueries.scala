@@ -378,6 +378,18 @@ object MiningQueries {
         .orderBy("qid", "rank")
     }),
 
+    // X116: distinct-n diversity — per ingestion source, the
+    // distinct/total unigram and bigram ratios (Li et al. 2016's
+    // distinct-1/distinct-2). A template-stamped source craters
+    // distinct-2; this is the corpus-level screen in front of the
+    // per-document repetition ops. Exact distinct here (oracleable);
+    // hllDistinct is the sketch swap at corpus scale.
+    "q_ngram_diversity" -> ((s, dir) => {
+      TextAnalysis.ngramDiversity(
+          Tables.documents(s, dir), "text", Seq("source"), ns = Seq(1, 2))
+        .orderBy("source", "n")
+    }),
+
     // X90 ∘ X80: the production quality gate — classifier score →
     // corpus-own top-quartile cut → keep. Two caches, each with two
     // consumers: the FUSED classifier's token frame feeds model and
@@ -674,6 +686,20 @@ object MiningQueries {
   def oracleSql: Map[String, String] = Map(
     "q_pca_whiten" -> pcaOracle,
     "q_mmr_rerank" -> mmrOracle,
+    "q_ngram_diversity" ->
+      """WITH t AS (
+        |  SELECT source, string_split(lower(text), ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT source, 1 AS n, unnest(toks) AS g FROM t
+        |  UNION ALL
+        |  SELECT source, 2 AS n,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
+        |  FROM t WHERE len(toks) >= 2
+        |)
+        |SELECT source, n, count(*)::BIGINT AS total_ngrams,
+        |  count(DISTINCT g)::BIGINT AS distinct_ngrams,
+        |  round(count(DISTINCT g)::DOUBLE / count(*), 6) AS distinct_ratio
+        |FROM g GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
     "q_bm25_search" -> bm25OracleSql(
       "WITH corp AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)",
       bmK),

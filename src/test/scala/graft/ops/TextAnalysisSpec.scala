@@ -162,4 +162,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r1.getLong(0) >= 0 && r1.getLong(1) >= 0)
     assert(r1.getLong(1) < (1L << 28))
   }
+
+  test("ngramDiversity: hand-computed distinct-1/distinct-2; short docs contribute no bigrams") {
+    val docs = Seq(
+      ("tpl", "buy now buy now"), // 4 unigrams {buy, now}; 3 bigrams {buy now, now buy}
+      ("tpl", "buy now"),         // 2 unigrams; 1 bigram {buy now}
+      ("var", "alpha beta gamma"),// 3 distinct unigrams; 2 distinct bigrams
+      ("var", "delta"))           // 1 unigram; no bigram (shorter than n)
+      .toDF("source", "text")
+    val out = TextAnalysis.ngramDiversity(docs, "text", Seq("source"))
+      .orderBy("source", "n")
+      .select("source", "n", "total_ngrams", "distinct_ngrams", "distinct_ratio")
+      .as[(String, Int, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("tpl", 1, 6L, 2L, 0.333333),
+      ("tpl", 2, 4L, 2L, 0.5),
+      ("var", 1, 4L, 4L, 1.0),
+      ("var", 2, 2L, 2L, 1.0)))
+    // the template-stamped source is separable by its cratered ratios
+    assert(out(0)._5 < out(2)._5 && out(1)._5 < out(3)._5)
+  }
+
+  test("ngramDiversity is one scan: a single explode feeds every n") {
+    val docs = Seq(("s", "a b c")).toDF("source", "text")
+    val plan = TextAnalysis.ngramDiversity(docs, "text", Seq("source"), Seq(1, 2, 3))
+      .queryExecution.executedPlan.toString
+    // one Generate (explode) node, no union of per-n scans
+    assert("Generate".r.findAllIn(plan).size == 1, s"one explode expected:\n$plan")
+    assert(!plan.contains("Union"), s"no per-n scan union expected:\n$plan")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ngramDiversity(docs, "text", Seq("source"), Seq(0))
+    }
+  }
 }
