@@ -733,4 +733,68 @@ object Similarity {
     sel.select(col("qid"), col("rank"), col("nid"),
       round(col("rel"), 4).as("rel_r"), round(col("mmr"), 4).as("mmr_r"))
   }
+
+  /** Margin-based bitext/pair mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix alignment criterion): score every candidate pair
+    * (x ∈ A, y ∈ B) by `cos(x,y) / (avgTopK(x)/2 + avgTopK(y)/2)` —
+    * raw cosine normalized by each side's local similarity
+    * neighborhood, which kills the hub vectors that plain
+    * cosine-threshold mining mispairs — and keep MUTUAL best matches
+    * above `threshold`. The standard parallel-corpus miner; equally
+    * the right criterion for near-duplicate pairing across two
+    * snapshots/sources.
+    *
+    * Scale shape: side A broadcasts against a streaming B (the
+    * [[bruteForceTopK]] contract — A is the bounded "query" side);
+    * for two huge sides, generate candidates with [[annTopK]] per
+    * direction first and feed the SAME margin re-score — the
+    * criterion only needs (pair sims + per-id top-k sums). The
+    * top-k neighborhood sums are QUANTIZED to longs before summing
+    * (`round(sim·1e9)`), so the only order-sensitive float reduction
+    * in the op is exact integer arithmetic and any engine replays the
+    * margins bit-for-bit.
+    *
+    * @return (a_id, b_id, sim_r, margin_r) — mutual best pairs with
+    *         margin > threshold, one row per mined pair
+    */
+  def marginMine(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 4,
+      threshold: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val av = a.select(col(idCol).as("a_id"), col(vecCol).as("avec"))
+    val bv = b.select(col(idCol).as("b_id"), col(vecCol).as("bvec"))
+    val sims = graft.CachedFrames.persistOnce(
+      bv.crossJoin(broadcast(av))
+        .select(col("a_id"), col("b_id"),
+          cosine(col("avec"), col("bvec")).as("sim"),
+          round(cosine(col("avec"), col("bvec")) * lit(1e9)).cast("long").as("__q")))
+    def topKAvg(side: String): DataFrame = {
+      val other = if (side == "a_id") "b_id" else "a_id"
+      val w = Window.partitionBy(side).orderBy(col("sim").desc, col(other))
+      sims
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .groupBy(col(side))
+        // exact integer sum of quantized sims: order-free, replayable
+        .agg((sum(col("__q")).cast("double") / lit(1e9) / lit(k))
+          .as(s"__avg_$side"))
+    }
+    val margins = sims
+      .join(broadcast(topKAvg("a_id")), Seq("a_id"))
+      .join(broadcast(topKAvg("b_id")), Seq("b_id"))
+      .withColumn("margin",
+        col("sim") / (col("__avg_a_id") / lit(2.0) + col("__avg_b_id") / lit(2.0)))
+    val fw = Window.partitionBy("a_id").orderBy(col("margin").desc, col("b_id"))
+    val bw = Window.partitionBy("b_id").orderBy(col("margin").desc, col("a_id"))
+    margins
+      .withColumn("__fw", row_number().over(fw))
+      .withColumn("__bw", row_number().over(bw))
+      .filter(col("__fw") === 1 && col("__bw") === 1 && col("margin") > threshold)
+      .select(col("a_id"), col("b_id"),
+        round(col("sim"), 4).as("sim_r"), round(col("margin"), 4).as("margin_r"))
+  }
 }

@@ -30,6 +30,8 @@ object MiningQueries {
   private val mmrK = 5
   private val mmrPoolK = 12
   private val mmrLambda = 0.7
+  private val bitextK = 4
+  private val bitextThreshold = 1.0
   private val anonK = 5L
   private val benchCut = 25 // vec_id < 25 plays the "benchmark set"
   private val semConThreshold = 0.35
@@ -390,6 +392,19 @@ object MiningQueries {
         .orderBy("source", "n")
     }),
 
+    // X117: margin-based bitext/pair mining (the LASER/CCMatrix
+    // criterion) between the label-0 and label-1 embedding sides:
+    // cosine normalized by each vector's top-4 neighborhood average,
+    // mutual best matches above margin 1.0. The neighborhood sums are
+    // quantized longs, so DuckDB replays every margin bit-exactly.
+    "q_bitext_mine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.marginMine(
+          e.filter(col("label") === 0), e.filter(col("label") === 1),
+          "vec_id", "embedding", k = bitextK, threshold = bitextThreshold)
+        .orderBy("a_id")
+    }),
+
     // X90 ∘ X80: the production quality gate — classifier score →
     // corpus-own top-quartile cut → keep. Two caches, each with two
     // consumers: the FUSED classifier's token frame feeds model and
@@ -686,6 +701,38 @@ object MiningQueries {
   def oracleSql: Map[String, String] = Map(
     "q_pca_whiten" -> pcaOracle,
     "q_mmr_rerank" -> mmrOracle,
+    "q_bitext_mine" -> {
+      def cosSql(a: String, b: String): String =
+        s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+      def topAvg(side: String, other: String, avg: String): String =
+        s"""  SELECT $side, CAST(sum(q) AS BIGINT)::DOUBLE / 1e9 / $bitextK AS $avg
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY $side ORDER BY sim DESC, $other) AS rk FROM s)
+           |  WHERE rk <= $bitextK GROUP BY 1""".stripMargin
+      s"""WITH a AS (
+         |  SELECT vec_id AS a_id, embedding AS avec FROM embeddings WHERE label = 0
+         |), b AS (
+         |  SELECT vec_id AS b_id, embedding AS bvec FROM embeddings WHERE label = 1
+         |), s AS (
+         |  SELECT a_id, b_id, c AS sim, CAST(round(c * 1e9) AS BIGINT) AS q FROM (
+         |    SELECT a_id, b_id, ${cosSql("avec", "bvec")} AS c FROM b CROSS JOIN a)
+         |), ta AS (
+         |${topAvg("a_id", "b_id", "avga")}
+         |), tb AS (
+         |${topAvg("b_id", "a_id", "avgb")}
+         |), m AS (
+         |  SELECT s.a_id, s.b_id, s.sim,
+         |    s.sim / (ta.avga / ${sqlDouble(2.0)} + tb.avgb / ${sqlDouble(2.0)}) AS margin
+         |  FROM s JOIN ta ON ta.a_id = s.a_id JOIN tb ON tb.b_id = s.b_id
+         |), r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS fw,
+         |    row_number() OVER (PARTITION BY b_id ORDER BY margin DESC, a_id) AS bw
+         |  FROM m
+         |)
+         |SELECT a_id, b_id, round(sim, 4) AS sim_r, round(margin, 4) AS margin_r
+         |FROM r WHERE fw = 1 AND bw = 1 AND margin > ${sqlDouble(bitextThreshold)}
+         |ORDER BY a_id""".stripMargin
+    },
     "q_ngram_diversity" ->
       """WITH t AS (
         |  SELECT source, string_split(lower(text), ' ') AS toks FROM documents

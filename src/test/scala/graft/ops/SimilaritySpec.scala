@@ -485,6 +485,51 @@ class SimilaritySpec extends SparkSpec {
     graft.CachedFrames.unpersistAll()
   }
 
+  test("marginMine: planted translations are mined as mutual best pairs; a hub never double-pairs") {
+    graft.CachedFrames.unpersistAll()
+    val dim = 16
+    // side A: 6 random-ish vectors; side B: noisy twins of A's first 4
+    // (the "translations") + one HUB vector similar to everything
+    // (sum of all A vectors — plain cosine thresholding would pair it
+    // with several A rows) + one unrelated vector.
+    val aRows = (0 until 6).map(i =>
+      (i.toLong, Array.tabulate(dim)(d => prng(10, i, d)).toSeq))
+    val aMat = aRows.map(_._2)
+    val bTwins = (0 until 4).map(i =>
+      (100L + i, aMat(i).zipWithIndex.map { case (v, d) => v + prng(11, i, d) * 0.05f }))
+    val hub = (200L, Seq.tabulate(dim)(d => aMat.map(_(d)).sum))
+    val lone = (201L, Seq.tabulate(dim)(d => prng(12, 99, d)))
+    val a = aRows.toDF("vec_id", "embedding")
+    val b = (bTwins :+ hub :+ lone).toDF("vec_id", "embedding")
+    val mined = Similarity.marginMine(a, b, "vec_id", "embedding", k = 3, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted twin is recovered
+    (0 until 4).foreach { i =>
+      assert(mined.contains((i.toLong, 100L + i)), s"twin $i missing from $mined")
+    }
+    // mutual-best: no a_id or b_id appears twice (a hub cannot double-pair)
+    val as = mined.toSeq.map(_._1); val bs = mined.toSeq.map(_._2)
+    assert(as.distinct.size == as.size && bs.distinct.size == bs.size)
+    graft.CachedFrames.unpersistAll()
+  }
+
+  test("marginMine is partitioning-invariant (quantized neighborhood sums)") {
+    graft.CachedFrames.unpersistAll()
+    val corpus = clustered(nClusters = 4, perCluster = 8, dim = 16)
+    val a = corpus.filter(col("cluster") < 2).drop("cluster")
+    val b = corpus.filter(col("cluster") >= 2).drop("cluster")
+    val x = Similarity.marginMine(a, b, "vec_id", "embedding", k = 4)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    graft.CachedFrames.unpersistAll()
+    val y = Similarity.marginMine(a.repartition(7), b.repartition(5), "vec_id", "embedding", k = 4)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(x == y)
+    graft.CachedFrames.unpersistAll()
+    intercept[IllegalArgumentException] {
+      Similarity.marginMine(a, b, "vec_id", "embedding", k = 0)
+    }
+  }
+
   test("mmrRerank: deterministic across partitionings; knob validation") {
     graft.CachedFrames.unpersistAll()
     val corpus = clustered(nClusters = 3, perCluster = 5, dim = 16)
