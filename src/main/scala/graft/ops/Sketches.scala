@@ -302,6 +302,82 @@ object Sketches {
       .drop(probs.indices.map(i => s"q_$i"): _*)
   }
 
+  /** Grouped robust location/scale + outlier accounting: per group,
+    * the median, the MAD (median absolute deviation — the robust
+    * sigma: ~50% breakdown vs the mean/stddev's 0%), and how many
+    * rows sit beyond `nSigmas` robust z-scores
+    * (`|x − med| > nSigmas · 1.4826 · MAD`, the normal-consistent
+    * scaling). The feature-QA staple in front of model training: a
+    * fat-fingered unit change or a log-vs-linear mixup shifts the
+    * outlier count violently while classical stddev just absorbs it.
+    *
+    * Two grouped exact-percentile passes (median, then MAD over the
+    * deviations — the med must materialize before deviations exist),
+    * each shuffling the group's values (the exact contract, same as
+    * [[quantiles]]; bounded groups). Cutoffs round to 4 decimals
+    * before comparing (the repo-wide convention) so the outlier
+    * boundary is the same literal in any engine.
+    *
+    * @return (group cols..., n, med, mad, n_outliers)
+    */
+  def robustStats(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      nSigmas: Double = 3.5): DataFrame = {
+    require(nSigmas > 0, s"nSigmas must be positive: $nSigmas")
+    require(groupCols.nonEmpty, "robustStats needs at least one group column")
+    val v = valueCol.cast("double")
+    val meds = df.groupBy(groupCols.map(col): _*)
+      .agg(round(percentile(v, lit(0.5)), 4).as("med"))
+    val mads = df.join(broadcast(meds), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        round(percentile(abs(v - col("med")), lit(0.5)), 4).as("mad"))
+    df.join(broadcast(mads), groupCols)
+      .withColumn("__cut", round(lit(nSigmas * 1.4826) * col("mad"), 4))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        first(col("n")).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(abs(v - col("med")) > col("__cut"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** Winsorization: clip `valueCol` to its own per-group
+    * [pLow, pHigh] exact quantiles — the standard heavy-tail taming
+    * for features and reward/quality scores (clipping preserves row
+    * count where trimming biases the sample). Quantile bounds round
+    * to 4 decimals before clipping, so the clip boundary replays as
+    * the same literal in any engine. One grouped percentile pass
+    * (exact contract, bounded groups) + one broadcast-joined codegen'd
+    * clip projection; the data streams once.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      pLow: Double = 0.05,
+      pHigh: Double = 0.95,
+      outCol: String = "winsorized"): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
+      s"need 0 <= pLow < pHigh <= 1: $pLow, $pHigh")
+    require(!df.columns.contains(outCol),
+      s"winsorize appends output column $outCol; rename the existing")
+    require(groupCols.nonEmpty, "winsorize needs at least one group column")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        round(percentile(valueCol.cast("double"), lit(pLow)), 4).as("__ql"),
+        round(percentile(valueCol.cast("double"), lit(pHigh)), 4).as("__qh"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(outCol,
+        least(greatest(valueCol.cast("double"), col("__ql")), col("__qh")))
+      .drop("__ql", "__qh")
+  }
+
   // -------------------------------------------------------- HyperLogLog
 
   /** Published HLL bias constant α_m (Flajolet et al. 2007). Single

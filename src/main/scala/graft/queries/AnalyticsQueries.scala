@@ -14,6 +14,9 @@ import graft.ops.{Curation, Joins, Sketches, TextAnalysis, TfIdf}
 object AnalyticsQueries {
 
   private val hllB = 6 // HLL register-index bits: m = 64 buckets
+  private val robustSigmas = 3.5
+  private val winsorLow = 0.05
+  private val winsorHigh = 0.95
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -644,6 +647,30 @@ object AnalyticsQueries {
       merged.join(whole, Seq("lang"))
         .withColumn("lossless", col("est_distinct") === col("est_whole"))
         .orderBy("lang")
+    }),
+
+    // X118 robust stats: per event type, median / MAD / robust-z
+    // outlier count over the value column — the feature-QA audit a
+    // unit-change bug trips where classical stddev absorbs it.
+    "q_robust_stats" -> ((s, dir) => {
+      Sketches.robustStats(
+          Tables.events(s, dir), Seq("event_type"), col("value"),
+          nSigmas = robustSigmas)
+        .orderBy("event_type")
+    }),
+
+    // X118 winsorization: customer balances clipped to their nation's
+    // own [5%, 95%] exact quantiles — row-count-preserving tail
+    // taming for features/scores (unlike trimming).
+    "q_winsorize" -> ((s, dir) => {
+      Sketches.winsorize(
+          Tables.customer(s, dir)
+            .select("c_custkey", "c_nationkey", "c_acctbal"),
+          Seq("c_nationkey"), col("c_acctbal"),
+          pLow = winsorLow, pHigh = winsorHigh, outCol = "bal_w")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          round(col("bal_w"), 4).as("bal_w"))
+        .orderBy("c_custkey")
     }),
 
     // CountMin heavy hitters over document tokens (d=3 rows × w=256
@@ -1540,6 +1567,31 @@ object AnalyticsQueries {
         |  round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
         |             ELSE 63.0 * 1152921504606846976.0 / max(h) END, 4) AS est_distinct
         |FROM r WHERE rk <= 64 GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_robust_stats" ->
+      s"""WITH med AS (
+         |  SELECT event_type, round(quantile_cont(value::DOUBLE, 0.5), 4) AS med
+         |  FROM events GROUP BY 1
+         |), mad AS (
+         |  SELECT e.event_type, count(*)::BIGINT AS n, max(m.med) AS med,
+         |    round(quantile_cont(abs(e.value::DOUBLE - m.med), 0.5), 4) AS mad
+         |  FROM events e JOIN med m ON m.event_type = e.event_type GROUP BY 1
+         |)
+         |SELECT a.event_type, a.n, a.med, a.mad,
+         |  sum(CASE WHEN abs(e.value::DOUBLE - a.med) > round(${hllLit(3.5 * 1.4826)} * a.mad, 4)
+         |           THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+         |FROM events e JOIN mad a ON a.event_type = e.event_type
+         |GROUP BY 1, 2, 3, 4 ORDER BY a.event_type""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT c_nationkey,
+        |    round(quantile_cont(c_acctbal::DOUBLE, 0.05), 4) AS ql,
+        |    round(quantile_cont(c_acctbal::DOUBLE, 0.95), 4) AS qh
+        |  FROM customer GROUP BY 1
+        |)
+        |SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+        |  round(least(greatest(c.c_acctbal::DOUBLE, b.ql), b.qh), 4) AS bal_w
+        |FROM customer c JOIN b ON b.c_nationkey = c.c_nationkey
+        |ORDER BY c_custkey""".stripMargin,
     "q_hll_distinct" -> (hllOracleCtes(
       "SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents") +
       s""", ex AS (

@@ -153,6 +153,42 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(ap._1 - 51.0) <= 2 && math.abs(ap._2 - 91.0) <= 2)
   }
 
+  // -------------------------------------------- robust stats / winsorize
+
+  test("robustStats: hand-computed median/MAD; an injected unit-change bug trips the count") {
+    // clean group: values 1..9 → med 5, deviations {0..4} → mad 2
+    val clean = (1 to 9).map(i => ("clean", i.toDouble))
+    // poisoned group: 19 sane values around 10 + two 1000× rows (the
+    // fat-finger/unit-change shape) — robust z catches exactly those 2
+    val poisoned = (1 to 19).map(i => ("bad", 10.0 + (i % 5))) ++
+      Seq(("bad", 10000.0), ("bad", 12000.0))
+    val out = Sketches.robustStats(
+        (clean ++ poisoned).toDF("g", "v"), Seq("g"), $"v")
+      .orderBy("g")
+      .select("g", "n", "med", "mad", "n_outliers")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(out.head == (("bad", 21L, 12.0, 1.0, 2L)), out.toString)
+    assert(out.last == (("clean", 9L, 5.0, 2.0, 0L)), out.toString)
+  }
+
+  test("winsorize clips to per-group quantile bounds and preserves row count") {
+    val df = ((1 to 99).map(i => ("g", i.toDouble)) :+ (("g", 1e6))).toDF("g", "v")
+    val out = Sketches.winsorize(df, Seq("g"), $"v", pLow = 0.1, pHigh = 0.9, outCol = "w")
+    assert(out.count() == 100)
+    val (mn, mx) = out.agg(min($"w"), max($"w")).as[(Double, Double)].head()
+    // bounds are the group's own 10%/90% interpolated quantiles
+    assert(mn > 1.0 && mx < 1000.0, s"[$mn, $mx]")
+    // interior values pass through untouched
+    val mid = out.filter($"v" === 50.0).select($"w").as[Double].head()
+    assert(mid == 50.0)
+    intercept[IllegalArgumentException] {
+      Sketches.winsorize(df.withColumn("w", lit(1)), Seq("g"), $"v", outCol = "w")
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.winsorize(df, Seq("g"), $"v", pLow = 0.9, pHigh = 0.1)
+    }
+  }
+
   // ------------------------------------------------------ HyperLogLog
 
   test("hllDistinct estimates within the published error band; duplicates are free") {
