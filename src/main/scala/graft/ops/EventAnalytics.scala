@@ -335,4 +335,59 @@ object EventAnalytics {
       .groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("users"))
   }
+
+  /** Freshness-decayed aggregates: per group, value totals weighted by
+    * a STEPPED half-life decay `w = 2^(−⌊age_days / halfLifeDays⌋)` —
+    * the recency weighting a training-data mix applies to crawls
+    * (last week's snapshot counts full, month-old half, ...). The
+    * stepped (integer-exponent) form is chosen over smooth
+    * `exp(−λ·age)` deliberately: `2^(−k)` is a DYADIC rational —
+    * exactly representable, computed by an integer shift — so the
+    * weights carry no transcendental 1-ulp cross-engine risk, and the
+    * weighted sums quantize to longs (`round(v·w·1e6)`) making the
+    * reduction order-free and bit-replayable. `freshness` =
+    * decayed/raw — 1.0 means all weight in the newest half-life
+    * bucket, → 0 means the group's mass is stale.
+    *
+    * One scan: the as-of anchor (max ts) rides back as a broadcast
+    * 1-row frame; weights are a codegen'd projection; ONE map-side
+    * combined aggregation. NULL values/timestamps contribute to `n`
+    * but not to the sums (both engines skip NULL in SUM).
+    *
+    * @return (group cols..., n, decayed_value_r, raw_value_r,
+    *         freshness_r)
+    */
+  def decayedAgg(
+      df: DataFrame,
+      groupCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1: $halfLifeDays")
+    require(groupCols.nonEmpty, "decayedAgg needs at least one group column")
+    val base = df.select(
+      groupCols.map(col) :+
+        col(tsCol).cast("date").as("__d") :+
+        col(valueCol).cast("double").as("__v"): _*)
+    val asof = base.agg(max(col("__d")).as("__asof"))
+    // calendar-day age (date subtraction — exact integers in any
+    // engine), bucketed into half-life steps by integer division
+    val k = expr(s"datediff(__asof, __d) div $halfLifeDays")
+    val wt = when(col("__k") >= 63, lit(0.0)).otherwise(
+      lit(1.0) / expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(__k AS INT)) AS DOUBLE)"))
+    base.crossJoin(broadcast(asof))
+      .withColumn("__k", k)
+      .withColumn("__w", wt)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("__v") * col("__w") * lit(1e6)).cast("long")).as("__dq"),
+        sum(round(col("__v") * lit(1e6)).cast("long")).as("__rq"))
+      .withColumn("decayed_value_r", round(col("__dq").cast("double") / lit(1e6), 4))
+      .withColumn("raw_value_r", round(col("__rq").cast("double") / lit(1e6), 4))
+      .withColumn("freshness_r",
+        round(try_divide(col("__dq").cast("double"), col("__rq").cast("double")), 4))
+      .drop("__dq", "__rq")
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Curation, Joins, Sketches, TextAnalysis, TfIdf}
+import graft.ops.{Curation, EventAnalytics, Joins, Sketches, TextAnalysis, TfIdf}
 
 /** Oracle-checked queries for the temporal-join and sketch operators
   * ([[graft.ops.Joins]], [[graft.ops.Sketches]]) — engine capabilities
@@ -14,6 +14,7 @@ import graft.ops.{Curation, Joins, Sketches, TextAnalysis, TfIdf}
 object AnalyticsQueries {
 
   private val hllB = 6 // HLL register-index bits: m = 64 buckets
+  private val decayHalfLifeDays = 7
   private val robustSigmas = 3.5
   private val winsorLow = 0.05
   private val winsorHigh = 0.95
@@ -647,6 +648,16 @@ object AnalyticsQueries {
       merged.join(whole, Seq("lang"))
         .withColumn("lossless", col("est_distinct") === col("est_whole"))
         .orderBy("lang")
+    }),
+
+    // X119 freshness-decayed aggregates: per event type, value totals
+    // under a stepped 7-day half-life (2^-k weights — dyadic-exact,
+    // no transcendental cross-engine risk; quantized order-free sums).
+    "q_decayed_agg" -> ((s, dir) => {
+      EventAnalytics.decayedAgg(
+          Tables.events(s, dir), Seq("event_type"), "ts", "value",
+          halfLifeDays = decayHalfLifeDays)
+        .orderBy("event_type")
     }),
 
     // X118 robust stats: per event type, median / MAD / robust-z
@@ -1567,6 +1578,28 @@ object AnalyticsQueries {
         |  round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
         |             ELSE 63.0 * 1152921504606846976.0 / max(h) END, 4) AS est_distinct
         |FROM r WHERE rk <= 64 GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_decayed_agg" ->
+      s"""WITH s AS (
+         |  SELECT event_type, ts::DATE AS d, value::DOUBLE AS v FROM events
+         |), a AS (SELECT max(d) AS asof FROM s),
+         |w AS (
+         |  SELECT event_type, v,
+         |    CASE WHEN k >= 63 THEN 0e0
+         |         ELSE 1e0 / ((CAST(1 AS BIGINT) << CAST(k AS INTEGER))::DOUBLE) END AS wt
+         |  FROM (SELECT event_type, v,
+         |          CAST(a.asof - d AS BIGINT) // $decayHalfLifeDays AS k FROM s, a)
+         |), g AS (
+         |  SELECT event_type, count(*)::BIGINT AS n,
+         |    CAST(sum(CAST(round(v * wt * 1e6) AS BIGINT)) AS BIGINT) AS dq,
+         |    CAST(sum(CAST(round(v * 1e6) AS BIGINT)) AS BIGINT) AS rq
+         |  FROM w GROUP BY 1
+         |)
+         |SELECT event_type, n,
+         |  round(dq::DOUBLE / 1e6, 4) AS decayed_value_r,
+         |  round(rq::DOUBLE / 1e6, 4) AS raw_value_r,
+         |  round(CASE WHEN rq::DOUBLE = 0e0 THEN NULL
+         |             ELSE dq::DOUBLE / rq::DOUBLE END, 4) AS freshness_r
+         |FROM g ORDER BY event_type""".stripMargin,
     "q_robust_stats" ->
       s"""WITH med AS (
          |  SELECT event_type, round(quantile_cont(value::DOUBLE, 0.5), 4) AS med

@@ -220,4 +220,40 @@ class EventAnalyticsSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
+
+  test("decayedAgg: hand-computed stepped half-life weights; NULLs count in n only") {
+    import java.sql.Timestamp
+    // anchor 2024-02-01; ages 0, 7, 14 days → weights 1, 1/2, 1/4
+    val rows = Seq(
+      ("a", Timestamp.valueOf("2024-02-01 10:00:00"), 100.0),
+      ("a", Timestamp.valueOf("2024-01-25 09:00:00"), 100.0),
+      ("a", Timestamp.valueOf("2024-01-18 08:00:00"), 100.0),
+      ("b", Timestamp.valueOf("2024-02-01 01:00:00"), 10.0))
+      .toDF("g", "ts", "v")
+      .unionByName(Seq(Tuple1("b")).toDF("g")
+        .withColumn("ts", lit(null).cast("timestamp"))
+        .withColumn("v", lit(null).cast("double")))
+    val out = EventAnalytics.decayedAgg(rows, Seq("g"), "ts", "v", halfLifeDays = 7)
+      .orderBy("g")
+      .select("g", "n", "decayed_value_r", "raw_value_r", "freshness_r")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    // a: 100·1 + 100·(1/2) + 100·(1/4) = 175 of 300 raw
+    assert(out.head == (("a", 3L, 175.0, 300.0, 0.5833)), out.toString)
+    // b: one real row at age 0 (weight 1) + one NULL row (n only)
+    assert(out.last == (("b", 2L, 10.0, 10.0, 1.0)), out.toString)
+  }
+
+  test("decayedAgg validates knobs and degrades freshness to NULL on zero raw mass") {
+    import java.sql.Timestamp
+    val zero = Seq(("g", Timestamp.valueOf("2024-02-01 10:00:00"), 0.0))
+      .toDF("g", "ts", "v")
+    val row = EventAnalytics.decayedAgg(zero, Seq("g"), "ts", "v").head()
+    assert(row.isNullAt(row.fieldIndex("freshness_r")))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.decayedAgg(zero, Seq("g"), "ts", "v", halfLifeDays = 0)
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.decayedAgg(zero, Seq.empty, "ts", "v")
+    }
+  }
 }
