@@ -1213,4 +1213,46 @@ object Curation {
       .withColumn("bucket_hi", round(lit(lo) + (col("bucket") + 1) * (hi - lo) / nBuckets, 6))
       .select("bucket", "bucket_lo", "bucket_hi", "released")
   }
+
+  // ------------------------------------------- source-fair quality gate
+
+  /** Within-group quantile normalization: append `outCol` =
+    * `percent_rank` of `scoreCol` inside each group — maps every
+    * source's score distribution onto [0, 1] so a single threshold
+    * means the same thing for every source. Raw quality scores are
+    * NOT comparable across sources (a clean encyclopedia's 20th
+    * percentile outscores a forum's 95th); gating on the raw score
+    * starves whole sources, gating on the normalized rank keeps the
+    * best fraction OF EACH. Ties share a rank (RANK semantics —
+    * identical in any SQL engine), `(rank−1)/(n−1)` is one exact
+    * division, and the only wide operation is the per-group sort —
+    * parallel across groups, never a one-partition window.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: Column,
+      outCol: String = "pct"): DataFrame = {
+    require(groupCols.nonEmpty, "quantileNormalize needs group columns")
+    require(!df.columns.contains(outCol),
+      s"quantileNormalize appends output column $outCol; rename the existing")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(scoreCol)
+    df.withColumn(outCol, percent_rank().over(w))
+  }
+
+  /** Source-fair quality gate: keep the rows whose within-group
+    * normalized score ([[quantileNormalize]]) reaches `1 − keepFrac` —
+    * i.e. the top `keepFrac` OF EACH group, not of the pooled corpus.
+    */
+  def fairGate(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: Column,
+      keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"keepFrac must be in (0,1]: $keepFrac")
+    quantileNormalize(df, groupCols, scoreCol, "__pct")
+      .filter(col("__pct") >= lit(1.0 - keepFrac))
+      .drop("__pct")
+  }
 }

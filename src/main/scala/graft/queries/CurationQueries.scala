@@ -38,6 +38,30 @@ object CurationQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = scala.collection.immutable.ListMap(
 
+    // X120: the source-fair quality gate vs the global cut, side by
+    // side — gate on within-source percent_rank and every source
+    // keeps its best quarter; gate on the pooled 75th percentile and
+    // low-scoring sources starve. One row per source shows both
+    // counts; score = n_chars (deterministic, engine-shared).
+    "q_fair_gate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val fairKept = Curation
+        .fairGate(d, Seq("source"), col("n_chars"), keepFrac = 0.25)
+        .groupBy("source").agg(count(lit(1)).as("kept_fair"))
+      val thr = d.agg(
+        round(percentile(col("n_chars").cast("double"), lit(0.75)), 4).as("__thr"))
+      val globalKept = d.crossJoin(broadcast(thr))
+        .filter(col("n_chars").cast("double") >= col("__thr"))
+        .groupBy("source").agg(count(lit(1)).as("kept_global"))
+      d.groupBy("source").agg(count(lit(1)).as("n"))
+        .join(fairKept, Seq("source"), "left")
+        .join(globalKept, Seq("source"), "left")
+        .select(col("source"), col("n"),
+          coalesce(col("kept_fair"), lit(0L)).as("kept_fair"),
+          coalesce(col("kept_global"), lit(0L)).as("kept_global"))
+        .orderBy("source")
+    }),
+
     // Deterministic hash split: every doc gets a bucket and a named
     // split; re-running on any partitioning reproduces it exactly.
     "q_split_assign" -> ((s, dir) => {
@@ -360,6 +384,31 @@ object CurationQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_fair_gate" ->
+      """WITH d AS (
+        |  SELECT source, n_chars::DOUBLE AS sc FROM documents
+        |), pr AS (
+        |  SELECT source, sc,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY sc) AS pct
+        |  FROM d
+        |), fair AS (
+        |  SELECT source, count(*)::BIGINT AS kept_fair
+        |  FROM pr WHERE pct >= 0.75e0 GROUP BY 1
+        |), thr AS (
+        |  SELECT round(quantile_cont(sc, 0.75), 4) AS t FROM d
+        |), gkept AS (
+        |  SELECT source, count(*)::BIGINT AS kept_global
+        |  FROM d, thr WHERE sc >= t GROUP BY 1
+        |), base AS (
+        |  SELECT source, count(*)::BIGINT AS n FROM d GROUP BY 1
+        |)
+        |SELECT b.source, b.n,
+        |  coalesce(f.kept_fair, 0)::BIGINT AS kept_fair,
+        |  coalesce(g.kept_global, 0)::BIGINT AS kept_global
+        |FROM base b
+        |LEFT JOIN fair f ON f.source = b.source
+        |LEFT JOIN gkept g ON g.source = b.source
+        |ORDER BY b.source""".stripMargin,
     "q_bpe_merges" -> (bpeCtes +
       s"""
          |SELECT step, pair, cnt FROM (${(1 to bpeMerges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})

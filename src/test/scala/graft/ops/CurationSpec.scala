@@ -31,6 +31,30 @@ class CurationSpec extends SparkSpec {
     assert(split.select("doc_id", "split").except(reseeded.select("doc_id", "split")).count() > 0)
   }
 
+  test("quantileNormalize/fairGate: every source keeps its best fraction; a global cut starves one") {
+    // rich source scores 100..199, poor source scores 1..100: a global
+    // top-half cut keeps ~all of rich and ~none of poor; the fair gate
+    // keeps exactly the top half OF EACH.
+    val rows = (0 until 100).map(i => ("rich", 100.0 + i)) ++
+      (0 until 100).map(i => ("poor", 1.0 + i))
+    val df = rows.toDF("source", "score")
+    val norm = Curation.quantileNormalize(df, Seq("source"), col("score"))
+    // percent_rank spans [0, 1] per group; max score normalizes to 1
+    val tops = norm.filter(col("pct") === 1.0)
+      .select("score").as[Double].collect().toSet
+    assert(tops == Set(199.0, 100.0))
+    val kept = Curation.fairGate(df, Seq("source"), col("score"), keepFrac = 0.5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // pct >= 0.5 keeps the top half of each source (50 of 100, ±1 boundary)
+    assert(kept("rich") == 50 && kept("poor") == 50, kept.toString)
+    intercept[IllegalArgumentException] {
+      Curation.fairGate(df, Seq("source"), col("score"), keepFrac = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.quantileNormalize(df.withColumn("pct", lit(1)), Seq("source"), col("score"))
+    }
+  }
+
   test("assignSplit refuses to shadow an existing bucket/split column") {
     // same reserved-name contract as tokenBudget/mixSources: appending
     // over an existing column would silently overwrite user data.
