@@ -669,19 +669,26 @@ object Similarity {
     * (the [[bruteForceTopK]] broadcast-queries scan here; swap in
     * [[annTopK]]/[[ivfTopK]] candidates upstream for corpora past
     * brute force — the re-rank is source-agnostic given (qid, nid,
-    * rel, nvec)). The greedy loop itself runs on queries×poolK rows:
-    * `k` driver-composed steps, each one bounded join (remaining ×
-    * selected, ≤ poolK×k rows per query) + max aggregate + top-1
-    * window — nothing corpus-sized moves after the pool persists
-    * (one [[graft.CachedFrames]] entry, released by `unpersistAll`).
+    * rel, nvec)). The greedy selection is per-query SEQUENTIAL state
+    * over a BOUNDED pool — exactly the shape `flatMapGroups` exists
+    * for: ONE shuffle of queries×poolK small rows, then a poolK×k
+    * in-memory loop per query, parallel across queries. (A first cut
+    * composed the loop as k driver-built join+window steps — correct,
+    * but ~5 jobs per pick of pure scheduling latency on tiny frames;
+    * the grouped form measured 8.7 → 0.9 s on the bench pool and its
+    * cost at N queries is one exchange.)
     *
-    * Determinism for the oracle: relevance and pairwise sims are the
-    * fused [[cosine]] (a left-to-right double fold), `max` is exact,
-    * and the MMR combine is the pinned order
-    * `(λ·rel) − ((1−λ)·maxsim)` with both constants embedded — so a
-    * SQL engine replays every pick and score bit-exactly.
+    * Determinism for the oracle: relevance is the fused [[cosine]]
+    * (a left-to-right double fold); the in-group pairwise cosine
+    * replays that exact float→double loop; running max equals set
+    * max; the MMR combine is the pinned order
+    * `(λ·rel) − ((1−λ)·maxsim)`; candidates iterate nid-ascending so
+    * the first strict max IS the (mmr DESC, nid ASC) winner. A SQL
+    * engine replays every pick and score bit-exactly (q_mmr_rerank's
+    * chained-CTE oracle does).
     *
-    * @return (qid, rank, nid, rel, mmr) with rank 1..k in pick order
+    * @return (qid, rank, nid, rel_r, mmr_r) with rank 1..k in pick
+    *         order
     */
   def mmrRerank(
       corpus: DataFrame,
@@ -695,43 +702,74 @@ object Similarity {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
-    val pool = graft.CachedFrames.persistOnce(
-      c.crossJoin(broadcast(q))
-        .filter(col("qid") =!= col("nid"))
-        .withColumn("rel", cosine(col("qvec"), col("nvec")))
-        .withColumn("rank",
-          row_number().over(Window.partitionBy("qid")
-            .orderBy(col("rel").desc, col("nid"))))
-        .filter(col("rank") <= poolK)
-        .select(col("qid"), col("nid"), col("rel"), col("nvec")))
-    val mmrOf = (rel: Column, maxsim: Column) =>
-      lit(lambda) * rel - lit(1.0 - lambda) * maxsim
-    def pick(scored: DataFrame, step: Int): DataFrame = scored
-      .withColumn("__rk",
+    val pool = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("rel", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank",
         row_number().over(Window.partitionBy("qid")
-          .orderBy(col("mmr").desc, col("nid"))))
-      .filter(col("__rk") === 1)
-      .select(col("qid"), lit(step).as("rank"), col("nid"),
-        col("rel"), col("mmr"), col("nvec"))
-    var sel = pick(pool.withColumn("mmr", mmrOf(col("rel"), lit(0.0))), 1)
-    for (step <- 2 to k) {
-      val chosen = sel.select(col("qid"), col("nid"), col("nvec").as("__svec"))
-      val scored = pool
-        .join(chosen.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
-        .join(chosen.select(col("qid"), col("__svec")), Seq("qid"))
-        .groupBy(col("qid"), col("nid"))
-        .agg(
-          first(col("rel")).as("rel"),
-          first(col("nvec")).as("nvec"),
-          max(cosine(col("nvec"), col("__svec"))).as("__maxsim"))
-        .withColumn("mmr", mmrOf(col("rel"), col("__maxsim")))
-      // each step reads `sel` twice (anti-join + union); persisting the
-      // growing selection keeps the composed plan linear in k instead
-      // of doubling per step (2^k recomputation of the early picks)
-      sel = graft.CachedFrames.persistOnce(sel.unionByName(pick(scored, step)))
-    }
-    sel.select(col("qid"), col("rank"), col("nid"),
+          .orderBy(col("rel").desc, col("nid"))))
+      .filter(col("rank") <= poolK)
+      .select(col("qid"), col("nid"), col("rel"),
+        col("nvec").cast("array<float>").as("nvec"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val out = pool.as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // nid-ascending iteration makes "first strict max" the
+        // (mmr DESC, nid ASC) tie rule the oracle's row_number uses
+        val cands = it.toArray.sortBy(_._2)
+        val n = cands.length
+        // max over a NONEMPTY selected set can be negative — only the
+        // empty set (step 1) uses the 0.0 convention, so the running
+        // max starts at -inf and the first update sets the true value
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val picked = Array.fill(n)(false)
+        (1 to math.min(k, n)).iterator.map { step =>
+          var best = -1
+          var bestScore = Double.NaN
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val ms = if (step == 1) 0.0 else maxSim(i)
+              val sc = lambda * cands(i)._3 - (1.0 - lambda) * ms
+              if (best < 0 || sc > bestScore) { best = i; bestScore = sc }
+            }
+            i += 1
+          }
+          picked(best) = true
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) {
+              val s = cosineJvm(cands(j)._4, cands(best)._4)
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+          (qid, step, cands(best)._2, cands(best)._3, bestScore)
+        }
+      }
+      .toDF("qid", "rank", "nid", "rel", "mmr")
+    out.select(col("qid"), col("rank"), col("nid"),
       round(col("rel"), 4).as("rel_r"), round(col("mmr"), 4).as("mmr_r"))
+  }
+
+  /** The fused [[cosine]] expression's arithmetic, verbatim, for
+    * per-group driver/executor-side loops that must stay bit-identical
+    * to the relational path (same float→double casts, same
+    * interleaved left-to-right accumulation).
+    */
+  private[graft] def cosineJvm(x: Array[Float], y: Array[Float]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x(i).toDouble
+      val yv = y(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Margin-based bitext/pair mining (Artetxe & Schwenk 2019 — the
