@@ -188,23 +188,28 @@ object Pca {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val qs = replayQuantScale
     val v = col("__v")
-    // functions.transform, not this object's transform (name clash)
-    def xform(a: Column, f: Column => Column): Column =
-      org.apache.spark.sql.functions.transform(a, f)
     def q(c: Column): Column = round(c * lit(qs)).cast("long")
-    val lin = xform(sequence(lit(0), lit(dim - 1)), i =>
-      struct(i.as("i"), lit(-1).as("j"), q(element_at(v, i + 1)).as("q")))
-    val quad = flatten(xform(sequence(lit(0), lit(dim - 1)), i =>
-      xform(sequence(i, lit(dim - 1)), j =>
-        struct(i.as("i"), j.as("j"),
-          q(element_at(v, i + 1) * element_at(v, j + 1)).as("q")))))
-    val cnt = array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("q")))
-    val sums = df
+    // Two SMALL nested explodes, not one dim(dim+1)/2-element inline
+    // struct array: a single projection constructing 2 000+ structs
+    // per row overflows whole-stage codegen's method budget and falls
+    // back to interpreted evaluation (~4.5 s at bench scale vs sub-
+    // second for this shape). Integer sums make the two shapes
+    // bit-identical anyway.
+    val base = df
       .select(col(vecCol).cast("array<double>").as("__v"))
       .filter(v.isNotNull && !exists(v, _.isNull))
-      .select(explode(concat(cnt, lin, quad)).as("e"))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.q")).as("s"))
+    val withIdx = base.select(v, posexplode(v).as(Seq("__i", "__x")))
+    val lin = withIdx.select(
+      col("__i").as("i"), lit(-1).as("j"), q(col("__x")).as("q"))
+    val quad = withIdx
+      .select(v, col("__i"), col("__x"),
+        explode(sequence(col("__i"), lit(dim - 1))).as("__j"))
+      .select(col("__i").as("i"), col("__j").as("j"),
+        q(col("__x") * element_at(v, col("__j") + 1)).as("q"))
+    val cnt = base.select(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("q"))
+    val sums = cnt.unionByName(lin).unionByName(quad)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("q")).as("s"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
       .toMap
@@ -248,6 +253,49 @@ object Pca {
       }
     }
     PcaModel(mu, comps, lams, lams.map(_ / totalVariance))
+  }
+
+  // -------------------------------------- Johnson–Lindenstrauss (X121)
+
+  /** Deterministic ±1 sign for JL output dimension `j`, input
+    * dimension `i` — md5-derived (low bit of the 60-bit hash of
+    * "jl|j|i"), no RNG state, re-derivable by any engine with md5.
+    */
+  def jlSign(j: Int, i: Int): Double =
+    if (graft.functions.Md5PrefixLongExpr.hashPrefix(s"jl|$j|$i", 15) % 2 == 0) 1.0
+    else -1.0
+
+  /** Johnson–Lindenstrauss sign-matrix projection: append `outDim`
+    * double columns `outPrefix1..outPrefixN` =
+    * `(Σᵢ xᵢ·s(j,i)) · (1/√outDim)` with s the deterministic ±1
+    * matrix ([[jlSign]]) — the Achlioptas (2003) database-friendly
+    * random projection. The DATA-INDEPENDENT complement of
+    * [[fitReplayable]]: no fit pass at all, so it costs nothing to
+    * derive, applies identically to every increment of a growing
+    * corpus (no model staleness), and the JL lemma bounds pairwise
+    * distance distortion w.h.p. regardless of the data. PCA keeps
+    * more structure per dimension when a fit pass is affordable; JL
+    * is the streaming/appendix-corpus path.
+    *
+    * Pure codegen'd projection — each output is an explicit
+    * left-to-right double fold (dim terms), no shuffle, no UDF — and
+    * every arithmetic step is order-pinned, so a SQL engine replays
+    * the projection bit-exactly (q_jl_project's oracle embeds the
+    * same sign literals and scale).
+    */
+  def jlProject(
+      vecCol: Column,
+      dim: Int,
+      outDim: Int,
+      outPrefix: String = "jl"): Seq[Column] = {
+    require(outDim >= 1 && outDim <= dim, s"need 1 <= outDim <= dim: $outDim")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    (0 until outDim).map { j =>
+      val dot = (0 until dim).foldLeft(lit(0.0)) { (acc, i) =>
+        acc + element_at(vecCol, i + 1).cast("double") * lit(jlSign(j, i))
+      }
+      (round(dot * lit(scale), 4) + lit(0.0)).as(s"$outPrefix${j + 1}")
+    }
   }
 
   /** The k whitened-projection columns for a [[fitReplayable]] model,

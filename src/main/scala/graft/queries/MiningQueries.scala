@@ -32,6 +32,7 @@ object MiningQueries {
   private val mmrLambda = 0.7
   private val bitextK = 4
   private val bitextThreshold = 1.0
+  private val jlOutDim = 16
   private val anonK = 5L
   private val benchCut = 25 // vec_id < 25 plays the "benchmark set"
   private val semConThreshold = 0.35
@@ -405,6 +406,19 @@ object MiningQueries {
         .orderBy("a_id")
     }),
 
+    // X121: Johnson–Lindenstrauss sign projection 64→16 — the
+    // data-independent (no fit pass) companion of X96's PCA; md5-
+    // derived ±1 signs, order-pinned folds, k scalar rounded columns.
+    "q_jl_project" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val valid = col("embedding").isNotNull &&
+        !exists(col("embedding"), _.isNull)
+      e.filter(valid)
+        .select(col("vec_id") +:
+          Pca.jlProject(col("embedding"), embeddingDim, jlOutDim): _*)
+        .orderBy("vec_id")
+    }),
+
     // X90 ∘ X80: the production quality gate — classifier score →
     // corpus-own top-quartile cut → keep. Two caches, each with two
     // consumers: the FUSED classifier's token frame feeds model and
@@ -698,9 +712,31 @@ object MiningQueries {
     sb.toString
   }
 
+  /** X121 oracle: the sign matrix and 1/√outDim scale embed as
+    * literals ([[sqlDouble]] / exact ±1e0), the per-row fold is the
+    * same left-to-right chain.
+    */
+  private def jlOracle: String = {
+    val scale = sqlDouble(1.0 / math.sqrt(jlOutDim.toDouble))
+    val cols = (0 until jlOutDim).map { j =>
+      val terms = (0 until embeddingDim).map { i =>
+        val s = if (Pca.jlSign(j, i) > 0) "" else "-"
+        s"${s}e.embedding[${i + 1}]::DOUBLE"
+      }.mkString(" + ")
+      s"round(($terms) * $scale, 4) + 0e0 AS jl${j + 1}"
+    }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $cols
+       |FROM (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0
+       |) e ORDER BY vec_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_pca_whiten" -> pcaOracle,
     "q_mmr_rerank" -> mmrOracle,
+    "q_jl_project" -> jlOracle,
     "q_bitext_mine" -> {
       def cosSql(a: String, b: String): String =
         s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"

@@ -216,6 +216,28 @@ class PcaSpec extends SparkSpec {
     assert(clean.components.map(_.toSeq).toSeq == guarded.components.map(_.toSeq).toSeq)
   }
 
+  test("jlProject: deterministic signs, norm preserved in expectation, knobs validated") {
+    val cols = Pca.jlProject(col("embedding"), dim = 8, outDim = 4)
+    val out = fixture.select(col("vec_id") +: cols: _*)
+    val again = fixture.select(col("vec_id") +: Pca.jlProject(col("embedding"), 8, 4): _*)
+    assert(out.collect().map(_.toSeq).toSeq == again.collect().map(_.toSeq).toSeq)
+    // JL preserves squared norms in expectation: the corpus-average
+    // ratio ||P x||^2 / ||x||^2 concentrates near 1
+    val ratio = fixture.select(col("vec_id") +: (cols :+
+        aggregate(org.apache.spark.sql.functions.transform(col("embedding"),
+          v => v.cast("double") * v.cast("double")),
+          lit(0.0), (a, x) => a + x).as("__n2")): _*)
+      .withColumn("__p2",
+        (0 until 4).map(j => col(s"jl${j + 1}") * col(s"jl${j + 1}")).reduce(_ + _))
+      .agg(avg(col("__p2") / col("__n2"))).as[Double].head()
+    assert(ratio > 0.5 && ratio < 1.5, s"avg norm ratio $ratio")
+    // signs are genuinely mixed (not a constant matrix)
+    val signs = for (j <- 0 until 4; i <- 0 until 8) yield Pca.jlSign(j, i)
+    assert(signs.toSet == Set(1.0, -1.0))
+    intercept[IllegalArgumentException] { Pca.jlProject(col("embedding"), 8, 0) }
+    intercept[IllegalArgumentException] { Pca.jlProject(col("embedding"), 8, 9) }
+  }
+
   test("fit validates k") {
     intercept[IllegalArgumentException] { Pca.fit(fixture, "embedding", 0) }
     intercept[IllegalArgumentException] { Pca.fit(fixture, "embedding", 9) }
