@@ -152,9 +152,42 @@ object Sketches {
       groupCols: Seq[String],
       k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
-    val domain = math.pow(2, 60)
     val joined = a.withColumnRenamed("kmv", "__ka")
       .join(b.withColumnRenamed("kmv", "__kb"), groupCols)
+    overlapFrom(joined, k, groupCols.map(col))
+  }
+
+  /** All-pairs overlap matrix from ONE frame's per-group sketches —
+    * "which sources duplicate each other", the dedup-planning audit
+    * run before deciding what to cross-dedup. One corpus pass builds
+    * the per-group sketch; the groups×groups/2 pairing happens on the
+    * k-hash sketch rows only (tiny — it broadcasts), never on data.
+    * Output one row per unordered pair with the same estimate columns
+    * as [[kmvOverlap]], keyed `left_<group>` / `right_<group>`.
+    */
+  def kmvOverlapMatrix(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: Column,
+      k: Int,
+      hasher: (Column, Column) => Column = h64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val sk = kmvSketch(df, Seq(groupCol), valueCol, k, hasher)
+    val lg = s"left_$groupCol"
+    val rg = s"right_$groupCol"
+    val pairs = sk.select(col(groupCol).as(lg), col("kmv").as("__ka"))
+      .join(broadcast(sk.select(col(groupCol).as(rg), col("kmv").as("__kb"))),
+        col(lg) < col(rg))
+    overlapFrom(pairs, k, Seq(col(lg), col(rg)))
+  }
+
+  /** Shared overlap-estimate algebra over two k-min sketch array
+    * columns `__ka`/`__kb` (see [[kmvOverlap]] for semantics). */
+  private def overlapFrom(
+      joined: DataFrame,
+      k: Int,
+      keyCols: Seq[Column]): DataFrame = {
+    val domain = math.pow(2, 60)
     joined
       .withColumn("__u",
         slice(array_sort(array_union(col("__ka"), col("__kb"))), 1, k))
@@ -186,7 +219,7 @@ object Sketches {
         round(least(col("est_intersection") / round(col("__ea"), 4), lit(1.0)), 4))
       .withColumn("est_containment_right",
         round(least(col("est_intersection") / round(col("__eb"), 4), lit(1.0)), 4))
-      .select(groupCols.map(col) ++ Seq(col("n_union_kept"), col("n_both"),
+      .select(keyCols ++ Seq(col("n_union_kept"), col("n_both"),
         col("est_union"), col("est_jaccard"), col("est_intersection"),
         col("est_containment_left"), col("est_containment_right")): _*)
   }

@@ -14,6 +14,7 @@ import graft.ops.{Curation, EventAnalytics, Joins, Sketches, TextAnalysis, TfIdf
 object AnalyticsQueries {
 
   private val hllB = 6 // HLL register-index bits: m = 64 buckets
+  private val overlapK = 64 // per-source KMV size for the overlap matrix
   private val decayHalfLifeDays = 7
   private val robustSigmas = 3.5
   private val winsorLow = 0.05
@@ -609,6 +610,17 @@ object AnalyticsQueries {
           Tables.events(s, dir), Seq("event_type"),
           col("user_id").cast("string"), k = 64)
         .orderBy("event_type")
+    }),
+
+    // X122 all-pairs source overlap matrix: one corpus pass builds a
+    // per-source KMV token sketch; the 190 source pairs compare on
+    // the broadcast k-hash rows only. The dedup-planning audit run
+    // before deciding which sources to cross-dedup.
+    "q_source_overlap" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      Sketches.kmvOverlapMatrix(tok, "source", col("tok"), k = overlapK)
+        .orderBy("left_source", "right_source")
     }),
 
     // X114 HyperLogLog distinct tokens per language, with the exact
@@ -1578,6 +1590,43 @@ object AnalyticsQueries {
         |  round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
         |             ELSE 63.0 * 1152921504606846976.0 / max(h) END, 4) AS est_distinct
         |FROM r WHERE rk <= 64 GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_source_overlap" -> {
+      val k = overlapK
+      val est = (n: String, kth: String) =>
+        s"CASE WHEN $n < $k THEN $n::DOUBLE ELSE ${(k - 1).toDouble} * 1152921504606846976.0 / $kth END"
+      val estInt =
+        s"round(round(n_both::DOUBLE / n_union_kept, 4) * round(${est("n_union_kept", "u_kth")}, 4), 4)"
+      s"""WITH h AS (
+         |  SELECT DISTINCT source, ('0x' || substr(md5('kmv|' || tok), 1, 15))::BIGINT AS h
+         |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+         |), kk AS (
+         |  SELECT source, h FROM (
+         |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM h
+         |  ) WHERE rk <= $k
+         |), sk AS (
+         |  SELECT source, list(h ORDER BY h) AS kmv FROM kk GROUP BY 1
+         |), pairs AS (
+         |  SELECT a.source AS left_source, b.source AS right_source,
+         |    a.kmv AS ka, b.kmv AS kb,
+         |    list_sort(list_distinct(a.kmv || b.kmv))[1:$k] AS uu
+         |  FROM sk a JOIN sk b ON a.source < b.source
+         |), base AS (
+         |  SELECT left_source, right_source,
+         |    len(uu)::BIGINT AS n_union_kept,
+         |    len(list_filter(uu, x -> list_contains(ka, x) AND list_contains(kb, x)))::BIGINT AS n_both,
+         |    uu[-1] AS u_kth,
+         |    len(ka)::BIGINT AS na, ka[-1] AS ka_kth,
+         |    len(kb)::BIGINT AS nb, kb[-1] AS kb_kth
+         |  FROM pairs
+         |)
+         |SELECT left_source, right_source, n_union_kept, n_both,
+         |  round(${est("n_union_kept", "u_kth")}, 4) AS est_union,
+         |  round(n_both::DOUBLE / n_union_kept, 4) AS est_jaccard,
+         |  $estInt AS est_intersection,
+         |  round(least($estInt / round(${est("na", "ka_kth")}, 4), 1.0), 4) AS est_containment_left,
+         |  round(least($estInt / round(${est("nb", "kb_kth")}, 4), 1.0), 4) AS est_containment_right
+         |FROM base ORDER BY left_source, right_source""".stripMargin
+    },
     "q_decayed_agg" ->
       s"""WITH s AS (
          |  SELECT event_type, ts::DATE AS d, value::DOUBLE AS v FROM events

@@ -153,6 +153,28 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(ap._1 - 51.0) <= 2 && math.abs(ap._2 - 91.0) <= 2)
   }
 
+  test("kmvOverlapMatrix: one row per unordered pair, identical to pairwise kmvOverlap") {
+    // three sources: s0 and s1 share half their values, s2 is disjoint
+    val rows = (1 to 200).map(i => ("s0", s"v$i")) ++
+      (101 to 300).map(i => ("s1", s"v$i")) ++
+      (1 to 200).map(i => ("s2", s"w$i"))
+    val df = rows.toDF("src", "v")
+    val m = Sketches.kmvOverlapMatrix(df, "src", $"v", k = 32)
+      .orderBy("left_src", "right_src").collect()
+    assert(m.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("s0", "s1"), ("s0", "s2"), ("s1", "s2")))
+    // pairwise equivalence: the matrix row equals kmvOverlap on the
+    // same two sketches
+    def sk(s: String) = Sketches.kmvSketch(
+      df.filter($"src" === s).withColumn("g", lit(1)), Seq("g"), $"v", 32)
+    val pair = Sketches.kmvOverlap(sk("s0"), sk("s1"), Seq("g"), 32)
+      .drop("g").head().toSeq
+    assert(m.head.toSeq.drop(2) == pair)
+    // disjoint pair estimates ~zero overlap; overlapping pair doesn't
+    val bySrc = m.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("est_jaccard")).toMap
+    assert(bySrc(("s0", "s2")) == 0.0 && bySrc(("s0", "s1")) > 0.1)
+  }
+
   // -------------------------------------------- robust stats / winsorize
 
   test("robustStats: hand-computed median/MAD; an injected unit-change bug trips the count") {
