@@ -1214,6 +1214,73 @@ object Curation {
       .select("bucket", "bucket_lo", "bucket_hi", "released")
   }
 
+  // ---------------------------------------------- span corruption (T5)
+
+  /** T5/UL2-style span corruption — the denoising-objective data prep:
+    * mask ~`maskRate` of each document's tokens, collapse each RUN of
+    * masked tokens to one `<extra_id_N>` sentinel in the corrupted
+    * input, and emit the targets as sentinel-prefixed spans. Mask
+    * decisions are a pure hash of (id, position) — deterministic
+    * under retries, partitionings, and engines (a `rand()` mask would
+    * re-corrupt differently on every task retry, silently changing
+    * the training set).
+    *
+    * Span accounting is the gaps-and-islands trick WITHOUT a masked-
+    * row self-join: one running `sum(masked)` window gives in-span
+    * ranks, one `lag` flags span starts, one running sum of starts
+    * numbers the spans — three windows over the SAME (id, pos)
+    * ordering, so the whole op costs one exchange on the id plus a
+    * final per-id ordered reassembly (sorted struct collect — Spark's
+    * collect_list order is otherwise undefined). NULL text yields no
+    * rows; a document with no masked token keeps its full text and an
+    * empty `targets`.
+    *
+    * @return (id, corrupted, targets, n_tokens, n_masked, n_spans)
+    */
+  def spanCorrupt(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maskRate: Double = 0.15,
+      seed: Long = 5L,
+      hasher: (Column, Column) => Column = TextAnalysis.fastH64): DataFrame = {
+    require(maskRate > 0 && maskRate < 1, s"maskRate must be in (0,1): $maskRate")
+    import org.apache.spark.sql.expressions.Window
+    val cut = (maskRate * 10000).round
+    val toks = df.select(
+      col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val masked = pmod(
+      hasher(lit(seed), concat(col(idCol).cast("string"), lit("|"), col("pos"))),
+      lit(10000L)) < lit(cut)
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val staged = toks
+      .withColumn("__m", masked)
+      .withColumn("__first",
+        col("__m") && !coalesce(lag(col("__m"), 1).over(w), lit(false)))
+      .withColumn("__span",
+        sum(when(col("__first"), 1L).otherwise(0L)).over(w))
+    val corrPiece = when(!col("__m"), col("tok"))
+      .when(col("__first"),
+        concat(lit("<extra_id_"), col("__span").cast("string"), lit(">")))
+    val tgtPiece = when(col("__first"),
+      concat(lit("<extra_id_"), col("__span").cast("string"), lit("> "), col("tok")))
+      .when(col("__m"), col("tok"))
+    def orderedConcat(piece: Column): Column =
+      concat_ws(" ", org.apache.spark.sql.functions.transform(
+        array_sort(collect_list(when(piece.isNotNull,
+          struct(col("pos"), piece.as("p"))))),
+        s => s.getField("p")))
+    staged
+      .groupBy(col(idCol))
+      .agg(
+        orderedConcat(corrPiece).as("corrupted"),
+        orderedConcat(tgtPiece).as("targets"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("__m").cast("long")).as("n_masked"),
+        max(col("__span")).as("n_spans"))
+  }
+
   // ------------------------------------------- source-fair quality gate
 
   /** Within-group quantile normalization: append `outCol` =

@@ -62,6 +62,17 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // X123: T5-style span corruption — ~15% of tokens masked by a
+    // pure (doc, pos) hash, runs collapsed to <extra_id_N> sentinels,
+    // sentinel-prefixed targets. The denoising-objective data prep,
+    // deterministic under retries and engines.
+    "q_span_corrupt" -> ((s, dir) => {
+      Curation.spanCorrupt(
+          Tables.documents(s, dir), "text", "doc_id",
+          maskRate = 0.15, seed = 5L, hasher = TextAnalysis.h64)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic hash split: every doc gets a bucket and a named
     // split; re-running on any partitioning reproduces it exactly.
     "q_split_assign" -> ((s, dir) => {
@@ -384,6 +395,39 @@ object CurationQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_span_corrupt" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS tok,
+        |    unnest(generate_series(0, len(string_split(lower(text), ' ')) - 1)) AS pos
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, pos, tok,
+        |    ('0x' || substr(md5('5|' || doc_id::VARCHAR || '|' || pos::VARCHAR), 1, 15))::BIGINT % 10000 < 1500 AS masked
+        |  FROM t
+        |), s1 AS (
+        |  SELECT *, masked AND NOT coalesce(
+        |    lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), false) AS fst
+        |  FROM m
+        |), s2 AS (
+        |  SELECT *, sum(CASE WHEN fst THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS span
+        |  FROM s1
+        |), p AS (
+        |  SELECT *,
+        |    CASE WHEN NOT masked THEN tok
+        |         WHEN fst THEN '<extra_id_' || span || '>' END AS corr,
+        |    CASE WHEN fst THEN '<extra_id_' || span || '> ' || tok
+        |         WHEN masked THEN tok END AS tgt
+        |  FROM s2
+        |)
+        |SELECT doc_id,
+        |  coalesce(string_agg(corr, ' ' ORDER BY pos), '') AS corrupted,
+        |  coalesce(string_agg(tgt, ' ' ORDER BY pos), '') AS targets,
+        |  count(*)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN masked THEN 1 ELSE 0 END)::BIGINT AS n_masked,
+        |  max(span)::BIGINT AS n_spans
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_fair_gate" ->
       """WITH d AS (
         |  SELECT source, n_chars::DOUBLE AS sc FROM documents

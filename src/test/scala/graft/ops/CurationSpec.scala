@@ -31,6 +31,38 @@ class CurationSpec extends SparkSpec {
     assert(split.select("doc_id", "split").except(reseeded.select("doc_id", "split")).count() > 0)
   }
 
+  test("spanCorrupt: runs collapse to sentinels, targets invert the corruption, determinism") {
+    // force a known mask with a custom hasher: mask positions 1,2 and 5
+    val maskedPos = Set(1L, 2L, 5L)
+    val fixedHasher: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column = (_, x) =>
+      when(element_at(split(x, "\\|"), 2).cast("long").isin(maskedPos.toSeq: _*), lit(0L))
+        .otherwise(lit(9999L))
+    val doc = Seq((7L, "a b c d e f g")).toDF("doc_id", "text")
+    val out = Curation.spanCorrupt(doc, "text", "doc_id", maskRate = 0.15,
+        hasher = fixedHasher)
+      .head()
+    // tokens: a [b c] d e [f] g → spans 1 and 2
+    assert(out.getAs[String]("corrupted") == "a <extra_id_1> d e <extra_id_2> g")
+    assert(out.getAs[String]("targets") == "<extra_id_1> b c <extra_id_2> f")
+    assert(out.getAs[Long]("n_tokens") == 7L && out.getAs[Long]("n_masked") == 3L
+      && out.getAs[Long]("n_spans") == 2L)
+    // real hasher: deterministic across partitionings, ~maskRate mass,
+    // unmasked doc keeps full text with empty targets
+    val docs = (0L until 50L).map(i => (i, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text")
+    val a = Curation.spanCorrupt(docs, "text", "doc_id").orderBy("doc_id").collect()
+    val b = Curation.spanCorrupt(docs.repartition(7), "text", "doc_id").orderBy("doc_id").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val totalMasked = a.map(_.getAs[Long]("n_masked")).sum
+    assert(totalMasked > 30 && totalMasked < 120, s"masked $totalMasked of 500")
+    a.filter(_.getAs[Long]("n_masked") == 0L).foreach { r =>
+      assert(r.getAs[String]("corrupted") == "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")
+      assert(r.getAs[String]("targets") == "")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.spanCorrupt(doc, "text", "doc_id", maskRate = 1.0)
+    }
+  }
+
   test("quantileNormalize/fairGate: every source keeps its best fraction; a global cut starves one") {
     // rich source scores 100..199, poor source scores 1..100: a global
     // top-half cut keeps ~all of rich and ~none of poor; the fair gate
