@@ -277,11 +277,14 @@ object Pca {
     * more structure per dimension when a fit pass is affordable; JL
     * is the streaming/appendix-corpus path.
     *
-    * Pure codegen'd projection — each output is an explicit
-    * left-to-right double fold (dim terms), no shuffle, no UDF — and
-    * every arithmetic step is order-pinned, so a SQL engine replays
-    * the projection bit-exactly (q_jl_project's oracle embeds the
-    * same sign literals and scale).
+    * Pure codegen'd projection through the fused
+    * [[graft.functions.MatVecDotsExpr]] kernel (which accumulates in
+    * DOUBLE, left-to-right — the exact replay order; the sign matrix
+    * ships as one reference object, so codegen stays tiny at any
+    * outDim×dim). A literal-fold first cut evaluated interpreted at
+    * ~11 M mul-adds/s; the kernel is the same arithmetic JIT-compiled.
+    * A SQL engine replays the projection bit-exactly (q_jl_project's
+    * oracle embeds the same sign literals and scale).
     */
   def jlProject(
       vecCol: Column,
@@ -290,21 +293,22 @@ object Pca {
       outPrefix: String = "jl"): Seq[Column] = {
     require(outDim >= 1 && outDim <= dim, s"need 1 <= outDim <= dim: $outDim")
     val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val signs = Array.tabulate(outDim, dim)((j, i) => jlSign(j, i))
+    val dots = graft.functions.MatVecDotsExpr.matVecDots(
+      vecCol.cast("array<float>"), signs)
     (0 until outDim).map { j =>
-      val dot = (0 until dim).foldLeft(lit(0.0)) { (acc, i) =>
-        acc + element_at(vecCol, i + 1).cast("double") * lit(jlSign(j, i))
-      }
-      (round(dot * lit(scale), 4) + lit(0.0)).as(s"$outPrefix${j + 1}")
+      (round(element_at(dots, j + 1) * lit(scale), 4) + lit(0.0))
+        .as(s"$outPrefix${j + 1}")
     }
   }
 
   /** The k whitened-projection columns for a [[fitReplayable]] model,
     * every double op in the pinned replay order: per row,
-    * `pcᶜ = (Σᵢ xᵢ·vᶜᵢ − vᶜ·μ) · (λc < floor ? 0 : 1/√λc)` with the
-    * dot an explicit left-to-right chain in DOUBLE (the fused
-    * [[graft.functions.MatVecDotsExpr]] kernel accumulates in float —
-    * fine for ANN recall, wrong for bit replay). Codegen'd projection,
-    * no shuffle; `dim` terms per component per row.
+    * `pcᶜ = (Σᵢ xᵢ·vᶜᵢ − vᶜ·μ) · (λc < floor ? 0 : 1/√λc)`. The dot
+    * runs through the fused [[graft.functions.MatVecDotsExpr]] kernel
+    * — DOUBLE accumulation, left-to-right, i.e. exactly the oracle's
+    * sequential fold, but JIT-compiled with the component matrix as
+    * one reference object. Codegen'd projection, no shuffle.
     */
   def replayableWhitened(
       vecCol: Column,
@@ -318,12 +322,12 @@ object Pca {
     }
     val scls = model.eigenvalues.map(l =>
       if (l < replayLambdaFloor) 0.0 else 1.0 / math.sqrt(l))
+    val dots = graft.functions.MatVecDotsExpr.matVecDots(
+      vecCol.cast("array<float>"), model.components)
     (0 until model.k).map { c =>
-      val dot = (0 until dim).foldLeft(lit(0.0)) { (acc, i) =>
-        acc + element_at(vecCol, i + 1).cast("double") * lit(model.components(c)(i))
-      }
       // `+ 0.0` folds -0.0 so the dump is sign-stable cross-engine.
-      (round((dot - lit(offs(c))) * lit(scls(c)), 4) + lit(0.0)).as(s"$outPrefix${c + 1}")
+      (round((element_at(dots, c + 1) - lit(offs(c))) * lit(scls(c)), 4) + lit(0.0))
+        .as(s"$outPrefix${c + 1}")
     }
   }
 }

@@ -101,6 +101,24 @@ object Round16ScaleProbe {
         val c = Similarity.marginMine(a, b, "vec_id", "embedding", k = 4).count()
         graft.CachedFrames.unpersistAll(); c
       }
+      timed(s"spanCorrupt ${n}x") {
+        // head() on the sums, not count(): count() would let Catalyst
+        // prune the string reassembly out of the plan entirely
+        Curation.spanCorrupt(d, "text", "doc_id")
+          .agg(sum(length(col("corrupted"))).as("c"), sum(col("n_spans")))
+          .head().getLong(0)
+      }
+      timed(s"kmvOverlapMatrix ${n}x") {
+        val tok = d.select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        Sketches.kmvOverlapMatrix(tok, "source", col("tok"), k = 64).count()
+      }
+      timed(s"jlProject ${n}x") {
+        vecs(n).select(col("vec_id") +:
+            graft.ops.Pca.jlProject(col("embedding"), 64, 16): _*)
+          .agg(sum(col("jl1")).as("s")).head()
+        1L
+      }
     }
     spark.stop()
   }
