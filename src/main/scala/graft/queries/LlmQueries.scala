@@ -548,6 +548,32 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // X124: ANN recall@k as a CORRECTNESS row — per query, how many
+    // of the exact-cosine top-k the LSH path recovered. Both arms are
+    // deterministic (md5 hyperplanes; brute force is exact), so the
+    // recall numbers themselves hash-match the oracle: the
+    // approximation QUALITY is now driver-checked, not just specced.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < simQueryIds)
+      val ann = Similarity.annTopK(
+          emb, q, "vec_id", "embedding", simK,
+          dim = embeddingDim, tables = annTables, bits = annBits)
+        .select(col("qid"), col("nid"))
+      val brute = Similarity
+        .bruteForceTopK(emb, q, "vec_id", "embedding", simK)
+        .select(col("qid"), col("nid"))
+      val hits = brute.join(ann, Seq("qid", "nid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / lit(simK), 4)
+            .as("recall_r"))
+        .orderBy("qid")
+    }),
+
     // The X46 + X9 composition a quantized 100 TB corpus actually
     // runs: embeddings stored int8, reconstructed on read
     // (dequantizeFloat), then LSH ANN top-k over the reconstruction —
@@ -1839,6 +1865,45 @@ object LlmQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_ann_topk" -> annOracle,
+    "q_ann_recall" -> ("WITH " + annBucketCtes("embeddings") +
+      s""", cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+         |  FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id < $simQueryIds AND q.vec_id <> c.vec_id
+         |), asc0 AS (
+         |  SELECT cand.qid, cand.nid,
+         |    ${dotSql("qv.embedding", "nv.embedding")} /
+         |    (sqrt(${dotSql("qv.embedding", "qv.embedding")}) * sqrt(${dotSql("nv.embedding", "nv.embedding")})) AS sim
+         |  FROM cand
+         |  JOIN embeddings qv ON qv.vec_id = cand.qid
+         |  JOIN embeddings nv ON nv.vec_id = cand.nid
+         |), annr AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |    FROM asc0
+         |  ) WHERE rank <= $simK
+         |), qq AS (
+         |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+         |  WHERE vec_id < $simQueryIds
+         |), bsc AS (
+         |  SELECT qq.qid, c.vec_id AS nid,
+         |    ${dotSql("qq.qvec", "c.embedding")} /
+         |    (sqrt(${dotSql("qq.qvec", "qq.qvec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS sim
+         |  FROM embeddings c CROSS JOIN qq WHERE c.vec_id <> qq.qid
+         |), bru AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |    FROM bsc
+         |  ) WHERE rank <= $simK
+         |), hits AS (
+         |  SELECT b.qid, count(*)::BIGINT AS n
+         |  FROM bru b JOIN annr a ON a.qid = b.qid AND a.nid = b.nid
+         |  GROUP BY 1
+         |)
+         |SELECT qq.qid, coalesce(h.n, 0)::BIGINT AS n_hits,
+         |  round(coalesce(h.n, 0)::DOUBLE / $simK, 4) AS recall_r
+         |FROM qq LEFT JOIN hits h ON h.qid = qq.qid
+         |ORDER BY qq.qid""".stripMargin),
     "q_ann_neardup" ->
       (annNearDupCtes +
         """
