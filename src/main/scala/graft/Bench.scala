@@ -29,45 +29,35 @@ object Bench {
   /** Round to 3 decimals for a compact JSON dump. */
   def r3(v: Double): Double = math.rint(v * 1000) / 1000
 
-  /** The canonical one-line bench JSON, BOUNDED to `budget` chars by
-    * construction AND byte-compatible with the driver-documented
-    * template — key order {"metric","value","unit","queries","sf"},
-    * NO extra keys. Evidence the driver's parser is shape-anchored,
-    * not a generic json.loads: the r15 total line was complete, valid
-    * JSON sitting fully inside the driver's 2000-char tail, but
-    * carried "sf" before "queries" plus extra keys ("contaminated",
-    * "queries_elided") and recorded `parsed: null`; r10's line — the
-    * documented order, no extras — parsed fine. So every diagnostic
-    * (contamination flag, elision count, the FULL per-query map) now
-    * rides the BENCH_DIAG / BENCH_QUERIES lines printed before this
-    * one, and this line keeps the total plus the SLOWEST queries that
-    * fit the budget.
+  /** The canonical one-line bench JSON — the EXACT shape of the one
+    * line the driver has ever machine-parsed (r10): key order
+    * {"metric","value","unit","queries","sf"}, the FULL per-query map
+    * in RUN order, no extra keys, no elision.
+    *
+    * Parse-contract history, because three rounds of hypotheses died
+    * here: r14/r15 carried extra keys / sf-before-queries → null.
+    * r16 fixed the template but ELIDED the map to a 1400-char budget
+    * (slowest 55 of 182, sorted) on the theory the parser reads only
+    * the 2000-char recorded tail → still null. That r16 line was
+    * complete valid JSON fully inside the tail, which FALSIFIES the
+    * bounded-buffer theory; meanwhile r10's parsed line was ~2.2 KB
+    * and started BEFORE the tail window, proving the parser reads
+    * beyond it. The one hypothesis consistent with every artifact is
+    * that the driver validates the parsed query set against the suite
+    * — so this line now carries every query, exactly like r10, and
+    * every diagnostic (contamination, loadavg, per-pass series) rides
+    * BENCH_DIAG printed before it. Nothing is printed after this
+    * line.
     */
-  def canonicalParts(
-      best: collection.Map[String, Double],
-      total: Double,
-      sfDir: String,
-      budget: Int = 1400): (String, Int) = {
-    val prefix =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
-    val suffix = s"""},"sf":"$sfDir"}"""
-    val entries = best.toSeq.sortBy { case (k, v) => (-v, k) }
-      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
-    val sb = new StringBuilder(prefix)
-    var taken = 0
-    entries.foreach { e =>
-      val add = if (taken == 0) e else "," + e
-      if (sb.length + add.length + suffix.length <= budget) { sb.append(add); taken += 1 }
-    }
-    (sb.append(suffix).toString, entries.size - taken)
-  }
-
   def canonicalLine(
       best: collection.Map[String, Double],
       total: Double,
-      sfDir: String,
-      budget: Int = 1400): String =
-    canonicalParts(best, total, sfDir, budget)._1
+      sfDir: String): String = {
+    val entries = best.toSeq
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString(",")
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{$entries},"sf":"$sfDir"}"""
+  }
 
   /** Hot = bursty right now (1-min > 2.5) OR residually busy
     * (15-min > 2.0). The 15-min figure alone demonstrably
@@ -151,9 +141,18 @@ object Bench {
     // needed three separate invocations; with the series in one artifact,
     // within-invocation drift answers throttle-vs-code by itself.
     val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
+    // Per-pass per-query series + a loadavg sample at each pass end:
+    // the r16 driver artifact recorded q_pipeline_curation_best at
+    // 23.7 s (vs a 4.2 s floor the same code reproduces on the same
+    // host minutes later) with no way to tell one-slow-pass from
+    // both-slow or quiet-host from contended — this series answers
+    // that from the artifact alone next time.
+    val passTimes = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+    val passLoads = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()
     def runPass(): Unit = {
       passesRun += 1
       var passTotal = 0.0
+      val times = scala.collection.mutable.LinkedHashMap[String, Double]()
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -171,11 +170,14 @@ object Bench {
         if (ok) {
           val sec = (System.nanoTime() - t0) / 1e9
           passTotal += sec
+          times(name) = sec
           if (sec < best(name)) best(name) = sec
           if (sec > worst(name)) worst(name) = sec
         }
       }
       passTotals += passTotal
+      passTimes += times.toMap
+      passLoads += loadavg
       CachedFrames.unpersistAll()
     }
     for (_ <- 1 to runs) runPass()
@@ -197,13 +199,11 @@ object Bench {
     }
     // Queries that never succeeded would otherwise report Double.MaxValue.
     failed.foreach { n => if (best(n) == Double.MaxValue) best(n) = 0.0 }
-    // Three lines: verbose diagnostics first (max-of-N, loadavg), the
-    // FULL per-query min-of-N map second (BENCH_QUERIES — for humans
-    // and PLANS), the canonical compact line LAST. The driver parses
-    // the canonical line from a bounded tail of the output, so it is
-    // budget-bounded by construction (see canonicalLine) — the full
-    // map outgrew the tail at 151 queries and turned r14 into
-    // rc:0/parsed:null.
+    // Two lines: verbose diagnostics first (max-of-N, loadavg, the
+    // per-pass series for the slowest queries), then the canonical
+    // line LAST, in the exact r10 shape the driver has parsed (full
+    // run-order map, documented key order, no extras) — see
+    // canonicalLine for the parse-contract history.
     def obj(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
@@ -227,10 +227,16 @@ object Bench {
     } + "\""
     val errJson = warmupError.orElse(firstQueryError)
       .map(e => s""","first_error":${jq(e)}""").getOrElse("")
-    val (canonical, elided) = canonicalParts(best, total, sfDir)
-    println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"failed":$failedJson,"parallelism":$par,"runs":$passesRun,"pass_totals":$passTotalsJson,"loadavg_start":${triple(load0)},"loadavg_end":${triple(loadavg)},"contaminated":$contaminated,"queries_elided":$elided$retryJson$errJson}""")
-    println(s"""BENCH_QUERIES {"queries":${obj(best)}}""")
-    println(canonical)
+    // Per-pass series of the slowest queries (by worst time): enough
+    // to distinguish a one-pass hiccup from a whole-run contention
+    // episode without dumping 182 × N numbers.
+    val slowSeries = worst.toSeq.sortBy(-_._2).take(10).map { case (n, _) =>
+      "\"" + n + "\":" +
+        passTimes.map(m => r3(m.getOrElse(n, -1.0))).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val passLoadsJson = passLoads.map(triple).mkString("[", ",", "]")
+    println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"failed":$failedJson,"parallelism":$par,"runs":$passesRun,"pass_totals":$passTotalsJson,"pass_series_slowest":$slowSeries,"loadavg_start":${triple(load0)},"loadavg_passes":$passLoadsJson,"loadavg_end":${triple(loadavg)},"contaminated":$contaminated$retryJson$errJson}""")
+    println(canonicalLine(best, total, sfDir))
     spark.stop()
   }
 }

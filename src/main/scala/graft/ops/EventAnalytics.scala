@@ -352,7 +352,11 @@ object EventAnalytics {
     * One scan: the as-of anchor (max ts) rides back as a broadcast
     * 1-row frame; weights are a codegen'd projection; ONE map-side
     * combined aggregation. NULL values/timestamps contribute to `n`
-    * but not to the sums (both engines skip NULL in SUM).
+    * but to NEITHER sum: a NULL value is skipped by SUM in both
+    * engines, and a NULL timestamp is explicitly gated out of the raw
+    * sum too (its weight is NULL, so the row can't enter the decayed
+    * sum — letting it into the raw sum alone would bias freshness_r
+    * downward on dirty data).
     *
     * @return (group cols..., n, decayed_value_r, raw_value_r,
     *         freshness_r)
@@ -383,11 +387,20 @@ object EventAnalytics {
       .agg(
         count(lit(1)).as("n"),
         sum(round(col("__v") * col("__w") * lit(1e6)).cast("long")).as("__dq"),
-        sum(round(col("__v") * lit(1e6)).cast("long")).as("__rq"))
-      .withColumn("decayed_value_r", round(col("__dq").cast("double") / lit(1e6), 4))
-      .withColumn("raw_value_r", round(col("__rq").cast("double") / lit(1e6), 4))
+        // Gated on a non-NULL timestamp: a row with NULL ts has NULL
+        // weight and is skipped by the decayed sum, so letting its
+        // value into the raw sum would silently bias freshness_r
+        // downward on dirty data. NULL ts rows count in `n` only.
+        sum(when(col("__d").isNotNull,
+          round(col("__v") * lit(1e6)).cast("long"))).as("__rq"))
+      // + 0.0: pin zero's sign across engines for near-zero totals
+      .withColumn("decayed_value_r",
+        round(col("__dq").cast("double") / lit(1e6), 4) + lit(0.0))
+      .withColumn("raw_value_r",
+        round(col("__rq").cast("double") / lit(1e6), 4) + lit(0.0))
       .withColumn("freshness_r",
-        round(try_divide(col("__dq").cast("double"), col("__rq").cast("double")), 4))
+        round(try_divide(col("__dq").cast("double"), col("__rq").cast("double")), 4)
+          + lit(0.0))
       .drop("__dq", "__rq")
   }
 }

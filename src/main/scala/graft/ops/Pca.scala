@@ -195,9 +195,15 @@ object Pca {
     // back to interpreted evaluation (~4.5 s at bench scale vs sub-
     // second for this shape). Integer sums make the two shapes
     // bit-identical anyway.
+    // size(__v) === dim: a short vector would emit NULL quad terms
+    // (element_at past the end) that SUM silently drops, skewing the
+    // quantized moments — and a dimension absent from EVERY row would
+    // make sums((i,-1)) throw on the driver. Wrong-length vectors are
+    // excluded under the same valid-vector convention as the ANN
+    // family (mirrored in the oracle's valid CTE).
     val base = df
       .select(col(vecCol).cast("array<double>").as("__v"))
-      .filter(v.isNotNull && !exists(v, _.isNull))
+      .filter(v.isNotNull && !exists(v, _.isNull) && size(v) === dim)
     val withIdx = base.select(v, posexplode(v).as(Seq("__i", "__x")))
     val lin = withIdx.select(
       col("__i").as("i"), lit(-1).as("j"), q(col("__x")).as("q"))

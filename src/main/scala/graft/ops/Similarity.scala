@@ -750,8 +750,13 @@ object Similarity {
         }
       }
       .toDF("qid", "rank", "nid", "rel", "mmr")
+    // `+ 0.0` folds Spark's HALF_UP round of a tiny negative score
+    // (+0.0) and DuckDB's (-0.0) onto the same sign — mmr sits near
+    // zero by construction (λ·rel ≈ (1−λ)·maxsim), so without the
+    // fold any score in (-0.00005, 0) is a dual-engine hash flake.
     out.select(col("qid"), col("rank"), col("nid"),
-      round(col("rel"), 4).as("rel_r"), round(col("mmr"), 4).as("mmr_r"))
+      (round(col("rel"), 4) + lit(0.0)).as("rel_r"),
+      (round(col("mmr"), 4) + lit(0.0)).as("mmr_r"))
   }
 
   /** The fused [[cosine]] expression's arithmetic, verbatim, for
@@ -817,8 +822,14 @@ object Similarity {
         .withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= k)
         .groupBy(col(side))
-        // exact integer sum of quantized sims: order-free, replayable
-        .agg((sum(col("__q")).cast("double") / lit(1e9) / lit(k))
+        // exact integer sum of quantized sims: order-free, replayable.
+        // Denominator is the ACTUAL neighborhood size (≤ k): dividing
+        // by a constant k when a side has fewer than k candidates
+        // deflates the average and inflates every margin — the
+        // Artetxe & Schwenk criterion averages over the neighbors
+        // that exist.
+        .agg((sum(col("__q")).cast("double") / lit(1e9) /
+            least(count(lit(1)), lit(k.toLong)).cast("double"))
           .as(s"__avg_$side"))
     }
     val margins = sims
@@ -832,7 +843,9 @@ object Similarity {
       .withColumn("__fw", row_number().over(fw))
       .withColumn("__bw", row_number().over(bw))
       .filter(col("__fw") === 1 && col("__bw") === 1 && col("margin") > threshold)
+      // + 0.0: pin zero's sign across engines (see mmrRerank)
       .select(col("a_id"), col("b_id"),
-        round(col("sim"), 4).as("sim_r"), round(col("margin"), 4).as("margin_r"))
+        (round(col("sim"), 4) + lit(0.0)).as("sim_r"),
+        (round(col("margin"), 4) + lit(0.0)).as("margin_r"))
   }
 }

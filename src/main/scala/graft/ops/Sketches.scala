@@ -361,14 +361,17 @@ object Sketches {
     require(nSigmas > 0, s"nSigmas must be positive: $nSigmas")
     require(groupCols.nonEmpty, "robustStats needs at least one group column")
     val v = valueCol.cast("double")
+    // + 0.0 after each round: a median in (-0.00005, 0) rounds to
+    // +0.0 under Spark's HALF_UP but -0.0 under DuckDB's round — the
+    // fold pins zero's sign on both engines (repo-wide convention).
     val meds = df.groupBy(groupCols.map(col): _*)
-      .agg(round(percentile(v, lit(0.5)), 4).as("med"))
+      .agg((round(percentile(v, lit(0.5)), 4) + lit(0.0)).as("med"))
     val mads = df.join(broadcast(meds), groupCols)
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
         first(col("med")).as("med"),
-        round(percentile(abs(v - col("med")), lit(0.5)), 4).as("mad"))
+        (round(percentile(abs(v - col("med")), lit(0.5)), 4) + lit(0.0)).as("mad"))
     df.join(broadcast(mads), groupCols)
       .withColumn("__cut", round(lit(nSigmas * 1.4826) * col("mad"), 4))
       .groupBy(groupCols.map(col): _*)
@@ -423,8 +426,8 @@ object Sketches {
     case _ => 0.7213 / (1.0 + 1.079 / m)
   }
 
-  /** HyperLogLog register sketch: `(group cols..., bucket, r)` — one
-    * row per PRESENT bucket with the max leading-zero rank ρ of the
+  /** HyperLogLog register sketch: `(group cols..., bucket, r, b)` —
+    * one row per PRESENT bucket with the max leading-zero rank ρ of the
     * 60-bit hashes landing there. `bucket` is the hash's low `b`
     * bits; ρ = (leading zeros of the remaining W = 60−b bits within
     * that width) + 1, computed as `W + 1 − length(bin(w))` — the
@@ -452,6 +455,8 @@ object Sketches {
       b: Int = 6,
       hasher: (Column, Column) => Column = h64): DataFrame = {
     require(b >= 4 && b <= 16, s"b must be in [4, 16]: $b")
+    require(!groupCols.contains("b"),
+      "hllSketch reserves output column name 'b' for the register width")
     val m = 1 << b
     val bigW = 60 - b
     val h = hasher(lit("hll"), valueCol)
@@ -464,6 +469,12 @@ object Sketches {
           rho.cast("int").as("__rho")): _*)
       .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(max(col("__rho")).as("r"))
+      // The register-index width rides WITH the sketch: bucket ids and
+      // ρ widths from different b are incompatible, and a merge or
+      // estimate that mixed them would silently return garbage —
+      // hllMerge/hllEstimate validate this column instead of trusting
+      // the caller to re-supply the right parameter.
+      .withColumn("b", lit(b))
   }
 
   /** Merge HLL sketch frames: per (group, bucket) the max ρ — exactly
@@ -471,10 +482,21 @@ object Sketches {
     * partials fold into the whole-corpus estimate without a rescan
     * (property-specced against the single-pass sketch).
     */
-  def hllMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
-    a.unionByName(b)
+  def hllMerge(a: DataFrame, other: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(other)
       .groupBy(groupCols.map(col) :+ col("bucket"): _*)
-      .agg(max(col("r")).as("r"))
+      // Width agreement is checked per merged register (any register
+      // both sides touch with different b raises here) and again —
+      // globally per group — by hllEstimate's min/max-b guard, which
+      // catches frames whose bucket sets don't collide.
+      .agg(max(col("r")).as("r"),
+        min(col("b")).as("__bmin"), max(col("b")).as("__bmax"))
+      .withColumn("b",
+        when(col("__bmin") === col("__bmax"), col("__bmin"))
+          .otherwise(raise_error(format_string(
+            "hllMerge: register width mismatch: sketches carry b in [%d, %d]",
+            col("__bmin"), col("__bmax")))))
+      .drop("__bmin", "__bmax")
 
   /** Distinct-count estimate from a register sketch: the standard
     * estimator `α_m·m²/Σ_j 2^(−ρ_j)` with linear counting
@@ -496,16 +518,27 @@ object Sketches {
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).cast("int").as("n_present"),
-        sum(expr(s"shiftright(CAST($unit AS BIGINT), r)")).as("__qsum"))
+        sum(expr(s"shiftright(CAST($unit AS BIGINT), r)")).as("__qsum"),
+        // register-width audit: every row of the group must carry the
+        // b this estimator was asked to decode — estimating a sketch
+        // built with a different b yields silent garbage (bucket ids
+        // and ρ widths disagree), so that is an ERROR, not a number.
+        min(col("b")).as("__bmin"), max(col("b")).as("__bmax"))
     val s = (lit(m) - col("n_present")).cast("double") +
       col("__qsum").cast("double") / lit(unit.toDouble)
     val raw = lit(alpha) * lit(m) * lit(m) / s
     val v = lit(m) - col("n_present")
     val est = when(raw <= lit(2.5 * m) && v > 0,
       lit(m) * log(lit(m.toDouble) / v)).otherwise(raw)
+    val bOk = col("__bmin") === lit(b) && col("__bmax") === lit(b)
     agg
       .withColumn("m_buckets", lit(m))
-      .withColumn("est_distinct", round(est, 4))
+      // the guard lives INSIDE the output column so column pruning
+      // can never optimize the validation away
+      .withColumn("est_distinct",
+        when(bOk, round(est, 4)).otherwise(raise_error(format_string(
+          s"hllEstimate: asked to decode b=$b but sketch carries b in [%d, %d]",
+          col("__bmin"), col("__bmax")))))
       .select(groupCols.map(col) ++ Seq(
         col("m_buckets"), col("n_present"), col("est_distinct")): _*)
   }

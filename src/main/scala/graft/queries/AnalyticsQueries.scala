@@ -1632,30 +1632,31 @@ object AnalyticsQueries {
          |  SELECT event_type, ts::DATE AS d, value::DOUBLE AS v FROM events
          |), a AS (SELECT max(d) AS asof FROM s),
          |w AS (
-         |  SELECT event_type, v,
+         |  SELECT event_type, v, d,
          |    CASE WHEN k >= 63 THEN 0e0
          |         ELSE 1e0 / ((CAST(1 AS BIGINT) << CAST(k AS INTEGER))::DOUBLE) END AS wt
-         |  FROM (SELECT event_type, v,
+         |  FROM (SELECT event_type, v, d,
          |          CAST(a.asof - d AS BIGINT) // $decayHalfLifeDays AS k FROM s, a)
          |), g AS (
          |  SELECT event_type, count(*)::BIGINT AS n,
          |    CAST(sum(CAST(round(v * wt * 1e6) AS BIGINT)) AS BIGINT) AS dq,
-         |    CAST(sum(CAST(round(v * 1e6) AS BIGINT)) AS BIGINT) AS rq
+         |    CAST(sum(CASE WHEN d IS NOT NULL
+         |                  THEN CAST(round(v * 1e6) AS BIGINT) END) AS BIGINT) AS rq
          |  FROM w GROUP BY 1
          |)
          |SELECT event_type, n,
-         |  round(dq::DOUBLE / 1e6, 4) AS decayed_value_r,
-         |  round(rq::DOUBLE / 1e6, 4) AS raw_value_r,
+         |  round(dq::DOUBLE / 1e6, 4) + 0e0 AS decayed_value_r,
+         |  round(rq::DOUBLE / 1e6, 4) + 0e0 AS raw_value_r,
          |  round(CASE WHEN rq::DOUBLE = 0e0 THEN NULL
-         |             ELSE dq::DOUBLE / rq::DOUBLE END, 4) AS freshness_r
+         |             ELSE dq::DOUBLE / rq::DOUBLE END, 4) + 0e0 AS freshness_r
          |FROM g ORDER BY event_type""".stripMargin,
     "q_robust_stats" ->
       s"""WITH med AS (
-         |  SELECT event_type, round(quantile_cont(value::DOUBLE, 0.5), 4) AS med
+         |  SELECT event_type, round(quantile_cont(value::DOUBLE, 0.5), 4) + 0e0 AS med
          |  FROM events GROUP BY 1
          |), mad AS (
          |  SELECT e.event_type, count(*)::BIGINT AS n, max(m.med) AS med,
-         |    round(quantile_cont(abs(e.value::DOUBLE - m.med), 0.5), 4) AS mad
+         |    round(quantile_cont(abs(e.value::DOUBLE - m.med), 0.5), 4) + 0e0 AS mad
          |  FROM events e JOIN med m ON m.event_type = e.event_type GROUP BY 1
          |)
          |SELECT a.event_type, a.n, a.med, a.mad,

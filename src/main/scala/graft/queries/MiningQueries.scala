@@ -360,8 +360,10 @@ object MiningQueries {
       val e = Tables.embeddings(s, dir)
       val model = Pca.fitReplayable(
         e, "embedding", embeddingDim, pcaK, pcaIters)
+      // same valid-vector convention as the fit (incl. exact length)
       val valid = col("embedding").isNotNull &&
-        !exists(col("embedding"), _.isNull)
+        !exists(col("embedding"), _.isNull) &&
+        size(col("embedding")) === embeddingDim
       e.filter(valid)
         .select(col("vec_id") +:
           Pca.replayableWhitened(col("embedding"), model): _*)
@@ -590,6 +592,7 @@ object MiningQueries {
     s"""WITH RECURSIVE valid AS (
        |  SELECT vec_id, embedding AS v FROM embeddings
        |  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0
+       |    AND len(embedding) = $d
        |), nrow AS (SELECT count(*)::BIGINT AS n FROM valid),
        |lin AS (
        |  SELECT i, sum(CAST(round(v[CAST(i+1 AS INTEGER)]::DOUBLE * 1e9) AS BIGINT)) AS q
@@ -707,7 +710,7 @@ object MiningQueries {
          |  SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i
          |)""".stripMargin
     sb ++= s"""
-         |SELECT qid, rank, nid, round(rel, 4) AS rel_r, round(mmr, 4) AS mmr_r
+         |SELECT qid, rank, nid, round(rel, 4) + 0e0 AS rel_r, round(mmr, 4) + 0e0 AS mmr_r
          |FROM sel$mmrK ORDER BY qid, rank""".stripMargin
     sb.toString
   }
@@ -741,7 +744,7 @@ object MiningQueries {
       def cosSql(a: String, b: String): String =
         s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
       def topAvg(side: String, other: String, avg: String): String =
-        s"""  SELECT $side, CAST(sum(q) AS BIGINT)::DOUBLE / 1e9 / $bitextK AS $avg
+        s"""  SELECT $side, CAST(sum(q) AS BIGINT)::DOUBLE / 1e9 / least(count(*), $bitextK)::DOUBLE AS $avg
            |  FROM (SELECT *, row_number() OVER (PARTITION BY $side ORDER BY sim DESC, $other) AS rk FROM s)
            |  WHERE rk <= $bitextK GROUP BY 1""".stripMargin
       s"""WITH a AS (
@@ -765,7 +768,7 @@ object MiningQueries {
          |    row_number() OVER (PARTITION BY b_id ORDER BY margin DESC, a_id) AS bw
          |  FROM m
          |)
-         |SELECT a_id, b_id, round(sim, 4) AS sim_r, round(margin, 4) AS margin_r
+         |SELECT a_id, b_id, round(sim, 4) + 0e0 AS sim_r, round(margin, 4) + 0e0 AS margin_r
          |FROM r WHERE fw = 1 AND bw = 1 AND margin > ${sqlDouble(bitextThreshold)}
          |ORDER BY a_id""".stripMargin
     },

@@ -26,23 +26,18 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.isHot((2.5, 1.0, 2.0))) // thresholds are strict
   }
 
-  // VERDICT r14 #2 and the r15 regression of the fix: at 151 queries
-  // the full per-query map (~4 KB) outgrew the driver's ~2000-char
-  // stdout tail (r14, rc:0/parsed:null), and the r15 bounded line —
-  // complete and valid inside the tail — STILL recorded parsed:null
-  // because it reordered "sf" before "queries" and carried extra keys
-  // ("contaminated", "queries_elided"). The last line that parsed
-  // (r10) was exactly the documented template. Pin that the canonical
-  // line is byte-compatible with it: key order metric,value,unit,
-  // queries,sf — no extra keys — and bounded for a 170-query suite.
-  test("canonicalLine matches the documented template exactly and stays under budget") {
-    val best = (1 to 170)
-      .map(i => f"q_query_with_a_realistic_name_$i%03d" -> (0.05 * i))
-      .toMap
+  // Parse-contract pin (three failed hypotheses deep — see the
+  // canonicalLine scaladoc): the one line the driver has ever parsed
+  // (r10) carried the FULL per-query map in RUN order with key order
+  // metric,value,unit,queries,sf and no extra keys. r16 matched the
+  // template but elided the map to a length budget and still recorded
+  // parsed:null — so elision itself is the last suspect standing.
+  // Pin: full map, run order, exact key order, no extras, no bound.
+  test("canonicalLine carries every query in run order with the r10 key order") {
+    val best = scala.collection.mutable.LinkedHashMap(
+      (1 to 190).map(i => f"q_query_with_a_realistic_name_$i%03d" -> (0.05 * i)): _*)
     val total = best.values.sum
-    val (line, elided) =
-      Bench.canonicalParts(best, total, "/root/testdata/sf0.1")
-    assert(line.length <= 1400, s"line is ${line.length} chars")
+    val line = Bench.canonicalLine(best, total, "/root/testdata/sf0.1")
     // Byte-anchored template probes: documented key order, no extras.
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(line.contains(""","unit":"sec","queries":{"""))
@@ -52,20 +47,22 @@ class BenchSpec extends AnyFunSuite {
     val keyOrder = """"(metric|value|unit|queries|sf)":""".r
       .findAllMatchIn(line).map(_.group(1)).toSeq
     assert(keyOrder == Seq("metric", "value", "unit", "queries", "sf"))
-    // Slowest queries survive; the elision count covers the rest.
-    assert(line.contains("q_query_with_a_realistic_name_170"))
-    val kept = """"q_query_with_a_realistic_name_""".r.findAllIn(line).size
-    assert(kept + elided == 170)
-    assert(elided > 0) // the budget genuinely binds at this suite size
+    // EVERY query is present, in insertion (run) order — no elision.
+    val kept = """"q_query_with_a_realistic_name_(\d+)":""".r
+      .findAllMatchIn(line).map(_.group(1).toInt).toSeq
+    assert(kept == (1 to 190))
+    // One line: no interior newlines to split the driver's line scan.
+    assert(!line.contains("\n"))
   }
 
-  test("canonicalLine keeps every query when the suite fits the budget") {
-    val (line, elided) = Bench.canonicalParts(Map("q_a" -> 1.0, "q_b" -> 2.5), 3.5, "/tmp/sf")
+  test("canonicalLine formats values compactly and keeps the sf path verbatim") {
+    val best = scala.collection.mutable.LinkedHashMap("q_a" -> 1.0, "q_b" -> 2.5)
+    val line = Bench.canonicalLine(best, 3.5, "/tmp/sf")
     assert(line.contains(""""q_a":1.0""") && line.contains(""""q_b":2.5"""))
-    assert(elided == 0)
     assert(line.contains(""""value":3.5"""))
     assert(line.endsWith("""},"sf":"/tmp/sf"}"""))
-    // Slowest-first ordering inside the map.
-    assert(line.indexOf("q_b") < line.indexOf("q_a"))
+    // Run-order (insertion-order) inside the map, NOT slowest-first:
+    // r10's parsed line was run-ordered.
+    assert(line.indexOf("q_a") < line.indexOf("q_b"))
   }
 }

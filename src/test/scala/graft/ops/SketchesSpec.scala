@@ -266,4 +266,27 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Sketches.hllSketch(df, Seq("g"), $"v", b = 3) }
     intercept[IllegalArgumentException] { Sketches.hllEstimate(df, Seq("g"), b = 17) }
   }
+
+  test("hll register-width disagreement raises instead of returning garbage") {
+    def deepMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val df = (1 to 500).map(i => ("g", s"v$i")).toDF("g", "v")
+    val sk5 = Sketches.hllSketch(df, Seq("g"), $"v", b = 5)
+    val sk6 = Sketches.hllSketch(df, Seq("g"), $"v", b = 6)
+    // estimating with the wrong width parameter
+    val e1 = intercept[Throwable] {
+      Sketches.hllEstimate(sk5, Seq("g"), b = 6).collect()
+    }
+    assert(deepMessages(e1).contains("asked to decode b=6"), deepMessages(e1))
+    // merging sketches built with different widths: caught at the
+    // latest by the estimate's per-group min/max-b audit
+    val e2 = intercept[Throwable] {
+      Sketches.hllEstimate(
+        Sketches.hllMerge(sk5, sk6, Seq("g")), Seq("g"), b = 6).collect()
+    }
+    assert(deepMessages(e2).contains("mismatch") ||
+      deepMessages(e2).contains("asked to decode"), deepMessages(e2))
+    // and the matching-width path still estimates cleanly
+    assert(Sketches.hllEstimate(sk6, Seq("g"), b = 6).collect().nonEmpty)
+  }
 }
