@@ -44,4 +44,35 @@ class DocsSyncSpec extends AnyFunSuite {
     assert(phantom.isEmpty,
       s"PLANS.md references unknown queries: ${phantom.toSeq.sorted.mkString(", ")}")
   }
+
+  // Headline-number drift kept recurring (r15 claimed 152 queries at
+  // 151; r16 claimed 478 tests when the report aggregate said 479) —
+  // so the CURRENT counts live in one machine-checked sentinel line in
+  // PLANS.md and this test fails whenever the docs lie. The test count
+  // is a static source scan: every spec in this repo registers tests
+  // with a literal `test("...")` call (no generated or ignored tests —
+  // grep-verified), so declared == executed.
+  test("PLANS.md live-count sentinel matches the code") {
+    val plans = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("PLANS.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val sentinel =
+      """Live counts \(DocsSyncSpec-pinned\): (\d+) queries, (\d+) tests""".r
+    val m = sentinel.findFirstMatchIn(plans)
+    assert(m.nonEmpty, "PLANS.md must carry the 'Live counts (DocsSyncSpec-pinned)' line")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"PLANS.md claims ${m.get.group(1)} queries; SparkEntry.queries has ${SparkEntry.queries.size}")
+    val testRe = """(?m)^\s+test\(""".r
+    var declared = 0
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get("src/test/scala"))
+    try {
+      walk.filter(p => p.toString.endsWith(".scala")).forEach { p =>
+        val src = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        declared += testRe.findAllIn(src).size
+      }
+    } finally walk.close()
+    assert(m.get.group(2).toInt == declared,
+      s"PLANS.md claims ${m.get.group(2)} tests; src/test declares $declared")
+  }
 }
