@@ -22,6 +22,14 @@ object LlmQueries {
   private val embeddingDim = 64
   private val annTables = 8
   private val annBits = 4
+  /** ln 2 as a DuckDB DOUBLE literal (scientific notation parses as
+    * DOUBLE directly — a bare decimal parses DECIMAL-first and rounds
+    * differently; see MiningQueries.sqlDouble). Single source:
+    * [[RetrievalEval.Ln2]]. */
+  private val ln2Sql: String = {
+    val r = RetrievalEval.Ln2.toString
+    if (r.contains("E") || r.contains("e")) r else r + "e0"
+  }
   private val ivfCentroids = 16
   private val ivfProbe = 4
   private val pqM = 8 // PQ subspaces over embeddingDim=64 → dsub=8
@@ -571,6 +579,30 @@ object LlmQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           round(coalesce(col("n_hits"), lit(0L)).cast("double") / lit(simK), 4)
             .as("recall_r"))
+        .orderBy("qid")
+    }),
+
+    // X125: the retrieval eval loop — recall@k / MRR / nDCG@k per
+    // query for the LSH ANN arm against the exact-cosine ranking as
+    // graded ground truth (grade = k − exact_rank + 1). Completes the
+    // RAG stack's evaluation leg next to q_ann_recall's overlap count:
+    // MRR says how fast the first good hit arrives, nDCG weights the
+    // whole ranking. DCG sums are quantized-integer (order-free) with
+    // ln 2 embedded as the same literal in both engines, so the
+    // metrics hash-match like the rest of the ANN family.
+    "q_retrieval_metrics" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < simQueryIds)
+      val ann = Similarity.annTopK(
+          emb, q, "vec_id", "embedding", simK,
+          dim = embeddingDim, tables = annTables, bits = annBits)
+        .select(col("qid"), col("nid"), col("rank"))
+      val brute = Similarity
+        .bruteForceTopK(emb, q, "vec_id", "embedding", simK)
+        .select(col("qid"), col("nid"),
+          (lit(simK) - col("rank") + lit(1)).cast("double").as("grade"))
+      RetrievalEval.retrievalMetrics(
+          ann, brute, "qid", "nid", "rank", "grade", k = simK)
         .orderBy("qid")
     }),
 
@@ -1904,6 +1936,59 @@ object LlmQueries {
          |  round(coalesce(h.n, 0)::DOUBLE / $simK, 4) AS recall_r
          |FROM qq LEFT JOIN hits h ON h.qid = qq.qid
          |ORDER BY qq.qid""".stripMargin),
+    // X125: same two arms as q_ann_recall, kept WITH ranks; graded
+    // truth from the exact ranking; quantized-integer DCG sums with
+    // ln 2 as the shared literal (RetrievalEval.Ln2).
+    "q_retrieval_metrics" -> ("WITH " + annBucketCtes("embeddings") +
+      s""", cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+         |  FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id < $simQueryIds AND q.vec_id <> c.vec_id
+         |), asc0 AS (
+         |  SELECT cand.qid, cand.nid,
+         |    ${dotSql("qv.embedding", "nv.embedding")} /
+         |    (sqrt(${dotSql("qv.embedding", "qv.embedding")}) * sqrt(${dotSql("nv.embedding", "nv.embedding")})) AS sim
+         |  FROM cand
+         |  JOIN embeddings qv ON qv.vec_id = cand.qid
+         |  JOIN embeddings nv ON nv.vec_id = cand.nid
+         |), annr AS (
+         |  SELECT qid, nid, rank FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |    FROM asc0
+         |  ) WHERE rank <= $simK
+         |), qq AS (
+         |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+         |  WHERE vec_id < $simQueryIds
+         |), bsc AS (
+         |  SELECT qq.qid, c.vec_id AS nid,
+         |    ${dotSql("qq.qvec", "c.embedding")} /
+         |    (sqrt(${dotSql("qq.qvec", "qq.qvec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS sim
+         |  FROM embeddings c CROSS JOIN qq WHERE c.vec_id <> qq.qid
+         |), tru AS (
+         |  SELECT qid, nid, ($simK - rank + 1)::DOUBLE AS g FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |    FROM bsc
+         |  ) WHERE rank <= $simK
+         |), ideal AS (
+         |  SELECT qid, count(*)::BIGINT AS n_relevant,
+         |    sum(CASE WHEN irk <= $simK
+         |             THEN CAST(round(g * $ln2Sql / ln(irk + 1) * 1e9) AS BIGINT) END) AS idcgq
+         |  FROM (SELECT qid, nid, g,
+         |          row_number() OVER (PARTITION BY qid ORDER BY g DESC, nid) AS irk
+         |        FROM tru)
+         |  GROUP BY 1
+         |), mhits AS (
+         |  SELECT t.qid, count(*)::BIGINT AS n_hits, min(a.rank) AS minrk,
+         |    sum(CAST(round(t.g * $ln2Sql / ln(a.rank + 1) * 1e9) AS BIGINT)) AS dcgq
+         |  FROM tru t JOIN annr a ON a.qid = t.qid AND a.nid = t.nid
+         |  GROUP BY 1
+         |)
+         |SELECT i.qid, i.n_relevant, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+         |  round(coalesce(h.n_hits, 0)::DOUBLE / i.n_relevant, 4) AS recall_r,
+         |  round(CASE WHEN h.minrk IS NULL THEN 0e0 ELSE 1e0 / h.minrk END, 4) AS mrr_r,
+         |  round(coalesce(h.dcgq, 0)::DOUBLE / i.idcgq::DOUBLE, 4) AS ndcg_r
+         |FROM ideal i LEFT JOIN mhits h ON h.qid = i.qid
+         |ORDER BY i.qid""".stripMargin),
     "q_ann_neardup" ->
       (annNearDupCtes +
         """
