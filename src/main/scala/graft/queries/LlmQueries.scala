@@ -22,6 +22,7 @@ object LlmQueries {
   private val embeddingDim = 64
   private val annTables = 8
   private val annBits = 4
+  private val negK = 4
   /** ln 2 as a DuckDB DOUBLE literal (scientific notation parses as
     * DOUBLE directly — a bare decimal parses DECIMAL-first and rounds
     * differently; see MiningQueries.sqlDouble). Single source:
@@ -604,6 +605,23 @@ object LlmQueries {
       RetrievalEval.retrievalMetrics(
           ann, brute, "qid", "nid", "rank", "grade", k = simK)
         .orderBy("qid")
+    }),
+
+    // X126: word2vec-style negative sampling — 4 deterministic
+    // negatives per document from the freq^0.75-smoothed unigram
+    // distribution. Fully integer sampling path (quantized CDF, hash
+    // draw mod total) and the 3/4 power composed from correctly-
+    // rounded sqrts, so every draw replays bit-exactly in DuckDB; the
+    // engine-side inverse-CDF lookup is a bucketed equi-join, not a
+    // range join.
+    "q_negative_sampling" -> ((s, dir) => {
+      val freqs = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      NegSampling.sampleNegatives(
+          Tables.documents(s, dir).select("doc_id"), "doc_id",
+          freqs, "token", "freq", k = negK)
+        .orderBy("doc_id", "slot")
     }),
 
     // The X46 + X9 composition a quantized 100 TB corpus actually
@@ -1989,6 +2007,30 @@ object LlmQueries {
          |  round(coalesce(h.dcgq, 0)::DOUBLE / i.idcgq::DOUBLE, 4) AS ndcg_r
          |FROM ideal i LEFT JOIN mhits h ON h.qid = i.qid
          |ORDER BY i.qid""".stripMargin),
+    // X126: integer CDF replay — sqrt-composed 3/4 power, quantized
+    // weights, windowed prefix sum, md5 draw mod total, range lookup
+    // (the engine's bucketed equi-join returns the identical match).
+    "q_negative_sampling" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+         |), fr AS (
+         |  SELECT token, count(*)::BIGINT AS freq FROM tok GROUP BY 1
+         |), cdf AS (
+         |  SELECT token, q, CAST(sum(q) OVER (ORDER BY token) AS BIGINT) AS cum_hi
+         |  FROM (SELECT token,
+         |          CAST(round(sqrt(freq::DOUBLE * sqrt(freq::DOUBLE)) * 1e6) AS BIGINT) AS q
+         |        FROM fr)
+         |), c2 AS (
+         |  SELECT token, cum_hi - q AS cum_lo, cum_hi FROM cdf
+         |), tot AS (SELECT CAST(max(cum_hi) AS BIGINT) AS total FROM c2),
+         |dr AS (
+         |  SELECT d.doc_id, s.slot,
+         |    ('0x' || substr(md5('neg42' || '|' || d.doc_id || '|' || s.slot), 1, 15))::BIGINT % t.total AS draw
+         |  FROM documents d, (SELECT unnest(range(1, ${negK + 1})) AS slot) s, tot t
+         |)
+         |SELECT dr.doc_id, CAST(dr.slot AS INTEGER) AS slot, c.token AS neg_token, dr.draw
+         |FROM dr JOIN c2 c ON dr.draw >= c.cum_lo AND dr.draw < c.cum_hi
+         |ORDER BY dr.doc_id, dr.slot""".stripMargin,
     "q_ann_neardup" ->
       (annNearDupCtes +
         """

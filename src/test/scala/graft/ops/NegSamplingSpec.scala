@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NegSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // freq 81 : 16 : 1 → smoothed weights 27 : 8 : 1 (81^.75=27, 16^.75=8)
+  private def freqs = Seq(("a", 81L), ("b", 16L), ("c", 1L)).toDF("token", "freq")
+  private def ids = (0L until 1000L).toDF("id")
+
+  test("smoothedCdf tiles [0, total) contiguously with f^0.75 integer weights") {
+    val cdf = NegSampling.smoothedCdf(freqs, "token", "freq")
+      .orderBy("token").collect()
+    val q = cdf.map(_.getAs[Long]("q"))
+    assert(q.toSeq == Seq(27000000L, 8000000L, 1000000L), q.toSeq)
+    assert(cdf.head.getAs[Long]("cum_lo") == 0L)
+    // contiguous tiling: each interval starts where the previous ended
+    cdf.sliding(2).foreach { case Array(p, n) =>
+      assert(p.getAs[Long]("cum_hi") == n.getAs[Long]("cum_lo"))
+    }
+    assert(cdf.last.getAs[Long]("cum_hi") == q.sum)
+    // zero/negative frequencies are excluded, not zero-width intervals
+    val withZero = freqs.unionByName(Seq(("z", 0L)).toDF("token", "freq"))
+    assert(NegSampling.smoothedCdf(withZero, "token", "freq").count() == 3)
+  }
+
+  test("every draw matches exactly one interval; shares track f^0.75") {
+    val out = NegSampling.sampleNegatives(ids, "id", freqs, "token", "freq", k = 4)
+    assert(out.count() == 4000L) // bucketed lookup: no lost or doubled draws
+    assert(out.select("id", "slot").distinct().count() == 4000L)
+    val shares = out.groupBy("neg_token").count().as[(String, Long)].collect().toMap
+    // expected 27/36, 8/36, 1/36 of 4000 = 3000 / 889 / 111; 4σ ≈ 120
+    assert(math.abs(shares("a") - 3000L) < 180, shares.toString)
+    assert(math.abs(shares("b") - 889L) < 180, shares.toString)
+    assert(math.abs(shares.getOrElse("c", 0L) - 111L) < 80, shares.toString)
+  }
+
+  test("deterministic: same seed replays, partitioning-invariant, seed moves draws") {
+    def run(df: org.apache.spark.sql.DataFrame, seed: String) =
+      NegSampling.sampleNegatives(df, "id", freqs, "token", "freq", k = 2, seed = seed)
+        .select("id", "slot", "neg_token").as[(Long, Int, String)].collect().toSet
+    val a = run(ids, "neg42")
+    assert(a == run(ids.repartition(17), "neg42"))
+    assert(a != run(ids, "other-seed"))
+  }
+
+  test("excludeCol drops a row's own positive from its negatives") {
+    val withPos = ids.withColumn("pos", lit("a"))
+    val out = NegSampling.sampleNegatives(
+      withPos, "id", freqs, "token", "freq", k = 4, excludeCol = Some("pos"))
+    val kept = out.select("neg_token").distinct().as[String].collect().toSet
+    assert(!kept.contains("a") && kept.nonEmpty)
+    // plain run at the same seed DOES sample the dominant token
+    assert(NegSampling.sampleNegatives(ids, "id", freqs, "token", "freq", k = 4)
+      .filter(col("neg_token") === "a").count() > 0)
+  }
+
+  test("plan: the inverse-CDF lookup is a hash equi-join on the grid bucket") {
+    val plan = NegSampling.sampleNegatives(ids, "id", freqs, "token", "freq", k = 2)
+      .queryExecution.executedPlan.toString
+    // the vocab lookup joins on __bkt as a broadcast HASH join — the
+    // interval predicate is a post-join filter, never the join itself
+    // (the only nested-loop joins in the plan are the 1-row scalar
+    // `total` broadcasts, the repo-wide scalar convention)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("__bkt"),
+      s"bucketed equi-join shape missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("knob validation") {
+    intercept[IllegalArgumentException] {
+      NegSampling.sampleNegatives(ids, "id", freqs, "token", "freq", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      NegSampling.sampleNegatives(ids, "id", freqs, "token", "freq", k = 1, buckets = 0)
+    }
+  }
+}
