@@ -213,9 +213,14 @@ object Pca {
       .select(col("__i").as("i"), col("__j").as("j"),
         q(col("__x") * element_at(v, col("__j") + 1)).as("q"))
     val cnt = base.select(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("q"))
-    val sums = cnt.unionByName(lin).unionByName(quad)
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("q")).as("s"))
+    // persistOnce: the aggregated moments frame is ≤ dim²/2 + dim + 1
+    // tiny rows, and sibling queries fitting the same input (the
+    // whiten row + the reduced-space top-k composition) re-collect it
+    // instead of re-running the corpus moments pass.
+    val sums = graft.CachedFrames.persistOnce(
+        cnt.unionByName(lin).unionByName(quad)
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("q")).as("s")))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
       .toMap

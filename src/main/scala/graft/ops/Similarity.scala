@@ -155,6 +155,30 @@ object Similarity {
     * used by [[graft.pipeline.AnnIndex]] so tie-breaking can never
     * diverge between the inline and the store-backed IVF paths.
     */
+  /** [[bruteForceTopK]] over DOUBLE vectors (whitened / reduced-space
+    * projections): the fused [[cosine]] expression is float-typed, so
+    * this variant scores with the composed `dot/(√·√)` form — three
+    * separate left-to-right folds, exactly the shape every SQL oracle
+    * replays — which costs nothing in the low-dimensional spaces
+    * double vectors come from.
+    */
+  def bruteForceTopKDouble(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    def cos(a: Column, b: Column): Column =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cos(col("qvec"), col("nvec")))
+    rankTopK(scored, k)
+  }
+
   private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     scored

@@ -370,6 +370,34 @@ object MiningQueries {
         .orderBy("vec_id")
     }),
 
+    // X127: the dim-reduction ∘ similarity composition a 100 TB
+    // retrieval stack actually runs — whiten to 8 dims with the
+    // replayable PCA fit, then cosine top-k in the REDUCED space
+    // (64→8 dims cuts per-pair cost 8×; at corpus scale the reduced
+    // vectors feed the LSH/IVF routes unchanged). Hash-exact: the
+    // rounded projections are already engine-agreed (X96), and the
+    // reduced-space cosine uses the same pinned folds as every ANN
+    // oracle. The fit's quantized-moments frame is persistOnce-shared
+    // with q_pca_whiten, so the suite pays the moments pass once.
+    "q_pca_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val model = Pca.fitReplayable(
+        e, "embedding", embeddingDim, pcaK, pcaIters)
+      val valid = col("embedding").isNotNull &&
+        !exists(col("embedding"), _.isNull) &&
+        size(col("embedding")) === embeddingDim
+      val proj = e.filter(valid)
+        .select(col("vec_id") +:
+          Pca.replayableWhitened(col("embedding"), model): _*)
+      val rv = proj.select(col("vec_id"),
+        array((1 to pcaK).map(i => col(s"pc$i")): _*).as("rvec"))
+      Similarity.bruteForceTopKDouble(
+          rv, rv.filter(col("vec_id") < hnQueryIds), "vec_id", "rvec", mmrK)
+        .select(col("qid"), col("rank"), col("nid"),
+          (round(col("sim"), 4) + lit(0.0)).as("sim_r"))
+        .orderBy("qid", "rank")
+    }),
+
     // X115: MMR diversified re-rank — per query, 5 picks from the
     // 12-deep cosine shortlist trading relevance against redundancy
     // (λ=0.7). Every pick and score replays in DuckDB: fused-cosine
@@ -583,12 +611,25 @@ object MiningQueries {
     *    `(dot − off)·scale` shift, `round(…,4) + 0e0` sign-folding.
     */
   private def pcaOracle: String = {
+    val pcCols = (1 to pcaK).map(c =>
+      s"max(CASE WHEN comp = ${c - 1} THEN p END) AS pc$c").mkString(",\n  ")
+    pcaProjCtes +
+    s"""
+       |SELECT vec_id,
+       |  $pcCols
+       |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  /** Shared CTE prefix of the X96 family: the full replayable-PCA fit
+    * + per-(vec, comp) whitened projection `proj(vec_id, comp, p)` —
+    * reused verbatim by [[pcaOracle]] (pivot to pc columns) and the
+    * X127 composition oracle (reduced-space top-k).
+    */
+  private def pcaProjCtes: String = {
     val d = embeddingDim
     val starts = "[" + (0 until pcaK).map(c =>
       "[" + Pca.replayStart(c, d).map(sqlDouble).mkString(",") + "]")
       .mkString(",") + "]"
-    val pcCols = (1 to pcaK).map(c =>
-      s"max(CASE WHEN comp = ${c - 1} THEN p END) AS pc$c").mkString(",\n  ")
     s"""WITH RECURSIVE valid AS (
        |  SELECT vec_id, embedding AS v FROM embeddings
        |  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0
@@ -653,10 +694,34 @@ object MiningQueries {
        |    round((list_sum(list_transform(range(1, ${d + 1}), i ->
        |      e.v[CAST(i AS INTEGER)]::DOUBLE * mo.v[CAST(i AS INTEGER)])) - mo.off) * mo.scl, 4) + 0e0 AS p
        |  FROM valid e, moff mo
+       |)""".stripMargin
+  }
+
+  /** X127 oracle: whitened 8-dim vectors from the shared proj CTEs,
+    * then exact cosine top-k in the reduced space — the dot folds and
+    * tie rule of the ANN oracles, over the ROUNDED projections (both
+    * engines agree on them bit-for-bit, so the composition stays
+    * hash-exact).
+    */
+  private def pcaTopOracle: String = {
+    def dot8(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${pcaK + 1}), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))"
+    pcaProjCtes +
+    s""", rv AS (
+       |  SELECT vec_id, list(p ORDER BY comp) AS rvec FROM proj GROUP BY vec_id
+       |), qrv AS (
+       |  SELECT vec_id AS qid, rvec AS qv FROM rv WHERE vec_id < $hnQueryIds
+       |), sc AS (
+       |  SELECT q.qid, c.vec_id AS nid,
+       |    ${dot8("q.qv", "c.rvec")} /
+       |    (sqrt(${dot8("q.qv", "q.qv")}) * sqrt(${dot8("c.rvec", "c.rvec")})) AS sim
+       |  FROM rv c CROSS JOIN qrv q WHERE c.vec_id <> q.qid
        |)
-       |SELECT vec_id,
-       |  $pcCols
-       |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(sim, 4) + 0e0 AS sim_r
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |  FROM sc
+       |) WHERE rank <= $mmrK ORDER BY qid, rank""".stripMargin
   }
 
   /** X115 oracle: the MMR greedy loop as one chained-CTE replay —
@@ -738,6 +803,7 @@ object MiningQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_pca_whiten" -> pcaOracle,
+    "q_pca_topk" -> pcaTopOracle,
     "q_mmr_rerank" -> mmrOracle,
     "q_jl_project" -> jlOracle,
     "q_bitext_mine" -> {
