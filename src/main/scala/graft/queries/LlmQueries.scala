@@ -607,6 +607,16 @@ object LlmQueries {
         .orderBy("qid")
     }),
 
+    // X129: per-source corpus datasheet — the dataset-card summary
+    // table (volume, length shape, language makeup, exact-dup rate)
+    // that sits in front of every mixing/curation decision. Integer
+    // counts, exact grouped median, 4-decimal ratios: hash-exact.
+    "q_corpus_datasheet" -> ((s, dir) => {
+      Datasheet.corpusDatasheet(
+          Tables.documents(s, dir), "source", "text", "lang")
+        .orderBy("source")
+    }),
+
     // X126: word2vec-style negative sampling — 4 deterministic
     // negatives per document from the freq^0.75-smoothed unigram
     // distribution. Fully integer sampling path (quantized CDF, hash
@@ -2007,6 +2017,37 @@ object LlmQueries {
          |  round(coalesce(h.dcgq, 0)::DOUBLE / i.idcgq::DOUBLE, 4) AS ndcg_r
          |FROM ideal i LEFT JOIN mhits h ON h.qid = i.qid
          |ORDER BY i.qid""".stripMargin),
+    // X129: straight aggregation replay; the windowed sum and count
+    // casts pin HUGEINT→BIGINT, NULL langs excluded from the mode.
+    "q_corpus_datasheet" ->
+      """WITH b AS (
+        |  SELECT source, lang, text,
+        |    len(string_split(lower(text), ' '))::BIGINT AS ntok
+        |  FROM documents
+        |), a AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |    round(quantile_cont(ntok::DOUBLE, 0.5), 4) AS p50_tokens,
+        |    count(DISTINCT lang)::BIGINT AS n_langs,
+        |    count(DISTINCT text)::BIGINT AS nd
+        |  FROM b GROUP BY 1
+        |), lc AS (
+        |  SELECT source, lang, count(*)::BIGINT AS c
+        |  FROM b WHERE lang IS NOT NULL GROUP BY 1, 2
+        |), top AS (
+        |  SELECT source, lang AS top_lang, c FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rk
+        |    FROM lc
+        |  ) WHERE rk = 1
+        |)
+        |SELECT a.source, a.n_docs, a.n_tokens,
+        |  round(a.n_tokens::DOUBLE / a.n_docs, 4) AS avg_tokens_r,
+        |  a.p50_tokens, a.n_langs, t.top_lang,
+        |  round(t.c::DOUBLE / a.n_docs, 4) AS top_lang_share_r,
+        |  round((a.n_docs - a.nd)::DOUBLE / a.n_docs, 4) AS exact_dup_rate_r
+        |FROM a LEFT JOIN top t ON t.source = a.source
+        |ORDER BY a.source""".stripMargin,
+
     // X126: integer CDF replay — sqrt-composed 3/4 power, quantized
     // weights, windowed prefix sum, md5 draw mod total, range lookup
     // (the engine's bucketed equi-join returns the identical match).
