@@ -435,7 +435,11 @@ object AnalyticsQueries {
       val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
       val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
+      // truncateEvery = 0: three fixed iterations plan as ONE job —
+      // per-iteration materialization is pure scheduling overhead at
+      // this depth (the 50-iteration cluster case keeps the default)
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3,
+        truncateEvery = 0)
         .select(col("node"), round(col("rank") * 1000000, 4).as("rank_ppm"))
         .orderBy("node")
     }),

@@ -90,4 +90,24 @@ class GraphSpec extends SparkSpec {
     graft.CachedFrames.unpersistAll()
     assert(reliable == local) // bit-identical, not just tolerance-close
   }
+
+  test("pageRank truncation cadence never changes ranks (0 = one-job chain)") {
+    // truncateEvery trades per-iteration materialization (long runs)
+    // against scheduling latency (short fixed runs); the ranks must be
+    // bit-identical for every cadence.
+    val raw = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (3L, 1L), (3L, 2L))
+    def run(cadence: Int) = {
+      val r = Graph.pageRank(raw.toDF("src", "dst"), "src", "dst", 4,
+          truncateEvery = cadence)
+        .as[(Long, Double)].collect().toMap
+      graft.CachedFrames.unpersistAll()
+      r
+    }
+    val everyIter = run(1)
+    assert(run(0) == everyIter)
+    assert(run(2) == everyIter)
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(raw.toDF("src", "dst"), "src", "dst", 3, truncateEvery = -1)
+    }
+  }
 }
