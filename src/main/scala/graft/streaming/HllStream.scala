@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.io.AtomicSwap
+import graft.ops.Sketches
+import graft.pipeline.HllStore
+
+/** Continuous HLL register maintenance — the streaming closure of
+  * [[graft.pipeline.HllStore]]: every micro-batch's register sketch
+  * folds into the persisted base, so a live distinct-count (unique
+  * tokens/users/URLs per group) is always one register-read away
+  * while the raw stream is never stored.
+  *
+  * Delivery contract — and the reason this needs NO batch-id fence
+  * where [[GoldStream]] must carry one: the fold is per-register MAX,
+  * which is IDEMPOTENT. foreachBatch is at-least-once (a restart
+  * re-runs the last uncommitted batch), and re-folding the same batch
+  * re-maxes the same ρ values into registers that already hold them —
+  * the state is unchanged. Aggregation-sum state double-counts on
+  * re-delivery; max-register state cannot.
+  *
+  * State layout IS the [[HllStore]] layout (one
+  * `registers.parquet` base behind an [[AtomicSwap]], no increment
+  * generations — a micro-batch cadence would grow unbounded
+  * generations, and the base is only groups × 2^b rows to rewrite),
+  * so [[HllStore.estimate]] reads a streaming store and a batch store
+  * identically, and the register-width audit applies unchanged: a
+  * stream started with a different `b` than the store raises on the
+  * first fold instead of corrupting estimates.
+  */
+object HllStream {
+
+  /** Fold one micro-batch into the register base. Safe to re-apply
+    * (idempotent max); raises if `b` disagrees with the store.
+    */
+  def applyBatch(
+      batch: DataFrame,
+      storeDir: String,
+      groupCols: Seq[String],
+      valueCol: Column,
+      b: Int = 6,
+      hasher: (Column, Column) => Column = graft.ops.TextAnalysis.h64): Unit = {
+    val spark = batch.sparkSession
+    val root = HllStore.registersPath(storeDir)
+    AtomicSwap.recover(spark, root)
+    val base = s"$root/registers.parquet"
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inc = Sketches.hllSketch(batch, groupCols, valueCol, b, hasher)
+    val merged =
+      if (fs.exists(new Path(base)))
+        Sketches.hllMerge(spark.read.parquet(base), inc, groupCols)
+      else inc
+    val next = root + ".next"
+    merged.write.mode("overwrite").parquet(s"$next/registers.parquet")
+    AtomicSwap.swapIn(spark, root, next)
+  }
+
+  /** Start the continuous fold; read estimates any time through
+    * [[HllStore.estimate]].
+    */
+  def start(
+      changes: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      groupCols: Seq[String],
+      valueCol: Column,
+      b: Int = 6,
+      hasher: (Column, Column) => Column = graft.ops.TextAnalysis.h64): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(batch, storeDir, groupCols, valueCol, b, hasher)
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Sketches
+import graft.pipeline.HllStore
+import org.apache.spark.sql.functions._
+// Spark 4.1 moved MemoryStream under execution.streaming.runtime
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class HllStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(lo: Int, hi: Int) =
+    (lo until hi).map(i => (s"g${i % 2}", s"v$i"))
+
+  test("streamed register folds match the single-pass sketch batch for batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hllstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hllstream_ck").toString
+    val input = MemoryStream[(String, String)]
+    val query = HllStream.start(
+      input.toDF().toDF("g", "v"), dir, ckpt, Seq("g"), col("v"))
+    try {
+      input.addData(rows(0, 1500): _*)
+      query.processAllAvailable()
+      def stored = HllStore.estimate(spark, dir, Seq("g"))
+        .orderBy("g").collect().map(_.toSeq).toSeq
+      def whole(hi: Int) = Sketches.hllDistinct(
+          rows(0, hi).toDF("g", "v"), Seq("g"), $"v")
+        .orderBy("g").collect().map(_.toSeq).toSeq
+      assert(stored == whole(1500))
+      // second micro-batch overlaps the first: max-fold absorbs it
+      input.addData(rows(1000, 2500): _*)
+      query.processAllAvailable()
+      assert(stored == whole(2500))
+      // the streaming store IS an HllStore: batch appends compose
+      HllStore.append(spark, dir, rows(2500, 3000).toDF("g", "v"), Seq("g"), $"v")
+      assert(stored == whole(3000))
+    } finally query.stop()
+  }
+
+  test("re-applying a batch is a no-op (idempotent max — no fence needed)") {
+    val dir = java.nio.file.Files.createTempDirectory("hllstream_re").toString
+    val batch = rows(0, 800).toDF("g", "v")
+    HllStream.applyBatch(batch, dir, Seq("g"), col("v"))
+    val once = HllStore.estimate(spark, dir, Seq("g"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    // at-least-once re-delivery: same batch folds again, state unchanged
+    HllStream.applyBatch(batch, dir, Seq("g"), col("v"))
+    val twice = HllStore.estimate(spark, dir, Seq("g"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(twice == once)
+    // a stream resuming with the wrong register width raises, never corrupts
+    val e = intercept[Throwable] {
+      HllStream.applyBatch(batch, dir, Seq("g"), col("v"), b = 5)
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs(e).contains("mismatch"), msgs(e))
+  }
+}
