@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.TextAnalysis.h64
 
@@ -541,6 +542,90 @@ object Sketches {
           col("__bmin"), col("__bmax")))))
       .select(groupCols.map(col) ++ Seq(
         col("m_buckets"), col("n_present"), col("est_distinct")): _*)
+  }
+
+  // ------------------------------------------- log-histogram quantiles
+
+  /** Mergeable HDR-style log-scale histogram — the QUANTILE sketch
+    * beside [[hllSketch]] (distincts), [[kmvSketch]] (overlap) and
+    * CMS (heavy hitters): per group, bounded bucket counts from which
+    * any percentile reads back with ≤ 2^(−subBits) relative error.
+    * The 100 TB swap for [[quantiles]]' exact contract: exact grouped
+    * percentiles shuffle every value; this shuffles ≤ buckets ×
+    * groups counts, merges across days/sources by ADDING counts, and
+    * persists like any tiny frame.
+    *
+    * Binning is INTEGER-EXACT, no transcendental anywhere: the value
+    * quantizes to `q = round(x·scale)` and the bucket is
+    * `(m, sub)` where `m = bit_length(q)` — `length(bin(q))`, the
+    * same cross-engine-exact trick as the HLL rank — and `sub` is the
+    * next `subBits` bits below the leading one (values with
+    * `m ≤ subBits + 1` are EXACT: the bucket is the value itself).
+    * Both engines agree on every boundary bit-for-bit.
+    *
+    * Non-negative contract: NULLs and negatives are excluded
+    * (lengths, latencies, sizes, scores — the columns histograms are
+    * for); `n_dropped` in the companion audit is the caller's job via
+    * a count diff if the data can go negative.
+    *
+    * @return (group cols..., m, sub, lb, n) — lb is the bucket's
+    *         inclusive lower bound in ORIGINAL units (lb_q / scale)
+    */
+  def logHistogram(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      subBits: Int = 3,
+      scale: Double = 1e6): DataFrame = {
+    require(subBits >= 0 && subBits <= 16, s"subBits must be in [0, 16]: $subBits")
+    require(scale > 0, s"scale must be positive: $scale")
+    val q = round(valueCol.cast("double") * lit(scale)).cast("long")
+    val mask = (1L << subBits) - 1L
+    df.select(groupCols.map(col) :+ q.as("__q"): _*)
+      .filter(col("__q").isNotNull && col("__q") >= 0)
+      .withColumn("m", length(bin(col("__q"))).cast("int"))
+      .withColumn("sub",
+        when(col("m") <= subBits + 1, col("__q"))
+          .otherwise(expr(s"shiftright(__q, m - 1 - $subBits) & $mask")))
+      .withColumn("__lbq",
+        when(col("m") <= subBits + 1, col("sub"))
+          .otherwise(expr(
+            s"shiftleft(CAST(1 AS BIGINT), m - 1) + shiftleft(sub, m - 1 - $subBits)")))
+      .groupBy(groupCols.map(col) ++ Seq(col("m"), col("sub")): _*)
+      .agg(first(col("__lbq")).as("__lbq"), count(lit(1)).as("n"))
+      .withColumn("lb", col("__lbq").cast("double") / lit(scale))
+      .drop("__lbq")
+  }
+
+  /** Quantile read-back from a [[logHistogram]] (or a count-summed
+    * merge of several): for each requested q, the lower bound of the
+    * first bucket whose cumulative count reaches `ceil(q · total)` —
+    * deterministic, replayable, error bounded by the bucket width.
+    * One bounded-size window pass per group.
+    *
+    * @return (group cols..., q, est) — est in original value units
+    */
+  def histQuantiles(
+      hist: DataFrame,
+      groupCols: Seq[String],
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(v => v > 0 && v <= 1),
+      s"quantiles must be in (0, 1]: $qs")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("m"), col("sub"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(groupCols.map(col): _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("n")).over(w))
+      .withColumn("__tot", sum(col("n")).over(tot))
+    qs.map { p =>
+      cum
+        .filter(col("__cum") >= ceil(lit(p) * col("__tot").cast("double")))
+        .groupBy(groupCols.map(col): _*)
+        .agg(min_by(col("lb"), struct(col("m"), col("sub"))).as("est"))
+        .withColumn("q", lit(p))
+        .select(groupCols.map(col) ++ Seq(col("q"), col("est")): _*)
+    }.reduce(_ unionByName _)
   }
 
   /** One-call sketch + estimate. */

@@ -676,6 +676,37 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // X131 mergeable log-histogram quantiles: per event type, p50/p95/
+    // p99 read back from the HDR-style integer-binned sketch, with the
+    // exact percentile and relative error beside them for an auditable
+    // accuracy row. Binning is bit-length arithmetic on the quantized
+    // value (the HLL-rank trick) — no transcendental, every boundary
+    // engine-exact.
+    "q_hist_quantiles" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val qv = round(col("value").cast("double") * lit(1e6)).cast("long")
+      val base = ev.filter(qv.isNotNull && qv >= 0)
+      val hist = Sketches.logHistogram(base, Seq("event_type"), col("value"))
+      val est = Sketches.histQuantiles(
+        hist, Seq("event_type"), Seq(0.5, 0.95, 0.99))
+      val v = col("value").cast("double")
+      val ex = base.groupBy("event_type").agg(
+        percentile(v, lit(0.5)).as("e1"),
+        percentile(v, lit(0.95)).as("e2"),
+        percentile(v, lit(0.99)).as("e3"))
+      val exl = Seq((0.5, "e1"), (0.95, "e2"), (0.99, "e3")).map { case (p, c) =>
+        ex.select(col("event_type"), lit(p).as("q"), col(c).as("exact"))
+      }.reduce(_ unionByName _)
+      est.join(exl, Seq("event_type", "q"))
+        .select(col("event_type"), col("q"),
+          round(col("est"), 6).as("est_r"),
+          round(col("exact"), 4).as("exact_r"),
+          round(when(col("exact") === 0.0, lit(null))
+            .otherwise(abs(col("est") - col("exact")) / col("exact")), 4)
+            .as("rel_err_r"))
+        .orderBy("event_type", "q")
+    }),
+
     // X118 robust stats: per event type, median / MAD / robust-z
     // outlier count over the value column — the feature-QA audit a
     // unit-change bug trips where classical stddev absorbs it.
@@ -1654,6 +1685,52 @@ object AnalyticsQueries {
          |  round(CASE WHEN rq::DOUBLE = 0e0 THEN NULL
          |             ELSE dq::DOUBLE / rq::DOUBLE END, 4) + 0e0 AS freshness_r
          |FROM g ORDER BY event_type""".stripMargin,
+    // X131: bit-length binning replayed with bin()/shifts; window
+    // cumulative per group; exact percentile beside the estimate.
+    "q_hist_quantiles" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value::DOUBLE * 1e6) AS BIGINT) AS qv,
+        |    value::DOUBLE AS x
+        |  FROM events
+        |  WHERE value IS NOT NULL AND CAST(round(value::DOUBLE * 1e6) AS BIGINT) >= 0
+        |), bb AS (
+        |  SELECT event_type, qv, m,
+        |    CASE WHEN m <= 4 THEN qv ELSE (qv >> (m - 1 - 3)) & 7 END AS sub
+        |  FROM (SELECT event_type, qv, length(bin(qv))::INTEGER AS m FROM v)
+        |), h AS (
+        |  SELECT event_type, m, sub,
+        |    CAST(min(CASE WHEN m <= 4 THEN sub
+        |             ELSE (CAST(1 AS BIGINT) << (m - 1)) + (sub << (m - 1 - 3)) END) AS BIGINT) AS lbq,
+        |    count(*)::BIGINT AS n
+        |  FROM bb GROUP BY 1, 2, 3
+        |), c AS (
+        |  SELECT event_type, m, sub, lbq::DOUBLE / 1e6 AS lb, n,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY m, sub) AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM h
+        |), qq AS (SELECT unnest([0.5e0, 0.95e0, 0.99e0]) AS q),
+        |est AS (
+        |  SELECT event_type, q, lb AS est FROM (
+        |    SELECT c.event_type, qq.q, c.lb,
+        |      row_number() OVER (PARTITION BY c.event_type, qq.q ORDER BY c.m, c.sub) AS rk
+        |    FROM c, qq WHERE c.cum >= ceil(qq.q * c.tot)
+        |  ) WHERE rk = 1
+        |), ex AS (
+        |  SELECT event_type,
+        |    quantile_cont(x, 0.5) AS e1, quantile_cont(x, 0.95) AS e2,
+        |    quantile_cont(x, 0.99) AS e3
+        |  FROM v GROUP BY 1
+        |), exl AS (
+        |  SELECT event_type, 0.5e0 AS q, e1 AS exact FROM ex
+        |  UNION ALL SELECT event_type, 0.95e0 AS q, e2 AS exact FROM ex
+        |  UNION ALL SELECT event_type, 0.99e0 AS q, e3 AS exact FROM ex
+        |)
+        |SELECT e.event_type, e.q, round(e.est, 6) AS est_r,
+        |  round(x.exact, 4) AS exact_r,
+        |  round(CASE WHEN x.exact = 0e0 THEN NULL
+        |             ELSE abs(e.est - x.exact) / x.exact END, 4) AS rel_err_r
+        |FROM est e JOIN exl x ON x.event_type = e.event_type AND x.q = e.q
+        |ORDER BY e.event_type, e.q""".stripMargin,
     "q_robust_stats" ->
       s"""WITH med AS (
          |  SELECT event_type, round(quantile_cont(value::DOUBLE, 0.5), 4) + 0e0 AS med

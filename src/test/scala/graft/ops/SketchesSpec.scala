@@ -267,6 +267,53 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Sketches.hllEstimate(df, Seq("g"), b = 17) }
   }
 
+  test("logHistogram: exact small buckets, HDR binning, counts merge by addition") {
+    // subBits=3: values with quantized bit-length ≤ 4 (q ≤ 15 at
+    // scale=1) bucket EXACTLY; larger values keep the top 3 bits
+    // below the leading one → relative error ≤ 1/8
+    val df = Seq(0.0, 13.0, 100.0, 100.0).map(("g", _)).toDF("g", "v")
+    val h = Sketches.logHistogram(df, Seq("g"), $"v", subBits = 3, scale = 1.0)
+      .orderBy("m", "sub").collect()
+    // 0 → (m=1, sub=0, lb=0); 13 → exact (m=4, sub=13, lb=13);
+    // 100 = 0b1100100 → m=7, sub=(100>>3)&7=4, lb=64+(4<<3)=96
+    assert(h.map(r => (r.getAs[Int]("m"), r.getAs[Long]("sub"),
+      r.getAs[Double]("lb"), r.getAs[Long]("n"))).toSeq ==
+      Seq((1, 0L, 0.0, 1L), (4, 13L, 13.0, 1L), (7, 4L, 96.0, 2L)))
+    // mergeability: histogram of a∪b == per-bucket count sum of the parts
+    val a = (1 to 700).map(i => ("g", i * 0.37)).toDF("g", "v")
+    val b = (1 to 900).map(i => ("g", i * 1.13)).toDF("g", "v")
+    val whole = Sketches.logHistogram(a.unionAll(b), Seq("g"), $"v")
+      .orderBy("m", "sub").collect().toSeq
+    val merged = Sketches.logHistogram(a, Seq("g"), $"v")
+      .unionByName(Sketches.logHistogram(b, Seq("g"), $"v"))
+      .groupBy("g", "m", "sub")
+      .agg(first($"lb").as("lb"), sum($"n").as("n"))
+      .select("g", "m", "sub", "n", "lb") // logHistogram's column order
+      .orderBy("m", "sub").collect().toSeq
+    assert(merged == whole)
+  }
+
+  test("histQuantiles: estimates within the bucket-width bound of exact") {
+    val vals = (1 to 5000).map(i => ("g", (i * i).toDouble / 100))
+    val df = vals.toDF("g", "v")
+    val hist = Sketches.logHistogram(df, Seq("g"), $"v")
+    val est = Sketches.histQuantiles(hist, Seq("g"), Seq(0.5, 0.95, 0.99))
+      .select($"q", $"est").as[(Double, Double)].collect().toMap
+    val sorted = vals.map(_._2).sorted
+    for ((q, e) <- est) {
+      val exact = sorted((q * sorted.size).toInt.min(sorted.size - 1))
+      // lower bound of the containing bucket: within 2^-3 relative
+      assert(e <= exact * 1.001 && e >= exact * (1 - 0.13),
+        s"q=$q est=$e exact=$exact")
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.histQuantiles(hist, Seq("g"), Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.logHistogram(df, Seq("g"), $"v", subBits = 17)
+    }
+  }
+
   test("hll register-width disagreement raises instead of returning garbage") {
     def deepMessages(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
