@@ -34,7 +34,11 @@ object RetrievalEval {
     *                rank 1-based; rows with rank > k are ignored
     * @param truth   graded relevance: (queryCol, docCol, gradeCol),
     *                grade > 0 (non-positive grades are dropped);
-    *                queries absent from `truth` are not evaluated
+    *                queries absent from `truth` are not evaluated.
+    *                (query, doc) pairs must be UNIQUE — a duplicated
+    *                truth row would double-count its DCG term and
+    *                inflate n_relevant, the same contract every
+    *                qrels-format eval tool assumes
     * @param k       evaluation cutoff
     * @return one row per truth query:
     *         (queryCol, n_relevant, n_hits, recall_r, mrr_r, ndcg_r)

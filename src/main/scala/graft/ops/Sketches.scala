@@ -579,6 +579,9 @@ object Sketches {
       scale: Double = 1e6): DataFrame = {
     require(subBits >= 0 && subBits <= 16, s"subBits must be in [0, 16]: $subBits")
     require(scale > 0, s"scale must be positive: $scale")
+    val reserved = Set("m", "sub", "lb", "n")
+    require(groupCols.forall(!reserved.contains(_)),
+      s"logHistogram reserves output columns ${reserved.mkString("/")}; rename the group column")
     val q = round(valueCol.cast("double") * lit(scale)).cast("long")
     val mask = (1L << subBits) - 1L
     df.select(groupCols.map(col) :+ q.as("__q"): _*)
