@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Competence-based curriculum assignment (Platanios et al. 2019):
+  * order training examples easy→hard by a difficulty score and gate
+  * them into phases — phase p of P admits the easiest `pace(p/P)`
+  * fraction of the corpus (root pacing `sqrt(p/P)` front-loads easy
+  * data; linear pacing admits evenly).
+  *
+  * The 100 TB shape is the point: the textbook implementation is a
+  * GLOBAL `percent_rank()` — one total sort of the corpus per build.
+  * Here the percentile is read from the [[Sketches.logHistogram]]
+  * sketch instead: one grouped aggregation to ≤ bucket-count rows,
+  * then every row joins its bucket's cumulative share back via a
+  * BROADCAST hash join — no range exchange, no corpus sort, identical
+  * answer up to bucket granularity (≤ 2^(−subBits) relative error on
+  * the difficulty axis, which phase boundaries inherit; phases are
+  * coarse by definition, so bucket-edge granularity is the right
+  * trade).
+  *
+  * Deterministic and engine-replayable: integer bucket cumulatives,
+  * one double division per row, `sqrt` thresholds (IEEE
+  * correctly-rounded in both engines — the repo's pow-free
+  * convention).
+  *
+  * @return input rows (minus NULL/negative difficulties, which have
+  *         no defined place in the ordering) + `pctl_r` (the bucket's
+  *         cumulative share, rounded to 6) + `phase` (1..phases)
+  */
+object Curriculum {
+
+  def phaseAssign(
+      df: DataFrame,
+      difficulty: Column,
+      phases: Int = 4,
+      rootPacing: Boolean = true,
+      subBits: Int = 3,
+      scale: Double = 1e6): DataFrame = {
+    require(phases >= 1 && phases <= 64, s"phases must be in [1, 64]: $phases")
+    val reserved = Set("pctl_r", "phase")
+    val shadowing = df.columns.filter(reserved)
+    require(shadowing.isEmpty,
+      s"phaseAssign appends ${reserved.mkString("/")}; rename: ${shadowing.mkString(", ")}")
+    val rows = Sketches.logBucketed(
+      df.withColumn("__q", Sketches.quantized(difficulty, scale)), subBits)
+    val hist = rows.groupBy(col("m"), col("sub")).agg(count(lit(1)).as("__n"))
+    val cumW = Window.orderBy(col("m"), col("sub"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = hist
+      .withColumn("__cum", sum(col("__n")).over(cumW))
+      .withColumn("__tot", sum(col("__n")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("m"), col("sub"),
+        (col("__cum").cast("double") / col("__tot").cast("double")).as("__pctl"))
+    def pace(p: Int): Column = {
+      val frac = lit(p.toDouble) / lit(phases.toDouble)
+      if (rootPacing) sqrt(frac) else frac
+    }
+    val phase = (1 until phases).foldRight(lit(phases): Column) { (p, acc) =>
+      when(col("__pctl") <= pace(p), lit(p)).otherwise(acc)
+    }
+    rows.join(broadcast(cdf), Seq("m", "sub"))
+      .withColumn("pctl_r", round(col("__pctl"), 6))
+      .withColumn("phase", phase)
+      .drop("__q", "m", "sub", "__pctl")
+  }
+}

@@ -582,14 +582,8 @@ object Sketches {
     val reserved = Set("m", "sub", "lb", "n")
     require(groupCols.forall(!reserved.contains(_)),
       s"logHistogram reserves output columns ${reserved.mkString("/")}; rename the group column")
-    val q = round(valueCol.cast("double") * lit(scale)).cast("long")
-    val mask = (1L << subBits) - 1L
-    df.select(groupCols.map(col) :+ q.as("__q"): _*)
-      .filter(col("__q").isNotNull && col("__q") >= 0)
-      .withColumn("m", length(bin(col("__q"))).cast("int"))
-      .withColumn("sub",
-        when(col("m") <= subBits + 1, col("__q"))
-          .otherwise(expr(s"shiftright(__q, m - 1 - $subBits) & $mask")))
+    logBucketed(df.select(
+      groupCols.map(col) :+ quantized(valueCol, scale).as("__q"): _*), subBits)
       .withColumn("__lbq",
         when(col("m") <= subBits + 1, col("sub"))
           .otherwise(expr(
@@ -598,6 +592,31 @@ object Sketches {
       .agg(first(col("__lbq")).as("__lbq"), count(lit(1)).as("n"))
       .withColumn("lb", col("__lbq").cast("double") / lit(scale))
       .drop("__lbq")
+  }
+
+  /** Quantize to integer `scale` units, NaN-safe: ANSI mode makes a
+    * bare `cast(NaN as long)` an ERROR, so NaN degrades to NULL (and
+    * is then excluded like any other undefined value).
+    */
+  private[ops] def quantized(valueCol: Column, scale: Double): Column = {
+    val d = valueCol.cast("double")
+    when(isnan(d), lit(null)).otherwise(round(d * lit(scale))).cast("long")
+  }
+
+  /** Shared bit-length binning: rows with a quantized `__q` column
+    * gain `(m, sub)` (and lose NULL/negative rows) — the single
+    * source for [[logHistogram]] and per-row bucket lookups
+    * ([[Curriculum.phaseAssign]] joins rows back to the histogram on
+    * exactly these columns).
+    */
+  private[ops] def logBucketed(withQ: DataFrame, subBits: Int): DataFrame = {
+    val mask = (1L << subBits) - 1L
+    withQ
+      .filter(col("__q").isNotNull && col("__q") >= 0)
+      .withColumn("m", length(bin(col("__q"))).cast("int"))
+      .withColumn("sub",
+        when(col("m") <= subBits + 1, col("__q"))
+          .otherwise(expr(s"shiftright(__q, m - 1 - $subBits) & $mask")))
   }
 
   /** Quantile read-back from a [[logHistogram]] (or a count-summed

@@ -607,6 +607,19 @@ object LlmQueries {
         .orderBy("qid")
     }),
 
+    // X132: competence-based curriculum phases — every document gated
+    // into one of 4 root-paced phases by its approximate difficulty
+    // percentile (token count), read from the log-histogram sketch
+    // instead of a global percent_rank: no corpus sort, one broadcast
+    // bucket join. Integer cumulatives + sqrt thresholds: hash-exact.
+    "q_curriculum" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      Curriculum.phaseAssign(
+          d, size(TextAnalysis.tokens(col("text"))), phases = 4)
+        .select("doc_id", "pctl_r", "phase")
+        .orderBy("doc_id")
+    }),
+
     // X129: per-source corpus datasheet — the dataset-card summary
     // table (volume, length shape, language makeup, exact-dup rate)
     // that sits in front of every mixing/curation decision. Integer
@@ -2017,6 +2030,33 @@ object LlmQueries {
          |  round(coalesce(h.dcgq, 0)::DOUBLE / i.idcgq::DOUBLE, 4) AS ndcg_r
          |FROM ideal i LEFT JOIN mhits h ON h.qid = i.qid
          |ORDER BY i.qid""".stripMargin),
+    // X132: bit-length binning + integer bucket cumulatives + sqrt
+    // pacing thresholds, all engine-exact.
+    "q_curriculum" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CAST(round(len(string_split(lower(text), ' '))::DOUBLE * 1e6) AS BIGINT) AS qv
+        |  FROM documents
+        |), bb AS (
+        |  SELECT doc_id, m,
+        |    CASE WHEN m <= 4 THEN qv ELSE (qv >> (m - 1 - 3)) & 7 END AS sub
+        |  FROM (SELECT doc_id, qv, length(bin(qv))::INTEGER AS m
+        |        FROM v WHERE qv IS NOT NULL AND qv >= 0)
+        |), h AS (
+        |  SELECT m, sub, count(*)::BIGINT AS n FROM bb GROUP BY 1, 2
+        |), c AS (
+        |  SELECT m, sub,
+        |    CAST(sum(n) OVER (ORDER BY m, sub) AS BIGINT)::DOUBLE /
+        |    CAST(sum(n) OVER () AS BIGINT)::DOUBLE AS pctl
+        |  FROM h
+        |)
+        |SELECT bb.doc_id, round(c.pctl, 6) AS pctl_r,
+        |  CASE WHEN c.pctl <= sqrt(1e0/4e0) THEN 1
+        |       WHEN c.pctl <= sqrt(2e0/4e0) THEN 2
+        |       WHEN c.pctl <= sqrt(3e0/4e0) THEN 3 ELSE 4 END AS phase
+        |FROM bb JOIN c ON c.m = bb.m AND c.sub = bb.sub
+        |ORDER BY bb.doc_id""".stripMargin,
+
     // X129: straight aggregation replay; the windowed sum and count
     // casts pin HUGEINT→BIGINT, NULL langs excluded from the mode.
     "q_corpus_datasheet" ->
