@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Curation, EventAnalytics, Joins, Sketches, TextAnalysis, TfIdf}
+import graft.ops.{Curation, EventAnalytics, FeatureEncode, Joins, Sketches, TextAnalysis, TfIdf}
 
 /** Oracle-checked queries for the temporal-join and sketch operators
   * ([[graft.ops.Joins]], [[graft.ops.Sketches]]) — engine capabilities
@@ -674,6 +674,27 @@ object AnalyticsQueries {
           Tables.events(s, dir), Seq("event_type"), "ts", "value",
           halfLifeDays = decayHalfLifeDays)
         .orderBy("event_type")
+    }),
+
+    // X133 WOE/IV scorecard audit: how much purchase-signal the event
+    // value carries, over 5 equi-depth buckets — smoothed shares, ln
+    // replay, quantized-integer IV sum. The feature-screen every
+    // quality-classifier training set should publish.
+    "q_woe_iv" -> ((s, dir) => {
+      FeatureEncode.woeIv(
+          Tables.events(s, dir),
+          col("value"), col("event_type") === "purchase",
+          nBuckets = 5)
+        .orderBy("segment")
+    }),
+
+    // X133 smoothed target-mean encoding (m-estimate, m=20): the
+    // event-type → expected-value encoding table, rare categories
+    // pulled toward the global mean. Quantized order-free sums.
+    "q_target_encode" -> ((s, dir) => {
+      FeatureEncode.targetEncode(
+          Tables.events(s, dir), col("event_type"), col("value"))
+        .orderBy("category")
     }),
 
     // X131 mergeable log-histogram quantiles: per event type, p50/p95/
@@ -1685,6 +1706,63 @@ object AnalyticsQueries {
          |  round(CASE WHEN rq::DOUBLE = 0e0 THEN NULL
          |             ELSE dq::DOUBLE / rq::DOUBLE END, 4) + 0e0 AS freshness_r
          |FROM g ORDER BY event_type""".stripMargin,
+    // X133: rounded equi-depth cutpoints, smoothed-share WOE with the
+    // same 0.5/2.5 literals, quantized IV sum.
+    "q_woe_iv" ->
+      """WITH b AS (
+        |  SELECT value::DOUBLE AS f, (event_type = 'purchase') AS y FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+        |    AND event_type IS NOT NULL
+        |), c AS (
+        |  SELECT round(quantile_cont(f, 0.2), 4) AS q0,
+        |         round(quantile_cont(f, 0.4), 4) AS q1,
+        |         round(quantile_cont(f, 0.6), 4) AS q2,
+        |         round(quantile_cont(f, 0.8), 4) AS q3
+        |  FROM b
+        |), s AS (
+        |  SELECT CASE WHEN f <= q0 THEN 'b01' WHEN f <= q1 THEN 'b02'
+        |              WHEN f <= q2 THEN 'b03' WHEN f <= q3 THEN 'b04'
+        |              ELSE 'b05' END AS segment, y
+        |  FROM b, c
+        |), a AS (
+        |  SELECT segment, count(*)::BIGINT AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM s GROUP BY 1
+        |), a2 AS (SELECT segment, n, n_pos, n - n_pos AS n_neg FROM a),
+        |t AS (
+        |  SELECT CAST(sum(n_pos) AS BIGINT) AS tp, CAST(sum(n_neg) AS BIGINT) AS tn
+        |  FROM a2
+        |), w AS (
+        |  SELECT segment, n, n_pos, n_neg,
+        |    (n_pos + 0.5e0) / (tp + 2.5e0) AS num,
+        |    (n_neg + 0.5e0) / (tn + 2.5e0) AS den
+        |  FROM a2, t
+        |), w2 AS (
+        |  SELECT *, ln(num / den) AS woe, (num - den) * ln(num / den) AS ivt FROM w
+        |)
+        |SELECT segment, n, n_pos, n_neg,
+        |  round(woe, 4) + 0e0 AS woe_r,
+        |  round(ivt, 4) + 0e0 AS iv_term_r,
+        |  round(CAST(sum(CAST(round(ivt * 1e9) AS BIGINT)) OVER () AS BIGINT)::DOUBLE / 1e9, 4) + 0e0 AS iv_r
+        |FROM w2 ORDER BY segment""".stripMargin,
+    // X133: m-estimate encoding with quantized sums (m = 20).
+    "q_target_encode" ->
+      """WITH b AS (
+        |  SELECT event_type AS c, value::DOUBLE AS t FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(value::DOUBLE)
+        |), a AS (
+        |  SELECT c, count(*)::BIGINT AS n,
+        |    CAST(sum(CAST(round(t * 1e6) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM b GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(sum(sq) AS BIGINT) AS gq, CAST(sum(n) AS BIGINT) AS gn FROM a
+        |)
+        |SELECT a.c AS category, a.n,
+        |  round(a.sq::DOUBLE / 1e6 / a.n, 4) + 0e0 AS mean_r,
+        |  round((a.sq::DOUBLE / 1e6 + 20e0 * (g.gq::DOUBLE / 1e6 / g.gn)) / (a.n + 20e0), 4) + 0e0 AS te_r
+        |FROM a, g ORDER BY category""".stripMargin,
+
     // X131: bit-length binning replayed with bin()/shifts; window
     // cumulative per group; exact percentile beside the estimate.
     "q_hist_quantiles" ->
