@@ -607,6 +607,18 @@ object LlmQueries {
         .orderBy("qid")
     }),
 
+    // X134: classification report — per-class precision/recall/F1 +
+    // accuracy + Cohen's κ of the n-gram language-ID heuristic against
+    // the gold lang column. κ is the inter-annotator-agreement
+    // statistic; one grouped count to the confusion frame, integer
+    // ratios, quantized chance-agreement sum: hash-exact.
+    "q_classifier_report" -> ((s, dir) => {
+      ClassifierEval.classificationReport(
+          Tables.documents(s, dir),
+          TextAnalysis.langId(col("text")), col("lang"))
+        .orderBy("class")
+    }),
+
     // X132: competence-based curriculum phases — every document gated
     // into one of 4 root-paced phases by its approximate difficulty
     // percentile (token count), read from the log-histogram sketch
@@ -929,7 +941,11 @@ object LlmQueries {
        |   AND avg_token_len >= 2.0 AND avg_token_len <= 20.0) AS is_quality
        |FROM s ORDER BY doc_id""".stripMargin
 
-  private def langOracle: String = {
+  /** Shared language-ID replay: CTEs ending in `lp(doc_id, lang_pred)`
+    * plus the scores CTE `s` — reused by the q_lang_id oracle and the
+    * X134 classifier-report oracle.
+    */
+  private def langPredCtes: String = {
     val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(toks, x -> list_contains([$lst], x)))::BIGINT AS score_$lang"
@@ -939,17 +955,27 @@ object LlmQueries {
     val cases = TextAnalysis.langProfiles.map { case (lang, _) =>
       s"WHEN score_$lang = $top THEN '$lang'"
     }
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
        |), s AS (
        |  SELECT doc_id, ${scores.mkString(",\n    ")}
        |  FROM t
-       |)
-       |SELECT doc_id, ${names.mkString(", ")},
-       |  CASE WHEN $top = 0 THEN 'und'
-       |    ${cases.mkString("\n    ")}
-       |    ELSE 'und' END AS lang_pred
-       |FROM s ORDER BY doc_id""".stripMargin
+       |), lp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $top = 0 THEN 'und'
+       |      ${cases.mkString("\n      ")}
+       |      ELSE 'und' END AS lang_pred
+       |  FROM s
+       |)""".stripMargin
+  }
+
+  private def langOracle: String = {
+    val names = TextAnalysis.langProfiles.map { case (l, _) => s"score_$l" }
+    "WITH " + langPredCtes +
+    s"""
+       |SELECT s.doc_id, ${names.map(n => s"s.$n").mkString(", ")}, lp.lang_pred
+       |FROM s JOIN lp ON lp.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
   }
 
   /** The ONE X108 score/label frame both evaluation queries consume:
@@ -2030,6 +2056,48 @@ object LlmQueries {
          |  round(coalesce(h.dcgq, 0)::DOUBLE / i.idcgq::DOUBLE, 4) AS ndcg_r
          |FROM ideal i LEFT JOIN mhits h ON h.qid = i.qid
          |ORDER BY i.qid""".stripMargin),
+    // X134: confusion counts from the shared lang-pred CTEs; integer
+    // ratios; κ's chance term quantized to 1e-12 units.
+    "q_classifier_report" -> ("WITH " + langPredCtes +
+      s""", base AS (
+         |  SELECT lp.lang_pred AS p, d.lang AS g
+         |  FROM documents d JOIN lp ON lp.doc_id = d.doc_id
+         |  WHERE d.lang IS NOT NULL
+         |), pairs AS (
+         |  SELECT p, g, count(*)::BIGINT AS cnt FROM base GROUP BY 1, 2
+         |), goldn AS (
+         |  SELECT g AS class, CAST(sum(cnt) AS BIGINT) AS n_gold FROM pairs GROUP BY 1
+         |), predn AS (
+         |  SELECT p AS class, CAST(sum(cnt) AS BIGINT) AS n_pred FROM pairs GROUP BY 1
+         |), tpn AS (
+         |  SELECT g AS class, CAST(sum(cnt) AS BIGINT) AS tp FROM pairs
+         |  WHERE p = g GROUP BY 1
+         |), cls AS (
+         |  SELECT coalesce(gd.class, pd.class) AS class,
+         |    coalesce(gd.n_gold, 0)::BIGINT AS n_gold,
+         |    coalesce(pd.n_pred, 0)::BIGINT AS n_pred
+         |  FROM goldn gd FULL JOIN predn pd ON pd.class = gd.class
+         |), cls2 AS (
+         |  SELECT c.class, c.n_gold, c.n_pred, coalesce(t.tp, 0)::BIGINT AS tp
+         |  FROM cls c LEFT JOIN tpn t ON t.class = c.class
+         |), tot AS (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS nn,
+         |    CAST(sum(CASE WHEN p = g THEN cnt ELSE 0 END) AS BIGINT) AS agree
+         |  FROM pairs
+         |), pe AS (
+         |  SELECT CAST(sum(CAST(round((n_gold::DOUBLE / nn) * (n_pred::DOUBLE / nn) * 1e12) AS BIGINT)) AS BIGINT)::DOUBLE / 1e12 AS pe
+         |  FROM cls2, tot
+         |)
+         |SELECT class, n_gold, n_pred, tp,
+         |  round(CASE WHEN n_pred = 0 THEN NULL ELSE tp::DOUBLE / n_pred END, 4) AS precision_r,
+         |  round(CASE WHEN n_gold = 0 THEN NULL ELSE tp::DOUBLE / n_gold END, 4) AS recall_r,
+         |  round(CASE WHEN n_pred + n_gold = 0 THEN NULL
+         |             ELSE 2e0 * tp / (n_pred + n_gold) END, 4) AS f1_r,
+         |  round(agree::DOUBLE / nn, 4) AS accuracy_r,
+         |  round(CASE WHEN 1e0 - pe = 0e0 THEN NULL
+         |             ELSE (agree::DOUBLE / nn - pe) / (1e0 - pe) END, 4) + 0e0 AS kappa_r
+         |FROM cls2, tot, pe ORDER BY class""".stripMargin),
+
     // X132: bit-length binning + integer bucket cumulatives + sqrt
     // pacing thresholds, all engine-exact.
     "q_curriculum" ->
