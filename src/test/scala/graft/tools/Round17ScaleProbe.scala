@@ -42,6 +42,16 @@ object Round17ScaleProbe {
         d1.select((col("doc_id") + lit(i * nDocs)).as("doc_id"),
           col("lang"), col("source"), col("text"))
       }.reduce(_ unionByName _)
+    // SINGLE-BRANCH replication for the curriculum rows: an N-way
+    // union makes every branch compile its own whole-stage-codegen
+    // function, which for expression-heavy operators measures compile
+    // time x N, not the operator (measured: the same 100x corpus as a
+    // union ran phaseAssign at 12.4 s vs 1.05 s single-branch).
+    def docsFlat(n: Int): DataFrame =
+      graft.Tables.documents(spark, sfDir).select("doc_id", "text", "n_chars")
+        .crossJoin(spark.range(n).select(col("id").as("__rep")))
+        .select((col("doc_id") + col("__rep") * nDocs).as("doc_id"),
+          col("text"), col("n_chars"))
 
     def timed(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -75,6 +85,42 @@ object Round17ScaleProbe {
       }
       timed(s"corpusDatasheet ${n}x") {
         Datasheet.corpusDatasheet(d, "source", "text", "lang").count()
+      }
+      // curriculum: histogram-CDF percentile (broadcast join) vs the
+      // textbook global percent_rank (a full range exchange + sort) —
+      // force the phase column so Catalyst can't prune the work
+      timed(s"curriculum sketch-CDF ${n}x") {
+        graft.ops.Curriculum.phaseAssign(
+            docsFlat(n), size(TextAnalysis.tokens(col("text"))), phases = 4)
+          .agg(sum(col("phase"))).head().getLong(0)
+      }
+      // same comparison on a MATERIALIZED difficulty column (n_chars):
+      // isolates op structure from difficulty-expression re-evaluation
+      timed(s"curriculum sketch-CDF (plain col) ${n}x") {
+        graft.ops.Curriculum.phaseAssign(
+            docsFlat(n), col("n_chars").cast("double"), phases = 4)
+          .agg(sum(col("phase"))).head().getLong(0)
+      }
+      timed(s"curriculum percent_rank (plain col) ${n}x") {
+        import org.apache.spark.sql.expressions.Window
+        val pr = percent_rank().over(Window.orderBy(col("n_chars")))
+        docsFlat(n).withColumn("__pr", pr)
+          .withColumn("phase",
+            when(col("__pr") <= math.sqrt(0.25), 1)
+              .when(col("__pr") <= math.sqrt(0.5), 2)
+              .when(col("__pr") <= math.sqrt(0.75), 3).otherwise(4))
+          .agg(sum(col("phase"))).head().getLong(0)
+      }
+      timed(s"curriculum percent_rank ${n}x") {
+        import org.apache.spark.sql.expressions.Window
+        val pr = percent_rank().over(
+          Window.orderBy(size(TextAnalysis.tokens(col("text")))))
+        docsFlat(n).withColumn("__pr", pr)
+          .withColumn("phase",
+            when(col("__pr") <= math.sqrt(0.25), 1)
+              .when(col("__pr") <= math.sqrt(0.5), 2)
+              .when(col("__pr") <= math.sqrt(0.75), 3).otherwise(4))
+          .agg(sum(col("phase"))).head().getLong(0)
       }
       graft.CachedFrames.unpersistAll()
     }
