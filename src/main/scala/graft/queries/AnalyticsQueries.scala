@@ -721,7 +721,11 @@ object AnalyticsQueries {
       est.join(exl, Seq("event_type", "q"))
         .select(col("event_type"), col("q"),
           round(col("est"), 6).as("est_r"),
-          round(col("exact"), 4).as("exact_r"),
+          // + 0.0: a value in (-5e-7, 0) passes the quantized >= 0
+          // filter as qv = 0 but keeps its negative raw x — the exact
+          // percentile could then round to a signed zero that differs
+          // across engines (the q_pca_whiten hazard class)
+          (round(col("exact"), 4) + lit(0.0)).as("exact_r"),
           round(when(col("exact") === 0.0, lit(null))
             .otherwise(abs(col("est") - col("exact")) / col("exact")), 4)
             .as("rel_err_r"))
@@ -1804,7 +1808,7 @@ object AnalyticsQueries {
         |  UNION ALL SELECT event_type, 0.99e0 AS q, e3 AS exact FROM ex
         |)
         |SELECT e.event_type, e.q, round(e.est, 6) AS est_r,
-        |  round(x.exact, 4) AS exact_r,
+        |  round(x.exact, 4) + 0e0 AS exact_r,
         |  round(CASE WHEN x.exact = 0e0 THEN NULL
         |             ELSE abs(e.est - x.exact) / x.exact END, 4) AS rel_err_r
         |FROM est e JOIN exl x ON x.event_type = e.event_type AND x.q = e.q
