@@ -237,6 +237,14 @@ object Bench {
     val passLoadsJson = passLoads.map(triple).mkString("[", ",", "]")
     println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"failed":$failedJson,"parallelism":$par,"runs":$passesRun,"pass_totals":$passTotalsJson,"pass_series_slowest":$slowSeries,"loadavg_start":${triple(load0)},"loadavg_passes":$passLoadsJson,"loadavg_end":${triple(loadavg)},"contaminated":$contaminated$retryJson$errJson}""")
     println(canonicalLine(best, total, sfDir))
+    // VERDICT r17 #1: the 191-query inline line (~4 KB) overflowed the
+    // driver's 2000-char artifact tail from the FRONT, so the sealed
+    // r17 artifact carried no recoverable total at all. Emit a second,
+    // total-only canonical line (<200 bytes, same key order/shape, empty
+    // queries map) as the ABSOLUTE last stdout line — guaranteed inside
+    // any tail window — while the full per-query line and BENCH_DIAG
+    // stay immediately above for whichever form the driver parses.
+    println(canonicalLine(collection.Map.empty[String, Double], total, sfDir))
     spark.stop()
   }
 }

@@ -48,10 +48,14 @@ object Curriculum {
       subBits: Int = 3,
       scale: Double = 1e6): DataFrame = {
     require(phases >= 1 && phases <= 64, s"phases must be in [1, 64]: $phases")
-    val reserved = Set("pctl_r", "phase")
+    // m/sub/__q are logBucketed's working columns: withColumn would
+    // silently OVERWRITE same-named inputs and the drop below would then
+    // delete them from the output (ADVICE r17) — reject them up front,
+    // matching logHistogram's reserved-column guard.
+    val reserved = Set("pctl_r", "phase", "m", "sub", "__q")
     val shadowing = df.columns.filter(reserved)
     require(shadowing.isEmpty,
-      s"phaseAssign appends ${reserved.mkString("/")}; rename: ${shadowing.mkString(", ")}")
+      s"phaseAssign appends/consumes ${reserved.mkString("/")}; rename: ${shadowing.mkString(", ")}")
     val rows = Sketches.logBucketed(
       df.withColumn("__q", Sketches.quantized(difficulty, scale)), subBits)
     val hist = rows.groupBy(col("m"), col("sub")).agg(count(lit(1)).as("__n"))

@@ -76,15 +76,21 @@ object NegSampling {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val cdf = CachedFrames.persistOnce(smoothedCdf(freqs, tokenCol, freqCol))
     val total = cdf.agg(max(col("cum_hi")).as("__total"))
-    // each CDF interval explodes to the grid buckets it overlaps:
-    // floor(lo·B/total) .. floor((hi−1)·B/total) — Σ spans ≈ B + vocab
+    // Grid step = max(total div B, 1); bucket(x) = x div step. Each CDF
+    // interval explodes to the buckets it overlaps — Σ spans ≈ B + vocab.
+    // `div`: exact INTEGRAL division (the oracle's `//`) — a double
+    // `/`+floor could round an x.99999… quotient up at 1e14-scale
+    // values and shift a boundary bucket by one. Division-only form
+    // (never `x * B`): the earlier `cum_hi * buckets` product overflowed
+    // signed long once Σq exceeded 2^63/B ≈ 9e15 at B=1024 — plausible
+    // at the corpus scale this op targets (ADVICE r17). The bucket is
+    // only a join key; the exact interval filter below fixes the result,
+    // so the changed bucket boundary function is output-invariant.
+    val step = s"greatest(__total div $buckets, 1L)"
     val bucketed = cdf.crossJoin(broadcast(total))
-      // `div`: exact INTEGRAL division (the oracle's `//`) — a double
-      // `/`+floor could round an x.99999… quotient up at 1e14-scale
-      // products and shift a boundary bucket by one
       .withColumn("__bkt", explode(sequence(
-        expr(s"cum_lo * $buckets div __total"),
-        expr(s"(cum_hi - 1) * $buckets div __total"))))
+        expr(s"cum_lo div $step"),
+        expr(s"(cum_hi - 1) div $step"))))
       .select(col("__bkt"), col("token"), col("cum_lo"), col("cum_hi"))
     val exclude = excludeCol.map(col(_).cast("string"))
     val draws = ids
@@ -94,7 +100,7 @@ object NegSampling {
         hasher(lit(seed),
           concat(col(idCol).cast("string"), lit("|"), col("slot").cast("string"))),
         greatest(col("__total"), lit(1L))))
-      .withColumn("__bkt", expr(s"draw * $buckets div __total"))
+      .withColumn("__bkt", expr(s"draw div $step"))
     val out = draws
       .join(broadcast(bucketed), Seq("__bkt"))
       .filter(col("cum_lo") <= col("draw") && col("draw") < col("cum_hi"))

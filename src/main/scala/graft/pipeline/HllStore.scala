@@ -109,7 +109,7 @@ object HllStore {
     * exactly the sketch one pass over the union of the data would
     * build (max ρ is idempotent across overlapping increments).
     */
-  private def foldedRegisters(
+  private[graft] def foldedRegisters(
       spark: SparkSession, root: String, groupCols: Seq[String]): DataFrame = {
     val all = sources(spark, root)
       .map(spark.read.parquet(_))

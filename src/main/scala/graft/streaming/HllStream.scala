@@ -48,9 +48,17 @@ object HllStream {
     val base = s"$root/registers.parquet"
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val inc = Sketches.hllSketch(batch, groupCols, valueCol, b, hasher)
+    // Fold the WHOLE store — base plus every committed
+    // registers_inc_N.parquet generation — not the base alone: the swap
+    // below replaces the entire root, so an increment appended by
+    // [[HllStore.append]] between folds would otherwise be silently
+    // deleted and its data vanish from all later estimates (ADVICE
+    // r17). foldedRegisters also audits register width across
+    // generations, so a mismatched append still errors here.
     val merged =
       if (fs.exists(new Path(base)))
-        Sketches.hllMerge(spark.read.parquet(base), inc, groupCols)
+        Sketches.hllMerge(
+          HllStore.foldedRegisters(spark, root, groupCols), inc, groupCols)
       else inc
     val next = root + ".next"
     merged.write.mode("overwrite").parquet(s"$next/registers.parquet")

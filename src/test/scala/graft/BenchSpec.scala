@@ -65,4 +65,17 @@ class BenchSpec extends AnyFunSuite {
     // r10's parsed line was run-ordered.
     assert(line.indexOf("q_a") < line.indexOf("q_b"))
   }
+
+  // VERDICT r17 #1: the 191-query full line (~4 KB) overflowed the
+  // driver's 2000-char artifact tail from the FRONT, so the sealed
+  // artifact carried no recoverable total. The total-only trailer —
+  // canonicalLine with an empty map, printed as the ABSOLUTE last
+  // stdout line — must stay far inside any tail window.
+  test("total-only trailer line is tiny, valid, and shape-identical") {
+    val line = Bench.canonicalLine(
+      collection.Map.empty[String, Double], 127.43, "/root/testdata/sf0.1")
+    assert(line ==
+      """{"metric":"total","value":127.43,"unit":"sec","queries":{},"sf":"/root/testdata/sf0.1"}""")
+    assert(line.length <= 200)
+  }
 }

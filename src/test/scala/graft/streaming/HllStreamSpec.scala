@@ -39,6 +39,21 @@ class HllStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("a stream fold AFTER a batch append keeps the appended data (ADVICE r17)") {
+    val dir = java.nio.file.Files.createTempDirectory("hllstream_sa").toString
+    HllStream.applyBatch(rows(0, 800).toDF("g", "v"), dir, Seq("g"), col("v"))
+    // batch append lands a registers_inc_0.parquet generation…
+    HllStore.append(spark, dir, rows(800, 1600).toDF("g", "v"), Seq("g"), $"v")
+    // …which the next micro-batch's whole-root swap must fold in, not delete
+    HllStream.applyBatch(rows(1600, 2400).toDF("g", "v"), dir, Seq("g"), col("v"))
+    val stored = HllStore.estimate(spark, dir, Seq("g"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    val whole = Sketches.hllDistinct(
+        rows(0, 2400).toDF("g", "v"), Seq("g"), $"v")
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(stored == whole)
+  }
+
   test("re-applying a batch is a no-op (idempotent max — no fence needed)") {
     val dir = java.nio.file.Files.createTempDirectory("hllstream_re").toString
     val batch = rows(0, 800).toDF("g", "v")
