@@ -46,8 +46,15 @@ object Bench {
     * that the driver validates the parsed query set against the suite
     * — so this line now carries every query, exactly like r10, and
     * every diagnostic (contamination, loadavg, per-pass series) rides
-    * BENCH_DIAG printed before it. Nothing is printed after this
-    * line.
+    * BENCH_DIAG printed before it. After five rounds (r14–r18) of
+    * shape-exact attempts all recording parsed:null — including r17's
+    * byte-exact r10 form with nothing after it — the full-line parse
+    * is considered UNSATISFIABLE at 191 queries (recorded in PLANS);
+    * this line stays for human/tool recovery, and two short lines
+    * follow it INSIDE the 2000-char artifact tail: [[digestLine]]
+    * (per-pass totals + loadavg, so a contaminated run self-documents)
+    * and the total-only trailer (same shape, empty queries map — the
+    * only guaranteed-recoverable total).
     */
   def canonicalLine(
       best: collection.Map[String, Double],
@@ -57,6 +64,25 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString(",")
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{$entries},"sf":"$sfDir"}"""
+  }
+
+  /** One-line ≤150-byte diagnostics digest, printed immediately above
+    * the total-only trailer so it lands INSIDE the driver's 2000-char
+    * artifact tail (VERDICT r18 #7): the full BENCH_DIAG sits ~4 KB
+    * from stdout end, outside the window — which is exactly where the
+    * per-pass loadavg lived when the r16/r18 host-contamination ghosts
+    * had to be diagnosed by out-of-band re-runs. With passes, min/max
+    * pass totals, max loadavg, and the contaminated flag in the tail,
+    * a hot-host artifact proves itself hot.
+    */
+  def digestLine(
+      passTotals: Seq[Double],
+      maxLoadavg: Double,
+      contaminated: Boolean,
+      failedCount: Int): String = {
+    val (lo, hi) =
+      if (passTotals.isEmpty) (0.0, 0.0) else (passTotals.min, passTotals.max)
+    s"""BENCH_DIGEST {"passes":${passTotals.size},"pass_min":${r3(lo)},"pass_max":${r3(hi)},"load_max":${r3(maxLoadavg)},"contaminated":$contaminated,"failed":$failedCount}"""
   }
 
   /** Hot = bursty right now (1-min > 2.5) OR residually busy
@@ -237,6 +263,13 @@ object Bench {
     val passLoadsJson = passLoads.map(triple).mkString("[", ",", "]")
     println(s"""BENCH_DIAG {"queries_max":${obj(worst)},"failed":$failedJson,"parallelism":$par,"runs":$passesRun,"pass_totals":$passTotalsJson,"pass_series_slowest":$slowSeries,"loadavg_start":${triple(load0)},"loadavg_passes":$passLoadsJson,"loadavg_end":${triple(loadavg)},"contaminated":$contaminated$retryJson$errJson}""")
     println(canonicalLine(best, total, sfDir))
+    // Tail-window digest (VERDICT r18 #7): passes + min/max pass totals
+    // + max observed loadavg + contaminated, ≤150 bytes, right above
+    // the trailer so the sealed artifact carries its own contamination
+    // evidence (the full BENCH_DIAG above is outside the 2000-char
+    // window at 191 queries).
+    val maxLoad = (Seq(load0, loadRetry) ++ passLoads).map(_._1).max
+    println(digestLine(passTotals.toSeq, maxLoad, contaminated, failed.size))
     // VERDICT r17 #1: the 191-query inline line (~4 KB) overflowed the
     // driver's 2000-char artifact tail from the FRONT, so the sealed
     // r17 artifact carried no recoverable total at all. Emit a second,
@@ -244,6 +277,9 @@ object Bench {
     // queries map) as the ABSOLUTE last stdout line — guaranteed inside
     // any tail window — while the full per-query line and BENCH_DIAG
     // stay immediately above for whichever form the driver parses.
+    // r18 proved the trailer's total IS recoverable from the sealed
+    // artifact; the full-line parse is recorded as unsatisfiable at
+    // this suite size (see canonicalLine's scaladoc and PLANS).
     println(canonicalLine(collection.Map.empty[String, Double], total, sfDir))
     spark.stop()
   }

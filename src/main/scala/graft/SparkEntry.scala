@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{DateFeatures, SchemaOps}
+import graft.functions.GraftFunctions.roundPinned
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -72,7 +73,7 @@ object SparkEntry {
       graft.streaming.EventStreams.windowedAgg(Tables.events(s, dir))
         .select(
           col("window_start"), col("event_type"), col("n_events"),
-          round(col("total_value"), 2).as("total_value_r"))
+          roundPinned(col("total_value"), 2).as("total_value_r"))
         .orderBy("window_start", "event_type")
     }),
     // The NATIVE session-window operator (Spark's built-in
@@ -87,7 +88,7 @@ object SparkEntry {
         .groupBy(col("user_id"),
           session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum("value"), 2).as("total_value_r"))
+          roundPinned(sum("value"), 2).as("total_value_r"))
         .select(col("user_id"),
           col("w.start").as("session_start"),
           col("w.end").as("session_end"),
@@ -104,7 +105,7 @@ object SparkEntry {
           Tables.events(s, dir), gapSeconds = 1800L)
         .select(
           col("user_id"), col("session_idx"), col("n_events"),
-          round(col("total_value"), 2).as("total_value_r"),
+          roundPinned(col("total_value"), 2).as("total_value_r"),
           col("session_start"), col("session_end"))
         .orderBy("user_id", "session_idx")
     }),
@@ -125,7 +126,7 @@ object SparkEntry {
         .sessionizeReplay(ev, gapSeconds = 1800L, nBatches = 2)
         .select(
           col("user_id"), col("n_events"),
-          round(col("total_value"), 2).as("total_value_r"),
+          roundPinned(col("total_value"), 2).as("total_value_r"),
           col("first_ts").as("session_start"),
           col("last_ts").as("session_end"))
         .orderBy("user_id", "session_start", "session_end")

@@ -21,6 +21,30 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringTyp
   */
 object GraftFunctions {
 
+  /** Signed-zero-pinned rounding — THE library-wide way to round a
+    * floating output column (VERDICT r18 #3, after the bare-round
+    * signed-zero bug was re-found five times): Spark's HALF_UP
+    * `round` of a tiny negative value (e.g. −1e-9 at scale 4) yields
+    * **−0.0**, which hashes/prints differently from the +0.0 most SQL
+    * engines (and this repo's DuckDB oracle) produce for the same
+    * input. `+ 0.0` is the IEEE-754 canonicalizer: it is bit-identity
+    * for EVERY double except −0.0 (−0.0 + 0.0 = +0.0), costs one
+    * codegen'd add, and never changes magnitude or rounding. Bare
+    * `round(` in Column code is now rejected by RoundPinSpec's static
+    * scan (oracle SQL strings keep plain `round` — DuckDB's round
+    * already canonicalizes, and `+ 0e0` is added there only where a
+    * query proved it needs it).
+    */
+  def roundPinned(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.round(c, scale) + org.apache.spark.sql.functions.lit(0.0)
+
+  /** Single-arg form (scale 0) — used by the quantize-to-long paths,
+    * where the pin is a no-op after the integral cast but keeps the
+    * scan rule uniform: no bare `round(` anywhere in Column code.
+    */
+  def roundPinned(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.round(c) + org.apache.spark.sql.functions.lit(0.0)
+
   private def md5Builder(args: Seq[Expression]): Expression = args match {
     case Seq(c) => Md5PrefixLongExpr(c, 15)
     case Seq(c, Literal(n: Int, IntegerType)) => Md5PrefixLongExpr(c, n)

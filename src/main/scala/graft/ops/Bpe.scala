@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.roundPinned
 
 /** Byte-pair-encoding tokenizer INDUCTION over a corpus — the
   * train-your-own-tokenizer step of an LLM data pipeline (Sennrich,
@@ -216,9 +217,9 @@ object Bpe {
         sum("__nc").as("__nc"))
       .select(
         col(groupCol), col("n_words"), col("n_subwords"),
-        round(try_divide(col("n_subwords").cast("double"), col("n_words").cast("double")), 6)
+        roundPinned(try_divide(col("n_subwords").cast("double"), col("n_words").cast("double")), 6)
           .as("fertility"),
-        round(try_divide(col("__nc").cast("double"), col("n_subwords").cast("double")), 6)
+        roundPinned(try_divide(col("__nc").cast("double"), col("n_subwords").cast("double")), 6)
           .as("chars_per_subword"))
   }
 

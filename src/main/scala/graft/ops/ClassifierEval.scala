@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.roundPinned
 
 /** Multi-class classification report — per-class precision/recall/F1
   * plus overall accuracy and Cohen's κ (agreement beyond chance) for
@@ -47,7 +48,7 @@ object ClassifierEval {
       sum(col("cnt")).as("__nn"),
       sum(when(col("__p") === col("__g"), col("cnt")).otherwise(0L)).as("__agree"))
     val nn = col("__nn").cast("double")
-    val term = round((col("n_gold").cast("double") / nn) *
+    val term = roundPinned((col("n_gold").cast("double") / nn) *
       (col("n_pred").cast("double") / nn) * lit(1e12)).cast("long")
     val w = Window.partitionBy().rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
@@ -56,14 +57,14 @@ object ClassifierEval {
       .withColumn("__pe", sum(term).over(w).cast("double") / lit(1e12))
       .select(
         col("class"), col("n_gold"), col("n_pred"), col("tp"),
-        round(try_divide(col("tp").cast("double"), col("n_pred").cast("double")), 4)
+        roundPinned(try_divide(col("tp").cast("double"), col("n_pred").cast("double")), 4)
           .as("precision_r"),
-        round(try_divide(col("tp").cast("double"), col("n_gold").cast("double")), 4)
+        roundPinned(try_divide(col("tp").cast("double"), col("n_gold").cast("double")), 4)
           .as("recall_r"),
-        round(try_divide(lit(2.0) * col("tp").cast("double"),
+        roundPinned(try_divide(lit(2.0) * col("tp").cast("double"),
           (col("n_pred") + col("n_gold")).cast("double")), 4).as("f1_r"),
-        round(po, 4).as("accuracy_r"),
-        (round(try_divide(po - col("__pe"), lit(1.0) - col("__pe")), 4) + lit(0.0))
+        roundPinned(po, 4).as("accuracy_r"),
+        (roundPinned(try_divide(po - col("__pe"), lit(1.0) - col("__pe")), 4))
           .as("kappa_r"))
   }
 }

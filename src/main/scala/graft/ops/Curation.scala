@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import graft.functions.GraftFunctions.roundPinned
 
 /** Corpus-curation operators for training-data pipelines: deterministic
   * split assignment, stratified sampling, PII redaction, benchmark
@@ -177,7 +178,7 @@ object Curation {
     val u = (pmod(hasher(lit(seed), col(idCol).cast("string")), lit(m)) + 1L)
       .cast("double") / lit((m + 1L).toDouble)
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("skey", round(-log(u) / col(weightCol), 6))
+      .withColumn("skey", roundPinned(-log(u) / col(weightCol), 6))
       .orderBy(col("skey"), col(idCol))
       .limit(k)
   }
@@ -453,17 +454,17 @@ object Curation {
     val scaled = if (exponent == 0.5) sqrt(share) else pow(share, exponent)
     val weighted = perSource
       .crossJoin(broadcast(total))
-      .withColumn("__wq", round(scaled * 1e12).cast("long"))
+      .withColumn("__wq", roundPinned(scaled * 1e12).cast("long"))
     val norm = weighted.agg(coalesce(sum("__wq"), lit(0L)).as("__sumw"))
     weighted
       .crossJoin(broadcast(norm))
       .select(
         col("source"),
         col("n_tokens"),
-        round(share, 6).as("natural_share"),
-        round(try_divide(col("__wq").cast("double"), col("__sumw").cast("double")), 6)
+        roundPinned(share, 6).as("natural_share"),
+        roundPinned(try_divide(col("__wq").cast("double"), col("__sumw").cast("double")), 6)
           .as("weight"),
-        round(try_divide(
+        roundPinned(try_divide(
           col("__wq").cast("double") * col("__nn").cast("double"),
           col("__sumw").cast("double") * col("n_tokens").cast("double")), 6)
           .as("oversample"))
@@ -916,7 +917,7 @@ object Curation {
         sum(col("__gc") / col("__tot")).as("__pm"))
       .select(
         qidCols.map(col) :+ col("n") :+
-          round(lit(0.5) * (col("__pd") + lit(1.0) - col("__pm")), 4)
+          roundPinned(lit(0.5) * (col("__pd") + lit(1.0) - col("__pm")), 4)
             .as("distance"): _*)
       .withColumn("at_risk", col("distance") > t)
   }
@@ -962,7 +963,7 @@ object Curation {
       .select(
         col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
-          round(col("__num") / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          roundPinned(col("__num") / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
           .as("auc"))
   }
 
@@ -1000,10 +1001,10 @@ object Curation {
       .filter(col("__ptot") > 0)
       .select(
         col("__s").as("threshold"), col("tp"), col("fp"),
-        round(prec, 6).as("precision"),
-        round(rec, 6).as("recall"),
+        roundPinned(prec, 6).as("precision"),
+        roundPinned(rec, 6).as("recall"),
         when(prec + rec > 0,
-          round(lit(2.0) * prec * rec / (prec + rec), 6))
+          roundPinned(lit(2.0) * prec * rec / (prec + rec), 6))
           .otherwise(lit(0.0)).as("f1"))
   }
 
@@ -1055,7 +1056,7 @@ object Curation {
       .select(
         groupCols.map(col) :+ col("n_pos") :+ col("n_neg") :+
           when(col("n_pos") > 0 && col("n_neg") > 0,
-            round(col("__num") / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+            roundPinned(col("__num") / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
             .as("auc"): _*)
   }
 
@@ -1080,7 +1081,7 @@ object Curation {
       .filter(col("__s0").isNotNull && !isnan(col("__s0")) && col("__y").isNotNull)
       .withColumn("__s", least(greatest(col("__s0"), lit(0.0)), lit(1.0)))
       .withColumn("bin", least(floor(col("__s") * nBins).cast("long"), lit(nBins - 1L)))
-      .withColumn("__sfp", round(col("__s") * 10000).cast("long"))
+      .withColumn("__sfp", roundPinned(col("__s") * 10000).cast("long"))
       .groupBy("bin")
       .agg(
         count(lit(1)).as("n"),
@@ -1113,13 +1114,13 @@ object Curation {
       nBins: Int = 10): DataFrame =
     calibrationBins(df, scoreCol, labelCol, nBins).select(
       col("bin"),
-      round(col("bin") / nBins.toDouble, 6).as("bin_lo"),
-      round((col("bin") + 1) / nBins.toDouble, 6).as("bin_hi"),
+      roundPinned(col("bin") / nBins.toDouble, 6).as("bin_lo"),
+      roundPinned((col("bin") + 1) / nBins.toDouble, 6).as("bin_hi"),
       col("n"),
       col("n_pos"),
-      round(col("__sfp") / (col("n") * 10000.0), 6).as("mean_score"),
-      round(col("n_pos").cast("double") / col("n").cast("double"), 6).as("pos_rate"),
-      round(abs(col("__sfp") - lit(10000L) * col("n_pos")) / (col("n") * 10000.0), 6)
+      roundPinned(col("__sfp") / (col("n") * 10000.0), 6).as("mean_score"),
+      roundPinned(col("n_pos").cast("double") / col("n").cast("double"), 6).as("pos_rate"),
+      roundPinned(abs(col("__sfp") - lit(10000L) * col("n_pos")) / (col("n") * 10000.0), 6)
         .as("gap"))
 
   /** The 1-row summary of [[calibration]]: expected calibration error
@@ -1147,8 +1148,8 @@ object Curation {
         coalesce(col("__n"), lit(0L)).as("n"),
         coalesce(col("__p"), lit(0L)).as("n_pos"),
         when(col("__n") > 0,
-          round(col("__dev") / (col("__n") * 10000.0), 6)).as("ece"),
-        when(col("__n") > 0, round(col("__mce"), 6)).as("mce"))
+          roundPinned(col("__dev") / (col("__n") * 10000.0), 6)).as("ece"),
+        when(col("__n") > 0, roundPinned(col("__mce"), 6)).as("mce"))
   }
 
   /** ε-differentially-private histogram release — the Laplace
@@ -1207,10 +1208,10 @@ object Curation {
     spine
       .join(hist, Seq("bucket"), "left")
       .withColumn("released",
-        round(greatest(lit(0.0), coalesce(col("n"), lit(0L)).cast("double") + noise), 4))
+        roundPinned(greatest(lit(0.0), coalesce(col("n"), lit(0L)).cast("double") + noise), 4))
       .filter(col("released") >= threshold)
-      .withColumn("bucket_lo", round(lit(lo) + col("bucket") * (hi - lo) / nBuckets, 6))
-      .withColumn("bucket_hi", round(lit(lo) + (col("bucket") + 1) * (hi - lo) / nBuckets, 6))
+      .withColumn("bucket_lo", roundPinned(lit(lo) + col("bucket") * (hi - lo) / nBuckets, 6))
+      .withColumn("bucket_hi", roundPinned(lit(lo) + (col("bucket") + 1) * (hi - lo) / nBuckets, 6))
       .select("bucket", "bucket_lo", "bucket_hi", "released")
   }
 

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.roundPinned
 
 /** Competence-based curriculum assignment (Platanios et al. 2019):
   * order training examples easy→hard by a difficulty score and gate
@@ -52,7 +53,10 @@ object Curriculum {
     // silently OVERWRITE same-named inputs and the drop below would then
     // delete them from the output (ADVICE r17) — reject them up front,
     // matching logHistogram's reserved-column guard.
-    val reserved = Set("pctl_r", "phase", "m", "sub", "__q")
+    // __pctl is cdf-side: an input column of that name would survive the
+    // rows.join(cdf) as a duplicate and make col("__pctl") ambiguous
+    // (opaque AnalysisException instead of this message — ADVICE r18).
+    val reserved = Set("pctl_r", "phase", "m", "sub", "__q", "__pctl")
     val shadowing = df.columns.filter(reserved)
     require(shadowing.isEmpty,
       s"phaseAssign appends/consumes ${reserved.mkString("/")}; rename: ${shadowing.mkString(", ")}")
@@ -75,7 +79,7 @@ object Curriculum {
       when(col("__pctl") <= pace(p), lit(p)).otherwise(acc)
     }
     rows.join(broadcast(cdf), Seq("m", "sub"))
-      .withColumn("pctl_r", round(col("__pctl"), 6))
+      .withColumn("pctl_r", roundPinned(col("__pctl"), 6))
       .withColumn("phase", phase)
       .drop("__q", "m", "sub", "__pctl")
   }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.roundPinned
 
 /** Per-source corpus datasheet — the "dataset card" numbers every
   * training-data release publishes (Gebru et al. 2021's datasheets;
@@ -46,7 +47,7 @@ object Datasheet {
     val rollup = base.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(col("__ntok").cast("long")).as("n_tokens"),
-      round(percentile(col("__ntok").cast("double"), lit(0.5)), 4).as("p50_tokens"),
+      roundPinned(percentile(col("__ntok").cast("double"), lit(0.5)), 4).as("p50_tokens"),
       countDistinct(col("lang")).as("n_langs"),
       countDistinct(col("__text")).as("__ndistinct"))
     val mode = Window.partitionBy(col("source"))
@@ -61,12 +62,12 @@ object Datasheet {
     rollup.join(broadcast(top), Seq("source"), "left")
       .select(
         col("source"), col("n_docs"), col("n_tokens"),
-        round(col("n_tokens").cast("double") / col("n_docs").cast("double"), 4)
+        roundPinned(col("n_tokens").cast("double") / col("n_docs").cast("double"), 4)
           .as("avg_tokens_r"),
         col("p50_tokens"), col("n_langs"), col("top_lang"),
-        round(col("__c").cast("double") / col("n_docs").cast("double"), 4)
+        roundPinned(col("__c").cast("double") / col("n_docs").cast("double"), 4)
           .as("top_lang_share_r"),
-        round((col("n_docs") - col("__ndistinct")).cast("double") /
+        roundPinned((col("n_docs") - col("__ndistinct")).cast("double") /
           col("n_docs").cast("double"), 4).as("exact_dup_rate_r"))
   }
 }

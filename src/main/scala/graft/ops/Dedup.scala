@@ -4,6 +4,7 @@ import graft.CachedFrames
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ops.TextAnalysis.{fastBaseHash, fastH64, shinglesOfTokens, tokens}
+import graft.functions.GraftFunctions.roundPinned
 
 /** Corpus deduplication for LLM training-data pipelines: exact
   * (content-hash groupBy), near-dup (MinHash + LSH banding), SimHash,
@@ -123,10 +124,10 @@ object Dedup {
     rows.toDF("k", "bands", "rows_per_band", "jaccard")
       .withColumn(
         "p_candidate",
-        round(lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), col("rows_per_band")), col("bands")), 4))
+        roundPinned(lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), col("rows_per_band")), col("bands")), 4))
       .withColumn(
         "s_curve_threshold",
-        round(pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")), 4))
+        roundPinned(pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")), 4))
   }
 
   // -------------------------------------------------------------- minhash
@@ -975,7 +976,7 @@ object Dedup {
       .na.fill(0L, Seq("covered_tokens", "dup_grams"))
       .withColumn(
         "dup_ratio",
-        round(col("covered_tokens").cast("double") / col("n_tokens"), 4))
+        roundPinned(col("covered_tokens").cast("double") / col("n_tokens"), 4))
   }
 
   /** Intra-document span SELF-repetition — the loop detector for
@@ -1031,7 +1032,7 @@ object Dedup {
       .na.fill(0L, Seq("covered_tokens", "rep_grams"))
       .withColumn(
         "rep_ratio",
-        round(col("covered_tokens").cast("double") / col("n_tokens"), 4))
+        roundPinned(col("covered_tokens").cast("double") / col("n_tokens"), 4))
   }
 
   /** Remove the duplicated spans [[spanDuplication]] accounts for,

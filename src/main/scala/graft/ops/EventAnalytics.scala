@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.roundPinned
 
 /** Ordered-event analytics over a keyed event log: funnel completion
   * and cohort retention — the `windowFunnel`/`retention` capabilities
@@ -214,9 +215,9 @@ object EventAnalytics {
     val mean = avg(v).over(w)
     val sd = stddev_samp(v).over(w)
     series
-      .withColumn("trailing_mean", round(mean, 4))
+      .withColumn("trailing_mean", roundPinned(mean, 4))
       .withColumn("z",
-        round((v - mean) / when(sd =!= 0, sd), 4))
+        roundPinned((v - mean) / when(sd =!= 0, sd), 4))
       .withColumn("is_anomaly",
         coalesce(abs(col("z")) > zThreshold, lit(false)))
   }
@@ -386,21 +387,20 @@ object EventAnalytics {
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(round(col("__v") * col("__w") * lit(1e6)).cast("long")).as("__dq"),
+        sum(roundPinned(col("__v") * col("__w") * lit(1e6)).cast("long")).as("__dq"),
         // Gated on a non-NULL timestamp: a row with NULL ts has NULL
         // weight and is skipped by the decayed sum, so letting its
         // value into the raw sum would silently bias freshness_r
         // downward on dirty data. NULL ts rows count in `n` only.
         sum(when(col("__d").isNotNull,
-          round(col("__v") * lit(1e6)).cast("long"))).as("__rq"))
+          roundPinned(col("__v") * lit(1e6)).cast("long"))).as("__rq"))
       // + 0.0: pin zero's sign across engines for near-zero totals
       .withColumn("decayed_value_r",
-        round(col("__dq").cast("double") / lit(1e6), 4) + lit(0.0))
+        roundPinned(col("__dq").cast("double") / lit(1e6), 4))
       .withColumn("raw_value_r",
-        round(col("__rq").cast("double") / lit(1e6), 4) + lit(0.0))
+        roundPinned(col("__rq").cast("double") / lit(1e6), 4))
       .withColumn("freshness_r",
-        round(try_divide(col("__dq").cast("double"), col("__rq").cast("double")), 4)
-          + lit(0.0))
+        roundPinned(try_divide(col("__dq").cast("double"), col("__rq").cast("double")), 4))
       .drop("__dq", "__rq")
   }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.roundPinned
 
 /** Data-quality expectations — the declarative constraint-audit
   * surface a production pipeline runs beside every write (the
@@ -118,9 +119,9 @@ object Expectations {
       .groupBy(idx.as("bucket"))
       .agg(count(lit(1)).as("n"))
       .withColumn("bucket_lo",
-        round(lit(lo) + col("bucket") * (hi - lo) / nBuckets, 6))
+        roundPinned(lit(lo) + col("bucket") * (hi - lo) / nBuckets, 6))
       .withColumn("bucket_hi",
-        round(lit(lo) + (col("bucket") + 1) * (hi - lo) / nBuckets, 6))
+        roundPinned(lit(lo) + (col("bucket") + 1) * (hi - lo) / nBuckets, 6))
       .select(col("bucket"), col("bucket_lo"), col("bucket_hi"), col("n"))
   }
 
@@ -180,7 +181,7 @@ object Expectations {
         col("bucket"),
         coalesce(col("__ne"), lit(0L)).as("n_expected"),
         coalesce(col("__na"), lit(0L)).as("n_actual"),
-        round((p - q) * log(p / q), 6).as("psi_contrib"))
+        roundPinned((p - q) * log(p / q), 6).as("psi_contrib"))
   }
 
   /** PSI drift TIMELINE — the monitoring view of [[psiReport]]: one
@@ -238,7 +239,7 @@ object Expectations {
       .groupBy("period")
       .agg(
         coalesce(sum("n"), lit(0L)).as("n"),
-        round(sum((p - q) * log(p / q)), 6).as("psi"))
+        roundPinned(sum((p - q) * log(p / q)), 6).as("psi"))
   }
 
   /** Benford first-significant-digit audit — the forensic
@@ -267,11 +268,11 @@ object Expectations {
     val total = counts.agg(coalesce(sum("n"), lit(0L)).as("__t"))
     counts
       .crossJoin(broadcast(total))
-      .withColumn("actual_frac", round(col("n").cast("double") / col("__t"), 4))
+      .withColumn("actual_frac", roundPinned(col("n").cast("double") / col("__t"), 4))
       .withColumn("expected_frac",
-        round(log10(lit(1.0) + lit(1.0) / col("digit")), 4))
+        roundPinned(log10(lit(1.0) + lit(1.0) / col("digit")), 4))
       .withColumn("deviation",
-        round(abs(col("actual_frac") - col("expected_frac")), 4))
+        roundPinned(abs(col("actual_frac") - col("expected_frac")), 4))
       .select(col("digit"), col("n"), col("actual_frac"),
         col("expected_frac"), col("deviation"))
   }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.roundPinned
 
 /** Feature-encoding audits for classifier training data — the two
   * classic supervised encodings a quality-filter pipeline fits before
@@ -68,11 +69,11 @@ object FeatureEncode {
       .withColumn("__ivt", (num - den) * col("__woe"))
       // feature-level IV: quantized-integer sum over the ≤nBuckets rows
       .withColumn("__ivq",
-        sum(round(col("__ivt") * lit(1e9)).cast("long")).over(w))
+        sum(roundPinned(col("__ivt") * lit(1e9)).cast("long")).over(w))
       .select(col("segment"), col("n"), col("n_pos"), col("n_neg"),
-        (round(col("__woe"), 4) + lit(0.0)).as("woe_r"),
-        (round(col("__ivt"), 4) + lit(0.0)).as("iv_term_r"),
-        (round(col("__ivq").cast("double") / lit(1e9), 4) + lit(0.0)).as("iv_r"))
+        (roundPinned(col("__woe"), 4)).as("woe_r"),
+        (roundPinned(col("__ivt"), 4)).as("iv_term_r"),
+        (roundPinned(col("__ivq").cast("double") / lit(1e9), 4)).as("iv_r"))
   }
 
   /** Smoothed target-mean encoding (m-estimate) per category:
@@ -94,14 +95,13 @@ object FeatureEncode {
       .filter(col("__c").isNotNull && col("__t").isNotNull && !isnan(col("__t")))
     val agg = base.groupBy(col("__c")).agg(
       count(lit(1)).as("n"),
-      sum(round(col("__t") * lit(1e6)).cast("long")).as("__sq"))
+      sum(roundPinned(col("__t") * lit(1e6)).cast("long")).as("__sq"))
     val g = agg.agg(sum(col("__sq")).as("__gq"), sum(col("n")).as("__gn"))
     val gmean = col("__gq").cast("double") / lit(1e6) / col("__gn").cast("double")
     val catSum = col("__sq").cast("double") / lit(1e6)
     agg.crossJoin(broadcast(g))
       .select(col("__c").as("category"), col("n"),
-        (round(catSum / col("n").cast("double"), 4) + lit(0.0)).as("mean_r"),
-        (round((catSum + lit(m) * gmean) / (col("n").cast("double") + lit(m)), 4)
-          + lit(0.0)).as("te_r"))
+        (roundPinned(catSum / col("n").cast("double"), 4)).as("mean_r"),
+        (roundPinned((catSum + lit(m) * gmean) / (col("n").cast("double") + lit(m)), 4)).as("te_r"))
   }
 }

@@ -4,6 +4,7 @@ import graft.CachedFrames
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.roundPinned
 
 /** Negative sampling from the α-smoothed unigram distribution — the
   * word2vec/contrastive-training staple (Mikolov et al. 2013: draw
@@ -50,7 +51,7 @@ object NegSampling {
     freqs
       .filter(col(freqCol) > 0)
       .select(col(tokenCol).as("token"), col(freqCol).cast("long").as("freq"))
-      .withColumn("q", round(sqrt(f * sqrt(f)) * lit(1e6)).cast("long"))
+      .withColumn("q", roundPinned(sqrt(f * sqrt(f)) * lit(1e6)).cast("long"))
       .withColumn("cum_hi", sum(col("q")).over(ord))
       .withColumn("cum_lo", col("cum_hi") - col("q"))
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
 import org.apache.spark.mllib.linalg.distributed.RowMatrix
+import graft.functions.GraftFunctions.roundPinned
 
 /** PCA projection / whitening for embedding columns — the standard
   * preprocessing in front of ANN and semantic dedup: project to the
@@ -188,7 +189,7 @@ object Pca {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val qs = replayQuantScale
     val v = col("__v")
-    def q(c: Column): Column = round(c * lit(qs)).cast("long")
+    def q(c: Column): Column = roundPinned(c * lit(qs)).cast("long")
     // Two SMALL nested explodes, not one dim(dim+1)/2-element inline
     // struct array: a single projection constructing 2 000+ structs
     // per row overflows whole-stage codegen's method budget and falls
@@ -308,7 +309,7 @@ object Pca {
     val dots = graft.functions.MatVecDotsExpr.matVecDots(
       vecCol.cast("array<float>"), signs)
     (0 until outDim).map { j =>
-      (round(element_at(dots, j + 1) * lit(scale), 4) + lit(0.0))
+      (roundPinned(element_at(dots, j + 1) * lit(scale), 4))
         .as(s"$outPrefix${j + 1}")
     }
   }
@@ -337,7 +338,7 @@ object Pca {
       vecCol.cast("array<float>"), model.components)
     (0 until model.k).map { c =>
       // `+ 0.0` folds -0.0 so the dump is sign-stable cross-engine.
-      (round((element_at(dots, c + 1) - lit(offs(c))) * lit(scls(c)), 4) + lit(0.0))
+      (roundPinned((element_at(dots, c + 1) - lit(offs(c))) * lit(scls(c)), 4))
         .as(s"$outPrefix${c + 1}")
     }
   }

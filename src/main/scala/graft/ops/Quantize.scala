@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.roundPinned
 
 /** Symmetric int8 quantization of embedding columns — the standard
   * storage/shuffle lever for ANN corpora at scale: an `array<float>`
@@ -32,7 +33,7 @@ object Quantize {
     */
   def quantize(vec: Column, scale: Column): Column =
     when(scale === 0.0, transform(vec, _ => lit(0).cast("tinyint")))
-      .otherwise(transform(vec, v => round(v.cast("double") / scale).cast("tinyint")))
+      .otherwise(transform(vec, v => roundPinned(v.cast("double") / scale).cast("tinyint")))
 
   /** Approximate reconstruction: `q_i × scale` as array<double>. */
   def dequantize(q8: Column, scale: Column): Column =

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.roundPinned
 
 /** Retrieval-quality metrics — recall@k / MRR / nDCG@k per query —
   * over any ranked result set with a graded ground-truth set: the
@@ -66,7 +67,7 @@ object RetrievalEval {
     // quantized DCG term at 1-based position `pos` with gain `g`:
     // g / log2(pos+1) = g·ln2 / ln(pos+1), rounded to integer 1e-9 units
     def dcgTermQ(g: org.apache.spark.sql.Column, pos: org.apache.spark.sql.Column) =
-      round(g * lit(Ln2) / log(pos.cast("double") + lit(1.0)) * lit(1e9)).cast("long")
+      roundPinned(g * lit(Ln2) / log(pos.cast("double") + lit(1.0)) * lit(1e9)).cast("long")
     // ideal ordering: grades descending, doc id as the deterministic tie
     val idealW = Window.partitionBy(col("__q")).orderBy(col("__g").desc, col("__d"))
     val ideal = tru
@@ -86,13 +87,13 @@ object RetrievalEval {
         col("__q").as(queryCol),
         col("n_relevant"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+        roundPinned(coalesce(col("n_hits"), lit(0L)).cast("double") /
           col("n_relevant").cast("double"), 4).as("recall_r"),
-        round(when(col("__minrk").isNull, lit(0.0))
+        roundPinned(when(col("__minrk").isNull, lit(0.0))
           .otherwise(lit(1.0) / col("__minrk").cast("double")), 4).as("mrr_r"),
         // quantized-sum ratio: the 1e9 scales cancel; IDCG > 0 by the
         // positive-grade filter, try_divide guards the empty edge
-        round(try_divide(
+        roundPinned(try_divide(
           coalesce(col("__dcgq"), lit(0L)).cast("double"),
           col("__idcgq").cast("double")), 4).as("ndcg_r"))
   }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.roundPinned
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -74,7 +75,7 @@ object Similarity {
       .groupBy("label", "dim")
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col("__v").cast("double")), 6).as("centroid"))
+        roundPinned(avg(col("__v").cast("double")), 6).as("centroid"))
   }
 
   /** Exact top-k cosine neighbors for each query vector.
@@ -779,8 +780,8 @@ object Similarity {
     // zero by construction (λ·rel ≈ (1−λ)·maxsim), so without the
     // fold any score in (-0.00005, 0) is a dual-engine hash flake.
     out.select(col("qid"), col("rank"), col("nid"),
-      (round(col("rel"), 4) + lit(0.0)).as("rel_r"),
-      (round(col("mmr"), 4) + lit(0.0)).as("mmr_r"))
+      (roundPinned(col("rel"), 4)).as("rel_r"),
+      (roundPinned(col("mmr"), 4)).as("mmr_r"))
   }
 
   /** The fused [[cosine]] expression's arithmetic, verbatim, for
@@ -838,7 +839,7 @@ object Similarity {
       bv.crossJoin(broadcast(av))
         .select(col("a_id"), col("b_id"),
           cosine(col("avec"), col("bvec")).as("sim"),
-          round(cosine(col("avec"), col("bvec")) * lit(1e9)).cast("long").as("__q")))
+          roundPinned(cosine(col("avec"), col("bvec")) * lit(1e9)).cast("long").as("__q")))
     def topKAvg(side: String): DataFrame = {
       val other = if (side == "a_id") "b_id" else "a_id"
       val w = Window.partitionBy(side).orderBy(col("sim").desc, col(other))
@@ -869,7 +870,7 @@ object Similarity {
       .filter(col("__fw") === 1 && col("__bw") === 1 && col("margin") > threshold)
       // + 0.0: pin zero's sign across engines (see mmrRerank)
       .select(col("a_id"), col("b_id"),
-        (round(col("sim"), 4) + lit(0.0)).as("sim_r"),
-        (round(col("margin"), 4) + lit(0.0)).as("margin_r"))
+        (roundPinned(col("sim"), 4)).as("sim_r"),
+        (roundPinned(col("margin"), 4)).as("margin_r"))
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.TextAnalysis.h64
+import graft.functions.GraftFunctions.roundPinned
 
 /** Deterministic streaming-style sketches as relational plans:
   * KMV (k-minimum-values) distinct-count estimation, a CountMin
@@ -63,7 +64,7 @@ object Sketches {
       .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("kth_hash"))
       .withColumn(
         "est_distinct",
-        round(
+        roundPinned(
           when(col("n_kept") < k, col("n_kept").cast("double"))
             .otherwise(lit((k - 1) * domain) / col("kth_hash")),
           4))
@@ -124,7 +125,7 @@ object Sketches {
         element_at(col("kmv"), -1).as("kth_hash")): _*)
       .withColumn(
         "est_distinct",
-        round(
+        roundPinned(
           when(col("n_kept") < k, col("n_kept").cast("double"))
             .otherwise(lit((k - 1) * domain) / col("kth_hash")),
           4))
@@ -198,14 +199,14 @@ object Sketches {
           x => array_contains(col("__ka"), x) && array_contains(col("__kb"), x)))
           .cast("long"))
       .withColumn("est_union",
-        round(
+        roundPinned(
           when(col("n_union_kept") < k, col("n_union_kept").cast("double"))
             .otherwise(lit((k - 1) * domain) / element_at(col("__u"), -1)),
           4))
       .withColumn("est_jaccard",
-        round(col("n_both").cast("double") / col("n_union_kept"), 4))
+        roundPinned(col("n_both").cast("double") / col("n_union_kept"), 4))
       .withColumn("est_intersection",
-        round(col("est_jaccard") * col("est_union"), 4))
+        roundPinned(col("est_jaccard") * col("est_union"), 4))
       // Directional containment — the question dedup actually asks
       // ("what fraction of A is already inside B"): intersection
       // estimate over each side's own KMV cardinality estimate,
@@ -217,9 +218,9 @@ object Sketches {
         when(size(col("__kb")) < k, size(col("__kb")).cast("double"))
           .otherwise(lit((k - 1) * domain) / element_at(col("__kb"), -1)))
       .withColumn("est_containment_left",
-        round(least(col("est_intersection") / round(col("__ea"), 4), lit(1.0)), 4))
+        roundPinned(least(col("est_intersection") / roundPinned(col("__ea"), 4), lit(1.0)), 4))
       .withColumn("est_containment_right",
-        round(least(col("est_intersection") / round(col("__eb"), 4), lit(1.0)), 4))
+        roundPinned(least(col("est_intersection") / roundPinned(col("__eb"), 4), lit(1.0)), 4))
       .select(keyCols ++ Seq(col("n_union_kept"), col("n_both"),
         col("est_union"), col("est_jaccard"), col("est_intersection"),
         col("est_containment_left"), col("est_containment_right")): _*)
@@ -296,7 +297,7 @@ object Sketches {
       val q =
         if (exact) percentile(valueCol, lit(p))
         else percentile_approx(valueCol, lit(p), lit(10000))
-      round(q, 4).as(s"q_$i")
+      roundPinned(q, 4).as(s"q_$i")
     }
     df.groupBy(groupCols.map(col): _*).agg(qs.head, qs.tail: _*)
   }
@@ -366,15 +367,15 @@ object Sketches {
     // +0.0 under Spark's HALF_UP but -0.0 under DuckDB's round — the
     // fold pins zero's sign on both engines (repo-wide convention).
     val meds = df.groupBy(groupCols.map(col): _*)
-      .agg((round(percentile(v, lit(0.5)), 4) + lit(0.0)).as("med"))
+      .agg((roundPinned(percentile(v, lit(0.5)), 4)).as("med"))
     val mads = df.join(broadcast(meds), groupCols)
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
         first(col("med")).as("med"),
-        (round(percentile(abs(v - col("med")), lit(0.5)), 4) + lit(0.0)).as("mad"))
+        (roundPinned(percentile(abs(v - col("med")), lit(0.5)), 4)).as("mad"))
     df.join(broadcast(mads), groupCols)
-      .withColumn("__cut", round(lit(nSigmas * 1.4826) * col("mad"), 4))
+      .withColumn("__cut", roundPinned(lit(nSigmas * 1.4826) * col("mad"), 4))
       .groupBy(groupCols.map(col): _*)
       .agg(
         first(col("n")).as("n"),
@@ -407,8 +408,8 @@ object Sketches {
     require(groupCols.nonEmpty, "winsorize needs at least one group column")
     val bounds = df.groupBy(groupCols.map(col): _*)
       .agg(
-        round(percentile(valueCol.cast("double"), lit(pLow)), 4).as("__ql"),
-        round(percentile(valueCol.cast("double"), lit(pHigh)), 4).as("__qh"))
+        roundPinned(percentile(valueCol.cast("double"), lit(pLow)), 4).as("__ql"),
+        roundPinned(percentile(valueCol.cast("double"), lit(pHigh)), 4).as("__qh"))
     df.join(broadcast(bounds), groupCols)
       .withColumn(outCol,
         least(greatest(valueCol.cast("double"), col("__ql")), col("__qh")))
@@ -537,7 +538,7 @@ object Sketches {
       // the guard lives INSIDE the output column so column pruning
       // can never optimize the validation away
       .withColumn("est_distinct",
-        when(bOk, round(est, 4)).otherwise(raise_error(format_string(
+        when(bOk, roundPinned(est, 4)).otherwise(raise_error(format_string(
           s"hllEstimate: asked to decode b=$b but sketch carries b in [%d, %d]",
           col("__bmin"), col("__bmax")))))
       .select(groupCols.map(col) ++ Seq(
@@ -600,7 +601,7 @@ object Sketches {
     */
   private[ops] def quantized(valueCol: Column, scale: Double): Column = {
     val d = valueCol.cast("double")
-    when(isnan(d), lit(null)).otherwise(round(d * lit(scale))).cast("long")
+    when(isnan(d), lit(null)).otherwise(roundPinned(d * lit(scale))).cast("long")
   }
 
   /** Shared bit-length binning: rows with a quantized `__q` column

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.roundPinned
 
 /** Text-analysis operators for LLM training-data pipelines: tokenize /
   * normalize, document statistics, quality scoring, stopword-profile
@@ -132,7 +133,7 @@ object TextAnalysis {
         count(lit(1)).as("total_ngrams"),
         count_distinct(col("__e.g")).as("distinct_ngrams"))
       .withColumn("distinct_ratio",
-        round(try_divide(col("distinct_ngrams").cast("double"),
+        roundPinned(try_divide(col("distinct_ngrams").cast("double"),
           col("total_ngrams")), 6))
   }
 
@@ -159,8 +160,8 @@ object TextAnalysis {
       "n_chars" -> nChars,
       "n_tokens" -> nTokens,
       "n_types" -> size(array_distinct(t)).cast("long"),
-      "alpha_ratio" -> round(alpha / nChars.cast("double"), 4),
-      "avg_token_len" -> round(tokLenSum.cast("double") / nTokens.cast("double"), 4),
+      "alpha_ratio" -> roundPinned(alpha / nChars.cast("double"), 4),
+      "avg_token_len" -> roundPinned(tokLenSum.cast("double") / nTokens.cast("double"), 4),
       "bpe_tokens" -> bpeTokenCount(text))
   }
 
@@ -289,8 +290,8 @@ object TextAnalysis {
     def fracs(n: Int, label: String) =
       gramStats(df, textCol, idCol, n).select(
         col(idCol),
-        round(col("top") / col("total"), 4).as(s"top_${label}_frac"),
-        round((col("total") - col("n_distinct")) / col("total"), 4).as(s"dup_${label}_frac"))
+        roundPinned(col("top") / col("total"), 4).as(s"top_${label}_frac"),
+        roundPinned((col("total") - col("n_distinct")) / col("total"), 4).as(s"dup_${label}_frac"))
     fracs(1, "token")
       .join(fracs(2, "bigram"), Seq(idCol))
       .withColumn("is_repetitive",
@@ -333,7 +334,7 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"),
         count(when(col("__in").isNull, 1)).as("n_oov"))
       .withColumn("oov_rate",
-        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+        roundPinned(col("n_oov").cast("double") / col("n_tokens"), 4))
   }
 
   /** Vocabulary encoding — the materialization step between a curated

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.TextAnalysis.tokens
+import graft.functions.GraftFunctions.roundPinned
 
 /** Corpus-level term statistics: TF-IDF keyword extraction and
   * unigram-language-model surprisal scoring — the corpus-statistics
@@ -107,7 +108,7 @@ object TfIdf {
       .crossJoin(broadcast(nDocs))
       .withColumn(
         "tfidf",
-        round(
+        roundPinned(
           (col("__c").cast("double") / col("__len")) *
             (log((col("__n").cast("double") + 1) / (col("df") + 1)) + 1),
           4))
@@ -170,7 +171,7 @@ object TfIdf {
       .crossJoin(broadcast(scalars))
       .groupBy(col(idCol))
       .agg(
-        round(avg(
+        roundPinned(avg(
           log((coalesce(col("__tc"), lit(0L)).cast("double") + 1) /
             (col("__tt") + col("__v"))) -
           log((col("__cc").cast("double") + 1) / (col("__ct") + col("__v")))
@@ -192,7 +193,7 @@ object TfIdf {
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(
-        round(avg(log(col("__tc").cast("double") / col("__total"))), 4)
+        roundPinned(avg(log(col("__tc").cast("double") / col("__total"))), 4)
           .as("avg_logprob"),
         count(lit(1)).as("n_tokens"))
   }
@@ -235,7 +236,7 @@ object TfIdf {
         coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
       .crossJoin(broadcast(totals))
-      .withColumn("__cq", round(contribNats * 1e9).cast("long"))
+      .withColumn("__cq", roundPinned(contribNats * 1e9).cast("long"))
   }
 
   /** Jensen–Shannon divergence between two corpora's unigram token
@@ -276,7 +277,7 @@ object TfIdf {
       .select(
         col("n_terms"), col("total_a"), col("total_b"),
         when(col("total_a") > 0 && col("total_b") > 0,
-          round(col("__jsq") / 1e9 / lit(Ln2), 6)).as("js_bits"))
+          roundPinned(col("__jsq") / 1e9 / lit(Ln2), 6)).as("js_bits"))
 
   /** The term-level drill-down of [[tokenJsDivergence]]: the k terms
     * contributing MOST to the divergence (count on each side +
@@ -298,7 +299,7 @@ object TfIdf {
         col("term"),
         col("__ca").as("count_a"),
         col("__cb").as("count_b"),
-        round(col("__cq") / 1e9 / lit(Ln2), 9).as("contrib_bits"))
+        roundPinned(col("__cq") / 1e9 / lit(Ln2), 9).as("contrib_bits"))
       .orderBy(col("contrib_bits").desc, col("term"))
       .limit(k)
   }
@@ -362,7 +363,7 @@ object TfIdf {
       .join(prefixCounts, Seq("w1"))
       .groupBy(col(idCol))
       .agg(
-        round(avg(log(col("__c2").cast("double") / col("__c1"))), 4)
+        roundPinned(avg(log(col("__c2").cast("double") / col("__c1"))), 4)
           .as("avg_logprob"),
         count(lit(1)).as("n_bigrams"))
   }
@@ -418,7 +419,7 @@ object TfIdf {
       .crossJoin(types)
       .groupBy(col(idCol))
       .agg(
-        round(avg(log(p)), 4).as("avg_logprob"),
+        roundPinned(avg(log(p)), 4).as("avg_logprob"),
         count(lit(1)).as("n_bigrams"))
   }
 
@@ -490,7 +491,7 @@ object TfIdf {
       .groupBy(col("qid"), col(idCol))
       .agg(
         count(lit(1)).as("n_terms"),
-        round(sum(idf * tfNorm), 4).as("score_r"))
+        roundPinned(sum(idf * tfNorm), 4).as("score_r"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col(idCol).as("doc"),
@@ -524,7 +525,7 @@ object TfIdf {
     u.groupBy("qid", "doc")
       .agg(
         count(lit(1)).as("n_lists"),
-        round(sum(lit(1.0) / (lit(k0) + col("rank"))), 6).as("rrf_r"))
+        roundPinned(sum(lit(1.0) / (lit(k0) + col("rank"))), 6).as("rrf_r"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("qid"), col("rank"), col("doc"), col("n_lists"), col("rrf_r"))
@@ -596,7 +597,7 @@ object TfIdf {
       .agg(
         count(lit(1)).as("n_terms"),
         count(col("weight")).as("n_matched"),
-        round(sum(coalesce(col("weight"), lit(0.0))) + prior, 4).as("score_r"))
+        roundPinned(sum(coalesce(col("weight"), lit(0.0))) + prior, 4).as("score_r"))
       .withColumn("is_positive", col("score_r") > 0)
 
   /** Fused train+score for the dominant quality-gate shape, where the
@@ -656,7 +657,7 @@ object TfIdf {
       .agg(
         count(lit(1)).as("n_terms"),
         count(col("weight")).as("n_matched"),
-        round(sum(col("weight")) + prior, 4).as("score_r"))
+        roundPinned(sum(col("weight")) + prior, 4).as("score_r"))
       .withColumn("is_positive", col("score_r") > 0)
   }
 }

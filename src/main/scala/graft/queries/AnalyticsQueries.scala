@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{Curation, EventAnalytics, FeatureEncode, Joins, Sketches, TextAnalysis, TfIdf}
+import graft.functions.GraftFunctions.roundPinned
 
 /** Oracle-checked queries for the temporal-join and sketch operators
   * ([[graft.ops.Joins]], [[graft.ops.Sketches]]) — engine capabilities
@@ -171,7 +172,7 @@ object AnalyticsQueries {
       Tables.events(s, dir).select(col("ts"), col("value"))
         .groupBy(window(col("ts"), "2 hours", "30 minutes"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("total_value"))
+          roundPinned(sum(col("value")), 2).as("total_value"))
         .select(col("window.start").as("w_start"),
           col("window.end").as("w_end"),
           col("n_events"), col("total_value"))
@@ -232,7 +233,7 @@ object AnalyticsQueries {
           Tables.lineitem(s, dir),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .select(col("column"), col("n"), col("n_null"), col("min"), col("max"),
-          round(col("mean"), 4).as("mean"), round(col("stddev"), 4).as("stddev"))
+          roundPinned(col("mean"), 4).as("mean"), roundPinned(col("stddev"), 4).as("stddev"))
         .orderBy("column")
     }),
 
@@ -286,7 +287,7 @@ object AnalyticsQueries {
       val spend = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
-        .agg(round(sum("value"), 2).as("spend"),
+        .agg(roundPinned(sum("value"), 2).as("spend"),
           count(lit(1)).as("n_purchases"))
       Sketches.segmentByQuantiles(
           spend, col("spend"), Seq(1.0 / 3, 2.0 / 3),
@@ -334,8 +335,8 @@ object AnalyticsQueries {
       graft.ops.IncrementalAgg.finalize(
           graft.ops.IncrementalAgg.merge(store, inc))
         .select(col("l_returnflag"), col("l_linestatus"), col("n"),
-          round(col("sum"), 2).as("sum_qty"), col("min").as("min_qty"),
-          col("max").as("max_qty"), round(col("avg"), 4).as("avg_qty"))
+          roundPinned(col("sum"), 2).as("sum_qty"), col("min").as("min_qty"),
+          col("max").as("max_qty"), roundPinned(col("avg"), 4).as("avg_qty"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -355,13 +356,13 @@ object AnalyticsQueries {
           measures)
         .select(col("l_returnflag"), col("l_linestatus"),
           col("l_quantity_n").as("qty_n"),
-          round(col("l_quantity_sum"), 2).as("qty_sum"),
-          round(col("l_quantity_avg"), 4).as("qty_avg"),
+          roundPinned(col("l_quantity_sum"), 2).as("qty_sum"),
+          roundPinned(col("l_quantity_avg"), 4).as("qty_avg"),
           col("l_extendedprice_n").as("price_n"),
-          round(col("l_extendedprice_sum"), 2).as("price_sum"),
+          roundPinned(col("l_extendedprice_sum"), 2).as("price_sum"),
           col("l_extendedprice_min").as("price_min"),
           col("l_extendedprice_max").as("price_max"),
-          round(col("l_extendedprice_avg"), 4).as("price_avg"))
+          roundPinned(col("l_extendedprice_avg"), 4).as("price_avg"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -404,7 +405,7 @@ object AnalyticsQueries {
         .groupBy("promo_id")
         .agg(
           count(lit(1)).as("n_ship"),
-          round(sum("l_extendedprice"), 2).as("sum_price_r"))
+          roundPinned(sum("l_extendedprice"), 2).as("sum_price_r"))
         .orderBy("promo_id")
     }),
 
@@ -440,7 +441,7 @@ object AnalyticsQueries {
       // this depth (the 50-iteration cluster case keeps the default)
       graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3,
         truncateEvery = 0)
-        .select(col("node"), round(col("rank") * 1000000, 4).as("rank_ppm"))
+        .select(col("node"), roundPinned(col("rank") * 1000000, 4).as("rank_ppm"))
         .orderBy("node")
     }),
 
@@ -640,7 +641,7 @@ object AnalyticsQueries {
       val exact = tok.groupBy("lang")
         .agg(countDistinct(col("tok")).as("n_exact"))
       est.join(exact, Seq("lang"))
-        .withColumn("err_ratio", round(col("est_distinct") / col("n_exact"), 4))
+        .withColumn("err_ratio", roundPinned(col("est_distinct") / col("n_exact"), 4))
         .orderBy("lang")
     }),
 
@@ -705,7 +706,7 @@ object AnalyticsQueries {
     // engine-exact.
     "q_hist_quantiles" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val qv = round(col("value").cast("double") * lit(1e6)).cast("long")
+      val qv = roundPinned(col("value").cast("double") * lit(1e6)).cast("long")
       val base = ev.filter(qv.isNotNull && qv >= 0)
       val hist = Sketches.logHistogram(base, Seq("event_type"), col("value"))
       val est = Sketches.histQuantiles(
@@ -720,13 +721,13 @@ object AnalyticsQueries {
       }.reduce(_ unionByName _)
       est.join(exl, Seq("event_type", "q"))
         .select(col("event_type"), col("q"),
-          round(col("est"), 6).as("est_r"),
+          roundPinned(col("est"), 6).as("est_r"),
           // + 0.0: a value in (-5e-7, 0) passes the quantized >= 0
           // filter as qv = 0 but keeps its negative raw x — the exact
           // percentile could then round to a signed zero that differs
           // across engines (the q_pca_whiten hazard class)
-          (round(col("exact"), 4) + lit(0.0)).as("exact_r"),
-          round(when(col("exact") === 0.0, lit(null))
+          (roundPinned(col("exact"), 4)).as("exact_r"),
+          roundPinned(when(col("exact") === 0.0, lit(null))
             .otherwise(abs(col("est") - col("exact")) / col("exact")), 4)
             .as("rel_err_r"))
         .orderBy("event_type", "q")
@@ -752,7 +753,7 @@ object AnalyticsQueries {
           Seq("c_nationkey"), col("c_acctbal"),
           pLow = winsorLow, pHigh = winsorHigh, outCol = "bal_w")
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
-          round(col("bal_w"), 4).as("bal_w"))
+          roundPinned(col("bal_w"), 4).as("bal_w"))
         .orderBy("c_custkey")
     }),
 

@@ -5,6 +5,7 @@ import graft.ops.{Bpe, Curation, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.roundPinned
 
 /** Oracle-checked queries for the corpus-curation operators
   * ([[graft.ops.Curation]]): split assignment, stratified sampling,
@@ -49,7 +50,7 @@ object CurationQueries {
         .fairGate(d, Seq("source"), col("n_chars"), keepFrac = 0.25)
         .groupBy("source").agg(count(lit(1)).as("kept_fair"))
       val thr = d.agg(
-        round(percentile(col("n_chars").cast("double"), lit(0.75)), 4).as("__thr"))
+        roundPinned(percentile(col("n_chars").cast("double"), lit(0.75)), 4).as("__thr"))
       val globalKept = d.crossJoin(broadcast(thr))
         .filter(col("n_chars").cast("double") >= col("__thr"))
         .groupBy("source").agg(count(lit(1)).as("kept_global"))

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.roundPinned
 
 /** Oracle-checked queries for the LLM-data-pipeline operators (dedup,
   * similarity search, text analysis, multimodal) over the driver's
@@ -157,7 +158,7 @@ object LlmQueries {
         .agg(
           count(lit(1)).as("n_docs"),
           sum("n_tokens").as("total_tokens"),
-          round(avg("alpha_ratio"), 4).as("avg_alpha_ratio"),
+          roundPinned(avg("alpha_ratio"), 4).as("avg_alpha_ratio"),
           count(when(col("is_quality"), 1)).as("n_quality"),
           count(when(col("lang_pred") === "en", 1)).as("n_en"))
         .orderBy("source")
@@ -367,7 +368,7 @@ object LlmQueries {
           k = 16, bands = 8, shingleN = 3, threshold = 0.4,
           baseHasher = oracleBaseHash)
         .select(col("left_id"), col("right_id"),
-          round(col("jaccard"), 4).as("jaccard_r"))
+          roundPinned(col("jaccard"), 4).as("jaccard_r"))
         .orderBy("left_id", "right_id")
     }),
 
@@ -385,7 +386,7 @@ object LlmQueries {
           k = 16, bands = 8, shingleN = 3, threshold = 0.4,
           baseHasher = oracleBaseHash, maxBucketSize = 1)
         .select(col("left_id"), col("right_id"),
-          round(col("jaccard"), 4).as("jaccard_r"))
+          roundPinned(col("jaccard"), 4).as("jaccard_r"))
         .orderBy("left_id", "right_id")
     }),
 
@@ -406,7 +407,7 @@ object LlmQueries {
           Tables.documents(s, dir), "text", "doc_id",
           k = 16, bands = 8, shingleN = 3, threshold = 0.4,
           baseHasher = oracleBaseHash)
-        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard_r"))
+        .select(col("a"), col("b"), roundPinned(col("jaccard"), 4).as("jaccard_r"))
         .orderBy("a", "b")
     }),
 
@@ -419,7 +420,7 @@ object LlmQueries {
           Tables.documents(s, dir), "text", "doc_id",
           k = 16, bands = 8, shingleN = 3, threshold = 0.4,
           baseHasher = oracleBaseHash, maxBucketSize = 2)
-        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard_r"))
+        .select(col("a"), col("b"), roundPinned(col("jaccard"), 4).as("jaccard_r"))
         .orderBy("a", "b")
     }),
 
@@ -430,7 +431,7 @@ object LlmQueries {
       Similarity.exactNearDupPairs(
           Tables.embeddings(s, dir).filter(col("vec_id") < 500),
           "vec_id", "embedding", threshold = 0.4)
-        .select(col("a"), col("b"), round(col("sim"), 4).as("sim_r"))
+        .select(col("a"), col("b"), roundPinned(col("sim"), 4).as("sim_r"))
         .orderBy("a", "b")
     }),
 
@@ -449,7 +450,7 @@ object LlmQueries {
           Tables.embeddings(s, dir).filter(col("vec_id") < semSubsetIds),
           "vec_id", "embedding", threshold = 0.4,
           dim = embeddingDim, tables = annTables, bits = annBits)
-        .select(col("a"), col("b"), round(col("sim"), 4).as("sim_r"))
+        .select(col("a"), col("b"), roundPinned(col("sim"), 4).as("sim_r"))
         .orderBy("a", "b")
     }),
 
@@ -477,10 +478,10 @@ object LlmQueries {
       val deq = Quantize.dequantize(col("q8"), col("q_scale"))
       Quantize.quantizeEmbeddings(emb, "embedding").select(
           col("vec_id"),
-          round(col("q_scale"), 6).as("scale_r"),
+          roundPinned(col("q_scale"), 6).as("scale_r"),
           aggregate(col("q8"), lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
           aggregate(col("q8"), lit(0L), (acc, x) => acc + abs(x.cast("long"))).as("q_l1"),
-          round(
+          roundPinned(
             Similarity.dot(col("embedding"), deq) /
               (sqrt(Similarity.dot(col("embedding"), col("embedding"))) *
                 sqrt(Similarity.dot(deq, deq))), 4).as("recon_cos_r"))
@@ -498,7 +499,7 @@ object LlmQueries {
       val centroids = emb.orderBy("vec_id").limit(semClusters)
         .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
       Similarity.semanticDedupPairs(emb, "vec_id", "embedding", centroids, semThreshold)
-        .select(col("cluster"), col("a"), col("b"), round(col("sim"), 4).as("sim_r"))
+        .select(col("cluster"), col("a"), col("b"), roundPinned(col("sim"), 4).as("sim_r"))
         .orderBy("a", "b")
     }),
 
@@ -523,7 +524,7 @@ object LlmQueries {
         .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
       Similarity.semanticDedupPairs(emb, "vec_id", "embedding", centroids, semThreshold,
           maxClusterSize = semClusterCap)
-        .select(col("cluster"), col("a"), col("b"), round(col("sim"), 4).as("sim_r"))
+        .select(col("cluster"), col("a"), col("b"), roundPinned(col("sim"), 4).as("sim_r"))
         .orderBy("a", "b")
     }),
 
@@ -538,7 +539,7 @@ object LlmQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(
           emb, emb.filter(col("vec_id") < simQueryIds), "vec_id", "embedding", simK)
-        .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim_r"))
+        .select(col("qid"), col("rank"), col("nid"), roundPinned(col("sim"), 4).as("sim_r"))
         .orderBy("qid", "rank")
     }),
 
@@ -553,7 +554,7 @@ object LlmQueries {
       Similarity.annTopK(
           emb, emb.filter(col("vec_id") < simQueryIds), "vec_id", "embedding",
           simK, dim = embeddingDim, tables = annTables, bits = annBits)
-        .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim_r"))
+        .select(col("qid"), col("rank"), col("nid"), roundPinned(col("sim"), 4).as("sim_r"))
         .orderBy("qid", "rank")
     }),
 
@@ -578,7 +579,7 @@ object LlmQueries {
         .join(hits, Seq("qid"), "left")
         .select(col("qid"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          round(coalesce(col("n_hits"), lit(0L)).cast("double") / lit(simK), 4)
+          roundPinned(coalesce(col("n_hits"), lit(0L)).cast("double") / lit(simK), 4)
             .as("recall_r"))
         .orderBy("qid")
     }),
@@ -673,7 +674,7 @@ object LlmQueries {
       Similarity.annTopK(
           deq, deq.filter(col("vec_id") < simQueryIds), "vec_id", "embedding",
           simK, dim = embeddingDim, tables = annTables, bits = annBits)
-        .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim_r"))
+        .select(col("qid"), col("rank"), col("nid"), roundPinned(col("sim"), 4).as("sim_r"))
         .orderBy("qid", "rank")
     }),
 
@@ -682,7 +683,7 @@ object LlmQueries {
       Similarity.ivfTopK(
           emb, emb.filter(col("vec_id") < simQueryIds), "vec_id", "embedding",
           simK, nCentroids = ivfCentroids, nProbe = ivfProbe)
-        .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim_r"))
+        .select(col("qid"), col("rank"), col("nid"), roundPinned(col("sim"), 4).as("sim_r"))
         .orderBy("qid", "rank")
     }),
 
@@ -700,7 +701,7 @@ object LlmQueries {
       Pq.adcTopK(codes, emb.filter(col("vec_id") < simQueryIds),
           "vec_id", "embedding", model, simK)
         .select(col("qid"), col("rank"), col("nid"),
-          round(col("adc"), 4).as("adc_r"))
+          roundPinned(col("adc"), 4).as("adc_r"))
         .orderBy("qid", "rank")
     }),
 
@@ -721,7 +722,7 @@ object LlmQueries {
       Pq.ivfAdcTopK(emb, emb.filter(col("vec_id") < simQueryIds),
           "vec_id", "embedding", cents, model, ivfProbe, simK)
         .select(col("qid"), col("rank"), col("nid"),
-          round(col("adc"), 4).as("adc_r"))
+          roundPinned(col("adc"), 4).as("adc_r"))
         .orderBy("qid", "rank")
     }),
 
@@ -742,7 +743,7 @@ object LlmQueries {
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
-          round(avg(col("n_tokens")), 4).as("avg_tokens"),
+          roundPinned(avg(col("n_tokens")), 4).as("avg_tokens"),
           sum(col("bpe_tokens")).as("total_bpe_tokens"))
         .orderBy("lang")
     }),

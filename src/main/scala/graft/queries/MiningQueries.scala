@@ -4,6 +4,7 @@ import graft.Tables
 import graft.ops.{Cdc, Curation, Dedup, Expectations, Pca, Similarity, Sketches, TextAnalysis, TfIdf}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.roundPinned
 
 /** Oracle-checked queries for the round-14 corpus-mining operators:
   * exact duplicated-span accounting/stripping (X85 —
@@ -162,7 +163,7 @@ object MiningQueries {
       Similarity.hardNegatives(
           emb, emb.filter(col("vec_id") < hnQueryIds),
           "vec_id", "embedding", "label", hnK)
-        .withColumn("sim_r", round(col("sim"), 4)).drop("sim")
+        .withColumn("sim_r", roundPinned(col("sim"), 4)).drop("sim")
         .orderBy("qid", "rank")
     }),
 
@@ -275,7 +276,7 @@ object MiningQueries {
           e.filter(col("vec_id") >= benchCut),
           e.filter(col("vec_id") < benchCut),
           "vec_id", "embedding", threshold = semConThreshold)
-        .withColumn("sim_r", round(col("sim"), 4)).drop("sim")
+        .withColumn("sim_r", roundPinned(col("sim"), 4)).drop("sim")
         .orderBy("doc_id", "bench_id")
     }),
 
@@ -394,7 +395,7 @@ object MiningQueries {
       Similarity.bruteForceTopKDouble(
           rv, rv.filter(col("vec_id") < hnQueryIds), "vec_id", "rvec", mmrK)
         .select(col("qid"), col("rank"), col("nid"),
-          (round(col("sim"), 4) + lit(0.0)).as("sim_r"))
+          (roundPinned(col("sim"), 4)).as("sim_r"))
         .orderBy("qid", "rank")
     }),
 

@@ -5,6 +5,7 @@ import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.GraftFunctions.roundPinned
 
 /** Oracle-checked queries covering SURVEY.md §2's operator inventory
   * (the reference's own capabilities). Each entry has a DuckDB oracle
@@ -97,7 +98,7 @@ object ParityQueries {
       ev.groupBy(col("ts_date"), col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("total_value"))
+          roundPinned(sum(col("value")), 2).as("total_value"))
         .orderBy("ts_date", "event_type")
     }),
 
@@ -128,7 +129,7 @@ object ParityQueries {
           // deterministic, and integer summation is associative — a
           // rounded SUM of doubles differs in the last cent across
           // fold orders (and did, at row 239 of the first cut).
-          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          sum(roundPinned(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
             .cast("long")).as("revenue_cents"))
         .orderBy("order_year", "order_quarter", "order_week")
     }),
@@ -152,10 +153,10 @@ object ParityQueries {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          roundPinned(sum(col("l_quantity")), 2).as("sum_qty"),
+          roundPinned(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          roundPinned(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          roundPinned(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -177,7 +178,7 @@ object ParityQueries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(roundPinned(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
@@ -207,7 +208,7 @@ object ParityQueries {
             col("c_nationkey") === col("s_nationkey"))
         .join(asia, col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(roundPinned(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
@@ -228,7 +229,7 @@ object ParityQueries {
         .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_name")),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .agg(roundPinned(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
     }),
@@ -251,7 +252,7 @@ object ParityQueries {
           avg(col("l_quantity")).over(
             org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")))
         .filter(col("l_quantity") < lit(0.2) * col("__avg_q"))
-        .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
+        .agg(roundPinned(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
     }),
 
     // Pivot (A2-class relational surface): daily value totals spread
@@ -264,7 +265,7 @@ object ParityQueries {
         .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
         .groupBy("day")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(round(sum(col("value")), 2))
+        .agg(roundPinned(sum(col("value")), 2))
         .orderBy("day")
     }),
 
@@ -275,7 +276,7 @@ object ParityQueries {
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          roundPinned(sum(col("l_quantity")), 2).as("sum_qty"),
           count(lit(1)).as("count_order"),
           grouping_id().as("gid"))
         .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
@@ -287,7 +288,7 @@ object ParityQueries {
       Tables.lineitem(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          roundPinned(sum(col("l_quantity")), 2).as("sum_qty"),
           count(lit(1)).as("count_order"),
           grouping_id().as("gid"))
         .orderBy(col("gid"), asc_nulls_first("l_returnflag"),

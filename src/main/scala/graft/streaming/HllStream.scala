@@ -55,6 +55,12 @@ object HllStream {
     // deleted and its data vanish from all later estimates (ADVICE
     // r17). foldedRegisters also audits register width across
     // generations, so a mismatched append still errors here.
+    // SINGLE-WRITER REQUIREMENT (ADVICE r18): the fold lists
+    // generations eagerly, so an append that commits AFTER that
+    // listing and BEFORE swapIn below is still lost. The store has no
+    // cross-process lock; exactly one writer (this stream, or batch
+    // appends — never both concurrently) may mutate a store root.
+    // Readers are safe at all times (the swap is atomic).
     val merged =
       if (fs.exists(new Path(base)))
         Sketches.hllMerge(

@@ -66,6 +66,20 @@ class BenchSpec extends AnyFunSuite {
     assert(line.indexOf("q_a") < line.indexOf("q_b"))
   }
 
+  // VERDICT r18 #7: a contaminated driver run must self-document from
+  // the sealed artifact's 2000-char tail — the digest (passes, min/max
+  // pass totals, max loadavg, contaminated flag) prints right above
+  // the trailer and must stay tiny.
+  test("digest line is <=150 bytes and carries the contamination evidence") {
+    val line = Bench.digestLine(Seq(173.422, 96.23, 101.5), 4.93, contaminated = true, failedCount = 0)
+    assert(line ==
+      """BENCH_DIGEST {"passes":3,"pass_min":96.23,"pass_max":173.422,"load_max":4.93,"contaminated":true,"failed":0}""")
+    assert(line.length <= 150)
+    assert(!line.contains("\n"))
+    // Empty pass list (warmup-only crash path) must not throw.
+    assert(Bench.digestLine(Nil, 0.27, contaminated = false, failedCount = 0).contains("\"passes\":0"))
+  }
+
   // VERDICT r17 #1: the 191-query full line (~4 KB) overflowed the
   // driver's 2000-char artifact tail from the FRONT, so the sealed
   // artifact carried no recoverable total. The total-only trailer —
