@@ -57,4 +57,18 @@ class CurriculumSpec extends SparkSpec {
       Curriculum.phaseAssign(corpus.withColumnRenamed("d", "phase"), $"phase", 4)
     }
   }
+
+  test("reserved working/cdf columns are rejected up front with a rename message") {
+    // m/sub/__q are logBucketed working columns (silently overwritten
+    // then dropped before the guard — ADVICE r17); __pctl is cdf-side
+    // (survives the join as a duplicate and turns into an opaque
+    // ambiguous-reference AnalysisException — ADVICE r18). All must
+    // hit the clear require() instead.
+    Seq("m", "sub", "__q", "__pctl", "pctl_r").foreach { name =>
+      val e = intercept[IllegalArgumentException] {
+        Curriculum.phaseAssign(corpus.withColumn(name, lit(1)), $"d", phases = 4)
+      }
+      assert(e.getMessage.contains(name), s"guard message must name $name: ${e.getMessage}")
+    }
+  }
 }
