@@ -156,6 +156,76 @@ object Multimodal {
     }
   }
 
+  /** Perceptual image hash row: decoded dims + 64-bit dHash (None for
+    * payloads the JVM can't decode — the quarantine path). */
+  final case class ImageHash(id: Long, width: Int, height: Int, phash: Option[Long])
+
+  /** 64-bit difference hash (dHash) — the perceptual fingerprint for
+    * image near-dup detection: downsample the decoded raster to a
+    * `gridW`×`gridH` luma grid, then bit (cy·(gridW−1)+cx) = 1 iff
+    * luma(cx+1, cy) > luma(cx, cy). Gradient direction survives
+    * rescaling, re-encoding, and brightness shifts, so near-identical
+    * images land within a few hamming bits and feed straight into
+    * [[Dedup.simhashNearDupPairs]] (8 chunks × 8 bits: any pair within
+    * hamming ≤ 7 shares a chunk by pigeonhole — exact recall, no
+    * all-pairs scan).
+    *
+    * Determinism contract (the whole point of this variant): the
+    * downsample is NEAREST-NEIGHBOR at cell centers
+    * (`ix = (2·cx+1)·W / (2·gridW)`, integer division) and the luma is
+    * integer ITU-R BT.601 (`(299R + 587G + 114B) / 1000`) — every step
+    * is exact integer arithmetic an external engine replays from the
+    * raw raster bytes (the oracle does, from uncompressed BMP
+    * fixtures), where the usual area/Lanczos resample is float-order-
+    * dependent. Narrow per-partition execution, no shuffle; the same
+    * quarantine stance as [[decodeImage]] (undecodable → None, never a
+    * task failure).
+    */
+  def dHash(
+      media: Dataset[MediaRecord],
+      gridW: Int = 9,
+      gridH: Int = 8): Dataset[ImageHash] = {
+    require(gridW >= 2 && gridH >= 1, s"grid must be at least 2x1: ${gridW}x$gridH")
+    require((gridW - 1) * gridH <= 64, s"dHash bits must fit a long: ${gridW}x$gridH")
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      ImageIO.setUseCache(false)
+      records.map { r =>
+        tryReadImage(r.content) match {
+          case None => ImageHash(r.id, -1, -1, None)
+          case Some(img) =>
+            val w = img.getWidth
+            val h = img.getHeight
+            val lum = Array.ofDim[Int](gridH, gridW)
+            var cy = 0
+            while (cy < gridH) {
+              val iy = ((2 * cy + 1) * h) / (2 * gridH)
+              var cx = 0
+              while (cx < gridW) {
+                val ix = ((2 * cx + 1) * w) / (2 * gridW)
+                val p = img.getRGB(ix, iy)
+                lum(cy)(cx) =
+                  (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+                cx += 1
+              }
+              cy += 1
+            }
+            var hash = 0L
+            cy = 0
+            while (cy < gridH) {
+              var cx = 0
+              while (cx < gridW - 1) {
+                if (lum(cy)(cx + 1) > lum(cy)(cx)) hash |= 1L << (cy * (gridW - 1) + cx)
+                cx += 1
+              }
+              cy += 1
+            }
+            ImageHash(r.id, w, h, Some(hash))
+        }
+      }
+    }
+  }
+
   /** Really-decoded audio stream metadata (javax.sound.sampled). */
   final case class DecodedAudio(
       id: Long,

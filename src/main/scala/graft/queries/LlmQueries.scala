@@ -897,11 +897,101 @@ object LlmQueries {
         s.read.json(audioFixture), "id", "b64", "audio")
         .as[Multimodal.MediaRecord]
       Multimodal.decodeAudio(media).toDF().orderBy("id")
+    }),
+
+    // Perceptual image hash (dHash) over the uncompressed-BMP fixture:
+    // Spark decodes the raster via javax.imageio and hashes the
+    // nearest-neighbor 9×8 integer-luma grid; the oracle replays the
+    // IDENTICAL hash from the raw BMP bytes (pixel array offset /
+    // dims from the header, bottom-up BGR rows, same integer luma and
+    // center-sample arithmetic) — the whole pipeline is exact integer
+    // math, so the 64-bit values match bit-for-bit. The non-image row
+    // pins the (-1, -1, NULL) quarantine path.
+    "q_image_phash" -> ((s, _) => {
+      import s.implicits._
+      val media = Multimodal.ingestBase64(
+        s.read.json(bmpsFixture), "id", "b64", "image/bmp")
+        .as[Multimodal.MediaRecord]
+      Multimodal.dHash(media).toDF()
+        .select(col("id"), col("width"), col("height"),
+          lower(lpad(hex(col("phash")), 16, "0")).as("phash_hex"))
+        .orderBy("id")
+    }),
+
+    // Image near-dup pairs: the dHash frame feeds the SAME hamming
+    // banding as text simhash (simhashNearDupPairs, 8 chunks × 8
+    // bits): any pair within hamming ≤ 7 shares at least one 8-bit
+    // chunk by pigeonhole, so the banded equi-join has EXACT recall
+    // at this threshold and the oracle can brute-force the tiny
+    // fixture (the engine never does — bucket join only).
+    "q_image_neardup" -> ((s, _) => {
+      import s.implicits._
+      val media = Multimodal.ingestBase64(
+        s.read.json(bmpsFixture), "id", "b64", "image/bmp")
+        .as[Multimodal.MediaRecord]
+      val fps = Multimodal.dHash(media).toDF()
+        .filter(col("phash").isNotNull)
+        .select(col("id"), col("phash").as("simhash"))
+      Dedup.simhashNearDupPairs(fps, "id", bits = 64, chunks = 8, maxHamming = 7)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("a", "b")
     }))
 
   val imagesFixture = "/root/repo/fixtures/images.ndjson"
   val audioFixture = "/root/repo/fixtures/audio.ndjson"
   val gifsFixture = "/root/repo/fixtures/gifs.ndjson"
+  val bmpsFixture = "/root/repo/fixtures/bmps.ndjson"
+
+  /** Shared dHash-replay CTEs for the BMP fixture oracles, ending in
+    * `ph(id, w, h, hi, lo)` — the 64-bit dHash as two u32 halves
+    * (DuckDB BIGINT can't hold bit 63 as a positive shift without
+    * overflow). Byte N (0-based) of the blob is hex chars 2N+1..2N+2;
+    * BMP: 'BM' magic, pixel-array offset at bytes 10-13 (LE), width
+    * at 18-21, height at 22-25, bottom-up BGR rows padded to 4 bytes.
+    * Luma and center-sampling mirror [[Multimodal.dHash]]'s integer
+    * arithmetic exactly.
+    */
+  private def bmpDhashCtes: String =
+    s"""WITH raw AS (
+       |  SELECT * FROM read_json('$bmpsFixture', format='newline_delimited')
+       |), hxt AS (
+       |  SELECT id, hex(from_base64(b64)) AS hx FROM raw
+       |), dims AS (
+       |  SELECT id, hx,
+       |    ('0x' || substr(hx,27,2) || substr(hx,25,2)
+       |           || substr(hx,23,2) || substr(hx,21,2))::INTEGER AS off,
+       |    ('0x' || substr(hx,43,2) || substr(hx,41,2)
+       |           || substr(hx,39,2) || substr(hx,37,2))::INTEGER AS w,
+       |    ('0x' || substr(hx,51,2) || substr(hx,49,2)
+       |           || substr(hx,47,2) || substr(hx,45,2))::INTEGER AS h
+       |  FROM hxt WHERE substr(hx, 1, 4) = '424D'
+       |), cells AS (
+       |  SELECT d.id, u.cy, v.cx,
+       |    (299 * ('0x' || substr(d.hx, 2*(d.off
+       |        + (d.h - 1 - ((2*u.cy+1)*d.h)//16) * (((3*d.w + 3)//4)*4)
+       |        + 3*(((2*v.cx+1)*d.w)//18) + 2) + 1, 2))::INTEGER
+       |     + 587 * ('0x' || substr(d.hx, 2*(d.off
+       |        + (d.h - 1 - ((2*u.cy+1)*d.h)//16) * (((3*d.w + 3)//4)*4)
+       |        + 3*(((2*v.cx+1)*d.w)//18) + 1) + 1, 2))::INTEGER
+       |     + 114 * ('0x' || substr(d.hx, 2*(d.off
+       |        + (d.h - 1 - ((2*u.cy+1)*d.h)//16) * (((3*d.w + 3)//4)*4)
+       |        + 3*(((2*v.cx+1)*d.w)//18)) + 1, 2))::INTEGER) // 1000 AS lum
+       |  FROM dims d,
+       |    LATERAL (SELECT unnest(generate_series(0, 7)) AS cy) u,
+       |    LATERAL (SELECT unnest(generate_series(0, 8)) AS cx) v
+       |), bits AS (
+       |  SELECT a.id, a.cy * 8 + a.cx AS p,
+       |    CASE WHEN b.lum > a.lum THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM cells a
+       |  JOIN cells b ON a.id = b.id AND a.cy = b.cy AND b.cx = a.cx + 1
+       |  WHERE a.cx < 8
+       |), ph AS (
+       |  SELECT d.id, d.w, d.h,
+       |    coalesce(sum(CASE WHEN t.p >= 32 THEN t.bit << (t.p - 32) ELSE 0 END), 0)::BIGINT AS hi,
+       |    coalesce(sum(CASE WHEN t.p < 32 THEN t.bit << t.p ELSE 0 END), 0)::BIGINT AS lo
+       |  FROM dims d JOIN bits t ON d.id = t.id
+       |  GROUP BY d.id, d.w, d.h
+       |)""".stripMargin
 
   // ---- oracle SQL ------------------------------------------------------
 
@@ -2610,5 +2700,23 @@ object LlmQueries {
          |  format, sample_rate, channels, bits_per_sample, n_frames,
          |  CASE WHEN format = 'bin' THEN -1.0
          |       ELSE round(n_frames * 1000.0 / sample_rate, 3) END AS duration_ms
-         |FROM q ORDER BY id""".stripMargin)
+         |FROM q ORDER BY id""".stripMargin,
+    "q_image_phash" ->
+      (bmpDhashCtes +
+        """
+          |SELECT r.id,
+          |  coalesce(p.w, -1)::INTEGER AS width,
+          |  coalesce(p.h, -1)::INTEGER AS height,
+          |  CASE WHEN p.id IS NULL THEN NULL
+          |       ELSE printf('%08x%08x', p.hi, p.lo) END AS phash_hex
+          |FROM raw r LEFT JOIN ph p ON r.id = p.id
+          |ORDER BY r.id""".stripMargin),
+    "q_image_neardup" ->
+      (bmpDhashCtes +
+        """
+          |SELECT a.id AS a, b.id AS b,
+          |  (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INTEGER AS hamming
+          |FROM ph a JOIN ph b ON a.id < b.id
+          |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+          |ORDER BY a, b""".stripMargin))
 }
