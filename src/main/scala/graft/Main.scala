@@ -1,12 +1,12 @@
 package graft
 
-import graft.pipeline.{CrawlCycle, GoldIncrement, PipelineConfig, Pipelines, RunAll}
+import graft.pipeline.{CorpusBuild, CrawlCycle, GoldIncrement, PipelineConfig, Pipelines, RunAll}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
 
 /** CLI entry point mirroring the reference's dispatch
   * (`/root/reference/app.py:20-70`):
-  * `--pipeline {extract|clean|enrich|run-all|dedup-increment|gold-increment|check|drift|privacy|ann-index|ann-append|ann-compact|ann-query}`
+  * `--pipeline {extract|clean|enrich|run-all|build-corpus|dedup-increment|gold-increment|check|drift|privacy|ann-index|ann-append|ann-compact|ann-query}`
   * plus the known pipeline args; unknown `--k v` pairs pass through
   * (how enrich receives `--dimension_inputs` /
   * `--dimension_entity_types`, both CSV — `enrich.py:22-23`). Typed
@@ -263,6 +263,34 @@ object Main {
           sys.error(s"privacy gate: $atRisk quasi-identifier classes at risk " +
             s"(see ${req("output")})")
         persisted
+      case "build-corpus" =>
+        // The full training-corpus DAG (see CorpusBuild): dedup →
+        // quality → decontaminate → mix → pack → split → curriculum
+        // over --input's documents, published under --output
+        // partitioned by split. --mix/--splits parse as
+        // "name:weight,name:weight"; every stage knob has the
+        // oracle-checked default.
+        def weighted(s: String): Seq[(String, Double)] =
+          s.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { w =>
+            val Array(name, wt) = w.split(":", 2)
+            name.trim -> wt.trim.toDouble
+          }
+        val base = CorpusBuild.Config(input = req("input"), output = req("output"))
+        CorpusBuild.run(spark, base.copy(
+          benchCut = opts.get("bench_cut").map(_.toLong).getOrElse(base.benchCut),
+          k = opts.get("minhash_k").map(_.toInt).getOrElse(base.k),
+          bands = opts.get("bands").map(_.toInt).getOrElse(base.bands),
+          shingleN = opts.get("shingle_n").map(_.toInt).getOrElse(base.shingleN),
+          threshold = opts.get("threshold").map(_.toDouble).getOrElse(base.threshold),
+          maxBucketSize = opts.get("max_bucket_size").map(_.toInt)
+            .getOrElse(base.maxBucketSize),
+          mix = opts.get("mix").map(weighted).getOrElse(base.mix),
+          tokenBudget = opts.get("token_budget").map(_.toLong).getOrElse(base.tokenBudget),
+          mixSeed = opts.get("mix_seed").map(_.toLong).getOrElse(base.mixSeed),
+          packTokens = opts.get("pack_tokens").map(_.toLong).getOrElse(base.packTokens),
+          splits = opts.get("splits").map(weighted).getOrElse(base.splits),
+          splitSeed = opts.get("split_seed").map(_.toLong).getOrElse(base.splitSeed),
+          phases = opts.get("phases").map(_.toInt).getOrElse(base.phases)))
       case "run-all" =>
         // The reference's 13-job medallion DAG (see RunAll): NDJSON
         // per entity under --input_dir, lake written under --lake_dir.

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{Curation, EventAnalytics, FeatureEncode, Joins, Sketches, TextAnalysis, TfIdf}
+import graft.pipeline.HllStore
 import graft.functions.GraftFunctions.roundPinned
 
 /** Oracle-checked queries for the temporal-join and sketch operators
@@ -665,6 +666,42 @@ object AnalyticsQueries {
       merged.join(whole, Seq("lang"))
         .withColumn("lossless", col("est_distinct") === col("est_whole"))
         .orderBy("lang")
+    }),
+
+    // X114 store lifecycle end-to-end (VERDICT r18 #6): build the
+    // register base from one doc_id-residue third of the corpus, fold
+    // the other two thirds in as committed increment GENERATIONS
+    // (HllStore.append — cost ∝ increment, history never re-read),
+    // then estimate FROM THE STORE. Per-register max makes the folded
+    // store registers identical to a single whole-corpus sketch, so
+    // DuckDB's one-pass HLL replay is the exact oracle for the whole
+    // build → append → append → estimate composition. The store lives
+    // in per-run scratch; the ≤ |langs| estimate rows are collected
+    // (bounded by construction) so the scratch dir can be deleted
+    // before the frame leaves this function.
+    "q_hll_store" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      def tok(f: DataFrame) =
+        f.select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val scratch =
+        java.nio.file.Files.createTempDirectory("graft_hll_store_").toString
+      try {
+        HllStore.build(s, tok(d.filter(col("doc_id") % 3 === 0)),
+          Seq("lang"), col("tok"), scratch, b = hllB)
+        HllStore.append(s, scratch,
+          tok(d.filter(col("doc_id") % 3 === 1)), Seq("lang"), col("tok"))
+        HllStore.append(s, scratch,
+          tok(d.filter(col("doc_id") % 3 === 2)), Seq("lang"), col("tok"))
+        val est = HllStore.estimate(s, scratch, Seq("lang")).orderBy("lang")
+        val rows = est.collect()
+        s.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), est.schema)
+          .orderBy("lang")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(scratch)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      }
     }),
 
     // X119 freshness-decayed aggregates: per event type, value totals
@@ -1868,6 +1905,14 @@ object AnalyticsQueries {
          |  w.est_distinct AS est_whole,
          |  m.est_distinct = w.est_distinct AS lossless
          |FROM edm m JOIN ed w ON w.lang = m.lang ORDER BY m.lang""".stripMargin),
+    // the store's folded registers ARE the whole-corpus sketch (max is
+    // idempotent across the three disjoint generations), so the
+    // one-pass replay oracles the build→append→append→estimate path
+    "q_hll_store" -> (hllOracleCtes(
+      "SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents") +
+      s"""
+         |SELECT lang, ${1 << hllB} AS m_buckets, n_present, est_distinct
+         |FROM ed ORDER BY lang""".stripMargin),
     "q_cms_topk" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents

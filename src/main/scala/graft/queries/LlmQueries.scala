@@ -829,6 +829,24 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The corpus-build closure (VERDICT r18 #5): the curation_best
+    // composition extended through the LAST two stages a training
+    // corpus needs — deterministic train/val/test split (hash
+    // bucket-of-10k) and curriculum phases over the train slice's own
+    // difficulty distribution (log-histogram percentile; val/test
+    // carry NULL phases). This is exactly the frame `--pipeline
+    // build-corpus` publishes (CorpusBuild.corpusFrame), run here with
+    // the oracle hashers; DuckDB replays the added stages on top of
+    // the shared curation CTEs.
+    "q_pipeline_corpus" -> ((s, dir) => {
+      graft.pipeline.CorpusBuild.corpusFrame(
+          Tables.documents(s, dir),
+          graft.pipeline.CorpusBuild.Config(),
+          baseHasher = oracleBaseHash,
+          hasher = oracleH64)
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal ----------------------------------------------------
     "q_multimodal_decode" -> ((s, dir) => {
       Multimodal.decodeDocuments(s, Tables.documents(s, dir), "doc_id", "text")
@@ -1516,7 +1534,14 @@ object LlmQueries {
     * select the dedup-surviving corpus doc_ids; references the shared
     * `sh` shingle CTE from [[minhashBandsCtes]] for decontamination.
     */
-  private def pipelineTailSql: String =
+  private def pipelineTailSql: String = pipelineMidSql + pipelineSelectSql
+
+  /** Quality gate → decontamination → mix → pack, up to and including
+    * the `packed` CTE — shared between the curation pipelines (which
+    * close it with [[pipelineSelectSql]]) and the corpus build (which
+    * continues through split + curriculum in [[corpusTailSql]]).
+    */
+  private def pipelineMidSql: String =
     s"""
        |), stats AS (
        |  SELECT doc_id, source,
@@ -1557,10 +1582,57 @@ object LlmQueries {
        |    CAST(COALESCE(sum(bpe_tokens) OVER (ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
        |  FROM mixkept
-       |)
-       |SELECT doc_id, source, n_tokens, bpe_tokens, mix_tokens_before,
-       |  cum // 512 AS pack_id, cum % 512 AS pack_offset
-       |FROM packed ORDER BY doc_id""".stripMargin
+       |)""".stripMargin
+
+  private def pipelineSelectSql: String =
+    """
+      |SELECT doc_id, source, n_tokens, bpe_tokens, mix_tokens_before,
+      |  cum // 512 AS pack_id, cum % 512 AS pack_offset
+      |FROM packed ORDER BY doc_id""".stripMargin
+
+  /** Split + curriculum on top of [[pipelineMidSql]]'s `packed`:
+    * the bucket-of-10k split thresholds (assignSplit replay, seed 42)
+    * and the q_curriculum log-histogram CDF — computed over the TRAIN
+    * slice only, exactly like [[graft.pipeline.CorpusBuild]] — joined
+    * back so val/test rows carry NULL pctl_r/phase.
+    */
+  private def corpusTailSql: String =
+    """, packrow AS (
+      |  SELECT doc_id, source, n_tokens, bpe_tokens, mix_tokens_before,
+      |    cum // 512 AS pack_id, cum % 512 AS pack_offset
+      |  FROM packed
+      |), spl AS (
+      |  SELECT *, CASE WHEN bucket < 8000 THEN 'train'
+      |                 WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT *,
+      |    ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket
+      |    FROM packrow)
+      |), cv AS (
+      |  SELECT doc_id, CAST(round(n_tokens::DOUBLE * 1e6) AS BIGINT) AS qv
+      |  FROM spl WHERE split = 'train'
+      |), cb AS (
+      |  SELECT doc_id, m,
+      |    CASE WHEN m <= 4 THEN qv ELSE (qv >> (m - 1 - 3)) & 7 END AS sub
+      |  FROM (SELECT doc_id, qv, length(bin(qv))::INTEGER AS m
+      |        FROM cv WHERE qv IS NOT NULL AND qv >= 0)
+      |), ch AS (
+      |  SELECT m, sub, count(*)::BIGINT AS n FROM cb GROUP BY 1, 2
+      |), ccdf AS (
+      |  SELECT m, sub,
+      |    CAST(sum(n) OVER (ORDER BY m, sub) AS BIGINT)::DOUBLE /
+      |    CAST(sum(n) OVER () AS BIGINT)::DOUBLE AS pctl
+      |  FROM ch
+      |), cph AS (
+      |  SELECT cb.doc_id, round(ccdf.pctl, 6) AS pctl_r,
+      |    CASE WHEN ccdf.pctl <= sqrt(1e0/4e0) THEN 1
+      |         WHEN ccdf.pctl <= sqrt(2e0/4e0) THEN 2
+      |         WHEN ccdf.pctl <= sqrt(3e0/4e0) THEN 3 ELSE 4 END AS phase
+      |  FROM cb JOIN ccdf ON ccdf.m = cb.m AND ccdf.sub = cb.sub
+      |)
+      |SELECT s.doc_id, s.source, s.n_tokens, s.bpe_tokens, s.mix_tokens_before,
+      |  s.pack_id, s.pack_offset, s.bucket, s.split, p.pctl_r, p.phase
+      |FROM spl s LEFT JOIN cph p ON p.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
 
   /** Production-shape dedup stage for q_pipeline_curation_best: the
     * bucket cap counts CORPUS-side rows only (the engine caps buckets
@@ -2526,6 +2598,9 @@ object LlmQueries {
         pipelineTailSql),
     "q_pipeline_curation_best" ->
       (minhashBandsCtes(16, 8) + pipelineBestSurvCtes(2) + pipelineTailSql),
+    "q_pipeline_corpus" ->
+      (minhashBandsCtes(16, 8) + pipelineBestSurvCtes(2) + pipelineMidSql +
+        corpusTailSql),
     "q_fuzzy_join" -> (minhashCtes(16, 8) + fuzzyJoinSuffix(0)),
     "q_fuzzy_capped" -> (minhashCtes(16, 8) + fuzzyJoinSuffix(1)),
     "q_dedup_clusters" ->
