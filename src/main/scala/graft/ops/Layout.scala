@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.io.AtomicSwap
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical data layout for scan pruning — the write-side complement
@@ -93,5 +95,126 @@ object Layout {
       .repartitionByRange(numFiles, col(reserved))
       .sortWithinPartitions(reserved)
       .drop(reserved)
+  }
+
+  // ------------------------------------------------- file compaction
+
+  /** One output file of a planned compaction: the curve-adjacent input
+    * part files that merge into it and their combined size.
+    */
+  case class CompactionBin(bin: Int, files: Seq[String], bytes: Long)
+
+  /** What [[compactFiles]] did: file counts either side of the swap,
+    * how many bins actually merged (> 1 input file) vs passed through,
+    * and the bytes a pass-through saved from decode/re-encode.
+    */
+  case class CompactionReport(
+      filesBefore: Int,
+      filesAfter: Int,
+      bytesTotal: Long,
+      mergedBins: Int,
+      passThroughBins: Int)
+
+  /** Plan the small-files rewrite of one written parquet directory:
+    * greedy bin packing of its part files, IN NAME ORDER, into bins of
+    * ≤ `targetBytes` (a single file larger than the target keeps its
+    * own bin). Name order is curve order for anything
+    * [[clusterByZOrder]] (or any range-partitioned writer) produced —
+    * part-00000 holds the lowest key range — so a bin only ever merges
+    * CURVE-ADJACENT files and the merged file's min/max stats stay a
+    * tight rectangle (the union of neighbors on the curve), preserving
+    * the z-order pruning the layout was built for. A size-ordered
+    * first-fit-decreasing pack would beat this by a few percent of
+    * fill but merge arbitrary curve segments, destroying exactly the
+    * stats locality compaction exists to keep.
+    */
+  def compactionBins(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long): Seq[CompactionBin] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val bins = Seq.newBuilder[CompactionBin]
+    var cur = Vector.empty[(String, Long)]
+    var curBytes = 0L
+    var n = 0
+    def flush(): Unit = if (cur.nonEmpty) {
+      bins += CompactionBin(n, cur.map(_._1), curBytes)
+      n += 1; cur = Vector.empty; curBytes = 0L
+    }
+    parts.foreach { f =>
+      if (cur.nonEmpty && curBytes + f.getLen > targetBytes) flush()
+      cur :+= (f.getPath.toString, f.getLen)
+      curBytes += f.getLen
+    }
+    flush()
+    bins.result()
+  }
+
+  /** Rewrite a store partition's small files to ~`targetBytes` files —
+    * the small-files closure of the z-order layout (X63): a
+    * range-partitioned write sized for yesterday's data (or many
+    * incremental appends) leaves files whose per-file overhead (open,
+    * footer decode, scheduling) dominates the scan at 100 TB.
+    *
+    * Cost shape, per [[compactionBins]] bin:
+    *   - multi-file bins: ONE no-shuffle, no-exchange job — a single
+    *     task reads just that bin's ≤ targetBytes and writes one file.
+    *     Bins are independent; a cluster driver can submit them
+    *     concurrently (they share no input), so wall-clock is one
+    *     bin, not the partition.
+    *   - single-file bins (already at target size): a filesystem-level
+    *     copy into the staging dir — no decode, no re-encode. Rewrite
+    *     cost is therefore ∝ the small files, not the partition.
+    *
+    * The staging dir promotes over the live one via [[AtomicSwap]]
+    * (readers see the old file set or the new one, never a mix), and
+    * output files are numbered in bin = curve order so a later
+    * compaction pass, or any range-aware reader, still sees monotone
+    * key ranges in name order.
+    */
+  def compactFiles(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long): CompactionReport = {
+    AtomicSwap.recover(spark, dir)
+    val bins = compactionBins(spark, dir, targetBytes)
+    require(bins.nonEmpty, s"nothing to compact under $dir")
+    val p = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val next = dir + ".next"
+    fs.delete(new Path(next), true)
+    fs.mkdirs(new Path(next))
+    val scratch = s"$next/.bins"
+    var merged = 0
+    bins.foreach { b =>
+      val out = new Path(f"$next/part-${b.bin}%05d.parquet")
+      if (b.files.size == 1) {
+        FileUtil.copy(fs, new Path(b.files.head), fs, out, false, conf)
+      } else {
+        merged += 1
+        val tmp = s"$scratch/${b.bin}"
+        spark.read.parquet(b.files: _*).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp))
+          .filter(_.getPath.getName.startsWith("part-"))
+        require(part.length == 1, s"coalesce(1) wrote ${part.length} files")
+        if (!fs.rename(part.head.getPath, out))
+          sys.error(s"compaction commit failed: ${part.head.getPath} -> $out")
+      }
+    }
+    fs.delete(new Path(scratch), true)
+    AtomicSwap.swapIn(spark, dir, next)
+    CompactionReport(
+      filesBefore = bins.map(_.files.size).sum,
+      filesAfter = bins.size,
+      bytesTotal = bins.map(_.bytes).sum,
+      mergedBins = merged,
+      passThroughBins = bins.size - merged)
   }
 }

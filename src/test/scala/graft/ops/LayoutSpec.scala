@@ -99,6 +99,76 @@ class LayoutSpec extends SparkSpec {
       s"narrow-only predicate pruned nothing: $surviving of ${parts.length}")
   }
 
+  private def partSizes(dir: String): Seq[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(s => (s.getPath.getName, s.getLen))
+      .sortBy(_._1)
+  }
+
+  test("compactionBins packs curve-adjacent files in order, every file exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("compact-plan").toString + "/t"
+    val df = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    Layout.clusterByZOrder(df, Seq("x", "y"), bits = 6, numFiles = 16)
+      .write.parquet(dir)
+    val files = partSizes(dir)
+    assert(files.size == 16)
+    val target = files.map(_._2).sum / 4 // aim for ~4 output files
+    val bins = Layout.compactionBins(spark, dir, target)
+    // exactly the input files, still in curve (= name) order
+    assert(bins.flatMap(_.files).map(f => f.substring(f.lastIndexOf('/') + 1))
+      == files.map(_._1))
+    // capacity respected for every multi-file bin; sizes add up
+    bins.filter(_.files.size > 1).foreach(b => assert(b.bytes <= target))
+    assert(bins.map(_.bytes).sum == files.map(_._2).sum)
+    assert(bins.map(_.bin) == bins.indices)
+    // an over-target file keeps its own bin instead of breaking packing
+    val tiny = Layout.compactionBins(spark, dir, 1L)
+    assert(tiny.size == files.size && tiny.forall(_.files.size == 1))
+  }
+
+  test("compactFiles shrinks the file count and keeps data + curve rectangles") {
+    val dir = java.nio.file.Files.createTempDirectory("compact-run").toString + "/t"
+    val df = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    Layout.clusterByZOrder(df, Seq("x", "y"), bits = 6, numFiles = 16)
+      .write.parquet(dir)
+    val before = partSizes(dir)
+    val target = before.map(_._2).sum / 4
+    val report = Layout.compactFiles(spark, dir, target)
+    val after = partSizes(dir)
+    assert(report.filesBefore == 16 && report.filesAfter == after.size)
+    assert(after.size < before.size && after.size >= 4)
+    assert(report.mergedBins + report.passThroughBins == after.size)
+    assert(!new java.io.File(dir + ".next").exists, "swap must consume staging")
+
+    // data survives bit-exactly
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 4096)
+    assert(got.select(sum(col("x") * lit(65536L) + col("y"))).head.getLong(0)
+      == df.select(sum(col("x") * lit(65536L) + col("y"))).head.getLong(0))
+
+    // the property compaction exists to preserve: per-FILE zkey ranges
+    // are still disjoint and monotone in file-name order (bins merged
+    // only curve-adjacent files), so min/max stats prune exactly like
+    // the pre-compaction layout at coarser granularity
+    val ranges = got
+      .withColumn("zk", Layout.zOrderKey(Seq(col("x"), col("y")), 6))
+      .groupBy(input_file_name().as("f"))
+      .agg(min("zk").as("lo"), max("zk").as("hi"))
+      .orderBy("f")
+      .as[(String, Long, Long)].collect()
+    assert(ranges.length == after.size)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (f2, lo2, _)) =>
+        assert(hi1 <= lo2, s"curve rectangles overlap at $f2")
+      case _ =>
+    }
+  }
+
   test("clusterByZOrder survives an empty frame and an all-NULL column") {
     // ADVICE r14: min/max aggregate to NULL on these inputs and the
     // normalization read them with getDouble — an empty-increment
