@@ -83,4 +83,69 @@ object Curriculum {
       .withColumn("phase", phase)
       .drop("__q", "m", "sub", "__pctl")
   }
+
+  /** [[phaseAssign]] when only a GATED slice of the frame defines and
+    * receives the curriculum — the corpus-build shape: phases order
+    * the TRAIN split while val/test rows ride along with NULL
+    * curriculum columns. Composing that as `phaseAssign(df.filter(
+    * gate)) ⋈ df` re-joins two corpus-sized frames on the row id — a
+    * full shuffle of the corpus at 100 TB. Here the CDF histogram
+    * simply COUNTS gate rows only; every row still reads its bucket's
+    * cumulative share from the broadcast CDF (left join — an off-gate
+    * row's bucket may be absent from the gated histogram) and the
+    * output columns mask to NULL off gate. Gate rows get pctl_r/phase
+    * bit-identical to `phaseAssign` over the gated slice alone
+    * (spec-pinned); the only exchanges are the tiny histogram
+    * aggregation phaseAssign already pays.
+    *
+    * Contract differences from [[phaseAssign]]: ALL off-gate rows
+    * survive (their difficulty is not evaluated — it may be NULL);
+    * gate rows with NULL/negative difficulty are still dropped, same
+    * as phaseAssign. A NULL gate counts as off-gate.
+    */
+  def phaseAssignGated(
+      df: DataFrame,
+      difficulty: Column,
+      gate: Column,
+      phases: Int = 4,
+      rootPacing: Boolean = true,
+      subBits: Int = 3,
+      scale: Double = 1e6): DataFrame = {
+    require(phases >= 1 && phases <= 64, s"phases must be in [1, 64]: $phases")
+    val reserved = Set("pctl_r", "phase", "m", "sub", "__q", "__pctl", "__gate")
+    val shadowing = df.columns.filter(reserved)
+    require(shadowing.isEmpty,
+      s"phaseAssignGated appends/consumes ${reserved.mkString("/")}; " +
+        s"rename: ${shadowing.mkString(", ")}")
+    // off-gate rows pin __q = 0 so logBucketed's NULL/negative drop
+    // can only ever remove GATE rows (the documented phaseAssign
+    // semantics), never a val/test row with an undefined difficulty
+    val rows = Sketches.logBucketed(
+      df.withColumn("__gate", gate)
+        .withColumn("__q",
+          when(col("__gate"), Sketches.quantized(difficulty, scale))
+            .otherwise(lit(0L))),
+      subBits)
+    val hist = rows.filter(col("__gate"))
+      .groupBy(col("m"), col("sub")).agg(count(lit(1)).as("__n"))
+    val cumW = Window.orderBy(col("m"), col("sub"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = hist
+      .withColumn("__cum", sum(col("__n")).over(cumW))
+      .withColumn("__tot", sum(col("__n")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("m"), col("sub"),
+        (col("__cum").cast("double") / col("__tot").cast("double")).as("__pctl"))
+    def pace(p: Int): Column = {
+      val frac = lit(p.toDouble) / lit(phases.toDouble)
+      if (rootPacing) sqrt(frac) else frac
+    }
+    val phase = (1 until phases).foldRight(lit(phases): Column) { (p, acc) =>
+      when(col("__pctl") <= pace(p), lit(p)).otherwise(acc)
+    }
+    rows.join(broadcast(cdf), Seq("m", "sub"), "left")
+      .withColumn("pctl_r", when(col("__gate"), roundPinned(col("__pctl"), 6)))
+      .withColumn("phase", when(col("__gate"), phase))
+      .drop("__q", "m", "sub", "__pctl", "__gate")
+  }
 }

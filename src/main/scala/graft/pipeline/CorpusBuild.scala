@@ -100,11 +100,14 @@ object CorpusBuild {
       seed = cfg.splitSeed, hasher = hasher)
     // curriculum is a training-order concern: phases are assigned over
     // the train slice's OWN difficulty distribution (a val/test row
-    // must not shift a train percentile); val/test rows carry NULLs
-    val train = split.filter(col("split") === "train")
-    val phased = Curriculum.phaseAssign(train, col("n_tokens"), phases = cfg.phases)
-      .select("doc_id", "pctl_r", "phase")
-    split.join(phased, Seq("doc_id"), "left")
+    // must not shift a train percentile); val/test rows carry NULLs.
+    // The GATED form keeps this one broadcast CDF join — the
+    // phaseAssign(train) ⋈ corpus composition would re-shuffle the
+    // whole corpus on doc_id just to carry two columns back.
+    // (n_tokens is never NULL here — quality-gated text — so the
+    // gate-row drop contract of phaseAssignGated cannot lose rows.)
+    Curriculum.phaseAssignGated(split, col("n_tokens"),
+        col("split") === "train", phases = cfg.phases)
       .select("doc_id", "source", "n_tokens", "bpe_tokens", "mix_tokens_before",
         "pack_id", "pack_offset", "bucket", "split", "pctl_r", "phase")
   }

@@ -58,6 +58,35 @@ class CurriculumSpec extends SparkSpec {
     }
   }
 
+  test("gated assignment equals phaseAssign-over-the-slice, keeps off-gate rows, no id shuffle") {
+    // every third row is "train": the gated CDF must be computed over
+    // exactly that slice, not the whole frame
+    val df = corpus.withColumn("is_train", $"id" % 3 === 0)
+    val gated = Curriculum.phaseAssignGated(df, $"d", $"is_train", phases = 4)
+    assert(gated.count() == 4000, "off-gate rows must all survive")
+    // gate rows: bit-identical to the standalone composition
+    val viaJoin = Curriculum.phaseAssign(df.filter($"is_train"), $"d", phases = 4)
+      .select($"id", $"pctl_r", $"phase")
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val got = gated.filter($"is_train")
+      .select($"id", $"pctl_r", $"phase")
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == viaJoin)
+    // off-gate rows: NULL curriculum columns, even with NULL difficulty
+    val offGate = Curriculum.phaseAssignGated(
+        df.withColumn("d", when($"is_train", $"d")), $"d", $"is_train", phases = 4)
+      .filter(!$"is_train")
+    assert(offGate.count() == gated.filter(!$"is_train").count())
+    assert(offGate.filter($"phase".isNotNull || $"pctl_r".isNotNull).count() == 0)
+    // the point of the variant: no corpus-sized join back on the row
+    // id — the only join is the broadcast CDF, and there is no range
+    // or hash exchange of the input beyond the histogram aggregation
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("reserved working/cdf columns are rejected up front with a rename message") {
     // m/sub/__q are logBucketed working columns (silently overwritten
     // then dropped before the guard — ADVICE r17); __pctl is cdf-side
