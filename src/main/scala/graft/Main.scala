@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.{col, expr}
 
 /** CLI entry point mirroring the reference's dispatch
   * (`/root/reference/app.py:20-70`):
-  * `--pipeline {extract|clean|enrich|run-all|build-corpus|dedup-increment|gold-increment|check|drift|privacy|ann-index|ann-append|ann-compact|ann-query}`
+  * `--pipeline {extract|clean|enrich|run-all|build-corpus|compact-files|dedup-increment|gold-increment|check|drift|privacy|ann-index|ann-append|ann-compact|ann-query}`
   * plus the known pipeline args; unknown `--k v` pairs pass through
   * (how enrich receives `--dimension_inputs` /
   * `--dimension_entity_types`, both CSV — `enrich.py:22-23`). Typed
@@ -263,6 +263,15 @@ object Main {
           sys.error(s"privacy gate: $atRisk quasi-identifier classes at risk " +
             s"(see ${req("output")})")
         persisted
+      case "compact-files" =>
+        // Small-files maintenance of a written partition (X63 closure,
+        // see Layout.compactFiles): bin-pack --input's part files in
+        // curve order to --target_bytes and swap the rewrite in
+        // atomically. Prints the report; returns the compacted data.
+        val report = ops.Layout.compactFiles(
+          spark, req("input"), req("target_bytes").toLong)
+        println(s"COMPACTION $report")
+        spark.read.parquet(req("input"))
       case "build-corpus" =>
         // The full training-corpus DAG (see CorpusBuild): dedup →
         // quality → decontaminate → mix → pack → split → curriculum

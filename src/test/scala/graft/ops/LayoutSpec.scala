@@ -169,6 +169,20 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compact-files CLI rewrites a partition in place through the dispatch") {
+    val dir = java.nio.file.Files.createTempDirectory("compact-cli").toString + "/t"
+    val df = spark.range(0, 2048).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    Layout.clusterByZOrder(df, Seq("x", "y"), bits = 6, numFiles = 8)
+      .write.parquet(dir)
+    val target = partSizes(dir).map(_._2).sum / 2
+    val out = graft.Main.run(spark, graft.Main.parseArgs(Array(
+      "--pipeline", "compact-files",
+      "--input", dir, "--target_bytes", target.toString)))
+    assert(out.count() == 2048)
+    assert(partSizes(dir).size < 8)
+  }
+
   test("clusterByZOrder survives an empty frame and an all-NULL column") {
     // ADVICE r14: min/max aggregate to NULL on these inputs and the
     // normalization read them with getDouble — an empty-increment
