@@ -217,4 +217,40 @@ object Layout {
       mergedBins = merged,
       passThroughBins = bins.size - merged)
   }
+
+  /** [[compactFiles]] over every leaf partition of a
+    * `partitionBy`-written table (`split=train/`, `date_year=2021/`,
+    * nested combinations): walk to the directories that actually hold
+    * part files and compact each independently, skipping partitions
+    * already at one file (nothing to gain, and the swap is not free).
+    * Returns (relative partition path → report) for the compacted
+    * ones. Partitions are independent single-writer units — the same
+    * contract as one partition's swap — so a cluster driver can fan
+    * this loop out; per-partition atomicity means a crash mid-table
+    * leaves every partition either old or new, never mixed.
+    */
+  def compactPartitions(
+      spark: SparkSession,
+      tableDir: String,
+      targetBytes: Long): Seq[(String, CompactionReport)] = {
+    val unqualified = new Path(tableDir)
+    val fs = unqualified.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // listStatus returns scheme-qualified child paths; qualify the
+    // root the same way or the relative-path strip below misses
+    val root = fs.makeQualified(unqualified)
+    def leaves(p: Path): Seq[Path] = {
+      val children = fs.listStatus(p).toSeq
+      val dirs = children.filter(s =>
+        s.isDirectory && !s.getPath.getName.startsWith("."))
+      if (dirs.isEmpty) Seq(p) else dirs.flatMap(d => leaves(d.getPath))
+    }
+    leaves(root)
+      .filter(p => fs.listStatus(p)
+        .count(s => s.isFile && s.getPath.getName.startsWith("part-")) > 1)
+      .sortBy(_.toString)
+      .map { p =>
+        val rel = p.toString.stripPrefix(root.toString).stripPrefix("/")
+        rel -> compactFiles(spark, p.toString, targetBytes)
+      }
+  }
 }

@@ -183,6 +183,23 @@ class LayoutSpec extends SparkSpec {
     assert(partSizes(dir).size < 8)
   }
 
+  test("compactPartitions walks a partitionBy layout and compacts each leaf independently") {
+    val dir = java.nio.file.Files.createTempDirectory("compact-part").toString + "/t"
+    spark.range(0, 3000)
+      .select(col("id"), (col("id") % 3).as("part"))
+      .repartition(6) // 6 part files per partition dir
+      .write.partitionBy("part").parquet(dir)
+    val reports = Layout.compactPartitions(spark, dir, targetBytes = Long.MaxValue)
+    assert(reports.map(_._1).sorted == Seq("part=0", "part=1", "part=2"))
+    reports.foreach { case (_, r) => assert(r.filesBefore == 6 && r.filesAfter == 1) }
+    // data intact, partition column included
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3000)
+    assert(back.groupBy("part").count().collect().forall(_.getLong(1) == 1000))
+    // single-file partitions are left untouched (no pointless swap)
+    assert(Layout.compactPartitions(spark, dir, Long.MaxValue).isEmpty)
+  }
+
   test("clusterByZOrder survives an empty frame and an all-NULL column") {
     // ADVICE r14: min/max aggregate to NULL on these inputs and the
     // normalization read them with getDouble — an empty-increment
