@@ -847,6 +847,42 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // X136 reference-based generation eval (BLEU/ROUGE family):
+    // clipped n-gram precisions p1..p4, ROUGE-1/2 recall + F1,
+    // add-1-smoothed BLEU composed by NESTED SQRT (the repo's
+    // exp/pow-free convention), and the length ratio — demonstrated as
+    // a truncation audit: candidate = the first 60% of each document's
+    // tokens, reference = the full text. Exploded gram counts + one
+    // (doc, n, gram) equi-join: no per-row quadratic lambdas, the
+    // shape that streams at eval-set scale. Integer counts, mirrored
+    // double expressions: hash-exact.
+    "q_text_eval" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val toks = TextAnalysis.tokens(col("text"))
+      val cut = ceil(size(toks).cast("double") * lit(0.6)).cast("int")
+      TextEval.ngramOverlap(
+          d.select(col("doc_id"),
+            concat_ws(" ", slice(toks, lit(1), cut)).as("cand"),
+            col("text").as("ref")),
+          "doc_id", col("cand"), col("ref"))
+        .orderBy("doc_id")
+    }),
+
+    // X137 edit-distance eval: exact Levenshtein (codegen'd built-in;
+    // DuckDB replays the identical DP) + normalized similarity over a
+    // deterministic adjacent-pair set (each doc against the next
+    // doc_id, capped to doc_id < 200 — the op scores pairs, the
+    // upstream screen bounds them, identically at every SF).
+    "q_edit_similarity" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select("doc_id", "text").filter(col("doc_id") < 200)
+      val nxt = d.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("text2"))
+      TextEval.editSimilarity(
+          d.join(nxt, Seq("doc_id")), Seq("doc_id"), col("text"), col("text2"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal ----------------------------------------------------
     "q_multimodal_decode" -> ((s, dir) => {
       Multimodal.decodeDocuments(s, Tables.documents(s, dir), "doc_id", "text")
@@ -2601,6 +2637,97 @@ object LlmQueries {
     "q_pipeline_corpus" ->
       (minhashBandsCtes(16, 8) + pipelineBestSurvCtes(2) + pipelineMidSql +
         corpusTailSql),
+    // engine doubles mirrored expression-for-expression (same
+    // association order), so every ratio and the nested-sqrt BLEU
+    // replay bit-exactly; n-gram counts are pure integers
+    "q_text_eval" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS rtk FROM documents
+        |), pair AS (
+        |  SELECT doc_id, rtk,
+        |    rtk[1:CAST(ceil(len(rtk)::DOUBLE * 0.6) AS INT)] AS ctk
+        |  FROM t
+        |), side AS (
+        |  SELECT doc_id, 'c' AS s, ctk AS toks FROM pair
+        |  UNION ALL SELECT doc_id, 'r', rtk FROM pair
+        |), grams AS (
+        |  SELECT doc_id, s, nn.n AS n,
+        |    unnest(list_transform(generate_series(1, len(toks) - nn.n + 1),
+        |      i -> array_to_string(toks[i:i+nn.n-1], ' '))) AS gram
+        |  FROM side CROSS JOIN (SELECT unnest([1,2,3,4]) AS n) nn
+        |  WHERE len(toks) >= nn.n
+        |), gc AS (
+        |  SELECT doc_id, s, n, gram, count(*)::BIGINT AS cnt
+        |  FROM grams GROUP BY 1, 2, 3, 4
+        |), ov AS (
+        |  SELECT c.doc_id, c.n, sum(least(c.cnt, r.cnt))::BIGINT AS ov
+        |  FROM gc c JOIN gc r
+        |    ON r.doc_id = c.doc_id AND r.n = c.n AND r.gram = c.gram
+        |  WHERE c.s = 'c' AND r.s = 'r'
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, n,
+        |    sum(CASE WHEN s = 'c' THEN cnt END)::BIGINT AS ct,
+        |    sum(CASE WHEN s = 'r' THEN cnt END)::BIGINT AS rt
+        |  FROM gc GROUP BY 1, 2
+        |), m AS (
+        |  SELECT t.doc_id, t.n, COALESCE(o.ov, 0) AS ov,
+        |    COALESCE(t.ct, 0) AS ct, COALESCE(t.rt, 0) AS rt
+        |  FROM tot t LEFT JOIN ov o ON o.doc_id = t.doc_id AND o.n = t.n
+        |), w AS (
+        |  SELECT doc_id,
+        |    COALESCE(max(CASE WHEN n=1 THEN ov END), 0) AS ov1,
+        |    COALESCE(max(CASE WHEN n=1 THEN ct END), 0) AS ct1,
+        |    COALESCE(max(CASE WHEN n=1 THEN rt END), 0) AS rt1,
+        |    COALESCE(max(CASE WHEN n=2 THEN ov END), 0) AS ov2,
+        |    COALESCE(max(CASE WHEN n=2 THEN ct END), 0) AS ct2,
+        |    COALESCE(max(CASE WHEN n=2 THEN rt END), 0) AS rt2,
+        |    COALESCE(max(CASE WHEN n=3 THEN ov END), 0) AS ov3,
+        |    COALESCE(max(CASE WHEN n=3 THEN ct END), 0) AS ct3,
+        |    COALESCE(max(CASE WHEN n=3 THEN rt END), 0) AS rt3,
+        |    COALESCE(max(CASE WHEN n=4 THEN ov END), 0) AS ov4,
+        |    COALESCE(max(CASE WHEN n=4 THEN ct END), 0) AS ct4,
+        |    COALESCE(max(CASE WHEN n=4 THEN rt END), 0) AS rt4
+        |  FROM m GROUP BY 1
+        |), lens AS (
+        |  SELECT doc_id, len(ctk)::BIGINT AS cand_tokens,
+        |    len(rtk)::BIGINT AS ref_tokens
+        |  FROM pair
+        |)
+        |SELECT l.doc_id, l.cand_tokens, l.ref_tokens,
+        |  round(l.cand_tokens::DOUBLE / l.ref_tokens::DOUBLE, 4) AS len_ratio,
+        |  CASE WHEN ct1 > 0 THEN round(ov1::DOUBLE / ct1::DOUBLE, 4) END AS p1,
+        |  CASE WHEN ct2 > 0 THEN round(ov2::DOUBLE / ct2::DOUBLE, 4) END AS p2,
+        |  CASE WHEN ct3 > 0 THEN round(ov3::DOUBLE / ct3::DOUBLE, 4) END AS p3,
+        |  CASE WHEN ct4 > 0 THEN round(ov4::DOUBLE / ct4::DOUBLE, 4) END AS p4,
+        |  CASE WHEN rt1 > 0 THEN round(ov1::DOUBLE / rt1::DOUBLE, 4) END AS r1,
+        |  CASE WHEN ct1 > 0 AND rt1 > 0 AND ov1 > 0
+        |       THEN round(2e0 * (ov1::DOUBLE / ct1::DOUBLE) * (ov1::DOUBLE / rt1::DOUBLE)
+        |                  / ((ov1::DOUBLE / ct1::DOUBLE) + (ov1::DOUBLE / rt1::DOUBLE)), 4)
+        |       WHEN ct1 > 0 AND rt1 > 0 THEN 0e0 END AS f1,
+        |  CASE WHEN rt2 > 0 THEN round(ov2::DOUBLE / rt2::DOUBLE, 4) END AS r2,
+        |  CASE WHEN ct2 > 0 AND rt2 > 0 AND ov2 > 0
+        |       THEN round(2e0 * (ov2::DOUBLE / ct2::DOUBLE) * (ov2::DOUBLE / rt2::DOUBLE)
+        |                  / ((ov2::DOUBLE / ct2::DOUBLE) + (ov2::DOUBLE / rt2::DOUBLE)), 4)
+        |       WHEN ct2 > 0 AND rt2 > 0 THEN 0e0 END AS f2,
+        |  round(sqrt(sqrt(
+        |    (((ov1+1)::DOUBLE / (ct1+1)::DOUBLE) * ((ov2+1)::DOUBLE / (ct2+1)::DOUBLE))
+        |    * ((ov3+1)::DOUBLE / (ct3+1)::DOUBLE) * ((ov4+1)::DOUBLE / (ct4+1)::DOUBLE)
+        |  )), 4) AS bleu_sqrt
+        |FROM w JOIN lens l USING (doc_id) ORDER BY l.doc_id""".stripMargin,
+    "q_edit_similarity" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |), p AS (
+        |  SELECT a.doc_id, a.text AS ta, b.text AS tb
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |)
+        |SELECT doc_id, levenshtein(ta, tb)::BIGINT AS edit_dist,
+        |  CASE WHEN greatest(length(ta), length(tb)) > 0
+        |       THEN round(1e0 - levenshtein(ta, tb)::DOUBLE
+        |                  / greatest(length(ta), length(tb))::DOUBLE, 4)
+        |       ELSE 1e0 END AS edit_sim
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_fuzzy_join" -> (minhashCtes(16, 8) + fuzzyJoinSuffix(0)),
     "q_fuzzy_capped" -> (minhashCtes(16, 8) + fuzzyJoinSuffix(1)),
     "q_dedup_clusters" ->
