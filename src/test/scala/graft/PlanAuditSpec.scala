@@ -26,6 +26,31 @@ class PlanAuditSpec extends SparkSpec {
       "exact fingerprint screen + near screen must both stay keyed joins")
   }
 
+  test("q_text_eval's clipped overlap is keyed joins + partial aggregation, no products") {
+    val plan = planOf("q_text_eval")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the (id, n, gram) overlap must stay an equi-join, never a per-row product")
+    // gram counting must combine map-side (the per-row-lambda shape
+    // has no partial aggregation to give)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("the corpus-build frame adds no range exchange or id re-shuffle beyond curation_best") {
+    // the frame itself, not the oracle query — the query's output
+    // orderBy legitimately range-partitions for the dump
+    val frame = graft.pipeline.CorpusBuild.corpusFrame(
+      Tables.documents(spark, sf001), graft.pipeline.CorpusBuild.Config())
+    val plan = frame.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the gated curriculum keeps the split+phase stages exchange-free:
+    // no global sort anywhere, no sort-merge join back on doc_id
+    assert(!plan.contains("rangepartitioning") && !plan.contains("RangePartitioning"),
+      "corpus build must not introduce a global sort")
+    assert(!plan.contains("SortMergeJoin"),
+      "curriculum must read the broadcast CDF, not re-join the corpus on doc_id")
+    CachedFrames.unpersistAll()
+  }
+
   test("matvec kernels with equal-valued matrices share one cache identity") {
     // The payoff of MatVecDotsExpr's value-based equals/hashCode:
     // separately-allocated but equal matrices (two queries each
