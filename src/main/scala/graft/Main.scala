@@ -264,14 +264,25 @@ object Main {
             s"(see ${req("output")})")
         persisted
       case "compact-files" =>
-        // Small-files maintenance of a written partition (X63 closure,
-        // see Layout.compactFiles): bin-pack --input's part files in
-        // curve order to --target_bytes and swap the rewrite in
-        // atomically. Prints the report; returns the compacted data.
-        val report = ops.Layout.compactFiles(
-          spark, req("input"), req("target_bytes").toLong)
-        println(s"COMPACTION $report")
-        spark.read.parquet(req("input"))
+        // Small-files maintenance (X63 closure, see
+        // Layout.compactFiles): bin-pack --input's part files in curve
+        // order to --target_bytes and swap the rewrite in atomically.
+        // A partitionBy table root (subdirectories present) routes to
+        // the per-leaf walk — the layout `--pipeline build-corpus`
+        // itself publishes. Prints the report(s); returns the
+        // compacted data.
+        val input = req("input")
+        val target = req("target_bytes").toLong
+        val inP = new org.apache.hadoop.fs.Path(input)
+        val inFs = inP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val partitioned = inFs.listStatus(inP).exists(s =>
+          s.isDirectory && !s.getPath.getName.startsWith("."))
+        if (partitioned)
+          ops.Layout.compactPartitions(spark, input, target).foreach {
+            case (rel, r) => println(s"COMPACTION $rel $r")
+          }
+        else println(s"COMPACTION ${ops.Layout.compactFiles(spark, input, target)}")
+        spark.read.parquet(input)
       case "build-corpus" =>
         // The full training-corpus DAG (see CorpusBuild): dedup →
         // quality → decontaminate → mix → pack → split → curriculum

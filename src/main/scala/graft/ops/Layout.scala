@@ -171,45 +171,93 @@ object Layout {
     *     copy into the staging dir — no decode, no re-encode. Rewrite
     *     cost is therefore ∝ the small files, not the partition.
     *
-    * The staging dir promotes over the live one via [[AtomicSwap]]
-    * (readers see the old file set or the new one, never a mix), and
-    * output files are numbered in bin = curve order so a later
-    * compaction pass, or any range-aware reader, still sees monotone
-    * key ranges in name order.
+    * The staging dir promotes over the live one with the same
+    * two-rename discipline as [[AtomicSwap]] but under DOT-prefixed
+    * sibling names (see [[stagingPath]] — inside a partitionBy table,
+    * `<leaf>.next` would read as a phantom partition), so readers see
+    * the old file set or the new one, never a mix, and output files
+    * are numbered in bin = curve order so a later compaction pass, or
+    * any range-aware reader, still sees monotone key ranges in name
+    * order.
     */
+  // Staging/backup live BESIDE the directory under DOT-prefixed
+  // sibling names, NOT the AtomicSwap `<dir>.next`/`<dir>.old`
+  // convention: a compacted leaf often sits inside a partitionBy
+  // table, where `split=train.next` is itself a syntactically valid
+  // `col=value` partition name — a concurrent table-root reader would
+  // discover the staging dir as a phantom partition mid-swap, and a
+  // crash-stranded `.old` would double-count the partition forever.
+  // Dot-prefixed names are invisible to Spark's partition discovery
+  // (and to [[compactPartitions]]' own leaf walk), so readers see the
+  // old file set or the new one, never a mix, even table-wide.
+  private[ops] def stagingPath(dir: Path): Path =
+    new Path(dir.getParent, s".compact_next_${dir.getName}")
+  private[ops] def backupPath(dir: Path): Path =
+    new Path(dir.getParent, s".compact_old_${dir.getName}")
+
+  /** Restore `dir` if a previous compaction died between its renames
+    * (mirrors [[AtomicSwap.recover]] for the dotted layout); stale
+    * staging is garbage in every crash position and is dropped.
+    */
+  private def recoverCompaction(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path): Unit = {
+    val bak = backupPath(dir)
+    if (!fs.exists(dir) && fs.exists(bak) && !fs.rename(bak, dir))
+      sys.error(s"compaction recovery failed: $bak -> $dir")
+    fs.delete(stagingPath(dir), true)
+    if (fs.exists(dir)) fs.delete(bak, true)
+  }
+
+  /** Promote a fully-written staging dir over `dir` via the dotted
+    * backup hop — same two-rename discipline as [[AtomicSwap.swapIn]]
+    * (the live data always has at least one on-disk copy).
+    */
+  private def swapCompaction(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path): Unit = {
+    val bak = backupPath(dir)
+    val stg = stagingPath(dir)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dir) && !fs.rename(dir, bak))
+      sys.error(s"compaction swap failed: $dir -> $bak")
+    if (!fs.rename(stg, dir))
+      sys.error(s"compaction swap failed: $stg -> $dir")
+    fs.delete(bak, true)
+  }
+
   def compactFiles(
       spark: SparkSession,
       dir: String,
       targetBytes: Long): CompactionReport = {
-    AtomicSwap.recover(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p0 = new Path(dir)
+    val fs = p0.getFileSystem(conf)
+    val p = fs.makeQualified(p0)
+    recoverCompaction(fs, p)
     val bins = compactionBins(spark, dir, targetBytes)
     require(bins.nonEmpty, s"nothing to compact under $dir")
-    val p = new Path(dir)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = p.getFileSystem(conf)
-    val next = dir + ".next"
-    fs.delete(new Path(next), true)
-    fs.mkdirs(new Path(next))
-    val scratch = s"$next/.bins"
+    val next = stagingPath(p)
+    fs.delete(next, true)
+    fs.mkdirs(next)
+    val scratch = new Path(next, ".bins")
     var merged = 0
     bins.foreach { b =>
-      val out = new Path(f"$next/part-${b.bin}%05d.parquet")
+      val out = new Path(next, f"part-${b.bin}%05d.parquet")
       if (b.files.size == 1) {
         FileUtil.copy(fs, new Path(b.files.head), fs, out, false, conf)
       } else {
         merged += 1
-        val tmp = s"$scratch/${b.bin}"
+        val tmp = new Path(scratch, b.bin.toString)
         spark.read.parquet(b.files: _*).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new Path(tmp))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp)
           .filter(_.getPath.getName.startsWith("part-"))
         require(part.length == 1, s"coalesce(1) wrote ${part.length} files")
         if (!fs.rename(part.head.getPath, out))
           sys.error(s"compaction commit failed: ${part.head.getPath} -> $out")
       }
     }
-    fs.delete(new Path(scratch), true)
-    AtomicSwap.swapIn(spark, dir, next)
+    fs.delete(scratch, true)
+    swapCompaction(fs, p)
     CompactionReport(
       filesBefore = bins.map(_.files.size).sum,
       filesAfter = bins.size,
@@ -238,6 +286,26 @@ object Layout {
     // listStatus returns scheme-qualified child paths; qualify the
     // root the same way or the relative-path strip below misses
     val root = fs.makeQualified(unqualified)
+    // recovery pre-pass: a leaf whose previous compaction died between
+    // renames exists only as `.compact_old_<name>` — it would be
+    // INVISIBLE to the dot-skipping walk below, so restore every such
+    // leaf (and drop stale staging) before listing. Without this, a
+    // crashed partition would silently vanish from the table forever.
+    def recoverTree(p: Path): Unit = {
+      val children = fs.listStatus(p).toSeq
+      children.filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(".compact_old_"))
+        .foreach { s =>
+          recoverCompaction(fs, new Path(p,
+            s.getPath.getName.stripPrefix(".compact_old_")))
+        }
+      children.filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(".compact_next_"))
+        .foreach(s => fs.delete(s.getPath, true))
+      children.filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+        .foreach(s => recoverTree(s.getPath))
+    }
+    recoverTree(root)
     def leaves(p: Path): Seq[Path] = {
       val children = fs.listStatus(p).toSeq
       val dirs = children.filter(s =>

@@ -199,10 +199,15 @@ object Multimodal {
             val lum = Array.ofDim[Int](gridH, gridW)
             var cy = 0
             while (cy < gridH) {
-              val iy = ((2 * cy + 1) * h) / (2 * gridH)
+              // Long arithmetic: (2·c+1)·dim overflows Int once a
+              // (possibly adversarial but still decodable) dimension
+              // exceeds ~126M, and a negative index would escape the
+              // quarantine path as a raw task failure. The quotient is
+              // < dim, so the .toInt is exact.
+              val iy = (((2L * cy + 1) * h) / (2L * gridH)).toInt
               var cx = 0
               while (cx < gridW) {
-                val ix = ((2 * cx + 1) * w) / (2 * gridW)
+                val ix = (((2L * cx + 1) * w) / (2L * gridW)).toInt
                 val p = img.getRGB(ix, iy)
                 lum(cy)(cx) =
                   (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000

@@ -74,9 +74,6 @@ object TextEval {
       .select(col(idCol),
         TextAnalysis.tokens(candCol).as("__ct"),
         TextAnalysis.tokens(refCol).as("__rt"))
-    val lens = base.select(col(idCol),
-      size(col("__ct")).cast("long").as("cand_tokens"),
-      size(col("__rt")).cast("long").as("ref_tokens"))
 
     // one exploded gram frame per side spanning all n: (id, n, gram, cnt)
     def gramCounts(toksCol: String, as: String): DataFrame =
@@ -138,11 +135,14 @@ object TextEval {
       (1 to math.min(2, maxN)).flatMap(n => Seq(
         ratio(ovN(n), rtN(n)).as(s"r$n"), f1(n).as(s"f$n"))) ++
       bleu.map(_.as("bleu_sqrt")).toSeq
-    wide
-      .join(lens, Seq(idCol))
-      .select(col(idCol) +: col("cand_tokens") +: col("ref_tokens") +:
-        roundPinned(col("cand_tokens").cast("double") /
-          col("ref_tokens").cast("double"), 4).as("len_ratio") +:
+    // the token counts ARE the unigram totals already pivoted into
+    // `wide` — every token is one 1-gram and token arrays are never
+    // empty — so deriving them here saves a third scan+tokenization
+    // of the input and a whole join
+    wide.select(col(idCol) +:
+        ctN(1).as("cand_tokens") +: rtN(1).as("ref_tokens") +:
+        roundPinned(ctN(1).cast("double") / rtN(1).cast("double"), 4)
+          .as("len_ratio") +:
         metricCols: _*)
   }
 

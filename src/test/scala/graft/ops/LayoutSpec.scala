@@ -143,7 +143,9 @@ class LayoutSpec extends SparkSpec {
     assert(report.filesBefore == 16 && report.filesAfter == after.size)
     assert(after.size < before.size && after.size >= 4)
     assert(report.mergedBins + report.passThroughBins == after.size)
-    assert(!new java.io.File(dir + ".next").exists, "swap must consume staging")
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles.exists(_.getName.startsWith(".compact_")),
+      "swap must consume the dotted staging/backup dirs")
 
     // data survives bit-exactly
     val got = spark.read.parquet(dir)
@@ -198,6 +200,31 @@ class LayoutSpec extends SparkSpec {
     assert(back.groupBy("part").count().collect().forall(_.getLong(1) == 1000))
     // single-file partitions are left untouched (no pointless swap)
     assert(Layout.compactPartitions(spark, dir, Long.MaxValue).isEmpty)
+  }
+
+  test("a compaction crash between renames recovers: the leaf is restored, never phantom") {
+    val dir = java.nio.file.Files.createTempDirectory("compact-crash").toString + "/t"
+    spark.range(0, 900)
+      .select(col("id"), (col("id") % 3).as("part"))
+      .repartition(4)
+      .write.partitionBy("part").parquet(dir)
+    // simulate a death between swapCompaction's two renames on part=1:
+    // the live leaf was renamed to the dotted backup and nothing
+    // promoted — exactly the on-disk state the review flagged as
+    // previously unrecoverable (the dot-skipping walk couldn't see it)
+    val leaf = new java.io.File(s"$dir/part=1")
+    val bak = new java.io.File(s"$dir/.compact_old_part=1")
+    assert(leaf.renameTo(bak))
+    // a table read in the crashed state must see NO phantom partition
+    // (dot-prefixed names are invisible to partition discovery)
+    assert(!spark.read.parquet(dir).select("part").distinct()
+      .collect().map(_.get(0).toString).contains("1"))
+    val reports = Layout.compactPartitions(spark, dir, Long.MaxValue)
+    assert(reports.map(_._1).contains("part=1"), "recovered leaf must be compacted")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 900, "recovery must restore the crashed partition's rows")
+    assert(back.filter(col("part") === 1).count() == 300)
+    assert(!new java.io.File(dir).listFiles.exists(_.getName.startsWith(".compact_")))
   }
 
   test("clusterByZOrder survives an empty frame and an all-NULL column") {
