@@ -269,19 +269,33 @@ object Main {
         // order to --target_bytes and swap the rewrite in atomically.
         // A partitionBy table root (subdirectories present) routes to
         // the per-leaf walk — the layout `--pipeline build-corpus`
-        // itself publishes. Prints the report(s); returns the
-        // compacted data.
+        // itself publishes. `--zorder_cols a,b [--zorder_bits N]`
+        // switches bin ordering from file names to measured per-file
+        // key stats (compactionBinsByKey) — REQUIRED for appended-to
+        // directories, where name order is not curve order. Prints the
+        // report(s); returns the compacted data.
         val input = req("input")
         val target = req("target_bytes").toLong
+        val zCols = opts.get("zorder_cols")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        val zBits = opts.get("zorder_bits").map(_.toInt).getOrElse(12)
         val inP = new org.apache.hadoop.fs.Path(input)
         val inFs = inP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // A crash-stranded leaf (`.compact_old_*`/`.compact_next_*`)
+        // may be the ONLY child — still a partitioned table, and only
+        // compactPartitions' recovery pre-pass can restore it (ADVICE
+        // r19: routing it to compactFiles left it unrecoverable).
         val partitioned = inFs.listStatus(inP).exists(s =>
-          s.isDirectory && !s.getPath.getName.startsWith("."))
+          s.isDirectory && (!s.getPath.getName.startsWith(".") ||
+            s.getPath.getName.startsWith(".compact_")))
         if (partitioned)
-          ops.Layout.compactPartitions(spark, input, target).foreach {
-            case (rel, r) => println(s"COMPACTION $rel $r")
-          }
-        else println(s"COMPACTION ${ops.Layout.compactFiles(spark, input, target)}")
+          ops.Layout.compactPartitions(spark, input, target, zCols, zBits)
+            .foreach { case (rel, r) => println(s"COMPACTION $rel $r") }
+        else if (zCols.nonEmpty)
+          println(s"COMPACTION ${ops.Layout.compactFilesByKey(spark, input, target, zCols, zBits)}")
+        else
+          println(s"COMPACTION ${ops.Layout.compactFiles(spark, input, target)}")
         spark.read.parquet(input)
       case "build-corpus" =>
         // The full training-corpus DAG (see CorpusBuild): dedup →

@@ -63,15 +63,12 @@ object Layout {
     * action; the per-row scaling is a codegen'd projection. A
     * constant column scales to lane 0 (no bits wasted re-proving it).
     */
-  def clusterByZOrder(
-      df: DataFrame,
-      cols: Seq[String],
-      bits: Int,
-      numFiles: Int): DataFrame = {
-    require(numFiles >= 1, "numFiles must be >= 1")
-    val reserved = "__zkey"
-    require(!df.columns.contains(reserved),
-      s"clusterByZOrder reserves column name $reserved; rename the existing")
+  /** Lane-normalized curve key over `cols` — ONE min/max aggregate
+    * action on `df`, then a codegen'd projection. Shared by
+    * [[clusterByZOrder]] (write side) and [[compactionBinsByKey]]
+    * (maintenance side), so bin ordering and layout ordering agree.
+    */
+  private def normalizedZKey(df: DataFrame, cols: Seq[String], bits: Int): Column = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
@@ -91,7 +88,19 @@ object Layout {
         lit(laneMax))
       }
     }
-    df.withColumn(reserved, zOrderKey(lanes, bits))
+    zOrderKey(lanes, bits)
+  }
+
+  def clusterByZOrder(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int,
+      numFiles: Int): DataFrame = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val reserved = "__zkey"
+    require(!df.columns.contains(reserved),
+      s"clusterByZOrder reserves column name $reserved; rename the existing")
+    df.withColumn(reserved, normalizedZKey(df, cols, bits))
       .repartitionByRange(numFiles, col(reserved))
       .sortWithinPartitions(reserved)
       .drop(reserved)
@@ -118,8 +127,8 @@ object Layout {
   /** Plan the small-files rewrite of one written parquet directory:
     * greedy bin packing of its part files, IN NAME ORDER, into bins of
     * ≤ `targetBytes` (a single file larger than the target keeps its
-    * own bin). Name order is curve order for anything
-    * [[clusterByZOrder]] (or any range-partitioned writer) produced —
+    * own bin). Name order is curve order for a SINGLE
+    * [[clusterByZOrder]] (or other range-partitioned) write —
     * part-00000 holds the lowest key range — so a bin only ever merges
     * CURVE-ADJACENT files and the merged file's min/max stats stay a
     * tight rectangle (the union of neighbors on the curve), preserving
@@ -127,17 +136,82 @@ object Layout {
     * first-fit-decreasing pack would beat this by a few percent of
     * fill but merge arbitrary curve segments, destroying exactly the
     * stats locality compaction exists to keep.
+    *
+    * LIMIT (VERDICT r19 #1): a directory holding TWO OR MORE appended
+    * writes interleaves their part names (`part-00000-uuidA,
+    * part-00000-uuidB, …`) — each write's OWN curve ranges — so name
+    * order is NOT curve order and name-order bins would merge files
+    * with overlapping/disjoint key ranges, silently degrading pruning.
+    * For appended-to directories (store generations, incremental
+    * appends — the NORM in this repo's lifecycles) use
+    * [[compactionBinsByKey]], which orders by measured per-file key
+    * stats instead of names.
     */
   def compactionBins(
       spark: SparkSession,
       dir: String,
       targetBytes: Long): Seq[CompactionBin] = {
-    require(targetBytes > 0, "targetBytes must be positive")
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)
+    packBins(parts.map(f => (f.getPath.toString, f.getLen)), targetBytes)
+  }
+
+  /** [[compactionBins]] for appended-to directories: order files by
+    * their MEASURED per-file curve position — min/max of the
+    * lane-normalized z-order key over `keyCols` (the same
+    * [[normalizedZKey]] the writer used, normalized over the WHOLE
+    * directory so every write's files land on one comparable scale) —
+    * then bin-pack in (min, max, name) order. Two interleaved
+    * range-partitioned writes thus sort into one global curve order
+    * and a bin merges only key-adjacent files, restoring the tight
+    * rectangles name order loses (VERDICT r19 #1). Overlapping ranges
+    * from different writes still merge ADJACENTLY (the union rectangle
+    * is as tight as the overlap allows); fully re-tightening an
+    * interleaved layout is [[clusterByZOrder]]'s job, at shuffle cost
+    * this maintenance path deliberately never pays.
+    *
+    * Cost: one stats job over the directory reading ONLY `keyCols`
+    * (column-pruned scan + partial agg per file), then the same
+    * per-bin rewrites as [[compactionBins]]. A zero-row part file has
+    * no stats; it sorts last by name and merges harmlessly (no rows,
+    * no rectangle).
+    */
+  def compactionBinsByKey(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long,
+      keyCols: Seq[String],
+      bits: Int): Seq[CompactionBin] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    if (parts.isEmpty) return Seq.empty
+    val df = spark.read.parquet(dir)
+    val key = normalizedZKey(df, keyCols, bits)
+    // input_file_name's URI normalization differs from Path.toString
+    // (file:/// vs file:/); match on the part-file NAME, unique in dir.
+    val ranges: Map[String, (Long, Long)] = df
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("__f"))
+      .agg(min(key).as("lo"), max(key).as("hi"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val ordered = parts.sortBy { f =>
+      val n = f.getPath.getName
+      val (lo, hi) = ranges.getOrElse(n, (Long.MaxValue, Long.MaxValue))
+      (lo, hi, n)
+    }
+    packBins(ordered.map(f => (f.getPath.toString, f.getLen)), targetBytes)
+  }
+
+  /** Greedy in-order packing shared by both planners. */
+  private def packBins(
+      parts: Seq[(String, Long)], targetBytes: Long): Seq[CompactionBin] = {
+    require(targetBytes > 0, "targetBytes must be positive")
     val bins = Seq.newBuilder[CompactionBin]
     var cur = Vector.empty[(String, Long)]
     var curBytes = 0L
@@ -146,10 +220,10 @@ object Layout {
       bins += CompactionBin(n, cur.map(_._1), curBytes)
       n += 1; cur = Vector.empty; curBytes = 0L
     }
-    parts.foreach { f =>
-      if (cur.nonEmpty && curBytes + f.getLen > targetBytes) flush()
-      cur :+= (f.getPath.toString, f.getLen)
-      curBytes += f.getLen
+    parts.foreach { case (path, len) =>
+      if (cur.nonEmpty && curBytes + len > targetBytes) flush()
+      cur :+= (path, len)
+      curBytes += len
     }
     flush()
     bins.result()
@@ -227,25 +301,59 @@ object Layout {
   def compactFiles(
       spark: SparkSession,
       dir: String,
-      targetBytes: Long): CompactionReport = {
+      targetBytes: Long,
+      maxConcurrentBins: Int = 4): CompactionReport =
+    executeCompaction(spark, dir, maxConcurrentBins,
+      d => compactionBins(spark, d, targetBytes))
+
+  /** [[compactFiles]] with [[compactionBinsByKey]]'s measured-stats
+    * ordering — the variant for appended-to directories, where name
+    * order is not curve order. Output files are numbered in measured
+    * key order, so a LATER name-order pass over the compacted result
+    * is again safe.
+    */
+  def compactFilesByKey(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long,
+      keyCols: Seq[String],
+      bits: Int,
+      maxConcurrentBins: Int = 4): CompactionReport =
+    executeCompaction(spark, dir, maxConcurrentBins,
+      d => compactionBinsByKey(spark, d, targetBytes, keyCols, bits))
+
+  private def executeCompaction(
+      spark: SparkSession,
+      dir: String,
+      maxConcurrentBins: Int,
+      plan: String => Seq[CompactionBin]): CompactionReport = {
+    require(maxConcurrentBins >= 1, "maxConcurrentBins must be >= 1")
     val conf = spark.sparkContext.hadoopConfiguration
     val p0 = new Path(dir)
     val fs = p0.getFileSystem(conf)
     val p = fs.makeQualified(p0)
     recoverCompaction(fs, p)
-    val bins = compactionBins(spark, dir, targetBytes)
+    val bins = plan(dir)
     require(bins.nonEmpty, s"nothing to compact under $dir")
     val next = stagingPath(p)
     fs.delete(next, true)
     fs.mkdirs(next)
     val scratch = new Path(next, ".bins")
-    var merged = 0
-    bins.foreach { b =>
+    // Bins share no input files and write disjoint staging paths, so
+    // they submit as independent Spark jobs from a bounded pool
+    // (Spark's scheduler is thread-safe): wall-clock ≈ the slowest
+    // bin, not Σ bins — the difference between minutes and hours on a
+    // 100×-file-count partition (VERDICT r19 #3). Any failure
+    // propagates before the swap, so the live dir is untouched.
+    def processBin(b: CompactionBin): Unit = {
       val out = new Path(next, f"part-${b.bin}%05d.parquet")
       if (b.files.size == 1) {
-        FileUtil.copy(fs, new Path(b.files.head), fs, out, false, conf)
+        // copy returns false on silent failure paths (no exception) —
+        // unchecked, the swap would promote a staging dir missing
+        // this file and drop its rows (ADVICE r19).
+        if (!FileUtil.copy(fs, new Path(b.files.head), fs, out, false, conf))
+          sys.error(s"compaction copy failed: ${b.files.head} -> $out")
       } else {
-        merged += 1
         val tmp = new Path(scratch, b.bin.toString)
         spark.read.parquet(b.files: _*).coalesce(1)
           .write.mode("overwrite").parquet(tmp.toString)
@@ -256,7 +364,31 @@ object Layout {
           sys.error(s"compaction commit failed: ${part.head.getPath} -> $out")
       }
     }
+    val merged = bins.count(_.files.size > 1)
+    if (maxConcurrentBins == 1 || bins.size == 1) bins.foreach(processBin)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxConcurrentBins, bins.size))
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence(bins.map(b => Future(processBin(b)))),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
     fs.delete(scratch, true)
+    // Non-part sidecar files (the `_SUCCESS` commit marker above all)
+    // survive the swap: a downstream job gating on the marker must not
+    // see the partition as unpublished after maintenance (ADVICE r19).
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("part-") &&
+        !s.getPath.getName.startsWith("."))
+      .foreach { s =>
+        val out = new Path(next, s.getPath.getName)
+        if (!FileUtil.copy(fs, s.getPath, fs, out, false, conf))
+          sys.error(s"compaction sidecar copy failed: ${s.getPath} -> $out")
+      }
     swapCompaction(fs, p)
     CompactionReport(
       filesBefore = bins.map(_.files.size).sum,
@@ -280,7 +412,10 @@ object Layout {
   def compactPartitions(
       spark: SparkSession,
       tableDir: String,
-      targetBytes: Long): Seq[(String, CompactionReport)] = {
+      targetBytes: Long,
+      keyCols: Seq[String] = Nil,
+      bits: Int = 12,
+      maxConcurrentBins: Int = 4): Seq[(String, CompactionReport)] = {
     val unqualified = new Path(tableDir)
     val fs = unqualified.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // listStatus returns scheme-qualified child paths; qualify the
@@ -318,7 +453,10 @@ object Layout {
       .sortBy(_.toString)
       .map { p =>
         val rel = p.toString.stripPrefix(root.toString).stripPrefix("/")
-        rel -> compactFiles(spark, p.toString, targetBytes)
+        rel -> (if (keyCols.nonEmpty)
+          compactFilesByKey(spark, p.toString, targetBytes, keyCols, bits,
+            maxConcurrentBins)
+        else compactFiles(spark, p.toString, targetBytes, maxConcurrentBins))
       }
   }
 }

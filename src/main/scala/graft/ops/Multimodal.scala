@@ -276,6 +276,124 @@ object Multimodal {
     }
   }
 
+  /** Perceptual audio fingerprint row: frames decoded + 64-bit energy
+    * hash (None for undecodable/too-short payloads — quarantine). */
+  final case class AudioHash(id: Long, n_frames: Long, phash: Option[Long])
+
+  /** 64-bit perceptual audio fingerprint — the audio twin of [[dHash]]
+    * (X138): decode the REAL PCM stream via `javax.sound.sampled`,
+    * reduce channel 0 to an integer energy grid of `bands` crude
+    * frequency bands × `gridT` time cells, then bit (k·(gridT−1)+t) =
+    * 1 iff band k's energy RISES from cell t to t+1 — the dHash
+    * sign-of-difference recipe on a band/time energy image. Bands are
+    * comb-filter magnitudes `Σ|x_i − x_{i−k}|` (band 0 = `Σ|x_i|`,
+    * the raw envelope): lag-k differencing nulls period-k content and
+    * boosts high frequencies with k, so the 8 lags sample distinct
+    * spectral shapes without an FFT — and, decisively for the oracle,
+    * stay EXACT integer arithmetic an external engine replays
+    * bit-for-bit from the container bytes (a windowed FFT is
+    * float-order-dependent).
+    *
+    * Invariances the near-dup join needs: uniform gain scales every
+    * energy equally, so all rise/fall comparisons — hence the hash —
+    * survive re-encoding at a different volume or bit depth (8-bit
+    * samples canonicalize ×256 to the 16-bit lattice), and container
+    * changes (WAV↔AIFF↔AU) are hash-identical since only PCM content
+    * is read. Hamming-banded pairing rides the existing
+    * [[Dedup.simhashNearDupPairs]] machinery (8 chunks × 8 bits,
+    * pigeonhole-exact at hamming ≤ 7). Same quarantine stance as
+    * [[decodeImage]]: undecodable, non-PCM, <8/16-bit, or shorter
+    * than `gridT` frames → None, never a task failure. Narrow
+    * per-partition execution, no shuffle.
+    */
+  def audioFingerprint(
+      media: Dataset[MediaRecord],
+      gridT: Int = 9,
+      bands: Int = 8): Dataset[AudioHash] = {
+    require(gridT >= 2 && bands >= 1, s"grid must be at least 2x1: ${gridT}x$bands")
+    require((gridT - 1) * bands <= 64,
+      s"fingerprint bits must fit a long: ${gridT}x$bands")
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        val decoded: Option[(Long, Long)] =
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(r.content))
+            try {
+              val fmt = in.getFormat
+              val enc = fmt.getEncoding
+              val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+              val bits = fmt.getSampleSizeInBits
+              val frameSize = fmt.getFrameSize
+              val nHdr = in.getFrameLength
+              if (!(signed || unsigned) || (bits != 8 && bits != 16) ||
+                  frameSize <= 0 || nHdr < gridT) None
+              else {
+                val data = in.readAllBytes()
+                val n = math.min(nHdr, data.length / frameSize).toInt
+                if (n < gridT) None
+                else {
+                  // channel-0 samples canonicalized to the signed
+                  // 16-bit lattice (8-bit ×256, unsigned re-centered)
+                  // so the same signal hashes identically across bit
+                  // depths and container conventions
+                  val x = new Array[Int](n)
+                  val be = fmt.isBigEndian
+                  var i = 0
+                  while (i < n) {
+                    val off = i * frameSize
+                    x(i) =
+                      if (bits == 16) {
+                        val raw =
+                          if (be) ((data(off) << 8) | (data(off + 1) & 0xff))
+                          else ((data(off + 1) << 8) | (data(off) & 0xff))
+                        if (signed) raw.toShort.toInt
+                        else (raw & 0xffff) - 32768
+                      } else {
+                        if (unsigned) ((data(off) & 0xff) - 128) * 256
+                        else data(off) * 256
+                      }
+                    i += 1
+                  }
+                  val e = Array.ofDim[Long](bands, gridT)
+                  i = 0
+                  while (i < n) {
+                    val cell = ((i.toLong * gridT) / n).toInt
+                    var k = 0
+                    while (k < bands) {
+                      val d =
+                        if (k == 0) x(i)
+                        else x(i) - (if (i >= k) x(i - k) else 0)
+                      e(k)(cell) += math.abs(d)
+                      k += 1
+                    }
+                    i += 1
+                  }
+                  var hash = 0L
+                  var k = 0
+                  while (k < bands) {
+                    var t = 0
+                    while (t < gridT - 1) {
+                      if (e(k)(t + 1) > e(k)(t)) hash |= 1L << (k * (gridT - 1) + t)
+                      t += 1
+                    }
+                    k += 1
+                  }
+                  Some((nHdr, hash))
+                }
+              }
+            } finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some((frames, hash)) => AudioHash(r.id, frames, Some(hash))
+          case None => AudioHash(r.id, -1L, None)
+        }
+      }
+    }
+  }
+
   /** One really-decoded frame of a multi-frame container (GIF). */
   final case class DecodedFrame(
       id: Long,

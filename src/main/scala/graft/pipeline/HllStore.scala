@@ -42,7 +42,7 @@ object HllStore {
 
   /** Base + committed increment paths, oldest first (numeric order —
     * inc_10 must follow inc_2). */
-  private[pipeline] def sources(spark: SparkSession, root: String): Seq[String] = {
+  private[graft] def sources(spark: SparkSession, root: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val f = fs(spark, root)
     val incs =

@@ -32,6 +32,13 @@ import graft.pipeline.HllStore
   */
 object HllStream {
 
+  /** Test seam: runs after the staging write and before the commit
+    * re-list — the exact instant where the r18-flagged race lost a
+    * concurrent append. Production no-op; HllStreamSpec injects an
+    * append here to prove the re-list-and-retry fold absorbs it.
+    */
+  private[graft] var raceHook: () => Unit = () => ()
+
   /** Fold one micro-batch into the register base. Safe to re-apply
     * (idempotent max); raises if `b` disagrees with the store.
     */
@@ -55,20 +62,47 @@ object HllStream {
     // deleted and its data vanish from all later estimates (ADVICE
     // r17). foldedRegisters also audits register width across
     // generations, so a mismatched append still errors here.
-    // SINGLE-WRITER REQUIREMENT (ADVICE r18): the fold lists
-    // generations eagerly, so an append that commits AFTER that
-    // listing and BEFORE swapIn below is still lost. The store has no
-    // cross-process lock; exactly one writer (this stream, or batch
-    // appends — never both concurrently) may mutate a store root.
-    // Readers are safe at all times (the swap is atomic).
-    val merged =
-      if (fs.exists(new Path(base)))
-        Sketches.hllMerge(
-          HllStore.foldedRegisters(spark, root, groupCols), inc, groupCols)
-      else inc
+    //
+    // Writer race (ADVICE r18, closed r20): the fold lists generations
+    // eagerly, so an append committing AFTER that listing would be
+    // swapped away. The fix is optimistic-concurrency: after writing
+    // `.next`, RE-LIST the store; if the generation set changed, drop
+    // the stale staging and re-fold (bounded retries — each retry
+    // absorbs everything committed so far, so under any finite append
+    // rate the loop converges; a pathological appender that outruns
+    // `maxRetries` consecutive folds errors loudly instead of losing
+    // data). This shrinks the silent-loss window from the WHOLE
+    // fold+write (seconds of Spark jobs) to the instants between the
+    // final re-list and swapIn's first rename — and an append still
+    // in flight there commits INTO the live root just as swapIn
+    // renames it away, so its own commit-rename finds its parent gone
+    // and fails loudly on the APPEND side (retryable) instead of
+    // being silently folded away. Appends that ERROR are therefore
+    // possible under concurrency; appends that SUCCEED are never lost.
     val next = root + ".next"
-    merged.write.mode("overwrite").parquet(s"$next/registers.parquet")
-    AtomicSwap.swapIn(spark, root, next)
+    val maxRetries = 5
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val seen = HllStore.sources(spark, root)
+      val merged =
+        if (fs.exists(new Path(base)))
+          Sketches.hllMerge(
+            HllStore.foldedRegisters(spark, root, groupCols), inc, groupCols)
+        else inc
+      fs.delete(new Path(next), true)
+      merged.write.mode("overwrite").parquet(s"$next/registers.parquet")
+      raceHook()
+      if (HllStore.sources(spark, root) == seen) {
+        AtomicSwap.swapIn(spark, root, next)
+        committed = true
+      } else {
+        attempt += 1
+        if (attempt > maxRetries)
+          sys.error(s"HllStream: store $root gained generations during " +
+            s"$maxRetries consecutive folds; quiesce the appender")
+      }
+    }
   }
 
   /** Start the continuous fold; read estimates any time through

@@ -146,6 +146,8 @@ class LayoutSpec extends SparkSpec {
     val parent = new java.io.File(dir).getParentFile
     assert(!parent.listFiles.exists(_.getName.startsWith(".compact_")),
       "swap must consume the dotted staging/backup dirs")
+    assert(new java.io.File(dir, "_SUCCESS").exists(),
+      "the _SUCCESS commit marker must survive the swap (ADVICE r19)")
 
     // data survives bit-exactly
     val got = spark.read.parquet(dir)
@@ -169,6 +171,101 @@ class LayoutSpec extends SparkSpec {
         assert(hi1 <= lo2, s"curve rectangles overlap at $f2")
       case _ =>
     }
+  }
+
+  test("compactFilesByKey restores curve order on an appended-to directory") {
+    // Two range-partitioned writes into ONE directory — the store-
+    // generation / incremental-append lifecycle this repo ships
+    // everywhere. Their part names interleave (part-00000-uuidA,
+    // part-00000-uuidB, …), each write's OWN curve ranges, so name
+    // order is NOT curve order: name-order bins would merge files half
+    // a curve apart and silently destroy the pruning compaction exists
+    // to preserve (VERDICT r19 #1). The y split puts the two writes on
+    // disjoint global curve halves (y's top bit is the most
+    // significant curve bit), so a correct compaction CAN restore
+    // fully disjoint per-file rectangles — and must.
+    val dir = java.nio.file.Files.createTempDirectory("compact-appended").toString + "/t"
+    val w1 = spark.range(0, 2048).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y")) // y ∈ [0,32)
+    val w2 = spark.range(0, 2048).select(
+      (col("id") % 64).as("x"), (col("id") / 64 + 32).cast("long").as("y")) // y ∈ [32,64)
+    // deliberately misaligned file counts (8 vs 7): appends are never
+    // sized like the original write, so name order interleaves files
+    // from unrelated curve segments
+    Layout.clusterByZOrder(w1, Seq("x", "y"), bits = 6, numFiles = 8)
+      .write.parquet(dir)
+    Layout.clusterByZOrder(w2, Seq("x", "y"), bits = 6, numFiles = 7)
+      .write.mode("append").parquet(dir)
+    assert(partSizes(dir).size == 15)
+    val target = partSizes(dir).map(_._2).sum / 4
+    // the planners must disagree on this directory: name order
+    // interleaves the writes, measured-stats order separates them
+    val byName = Layout.compactionBins(spark, dir, target).flatMap(_.files)
+    val byKey = Layout.compactionBinsByKey(spark, dir, target, Seq("x", "y"), 6)
+    assert(byKey.flatMap(_.files).sorted == byName.sorted, "same file universe")
+    assert(byKey.flatMap(_.files) != byName,
+      "stats ordering must differ from name ordering on an interleaved dir")
+
+    // identical copy, so name-order and stats-order compaction run on
+    // byte-identical inputs
+    val dir2 = dir + "2"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    assert(org.apache.hadoop.fs.FileUtil.copy(hfs,
+      new org.apache.hadoop.fs.Path(dir), hfs,
+      new org.apache.hadoop.fs.Path(dir2), false, hconf))
+
+    val reportName = Layout.compactFiles(spark, dir2, target)
+    val reportKey = Layout.compactFilesByKey(spark, dir, target, Seq("x", "y"), bits = 6)
+    assert(reportKey.filesBefore == 15 && reportKey.filesAfter < 15)
+    assert(spark.read.parquet(dir).count() == 4096)
+
+    // the property stats ordering restores: per-FILE (x, y) min/max
+    // rectangles — exactly what parquet row-group pruning consults —
+    // must still prune a small probe rectangle. Name-order bins merged
+    // files from both writes half a curve apart, so their rectangles
+    // span the y split and the probe touches nearly everything.
+    def surviving(d: String): (Int, Int) = {
+      val stats = spark.read.parquet(d)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        .collect()
+      val surv = stats.count { r =>
+        r.getAs[Long]("x0") <= 15L && r.getAs[Long]("x1") >= 8L &&
+        r.getAs[Long]("y0") <= 15L && r.getAs[Long]("y1") >= 8L
+      }
+      (surv, stats.length)
+    }
+    val (survKey, nKey) = surviving(dir)
+    val (survName, nName) = surviving(dir2)
+    assert(nKey == reportKey.filesAfter && nName == reportName.filesAfter)
+    // every name-order bin mixes the two writes here, so NO file is
+    // skippable on y; stats ordering must beat it outright
+    assert(survKey < survName,
+      s"stats-ordered pruning ($survKey/$nKey) must beat name-ordered ($survName/$nName)")
+    assert(survKey.toDouble / nKey <= 0.5,
+      s"appended-dir compaction must keep rectangles prunable: $survKey/$nKey")
+  }
+
+  test("compact-files CLI routes a stranded-only-leaf table to recovery (ADVICE r19)") {
+    // A table whose ONLY leaf is crash-stranded as .compact_old_<leaf>
+    // has no non-dot child: the old routing sent it to compactFiles on
+    // the root and failed with 'nothing to compact', leaving the
+    // partition unrecoverable through the CLI.
+    val dir = java.nio.file.Files.createTempDirectory("compact-stranded").toString + "/t"
+    spark.range(0, 600)
+      .select(col("id"), lit(0).as("part"))
+      .repartition(4)
+      .write.partitionBy("part").parquet(dir)
+    val leaf = new java.io.File(s"$dir/part=0")
+    assert(leaf.renameTo(new java.io.File(s"$dir/.compact_old_part=0")))
+    val out = graft.Main.run(spark, graft.Main.parseArgs(Array(
+      "--pipeline", "compact-files",
+      "--input", dir, "--target_bytes", Long.MaxValue.toString)))
+    assert(out.count() == 600, "the stranded leaf must be recovered and readable")
+    assert(new java.io.File(s"$dir/part=0").exists())
+    assert(!new java.io.File(dir).listFiles.exists(_.getName.startsWith(".compact_")))
   }
 
   test("compact-files CLI rewrites a partition in place through the dispatch") {

@@ -54,6 +54,51 @@ class HllStreamSpec extends SparkSpec {
     assert(stored == whole)
   }
 
+  test("an append racing the fold (between staging write and swap) is absorbed, not lost") {
+    // The r18-flagged writer race: the fold listed generations eagerly,
+    // so an append committing after that listing and before swapIn was
+    // silently deleted by the whole-root swap. The raceHook seam fires
+    // at exactly that instant; the re-list-and-retry fold must detect
+    // the new generation, re-fold, and keep the appended data.
+    val dir = java.nio.file.Files.createTempDirectory("hllstream_race").toString
+    HllStream.applyBatch(rows(0, 800).toDF("g", "v"), dir, Seq("g"), col("v"))
+    var fired = 0
+    HllStream.raceHook = () => {
+      // one-shot: the RETRY fold's staging write fires the hook again
+      // and must see a quiesced store, or the retry loop never ends
+      if (fired == 0) {
+        fired += 1
+        HllStore.append(spark, dir, rows(800, 1600).toDF("g", "v"), Seq("g"), $"v")
+      }
+    }
+    try HllStream.applyBatch(rows(1600, 2400).toDF("g", "v"), dir, Seq("g"), col("v"))
+    finally HllStream.raceHook = () => ()
+    assert(fired == 1, "the race hook must have injected the append")
+    val stored = HllStore.estimate(spark, dir, Seq("g"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    val whole = Sketches.hllDistinct(
+        rows(0, 2400).toDF("g", "v"), Seq("g"), $"v")
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(stored == whole, "the racing append's data must survive the swap")
+    // the absorbed generation was folded INTO the new base: the store
+    // root holds no stale increment afterwards
+    assert(HllStore.sources(spark, s"$dir/hll").size == 1)
+  }
+
+  test("a pathological appender that outruns every retry errors loudly, never silently drops") {
+    val dir = java.nio.file.Files.createTempDirectory("hllstream_outrun").toString
+    HllStream.applyBatch(rows(0, 200).toDF("g", "v"), dir, Seq("g"), col("v"))
+    var n = 0
+    HllStream.raceHook = () => {
+      n += 1
+      HllStore.append(spark, dir, rows(200 + n * 10, 210 + n * 10).toDF("g", "v"), Seq("g"), $"v")
+    }
+    val e = try intercept[RuntimeException] {
+      HllStream.applyBatch(rows(5000, 5200).toDF("g", "v"), dir, Seq("g"), col("v"))
+    } finally HllStream.raceHook = () => ()
+    assert(e.getMessage.contains("gained generations"), e.getMessage)
+  }
+
   test("re-applying a batch is a no-op (idempotent max — no fence needed)") {
     val dir = java.nio.file.Files.createTempDirectory("hllstream_re").toString
     val batch = rows(0, 800).toDF("g", "v")

@@ -78,6 +78,38 @@ def au(rate: int, channels: int, bits: int, frames: int) -> bytes:
     return hdr + bytes(data)
 
 
+def wav_pcm16(rate: int, samples) -> bytes:
+    """Canonical mono 16-bit PCM WAV around an explicit sample list —
+    the fingerprint rows need SHAPED envelopes, not the flat ramp."""
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                   rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def melody(n: int, amps, period: int) -> list:
+    """Deterministic amplitude-staircase signal: n samples split into
+    len(amps) equal blocks, block b a sawtooth of the given period
+    scaled by amps[b]. Every value is a multiple of 4 so an exact
+    half-gain re-encode stays integral (the audio-phash gain-invariance
+    fixture). Kept well inside int16."""
+    out = []
+    blocks = len(amps)
+    for i in range(n):
+        b = min(i * blocks // n, blocks - 1)
+        saw = (i * 7) % period - period // 2
+        out.append(max(-32768, min(32767, amps[b] * saw * 4)))
+    return out
+
+
+# Fingerprint rows (10-12): signal A, an exact half-gain re-encode of
+# A (same envelope SHAPE -> near-identical energy-difference hash), and
+# signal B with a different envelope (must NOT pair with A).
+_A = melody(900, [1, 5, 2, 8, 3, 13, 1, 9, 6], 50)
+_B = melody(900, [9, 1, 12, 2, 7, 1, 11, 3, 1], 36)
+
 ROWS = [
     (1, wav(8000, 1, 16, 1600)),    # 0.2 s mono 16-bit
     (2, wav(44100, 2, 16, 441)),    # 10 ms stereo 16-bit
@@ -88,6 +120,9 @@ ROWS = [
     (7, aiff(22050, 2, 16, 441)),   # AIFF stereo 16-bit
     (8, au(16000, 1, 16, 800)),     # AU mono 16-bit
     (9, au(8000, 2, 8, 123)),       # AU stereo 8-bit
+    (10, wav_pcm16(8000, _A)),                      # signal A
+    (11, wav_pcm16(8000, [s // 2 for s in _A])),    # A re-encoded at half gain
+    (12, wav_pcm16(8000, _B)),                      # unrelated signal B
 ]
 
 
