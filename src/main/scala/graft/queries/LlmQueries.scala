@@ -989,6 +989,46 @@ object LlmQueries {
       Dedup.simhashNearDupPairs(fps, "id", bits = 64, chunks = 8, maxHamming = 7)
         .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
         .orderBy("a", "b")
+    }),
+
+    // Perceptual audio fingerprint (X138, the audio twin of dHash)
+    // over the WAV/AIFF/AU fixture: Spark decodes the real PCM stream
+    // via javax.sound.sampled and hashes the 8-band × 9-cell integer
+    // energy grid (comb-filter bands, sign-of-rise bits); the oracle
+    // replays the IDENTICAL hash from the raw container bytes (header
+    // offsets per format, channel-0 canonical samples, same lag-k /
+    // cell / comparison arithmetic). Cross-container re-encodes of the
+    // same signal (WAV↔AIFF↔AU) and the exact half-gain twin hash
+    // identically; the non-audio row pins the (-1, NULL) quarantine.
+    "q_audio_phash" -> ((s, _) => {
+      import s.implicits._
+      val media = Multimodal.ingestBase64(
+        s.read.json(audioFixture), "id", "b64", "audio")
+        .as[Multimodal.MediaRecord]
+      Multimodal.audioFingerprint(media).toDF()
+        .select(col("id"), col("n_frames"),
+          lower(lpad(hex(col("phash")), 16, "0")).as("phash_hex"))
+        .orderBy("id")
+    }),
+
+    // Audio near-dup pairs: the energy fingerprint feeds the SAME
+    // hamming banding as text simhash and image dHash
+    // (simhashNearDupPairs, 8 chunks × 8 bits, pigeonhole-exact at
+    // hamming ≤ 7); the oracle brute-forces the tiny fixture, the
+    // engine never does (bucket join only). The expected pairs are the
+    // PLANTED re-encodes: same-signal WAV↔AIFF/AU containers and the
+    // half-gain twin — the unrelated-envelope row pairs with nothing.
+    "q_audio_neardup" -> ((s, _) => {
+      import s.implicits._
+      val media = Multimodal.ingestBase64(
+        s.read.json(audioFixture), "id", "b64", "audio")
+        .as[Multimodal.MediaRecord]
+      val fps = Multimodal.audioFingerprint(media).toDF()
+        .filter(col("phash").isNotNull)
+        .select(col("id"), col("phash").as("simhash"))
+      Dedup.simhashNearDupPairs(fps, "id", bits = 64, chunks = 8, maxHamming = 7)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("a", "b")
     }))
 
   val imagesFixture = "/root/repo/fixtures/images.ndjson"
@@ -1005,6 +1045,116 @@ object LlmQueries {
     * Luma and center-sampling mirror [[Multimodal.dHash]]'s integer
     * arithmetic exactly.
     */
+  /** Shared audio-fingerprint replay CTEs for the WAV/AIFF/AU fixture
+    * oracles, ending in `afp(id, n_frames, hi, lo)` — the 64-bit
+    * energy fingerprint as two u32 halves (the [[bmpDhashCtes]]
+    * convention). Per-format header parses follow the q_audio_decode
+    * oracle (RIFF little-endian, AIFF/AU big-endian; canonical data
+    * offsets 44/54/24); channel-0 samples canonicalize to the signed
+    * 16-bit lattice (8-bit ×256, unsigned WAV re-centered), band k =
+    * Σ|x_i − x_{i−k}| per (9-cell) time cell with lag-default 0 (band
+    * 0 = Σ|x|), bit (k·8 + t) = energy rises from cell t to t+1 —
+    * mirroring [[graft.ops.Multimodal.audioFingerprint]]'s integer
+    * arithmetic exactly.
+    */
+  private def audioFpCtes: String =
+    s"""WITH raw AS (
+       |  SELECT * FROM read_json('$audioFixture', format='newline_delimited')
+       |), b AS (
+       |  SELECT id, from_base64(b64) AS blob FROM raw
+       |), h AS (
+       |  SELECT id, hex(blob) AS hx,
+       |    CASE WHEN substr(hex(blob), 1, 8) = '52494646' THEN 'riff'
+       |         WHEN substr(hex(blob), 1, 8) = '464F524D'
+       |          AND substr(hex(blob), 17, 8) = '41494646' THEN 'aiff'
+       |         WHEN substr(hex(blob), 1, 8) = '2E736E64' THEN 'au'
+       |         ELSE 'bin' END AS format
+       |  FROM b
+       |), meta AS (
+       |  SELECT id, hx, format,
+       |    CASE format
+       |      WHEN 'riff' THEN ('0x' || substr(hx, 47, 2) || substr(hx, 45, 2))::INTEGER
+       |      WHEN 'aiff' THEN ('0x' || substr(hx, 41, 4))::INTEGER
+       |      WHEN 'au'   THEN ('0x' || substr(hx, 41, 8))::INTEGER
+       |      ELSE -1 END AS channels,
+       |    CASE format
+       |      WHEN 'riff' THEN ('0x' || substr(hx, 71, 2) || substr(hx, 69, 2))::INTEGER
+       |      WHEN 'aiff' THEN ('0x' || substr(hx, 53, 4))::INTEGER
+       |      WHEN 'au'   THEN CASE ('0x' || substr(hx, 25, 8))::INTEGER
+       |                        WHEN 2 THEN 8 WHEN 3 THEN 16 ELSE -1 END
+       |      ELSE -1 END AS bits,
+       |    CASE format WHEN 'riff' THEN 44 WHEN 'aiff' THEN 54 WHEN 'au' THEN 24
+       |      ELSE -1 END AS doff,
+       |    (format <> 'riff') AS be
+       |  FROM h
+       |), m2 AS (
+       |  SELECT *, channels * bits // 8 AS ba,
+       |    CASE format
+       |      WHEN 'riff' THEN ('0x' || substr(hx, 87, 2) || substr(hx, 85, 2)
+       |                             || substr(hx, 83, 2) || substr(hx, 81, 2))::BIGINT
+       |                       // (channels * bits // 8)
+       |      WHEN 'aiff' THEN ('0x' || substr(hx, 45, 8))::BIGINT
+       |      WHEN 'au'   THEN ('0x' || substr(hx, 17, 8))::BIGINT // (channels * bits // 8)
+       |      ELSE -1 END AS n_frames
+       |  FROM meta
+       |), samp AS (
+       |  SELECT id, n_frames, hx, doff, ba, bits, be, format,
+       |    unnest(generate_series(0, n_frames - 1)) AS i
+       |  FROM m2
+       |  WHERE format <> 'bin' AND bits IN (8, 16) AND n_frames >= 9
+       |), sraw AS (
+       |  SELECT id, n_frames, i, bits, format,
+       |    CASE WHEN bits = 16 THEN
+       |      ('0x' || CASE WHEN be
+       |        THEN substr(hx, 2*(doff + i*ba) + 1, 2) || substr(hx, 2*(doff + i*ba) + 3, 2)
+       |        ELSE substr(hx, 2*(doff + i*ba) + 3, 2) || substr(hx, 2*(doff + i*ba) + 1, 2)
+       |      END)::INTEGER
+       |    ELSE 0 END AS r16,
+       |    CASE WHEN bits = 8 THEN ('0x' || substr(hx, 2*(doff + i*ba) + 1, 2))::INTEGER
+       |    ELSE 0 END AS r8
+       |  FROM samp
+       |), sx AS (
+       |  SELECT id, n_frames, i,
+       |    CASE WHEN bits = 16 THEN CASE WHEN r16 >= 32768 THEN r16 - 65536 ELSE r16 END
+       |         WHEN format = 'riff' THEN (r8 - 128) * 256
+       |         ELSE (CASE WHEN r8 >= 128 THEN r8 - 256 ELSE r8 END) * 256 END AS x
+       |  FROM sraw
+       |), d AS (
+       |  SELECT id, (i * 9) // n_frames AS cell,
+       |    abs(x) AS e0,
+       |    abs(x - lag(x, 1, 0) OVER w) AS e1,
+       |    abs(x - lag(x, 2, 0) OVER w) AS e2,
+       |    abs(x - lag(x, 3, 0) OVER w) AS e3,
+       |    abs(x - lag(x, 4, 0) OVER w) AS e4,
+       |    abs(x - lag(x, 5, 0) OVER w) AS e5,
+       |    abs(x - lag(x, 6, 0) OVER w) AS e6,
+       |    abs(x - lag(x, 7, 0) OVER w) AS e7
+       |  FROM sx WINDOW w AS (PARTITION BY id ORDER BY i)
+       |), ce AS (
+       |  SELECT id, cell, sum(e0) AS e0, sum(e1) AS e1, sum(e2) AS e2,
+       |    sum(e3) AS e3, sum(e4) AS e4, sum(e5) AS e5, sum(e6) AS e6,
+       |    sum(e7) AS e7
+       |  FROM d GROUP BY id, cell
+       |), cb AS (
+       |  SELECT id, cell,
+       |    (lead(e0) OVER w2 > e0)::INT AS b0, (lead(e1) OVER w2 > e1)::INT AS b1,
+       |    (lead(e2) OVER w2 > e2)::INT AS b2, (lead(e3) OVER w2 > e3)::INT AS b3,
+       |    (lead(e4) OVER w2 > e4)::INT AS b4, (lead(e5) OVER w2 > e5)::INT AS b5,
+       |    (lead(e6) OVER w2 > e6)::INT AS b6, (lead(e7) OVER w2 > e7)::INT AS b7
+       |  FROM ce WINDOW w2 AS (PARTITION BY id ORDER BY cell)
+       |), afp AS (
+       |  SELECT id, max(n_frames) AS n_frames,
+       |    sum(CASE WHEN cell <= 7 THEN
+       |      b0 * (1::BIGINT << cell) + b1 * (1::BIGINT << (8 + cell)) +
+       |      b2 * (1::BIGINT << (16 + cell)) + b3 * (1::BIGINT << (24 + cell))
+       |      ELSE 0 END)::BIGINT AS lo,
+       |    sum(CASE WHEN cell <= 7 THEN
+       |      b4 * (1::BIGINT << cell) + b5 * (1::BIGINT << (8 + cell)) +
+       |      b6 * (1::BIGINT << (16 + cell)) + b7 * (1::BIGINT << (24 + cell))
+       |      ELSE 0 END)::BIGINT AS hi
+       |  FROM (SELECT cb.*, m2.n_frames FROM cb JOIN m2 USING (id)) GROUP BY id
+       |)""".stripMargin
+
   private def bmpDhashCtes: String =
     s"""WITH raw AS (
        |  SELECT * FROM read_json('$bmpsFixture', format='newline_delimited')
@@ -2919,6 +3069,23 @@ object LlmQueries {
           |SELECT a.id AS a, b.id AS b,
           |  (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INTEGER AS hamming
           |FROM ph a JOIN ph b ON a.id < b.id
+          |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+          |ORDER BY a, b""".stripMargin),
+    "q_audio_phash" ->
+      (audioFpCtes +
+        """
+          |SELECT r.id,
+          |  coalesce(a.n_frames, -1)::BIGINT AS n_frames,
+          |  CASE WHEN a.id IS NULL THEN NULL
+          |       ELSE printf('%08x%08x', a.hi, a.lo) END AS phash_hex
+          |FROM raw r LEFT JOIN afp a ON r.id = a.id
+          |ORDER BY r.id""".stripMargin),
+    "q_audio_neardup" ->
+      (audioFpCtes +
+        """
+          |SELECT a.id AS a, b.id AS b,
+          |  (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INTEGER AS hamming
+          |FROM afp a JOIN afp b ON a.id < b.id
           |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
           |ORDER BY a, b""".stripMargin))
 }
