@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.{col, expr}
 
 /** CLI entry point mirroring the reference's dispatch
   * (`/root/reference/app.py:20-70`):
-  * `--pipeline {extract|clean|enrich|run-all|build-corpus|compact-files|dedup-increment|gold-increment|check|drift|privacy|ann-index|ann-append|ann-compact|ann-query}`
+  * `--pipeline {extract|clean|enrich|run-all|build-corpus|compact-files|dedup-increment|media-cycle|gold-increment|check|drift|privacy|ann-index|ann-append|ann-compact|ann-query}`
   * plus the known pipeline args; unknown `--k v` pairs pass through
   * (how enrich receives `--dimension_inputs` /
   * `--dimension_entity_types`, both CSV — `enrich.py:22-23`). Typed
@@ -106,6 +106,17 @@ object Main {
           maxBucketSize = opts.get("max_bucket_size").map(_.toInt).getOrElse(0),
           qualityGate = !opts.get("quality_gate").contains("false"),
           ttlCycles = opts.get("ttl_cycles").map(_.toInt).getOrElse(0)))
+      case "media-cycle" =>
+        // One crawl cycle of the X139 MULTIMODAL store lifecycle (see
+        // MediaCycle): screens the --input binary-media increment
+        // exact-then-perceptual against the persisted md5 + phash
+        // stores under --store_dir and writes them back updated.
+        pipeline.MediaCycle.run(spark, pipeline.MediaCycle.Config(
+          input = req("input"),
+          output = req("output"),
+          storeDir = req("store_dir"),
+          maxHamming = opts.get("max_hamming").map(_.toInt).getOrElse(7),
+          chunks = opts.get("chunks").map(_.toInt).getOrElse(8)))
       case "check" =>
         // Data-quality gate (X56): audit --input against `;`-separated
         // --rules "name:<sql boolean expr>", write the per-rule report

@@ -858,6 +858,58 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** Keep-old-drop-new hamming screen of a NEW frame's fingerprints
+    * against a STORED one — [[simhashNearDupPairs]]' incremental twin
+    * (the [[dedupIncrement]] contract for the simhash/dHash/audio-
+    * fingerprint family): both sides band into `chunks` equal bit
+    * slices, candidates come from the banded equi-join (pigeonhole-
+    * exact at `maxHamming ≤ chunks − 1` per 64/chunks-bit slices,
+    * never all-pairs), and every new id with ANY store fingerprint
+    * within `maxHamming` is reported once with its closest distance.
+    * `extraKeys` are additional equi-join keys both sides must share —
+    * e.g. the media `kind` column, so an image hash never screens an
+    * audio hash that happens to land nearby in hamming space. The
+    * store side needs only (`simhash`, extraKeys): store identity
+    * stays private to the store, matching keep-old-drop-new (the old
+    * copy wins; nothing about it changes).
+    *
+    * Scale shape: one exchange per side on (chunk, chunk_val,
+    * extraKeys), distinct-reduced candidates, then a map-side-combined
+    * min — increment-sized, store-scan-once, no quadratic blowup
+    * outside genuinely colliding buckets (cap upstream via the
+    * [[lshBands]] machinery if a degenerate hash floods a bucket).
+    */
+  def simhashIncrementPairs(
+      newFp: DataFrame,
+      storeFp: DataFrame,
+      idCol: String,
+      bits: Int = 60,
+      chunks: Int = 4,
+      maxHamming: Int = 3,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    val chunkBits = bits / chunks
+    val mask = (1L << chunkBits) - 1
+    def banded(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ col("simhash") :+
+          explode(sequence(lit(0), lit(chunks - 1))).as("chunk"): _*)
+        .withColumn(
+          "chunk_val",
+          call_function("shiftright", col("simhash"), col("chunk") * chunkBits)
+            .bitwiseAND(lit(mask)))
+    val keys = Seq("chunk", "chunk_val") ++ extraKeys
+    val bNew = banded(newFp, col(idCol) +: extraKeys.map(col))
+      .withColumnRenamed("simhash", "fp_new")
+    val bOld = banded(storeFp, extraKeys.map(col))
+      .withColumnRenamed("simhash", "fp_old")
+    bNew.join(bOld, keys)
+      .select(col(idCol), col("fp_new"), col("fp_old"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_new").bitwiseXOR(col("fp_old"))))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col(idCol))
+      .agg(min(col("hamming")).cast("int").as("hamming"))
+  }
+
   // ----------------------------------------------------------- span dedup
 
   /** (id, __pos, __gh): every `windowTokens`-token gram of every doc

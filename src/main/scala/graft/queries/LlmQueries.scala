@@ -1029,6 +1029,49 @@ object LlmQueries {
       Dedup.simhashNearDupPairs(fps, "id", bits = 64, chunks = 8, maxHamming = 7)
         .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
         .orderBy("a", "b")
+    }),
+
+    // Media crawl-cycle screen (X139): two real MediaCycle runs over a
+    // temp store — cycle 1 bootstraps (all kept), cycle 2 re-crawls
+    // exact copies (dropped on the byte fingerprint), re-encoded /
+    // gain-shifted perceptual twins (dropped on the kind-keyed banded
+    // hamming join against the persisted phash store), genuinely new
+    // and quarantined payloads (kept). Image and audio ride ONE
+    // increment; the oracle replays both hash families plus the
+    // keep-old-drop-new logic in SQL (byte-equality exact screen,
+    // brute-force hamming near screen over the tiny fixture — the
+    // engine's banded join is recall-exact at hamming ≤ 7, so the
+    // decisions must agree).
+    "q_media_screen" -> ((s, _) => {
+      val bmp = Multimodal.ingestBase64(
+        s.read.json(bmpsFixture), "id", "b64", "image")
+      val aud = Multimodal.ingestBase64(
+        s.read.json(audioFixture), "id", "b64", "audio")
+        .withColumn("id", col("id") + 100)
+      val media = bmp.unionByName(aud)
+      val scratch =
+        java.nio.file.Files.createTempDirectory("graft_media_cycle_").toString
+      try {
+        media.filter(col("id").isin(1, 2, 3, 101, 110))
+          .write.parquet(s"$scratch/inc1")
+        media.filter(col("id").isin(2, 3, 4, 5, 6, 106, 111, 112))
+          .write.parquet(s"$scratch/inc2")
+        val out1 = graft.pipeline.MediaCycle.run(s, graft.pipeline.MediaCycle.Config(
+          s"$scratch/inc1", s"$scratch/out1", s"$scratch/store"))
+        val out2 = graft.pipeline.MediaCycle.run(s, graft.pipeline.MediaCycle.Config(
+          s"$scratch/inc2", s"$scratch/out2", s"$scratch/store"))
+        val res = out1.select(lit(1).as("cycle"), col("id"))
+          .unionByName(out2.select(lit(2).as("cycle"), col("id")))
+          .orderBy("cycle", "id")
+        val rows = res.collect()
+        s.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), res.schema)
+          .orderBy("cycle", "id")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(scratch)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      }
     }))
 
   val imagesFixture = "/root/repo/fixtures/images.ndjson"
@@ -1046,7 +1089,7 @@ object LlmQueries {
     * arithmetic exactly.
     */
   /** Shared audio-fingerprint replay CTEs for the WAV/AIFF/AU fixture
-    * oracles, ending in `afp(id, n_frames, hi, lo)` — the 64-bit
+    * oracles, ending in `au_afp(id, n_frames, hi, lo)` — the 64-bit
     * energy fingerprint as two u32 halves (the [[bmpDhashCtes]]
     * convention). Per-format header parses follow the q_audio_decode
     * oracle (RIFF little-endian, AIFF/AU big-endian; canonical data
@@ -1058,19 +1101,19 @@ object LlmQueries {
     * arithmetic exactly.
     */
   private def audioFpCtes: String =
-    s"""WITH raw AS (
+    s"""WITH au_raw AS (
        |  SELECT * FROM read_json('$audioFixture', format='newline_delimited')
-       |), b AS (
-       |  SELECT id, from_base64(b64) AS blob FROM raw
-       |), h AS (
+       |), au_b AS (
+       |  SELECT id, from_base64(b64) AS blob FROM au_raw
+       |), au_h AS (
        |  SELECT id, hex(blob) AS hx,
        |    CASE WHEN substr(hex(blob), 1, 8) = '52494646' THEN 'riff'
        |         WHEN substr(hex(blob), 1, 8) = '464F524D'
        |          AND substr(hex(blob), 17, 8) = '41494646' THEN 'aiff'
        |         WHEN substr(hex(blob), 1, 8) = '2E736E64' THEN 'au'
        |         ELSE 'bin' END AS format
-       |  FROM b
-       |), meta AS (
+       |  FROM au_b
+       |), au_meta AS (
        |  SELECT id, hx, format,
        |    CASE format
        |      WHEN 'riff' THEN ('0x' || substr(hx, 47, 2) || substr(hx, 45, 2))::INTEGER
@@ -1086,8 +1129,8 @@ object LlmQueries {
        |    CASE format WHEN 'riff' THEN 44 WHEN 'aiff' THEN 54 WHEN 'au' THEN 24
        |      ELSE -1 END AS doff,
        |    (format <> 'riff') AS be
-       |  FROM h
-       |), m2 AS (
+       |  FROM au_h
+       |), au_m2 AS (
        |  SELECT *, channels * bits // 8 AS ba,
        |    CASE format
        |      WHEN 'riff' THEN ('0x' || substr(hx, 87, 2) || substr(hx, 85, 2)
@@ -1096,13 +1139,13 @@ object LlmQueries {
        |      WHEN 'aiff' THEN ('0x' || substr(hx, 45, 8))::BIGINT
        |      WHEN 'au'   THEN ('0x' || substr(hx, 17, 8))::BIGINT // (channels * bits // 8)
        |      ELSE -1 END AS n_frames
-       |  FROM meta
-       |), samp AS (
+       |  FROM au_meta
+       |), au_samp AS (
        |  SELECT id, n_frames, hx, doff, ba, bits, be, format,
        |    unnest(generate_series(0, n_frames - 1)) AS i
-       |  FROM m2
+       |  FROM au_m2
        |  WHERE format <> 'bin' AND bits IN (8, 16) AND n_frames >= 9
-       |), sraw AS (
+       |), au_sraw AS (
        |  SELECT id, n_frames, i, bits, format,
        |    CASE WHEN bits = 16 THEN
        |      ('0x' || CASE WHEN be
@@ -1112,14 +1155,14 @@ object LlmQueries {
        |    ELSE 0 END AS r16,
        |    CASE WHEN bits = 8 THEN ('0x' || substr(hx, 2*(doff + i*ba) + 1, 2))::INTEGER
        |    ELSE 0 END AS r8
-       |  FROM samp
-       |), sx AS (
+       |  FROM au_samp
+       |), au_sx AS (
        |  SELECT id, n_frames, i,
        |    CASE WHEN bits = 16 THEN CASE WHEN r16 >= 32768 THEN r16 - 65536 ELSE r16 END
        |         WHEN format = 'riff' THEN (r8 - 128) * 256
        |         ELSE (CASE WHEN r8 >= 128 THEN r8 - 256 ELSE r8 END) * 256 END AS x
-       |  FROM sraw
-       |), d AS (
+       |  FROM au_sraw
+       |), au_d AS (
        |  SELECT id, (i * 9) // n_frames AS cell,
        |    abs(x) AS e0,
        |    abs(x - lag(x, 1, 0) OVER w) AS e1,
@@ -1129,20 +1172,20 @@ object LlmQueries {
        |    abs(x - lag(x, 5, 0) OVER w) AS e5,
        |    abs(x - lag(x, 6, 0) OVER w) AS e6,
        |    abs(x - lag(x, 7, 0) OVER w) AS e7
-       |  FROM sx WINDOW w AS (PARTITION BY id ORDER BY i)
-       |), ce AS (
+       |  FROM au_sx WINDOW w AS (PARTITION BY id ORDER BY i)
+       |), au_ce AS (
        |  SELECT id, cell, sum(e0) AS e0, sum(e1) AS e1, sum(e2) AS e2,
        |    sum(e3) AS e3, sum(e4) AS e4, sum(e5) AS e5, sum(e6) AS e6,
        |    sum(e7) AS e7
-       |  FROM d GROUP BY id, cell
-       |), cb AS (
+       |  FROM au_d GROUP BY id, cell
+       |), au_cb AS (
        |  SELECT id, cell,
        |    (lead(e0) OVER w2 > e0)::INT AS b0, (lead(e1) OVER w2 > e1)::INT AS b1,
        |    (lead(e2) OVER w2 > e2)::INT AS b2, (lead(e3) OVER w2 > e3)::INT AS b3,
        |    (lead(e4) OVER w2 > e4)::INT AS b4, (lead(e5) OVER w2 > e5)::INT AS b5,
        |    (lead(e6) OVER w2 > e6)::INT AS b6, (lead(e7) OVER w2 > e7)::INT AS b7
-       |  FROM ce WINDOW w2 AS (PARTITION BY id ORDER BY cell)
-       |), afp AS (
+       |  FROM au_ce WINDOW w2 AS (PARTITION BY id ORDER BY cell)
+       |), au_afp AS (
        |  SELECT id, max(n_frames) AS n_frames,
        |    sum(CASE WHEN cell <= 7 THEN
        |      b0 * (1::BIGINT << cell) + b1 * (1::BIGINT << (8 + cell)) +
@@ -1152,7 +1195,7 @@ object LlmQueries {
        |      b4 * (1::BIGINT << cell) + b5 * (1::BIGINT << (8 + cell)) +
        |      b6 * (1::BIGINT << (16 + cell)) + b7 * (1::BIGINT << (24 + cell))
        |      ELSE 0 END)::BIGINT AS hi
-       |  FROM (SELECT cb.*, m2.n_frames FROM cb JOIN m2 USING (id)) GROUP BY id
+       |  FROM (SELECT au_cb.*, au_m2.n_frames FROM au_cb JOIN au_m2 USING (id)) GROUP BY id
        |)""".stripMargin
 
   private def bmpDhashCtes: String =
@@ -3078,14 +3121,52 @@ object LlmQueries {
           |  coalesce(a.n_frames, -1)::BIGINT AS n_frames,
           |  CASE WHEN a.id IS NULL THEN NULL
           |       ELSE printf('%08x%08x', a.hi, a.lo) END AS phash_hex
-          |FROM raw r LEFT JOIN afp a ON r.id = a.id
+          |FROM au_raw r LEFT JOIN au_afp a ON r.id = a.id
           |ORDER BY r.id""".stripMargin),
     "q_audio_neardup" ->
       (audioFpCtes +
         """
           |SELECT a.id AS a, b.id AS b,
           |  (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INTEGER AS hamming
-          |FROM afp a JOIN afp b ON a.id < b.id
+          |FROM au_afp a JOIN au_afp b ON a.id < b.id
           |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
-          |ORDER BY a, b""".stripMargin))
+          |ORDER BY a, b""".stripMargin),
+    // Both hash replays in ONE WITH (CTE families are disjoint by the
+    // au_ prefix), then the cycle semantics: intra-exact keep-min-id
+    // per byte-identical payload, exact screen = fingerprint seen in
+    // cycle 1's kept set, near screen = any same-kind cycle-1 hash
+    // within hamming 7 (brute force here; the engine's banded join is
+    // recall-exact at this bound). Byte equality stands in for the
+    // engine's md5 — same equivalence classes.
+    "q_media_screen" ->
+      (bmpDhashCtes + ",\n" + audioFpCtes.stripPrefix("WITH ") +
+        """
+          |, allmedia AS (
+          |  SELECT id, hex(from_base64(b64)) AS fp FROM raw
+          |  UNION ALL
+          |  SELECT id + 100, hex(from_base64(b64)) AS fp FROM au_raw
+          |), hashes AS (
+          |  SELECT id, 'image' AS kind, hi, lo FROM ph
+          |  UNION ALL
+          |  SELECT id + 100, 'audio', hi, lo FROM au_afp
+          |), c1 AS (
+          |  SELECT * FROM allmedia WHERE id IN (1, 2, 3, 101, 110)
+          |), c2 AS (
+          |  SELECT * FROM allmedia WHERE id IN (2, 3, 4, 5, 6, 106, 111, 112)
+          |), k1 AS (
+          |  SELECT min(id) AS id, fp FROM c1 GROUP BY fp
+          |), k2e AS (
+          |  SELECT min(id) AS id, fp FROM c2 GROUP BY fp
+          |  HAVING fp NOT IN (SELECT fp FROM k1)
+          |), k2 AS (
+          |  SELECT e.id FROM k2e e
+          |  WHERE NOT EXISTS (
+          |    SELECT 1 FROM hashes hn, hashes ho, k1
+          |    WHERE hn.id = e.id AND ho.id = k1.id AND hn.kind = ho.kind
+          |      AND bit_count(xor(hn.hi, ho.hi)) + bit_count(xor(hn.lo, ho.lo)) <= 7)
+          |)
+          |SELECT 1 AS cycle, id FROM k1
+          |UNION ALL
+          |SELECT 2 AS cycle, id FROM k2
+          |ORDER BY cycle, id""".stripMargin))
 }
