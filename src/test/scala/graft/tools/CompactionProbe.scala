@@ -58,13 +58,33 @@ object CompactionProbe {
     }
 
     measure("small-files")
-    val bytes = {
-      val p = new org.apache.hadoop.fs.Path(dir)
+    def dirBytes(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(p).filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
     }
+    val bytes = dirBytes(dir)
+    // concurrency probe (VERDICT r19 #3/#5): identical copy compacted
+    // serially; wall-clock should track the slowest bin under the
+    // pooled submission, not the bin count
+    val serialDir = dir + "_serial"
+    locally {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+      org.apache.hadoop.fs.FileUtil.copy(hfs,
+        new org.apache.hadoop.fs.Path(dir), hfs,
+        new org.apache.hadoop.fs.Path(serialDir), false, hconf)
+    }
+    val t0 = System.nanoTime()
     val report = Layout.compactFiles(spark, dir, targetBytes = bytes / 8)
-    println(s"[probe] compacted: $report")
+    val tPool = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val reportSerial = Layout.compactFiles(spark, serialDir, bytes / 8,
+      maxConcurrentBins = 1)
+    val tSerial = (System.nanoTime() - t1) / 1e9
+    println(f"[probe] compacted: $report pooled=$tPool%.2fs serial=$tSerial%.2fs " +
+      f"(speedup ${tSerial / tPool}%.2fx over ${report.mergedBins} merged bins)")
+    assert(report == reportSerial, "concurrency must not change the plan")
     measure("compacted")
     // the honest bar: a FRESH z-order write at the compacted file
     // count — fewer files prune coarser no matter how they were
@@ -74,6 +94,38 @@ object CompactionProbe {
         numFiles = report.filesAfter)
       .write.mode("overwrite").parquet(fresh)
     measure("fresh-same-n", fresh)
+
+    // ---- appended layout (VERDICT r19 #1): a z-ordered base plus an
+    // appended increment covering a key SUBRANGE (new partkeys — the
+    // store-generation lifecycle's normal state). The part names
+    // interleave, so name-order bins merge low-curve base files with
+    // high-curve increment files and every merged rectangle spans the
+    // append range; key-stats ordering sorts the increment's files to
+    // their true curve position and restores the pruning.
+    val app = java.nio.file.Files.createTempDirectory("compaction_app").toString + "/t"
+    val base = li.filter(col("l_partkey") < pMax * 3 / 4)
+    val incr = li.filter(col("l_partkey") >= pMax * 3 / 4)
+    Layout.clusterByZOrder(base, Seq("l_partkey", "l_suppkey"), bits = 15, numFiles = 32)
+      .write.parquet(app)
+    Layout.clusterByZOrder(incr, Seq("l_partkey", "l_suppkey"), bits = 15, numFiles = 24)
+      .write.mode("append").parquet(app)
+    val app2 = app + "_byname"
+    locally {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val hfs = new org.apache.hadoop.fs.Path(app).getFileSystem(hconf)
+      org.apache.hadoop.fs.FileUtil.copy(hfs,
+        new org.apache.hadoop.fs.Path(app), hfs,
+        new org.apache.hadoop.fs.Path(app2), false, hconf)
+    }
+    measure("appended-56f", app)
+    val appBytes = dirBytes(app)
+    val rByName = Layout.compactFiles(spark, app2, appBytes / 8)
+    val rByKey = Layout.compactFilesByKey(spark, app, appBytes / 8,
+      Seq("l_partkey", "l_suppkey"), bits = 15)
+    println(s"[probe] appended byName: $rByName")
+    println(s"[probe] appended byKey:  $rByKey")
+    measure("app-byname", app2)
+    measure("app-bykey", app)
     spark.stop()
   }
 }
