@@ -198,7 +198,14 @@ object Layout {
       .groupBy(element_at(split(input_file_name(), "/"), -1).as("__f"))
       .agg(min(key).as("lo"), max(key).as("hi"))
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .map { r =>
+        // a file whose key columns are entirely NULL has NULL stats:
+        // order it last by name, like a zero-row file — it carries no
+        // prunable rectangle either way
+        val lo = if (r.isNullAt(1)) Long.MaxValue else r.getLong(1)
+        val hi = if (r.isNullAt(2)) Long.MaxValue else r.getLong(2)
+        r.getString(0) -> (lo, hi)
+      }
       .toMap
     val ordered = parts.sortBy { f =>
       val n = f.getPath.getName
