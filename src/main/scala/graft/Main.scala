@@ -291,6 +291,11 @@ object Main {
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
         val zBits = opts.get("zorder_bits").map(_.toInt).getOrElse(12)
+        // A FLAT input crash-stranded wholly under `.compact_old_<name>`
+        // doesn't exist yet — restore it BEFORE probing, or the listing
+        // below throws where compactFiles' own pre-pass would have
+        // recovered (the partitioned-table analogue of ADVICE r19).
+        ops.Layout.recover(spark, input)
         val inP = new org.apache.hadoop.fs.Path(input)
         val inFs = inP.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // A crash-stranded leaf (`.compact_old_*`/`.compact_next_*`)

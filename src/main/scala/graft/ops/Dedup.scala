@@ -822,10 +822,36 @@ object Dedup {
     agg.select(col(idCol), fp.as("simhash"))
   }
 
+  /** Chunked band projection of a `simhash` column — the
+    * pigeonhole-critical arithmetic shared by [[simhashNearDupPairs]]
+    * and [[simhashIncrementPairs]], defined ONCE so the batch and
+    * incremental screens can never drift apart. Pigeonhole recall
+    * note: `bits` not divisible by `chunks` leaves the top
+    * `bits − chunks·(bits/chunks)` bits unbanded, which is SAFE — a
+    * pair differing only there matches every band — it just widens
+    * those buckets.
+    */
+  private def simhashBands(
+      df: DataFrame, keep: Seq[Column], bits: Int, chunks: Int): DataFrame = {
+    val chunkBits = bits / chunks
+    val mask = (1L << chunkBits) - 1
+    df.select(keep :+ col("simhash") :+
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk"): _*)
+      .withColumn(
+        "chunk_val",
+        // functions.shiftright only takes a literal Int shift; the SQL
+        // form accepts a column shift amount.
+        call_function("shiftright", col("simhash"), col("chunk") * chunkBits)
+          .bitwiseAND(lit(mask)))
+  }
+
   /** SimHash near-dup candidates: band the fingerprint into
     * `chunks` bit-slices, bucket-join on any equal slice, then filter
     * by true Hamming distance ≤ `maxHamming`. Same never-all-pairs
-    * shape as MinHash LSH.
+    * shape as MinHash LSH. Recall is pigeonhole-EXACT only at
+    * `maxHamming ≤ chunks − 1`; above that (a legitimate looser
+    * candidate screen — DedupSpec pins one) pairs whose differing bits
+    * spread across every chunk are missed by construction.
     */
   def simhashNearDupPairs(
       fpDf: DataFrame,
@@ -833,18 +859,7 @@ object Dedup {
       bits: Int = 60,
       chunks: Int = 4,
       maxHamming: Int = 3): DataFrame = {
-    val chunkBits = bits / chunks
-    val mask = (1L << chunkBits) - 1
-    val banded = fpDf.select(
-      col(idCol),
-      col("simhash"),
-      explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
-      .withColumn(
-        "chunk_val",
-        // functions.shiftright only takes a literal Int shift; the SQL
-        // form accepts a column shift amount.
-        call_function("shiftright", col("simhash"), col("chunk") * chunkBits)
-          .bitwiseAND(lit(mask)))
+    val banded = simhashBands(fpDf, Seq(col(idCol)), bits, chunks)
     val x = banded.select(
       col(idCol).as("a"), col("simhash").as("fp_a"), col("chunk"), col("chunk_val"))
     val y = banded.select(
@@ -887,19 +902,17 @@ object Dedup {
       chunks: Int = 4,
       maxHamming: Int = 3,
       extraKeys: Seq[String] = Nil): DataFrame = {
-    val chunkBits = bits / chunks
-    val mask = (1L << chunkBits) - 1
-    def banded(df: DataFrame, keep: Seq[Column]): DataFrame =
-      df.select(keep :+ col("simhash") :+
-          explode(sequence(lit(0), lit(chunks - 1))).as("chunk"): _*)
-        .withColumn(
-          "chunk_val",
-          call_function("shiftright", col("simhash"), col("chunk") * chunkBits)
-            .bitwiseAND(lit(mask)))
+    // A dedup SCREEN must not lose recall silently: unlike the
+    // candidates-only batch variant, this one enforces the pigeonhole
+    // bound — a knob combination beyond it (e.g. --chunks 4 with the
+    // default hamming 7) would quietly admit duplicates forever.
+    require(maxHamming <= chunks - 1,
+      s"pigeonhole-exact recall needs maxHamming ($maxHamming) <= chunks - 1 " +
+        s"(${chunks - 1}); raise chunks or lower maxHamming")
     val keys = Seq("chunk", "chunk_val") ++ extraKeys
-    val bNew = banded(newFp, col(idCol) +: extraKeys.map(col))
+    val bNew = simhashBands(newFp, col(idCol) +: extraKeys.map(col), bits, chunks)
       .withColumnRenamed("simhash", "fp_new")
-    val bOld = banded(storeFp, extraKeys.map(col))
+    val bOld = simhashBands(storeFp, extraKeys.map(col), bits, chunks)
       .withColumnRenamed("simhash", "fp_old")
     bNew.join(bOld, keys)
       .select(col(idCol), col("fp_new"), col("fp_old"))

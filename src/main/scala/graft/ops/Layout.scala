@@ -173,11 +173,16 @@ object Layout {
     * interleaved layout is [[clusterByZOrder]]'s job, at shuffle cost
     * this maintenance path deliberately never pays.
     *
-    * Cost: one stats job over the directory reading ONLY `keyCols`
-    * (column-pruned scan + partial agg per file), then the same
-    * per-bin rewrites as [[compactionBins]]. A zero-row part file has
-    * no stats; it sorts last by name and merges harmlessly (no rows,
-    * no rectangle).
+    * Cost: two column-pruned stats passes over `keyCols` only — the
+    * global min/max aggregate that fixes the normalization lanes, then
+    * the per-file min/max of the normalized key — followed by the same
+    * per-bin rewrites as [[compactionBins]]. (Corner-ordering from
+    * per-file RAW column stats would fold both into one pass at the
+    * price of ordering by rectangle corners instead of true curve
+    * minima; at key-column-scan cost the second pass is cheap enough
+    * to keep the exact ordering.) A zero-row part file has no stats;
+    * it sorts last by name and merges harmlessly (no rows, no
+    * rectangle).
     */
   def compactionBinsByKey(
       spark: SparkSession,
@@ -275,6 +280,20 @@ object Layout {
     new Path(dir.getParent, s".compact_next_${dir.getName}")
   private[ops] def backupPath(dir: Path): Path =
     new Path(dir.getParent, s".compact_old_${dir.getName}")
+
+  /** [[recoverCompaction]] exposed for callers that must probe the
+    * directory BEFORE deciding how to compact it: a FLAT dir whose
+    * previous compaction died between renames exists only as
+    * `.compact_old_<name>` — a plain listing of the input then throws
+    * before [[compactFiles]]' own recovery pre-pass can run (the CLI's
+    * partitioned-vs-flat routing hit exactly this). Safe no-op when
+    * nothing is stranded.
+    */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    val p0 = new Path(dir)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, fs.makeQualified(p0))
+  }
 
   /** Restore `dir` if a previous compaction died between its renames
     * (mirrors [[AtomicSwap.recover]] for the dotted layout); stale
@@ -379,9 +398,16 @@ object Layout {
       try {
         import scala.concurrent.{Await, ExecutionContext, Future}
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        Await.result(
-          Future.sequence(bins.map(b => Future(processBin(b)))),
+        // Await ALL bins (each wrapped in Try, so the sequence never
+        // fails early), THEN rethrow the first failure: a fail-fast
+        // await would return while in-flight bins still write into the
+        // staging dir, and a same-JVM retry that deletes + recreates
+        // that staging could have a stale bin file renamed into it
+        // mid-rebuild and then PROMOTED by the swap.
+        val results = Await.result(
+          Future.sequence(bins.map(b => Future(scala.util.Try(processBin(b))))),
           scala.concurrent.duration.Duration.Inf)
+        results.collectFirst { case scala.util.Failure(e) => throw e }
       } finally pool.shutdown()
     }
     fs.delete(scratch, true)

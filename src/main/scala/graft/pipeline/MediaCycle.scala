@@ -36,18 +36,24 @@ import org.apache.spark.sql.functions._
   * 100 TB ingest quarantines bad media rows, it doesn't dedup them
   * blind.
   *
-  * Store lifecycle is [[CrawlCycle]]'s verbatim: both stores live
-  * under `storeDir`, update plans read the current store, the updated
-  * frames land in `<store>.next` and promote via [[AtomicSwap]]
-  * (crash-safe, `.old` recovery at startup), every row is stamped
-  * with its admission cycle. The stores grow by survivor rows only —
-  * one md5 + at most one (kind, phash) per kept asset — so store size
-  * tracks the deduplicated catalog, orders of magnitude smaller than
-  * the media bytes. Within-increment PERCEPTUAL dedup is deliberately
-  * not screened here (same contract as [[graft.ops.Dedup
-  * .dedupIncrement]]: the store always wins a match; intra-increment
-  * near-dups are the caller's composition), so a cycle's survivors
-  * may contain mutual near-dups that then all enter the store.
+  * Store lifecycle improves on [[CrawlCycle]]'s two-swap layout: BOTH
+  * tables live under ONE `<storeDir>/media` unit (`fingerprints/` +
+  * `phashes/`), update plans read the current unit, the updated
+  * frames land together in `media.next`, and a SINGLE [[AtomicSwap]]
+  * promotes them (crash-safe, `.old` recovery at startup) — so no
+  * crash position can leave a mixed pair (the text cycle's documented
+  * wart: fingerprints from cycle N beside phashes from N−1 would drop
+  * the re-run at the exact screen and never admit cycle N's hashes to
+  * the perceptual store, silently re-admitting every future
+  * re-encode). Every row is stamped with its admission cycle; the
+  * stores grow by survivor rows only — one md5 + at most one (kind,
+  * phash) per kept asset — so store size tracks the deduplicated
+  * catalog, orders of magnitude smaller than the media bytes.
+  * Within-increment PERCEPTUAL dedup is deliberately not screened
+  * here (same contract as [[graft.ops.Dedup.dedupIncrement]]: the
+  * store always wins a match; intra-increment near-dups are the
+  * caller's composition), so a cycle's survivors may contain mutual
+  * near-dups that then all enter the store.
   */
 object MediaCycle {
 
@@ -58,8 +64,9 @@ object MediaCycle {
       maxHamming: Int = 7,
       chunks: Int = 8)
 
-  def fingerprintPath(cfg: Config): String = s"${cfg.storeDir}/media_fingerprints"
-  def phashPath(cfg: Config): String = s"${cfg.storeDir}/media_phashes"
+  def storePath(cfg: Config): String = s"${cfg.storeDir}/media"
+  def fingerprintPath(cfg: Config): String = s"${storePath(cfg)}/fingerprints"
+  def phashPath(cfg: Config): String = s"${storePath(cfg)}/phashes"
 
   /** (id, kind, phash) for every decodable payload — each decoder
     * quarantines foreign formats to NULL, and no payload decodes as
@@ -95,8 +102,7 @@ object MediaCycle {
     }
     val increment = spark.read.parquet(cfg.input)
       .select(col("id").cast("long").as("id"), col("content"), col("media_type"))
-    for (p <- Seq(fingerprintPath(cfg), phashPath(cfg)))
-      AtomicSwap.recover(spark, p)
+    AtomicSwap.recover(spark, storePath(cfg))
     def withCycle(df: DataFrame): DataFrame =
       if (df.columns.contains("cycle")) df
       else df.withColumn("cycle", lit(0))
@@ -164,12 +170,16 @@ object MediaCycle {
       .union(phNew.join(keptIds, Seq("id"), "left_semi")
         .select(col("kind"), col("phash"))
         .withColumn("cycle", lit(cycle)))
-    val nextFp = fingerprintPath(cfg) + ".next"
-    val nextPh = phashPath(cfg) + ".next"
-    nextFpStore.write.mode("overwrite").parquet(nextFp)
-    nextPhStore.write.mode("overwrite").parquet(nextPh)
-    AtomicSwap.swapIn(spark, fingerprintPath(cfg), nextFp)
-    AtomicSwap.swapIn(spark, phashPath(cfg), nextPh)
+    // one staging unit, one swap: a crash leaves the WHOLE store at
+    // cycle N−1 or N, never a fingerprint/phash mixed pair. Stale
+    // staging from a crashed run is garbage in every position — drop
+    // it rather than trust overwrite to cover every stale child.
+    val nextUnit = storePath(cfg) + ".next"
+    val nextP = new Path(nextUnit)
+    nextP.getFileSystem(hconf).delete(nextP, true)
+    nextFpStore.write.mode("overwrite").parquet(s"$nextUnit/fingerprints")
+    nextPhStore.write.mode("overwrite").parquet(s"$nextUnit/phashes")
+    AtomicSwap.swapIn(spark, storePath(cfg), nextUnit)
     (keptOnDisk, metrics)
   }
 }

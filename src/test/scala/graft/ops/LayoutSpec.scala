@@ -268,6 +268,26 @@ class LayoutSpec extends SparkSpec {
     assert(!new java.io.File(dir).listFiles.exists(_.getName.startsWith(".compact_")))
   }
 
+  test("compact-files CLI recovers a FLAT dir stranded wholly under its dotted backup") {
+    // the flat-input analogue of the stranded-leaf case: the input
+    // path itself doesn't exist after a mid-swap crash, so the CLI's
+    // partitioned-vs-flat probe would throw before compactFiles' own
+    // recovery pre-pass could run — the routing now recovers first
+    val dir = java.nio.file.Files.createTempDirectory("compact-flat-str").toString + "/t"
+    val df = spark.range(0, 1024).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    Layout.clusterByZOrder(df, Seq("x", "y"), bits = 6, numFiles = 4)
+      .write.parquet(dir)
+    val d = new java.io.File(dir)
+    assert(d.renameTo(new java.io.File(d.getParent, ".compact_old_t")))
+    val out = graft.Main.run(spark, graft.Main.parseArgs(Array(
+      "--pipeline", "compact-files",
+      "--input", dir, "--target_bytes", Long.MaxValue.toString)))
+    assert(out.count() == 1024, "the stranded flat dir must be recovered and compacted")
+    assert(partSizes(dir).size == 1)
+    assert(!d.getParentFile.listFiles.exists(_.getName.startsWith(".compact_")))
+  }
+
   test("compact-files CLI rewrites a partition in place through the dispatch") {
     val dir = java.nio.file.Files.createTempDirectory("compact-cli").toString + "/t"
     val df = spark.range(0, 2048).select(

@@ -35,8 +35,8 @@ class MediaCycleSpec extends SparkSpec {
     val out1 = cli(s"$dir/inc1", s"$dir/out1", s"$dir/store")
     // bootstrap: nothing to screen against, all five kept
     assert(out1.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 101L, 110L))
-    assert(new java.io.File(s"$dir/store/media_fingerprints").isDirectory)
-    assert(new java.io.File(s"$dir/store/media_phashes").isDirectory)
+    assert(new java.io.File(s"$dir/store/media/fingerprints").isDirectory)
+    assert(new java.io.File(s"$dir/store/media/phashes").isDirectory)
 
     val out2 = cli(s"$dir/inc2", s"$dir/out2", s"$dir/store")
     // 2,3 byte-identical re-fetches -> exact drop; 4 is a byte-exact
@@ -47,12 +47,12 @@ class MediaCycleSpec extends SparkSpec {
     assert(out2.select("id").as[Long].collect().sorted.toSeq == Seq(5L, 6L, 112L))
 
     // stores grew by survivors only, kind-tagged, cycle-stamped
-    val ph = spark.read.parquet(s"$dir/store/media_phashes")
+    val ph = spark.read.parquet(s"$dir/store/media/phashes")
     assert(ph.columns.sorted.toSeq == Seq("cycle", "kind", "phash"))
     assert(ph.groupBy("kind").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
       == Map("image" -> 4L, "audio" -> 3L)) // c1: 3 img + 2 aud; c2: 5, 112
-    val fp = spark.read.parquet(s"$dir/store/media_fingerprints")
+    val fp = spark.read.parquet(s"$dir/store/media/fingerprints")
     assert(fp.count() == 8) // 5 + 3 survivors, quarantined row included
     assert(fp.select(max("cycle")).head.getInt(0) == 1)
   }
@@ -67,7 +67,24 @@ class MediaCycleSpec extends SparkSpec {
     assert(metrics("increment_rows") == 3 && metrics("after_exact") == 0
       && metrics("kept") == 0)
     // stores unchanged in size: nothing was admitted
-    assert(spark.read.parquet(s"$dir/store/media_fingerprints").count() == 3)
+    assert(spark.read.parquet(s"$dir/store/media/fingerprints").count() == 3)
+  }
+
+  test("a crash between the swap's renames recovers: the store unit is atomic, never a mixed pair") {
+    val dir = java.nio.file.Files.createTempDirectory("media-cycle-crash").toString
+    media.filter(col("id").isin(1, 110)).write.parquet(s"$dir/inc")
+    assert(cli(s"$dir/inc", s"$dir/out1", s"$dir/store").count() == 2)
+    // simulate dying between swapIn's two renames: the WHOLE unit
+    // (fingerprints AND phashes together) sits under media.old — the
+    // single-swap layout's point vs the text cycle's per-store swaps,
+    // where this crash position strands a fingerprint/phash MIXED pair
+    val unit = new java.io.File(s"$dir/store/media")
+    assert(unit.renameTo(new java.io.File(s"$dir/store/media.old")))
+    val again = cli(s"$dir/inc", s"$dir/out2", s"$dir/store")
+    assert(again.isEmpty, "recovery must restore BOTH screens before the cycle")
+    assert(new java.io.File(s"$dir/store/media/fingerprints").isDirectory)
+    assert(spark.read.parquet(s"$dir/store/media/phashes").count() == 2)
+    assert(!new java.io.File(s"$dir/store/media.old").exists())
   }
 
   test("quarantined payloads screen exactly only: same bytes drop, mutated bytes keep") {
@@ -83,6 +100,6 @@ class MediaCycleSpec extends SparkSpec {
     assert(out2.select("id").as[Long].collect().toSeq == Seq(3L),
       "byte-identical quarantine drops exactly; mutated bytes pass (no phash to screen)")
     // the phash store stays empty — quarantined rows never hash
-    assert(spark.read.parquet(s"$dir/store/media_phashes").count() == 0)
+    assert(spark.read.parquet(s"$dir/store/media/phashes").count() == 0)
   }
 }
