@@ -85,6 +85,27 @@ object Bench {
     s"""BENCH_DIGEST {"passes":${passTotals.size},"pass_min":${r3(lo)},"pass_max":${r3(hi)},"load_max":${r3(maxLoadavg)},"contaminated":$contaminated,"failed":$failedCount}"""
   }
 
+  /** Where to write the per-query artifact (VERDICT r20 "what's wrong"
+    * #2): a CONTAMINATED run must not clobber a sealed uncontaminated
+    * floor at the same path — the r20 driver's hot-host re-run
+    * overwrote the committed 119.06 s seal with a 202.4 s artifact.
+    * If this run is contaminated and the existing file says
+    * `"contaminated":false`, divert to `<path>.contaminated.json`;
+    * every other combination (clean run, no existing file, existing
+    * file already contaminated/unparseable) keeps the requested path.
+    */
+  def resolveQueryFile(
+      requested: String,
+      contaminated: Boolean,
+      existing: Option[String]): String = {
+    val sealedClean = existing.exists(_.contains("\"contaminated\":false"))
+    if (contaminated && sealedClean) {
+      val stem =
+        if (requested.endsWith(".json")) requested.dropRight(5) else requested
+      s"$stem.contaminated.json"
+    } else requested
+  }
+
   /** Hot = bursty right now (1-min > 2.5) OR residually busy
     * (15-min > 2.0). The 15-min figure alone demonstrably
     * false-cleans: three r9 runs started at 1-min ≈1 but 15-min
@@ -111,6 +132,19 @@ object Bench {
       // steady-state (measured: late-pass heavy queries back at their
       // isolated cost).
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // The 200-query suite generates far more than the default 100
+      // whole-stage-codegen classes; at 100 the Janino class cache
+      // (CodeGenerator.cache, keyed by generated source) thrashes and
+      // EVERY stage recompiles, with all local tasks blocked on the
+      // one Guava loader thread (measured r21: 32-task stages with
+      // zero I/O burning 30-950 s of executorRunTime at cpu≈run/6 —
+      // pure compile-lock wait; ~550 compiles over just 9 profiled
+      // queries). 4096 entries hold the whole suite's generated
+      // classes, so pass 2+ runs at the steady-state this bench's
+      // honesty contract already documents ("JVM/codegen are warm").
+      // Static conf — must be set before the first session.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // All three loadavg horizons; a host is only "clean" when the
@@ -276,7 +310,7 @@ object Bench {
     // canonical line plus worst/pass context; the path prints right
     // above the digest so it lands inside the tail window. A write
     // failure must not kill the run after every pass completed.
-    val queryFile = sys.env.getOrElse(
+    val requestedFile = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_QUERY_FILE", "/root/repo/BENCH_QUERIES.json")
     try {
       val json =
@@ -286,12 +320,18 @@ object Bench {
            |"pass_totals":$passTotalsJson,
            |"loadavg_start":${triple(load0)},"load_max":${r3(maxLoad)},
            |"contaminated":$contaminated,"failed":$failedJson}""".stripMargin
+      val existing = scala.util.Try(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(requestedFile)),
+        java.nio.charset.StandardCharsets.UTF_8)).toOption
+      val queryFile = resolveQueryFile(requestedFile, contaminated, existing)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(queryFile),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"BENCH_QUERY_FILE $queryFile")
     } catch {
-      case e: Throwable =>
+      // NonFatal only (ADVICE r20): an OOM/interrupt here must not be
+      // swallowed as "file write failed" and let the run report clean.
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] query-file write failed: ${e.getMessage}")
     }
     println(digestLine(passTotals.toSeq, maxLoad, contaminated, failed.size))

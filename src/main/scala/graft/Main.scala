@@ -111,12 +111,26 @@ object Main {
         // MediaCycle): screens the --input binary-media increment
         // exact-then-perceptual against the persisted md5 + phash
         // stores under --store_dir and writes them back updated.
+        // Validate the knob PAIR before any Spark work: the pigeonhole
+        // recall bound (maxHamming <= chunks - 1) is enforced deep in
+        // Dedup.simhashIncrementPairs after the input is already read;
+        // an inconsistent --chunks/--max_hamming should fail here with
+        // a CLI-level message instead (ADVICE r20). When only --chunks
+        // is passed, default max_hamming to chunks - 1 so the pair
+        // stays valid by construction.
+        val mcChunks = opts.get("chunks").map(_.toInt).getOrElse(8)
+        val mcMaxHamming = opts.get("max_hamming").map(_.toInt)
+          .getOrElse(math.min(7, mcChunks - 1))
+        require(mcMaxHamming <= mcChunks - 1,
+          s"--max_hamming ($mcMaxHamming) must be <= --chunks - 1 " +
+            s"(${mcChunks - 1}): the banded screen is only recall-exact " +
+            "within the pigeonhole bound")
         pipeline.MediaCycle.run(spark, pipeline.MediaCycle.Config(
           input = req("input"),
           output = req("output"),
           storeDir = req("store_dir"),
-          maxHamming = opts.get("max_hamming").map(_.toInt).getOrElse(7),
-          chunks = opts.get("chunks").map(_.toInt).getOrElse(8)))
+          maxHamming = mcMaxHamming,
+          chunks = mcChunks))
       case "check" =>
         // Data-quality gate (X56): audit --input against `;`-separated
         // --rules "name:<sql boolean expr>", write the per-rule report

@@ -33,6 +33,12 @@ object Verify {
       // state only reclaims when driver GC runs; the 30-min default
       // periodic-GC interval never fires inside one run.
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // Same codegen-class cache sizing as Bench: the 200-query suite
+      // overflows the default 100-entry Janino cache and recompiles
+      // every stage with tasks serialized on the cache loader (see
+      // Bench.scala). Correctness-neutral; cuts full-suite wall time.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

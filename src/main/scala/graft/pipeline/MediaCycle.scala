@@ -180,6 +180,11 @@ object MediaCycle {
     nextFpStore.write.mode("overwrite").parquet(s"$nextUnit/fingerprints")
     nextPhStore.write.mode("overwrite").parquet(s"$nextUnit/phashes")
     AtomicSwap.swapIn(spark, storePath(cfg), nextUnit)
+    // The decode cache is per-cycle working state: release it here so
+    // a long-lived driver running many cycles in one JVM does not
+    // accumulate cached decode frames until a global unpersistAll
+    // (ADVICE r20).
+    CachedFrames.release(phNew)
     (keptOnDisk, metrics)
   }
 }

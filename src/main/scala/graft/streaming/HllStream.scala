@@ -98,7 +98,9 @@ object HllStream {
         committed = true
       } else {
         attempt += 1
-        if (attempt > maxRetries)
+        // >=: error after exactly maxRetries failed validations, as
+        // the message states (ADVICE r20 off-by-one).
+        if (attempt >= maxRetries)
           sys.error(s"HllStream: store $root gained generations during " +
             s"$maxRetries consecutive folds; quiesce the appender")
       }

@@ -92,4 +92,26 @@ class BenchSpec extends AnyFunSuite {
       """{"metric":"total","value":127.43,"unit":"sec","queries":{},"sf":"/root/testdata/sf0.1"}""")
     assert(line.length <= 200)
   }
+
+  // VERDICT r20 "what's wrong" #2: the driver's post-seal contaminated
+  // re-run overwrote the committed uncontaminated per-query floor.
+  // A contaminated run must divert to a side path when the existing
+  // artifact is sealed clean; every other combination keeps the path.
+  test("resolveQueryFile protects a sealed uncontaminated artifact") {
+    val path = "/root/repo/BENCH_QUERIES.json"
+    val sealedClean = Some("""{"value":119.064,"contaminated":false}""")
+    val sealedHot = Some("""{"value":202.448,"contaminated":true}""")
+    // the one diverting case
+    assert(Bench.resolveQueryFile(path, contaminated = true, sealedClean) ==
+      "/root/repo/BENCH_QUERIES.contaminated.json")
+    // clean run always writes the requested path (including over a hot one)
+    assert(Bench.resolveQueryFile(path, contaminated = false, sealedClean) == path)
+    assert(Bench.resolveQueryFile(path, contaminated = false, sealedHot) == path)
+    // contaminated over contaminated / over nothing: keep the path
+    assert(Bench.resolveQueryFile(path, contaminated = true, sealedHot) == path)
+    assert(Bench.resolveQueryFile(path, contaminated = true, None) == path)
+    // non-.json paths get a readable suffix too
+    assert(Bench.resolveQueryFile("/tmp/q", contaminated = true, sealedClean) ==
+      "/tmp/q.contaminated.json")
+  }
 }
