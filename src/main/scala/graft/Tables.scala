@@ -19,9 +19,25 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  /** Footer-schema memo, keyed by table path. A bare `read.parquet`
+    * runs a one-task footer-inference job on EVERY call — ~600 such
+    * jobs per 200-query bench run (each query loads 1-3 tables, twice
+    * over two passes), pure per-query overhead (r21, guide §6). A
+    * catalog-table scan (the S2 operator this loader stands in for)
+    * resolves the schema from the metastore instead of the footer;
+    * this memo is that catalog metadata — static per file, never a
+    * query result. Keyed by full path so different SF dirs (and the
+    * two events vintages) coexist.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   /** Plain parquet table scan (S2 analogue of catalog-table scan). */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(path(sfDir, name))
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val p = path(sfDir, name)
+    val schema = schemaCache.computeIfAbsent(p, _ => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(p)
+  }
 
   /** `events` with `ts` normalized to TIMESTAMP_NTZ microseconds,
     * adapting to how the parquet file encodes the column:

@@ -3,7 +3,7 @@ package graft.ops
 import graft.CachedFrames
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.TextAnalysis.{fastBaseHash, fastH64, shinglesOfTokens, tokens}
+import graft.ops.TextAnalysis.{fastBaseHash, fastH64, tokens}
 import graft.functions.GraftFunctions.roundPinned
 
 /** Corpus deduplication for LLM training-data pipelines: exact
@@ -156,32 +156,27 @@ object Dedup {
   def minhashB(i: Int): Long =
     graft.functions.Md5PrefixLongExpr.hashPrefix(s"minhash-b|$i", 15) % minhashP
 
-  /** (id, sh: array<string>) — the word-`shingleN`-gram sets as one
-    * array per document. Tokenization runs in its own projection so
-    * the per-shingle lambda slices a materialized attribute (the
-    * single-Column form re-tokenizes per element — O(tokens²) per doc;
-    * see [[TextAnalysis.shingles]]).
-    *
-    * NOTE the array-lambda `transform` inside still evaluates
-    * INTERPRETED per element (Spark higher-order functions have no
-    * codegen) — ~16µs/shingle measured. Use this only on bounded
-    * inputs (the verification path calls it on candidate-pair docs
-    * only); full-corpus pipelines go through the codegen'd
-    * [[shinglesExploded]].
+  /** (id, sh: array<string>) — the word-`shingleN`-gram MULTISET as
+    * one array per document, repacked from the fully codegen'd
+    * [[shinglesExploded]] rows by a pre-partitioned collect_list (r21;
+    * previously a per-element array-lambda `transform`, which Spark
+    * evaluates INTERPRETED — ~16µs/shingle, and worse under many
+    * concurrent tasks). The array ORDER differs from the old
+    * lambda form (window-lead row order vs slice order), which is
+    * immaterial to the only consumer — [[jaccard]] applies
+    * array_distinct/intersect/union, all set-semantics — and the
+    * element multiset is identical, including the short-doc
+    * whole-text shingle. Exploded rows arrive pre-partitioned by id,
+    * so the collect_list aggregation shuffles nothing.
     */
   def shingleFrame(
       df: DataFrame,
       textCol: String,
       idCol: String,
       shingleN: Int = 3): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .select(
-        col(idCol),
-        tokens(col(textCol)).as("__toks"),
-        lower(col(textCol)).as("__lt"))
-      .select(
-        col(idCol),
-        shinglesOfTokens(col("__toks"), col("__lt"), shingleN).as("sh"))
+    shinglesExploded(df, textCol, idCol, shingleN)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__sh")).as("sh"))
 
   /** (id, __sh) exploded word-shingle rows, built RELATIONALLY:
     * posexplode tokens → per-doc `lead(tok, j)` window → `concat_ws` —

@@ -69,38 +69,75 @@ object TextEval {
     require(shadowing.isEmpty,
       s"ngramOverlap appends ${reserved.toSeq.sorted.mkString("/")}; " +
         s"rename: ${shadowing.mkString(", ")}")
+    // Keyed pre-repartition before the ~(2·maxN)× gram fanout, the
+    // [[Dedup.shinglesExploded]] convention: the scan's partitioning
+    // (2 fat partitions at bench scale) otherwise caps the dominant
+    // explode+count stage at scan parallelism (measured r21: the one
+    // heavy stage ran in 2 tasks, 2.5 s of its 2.6 s execRun). The
+    // shuffle moves the input once so the 8× fanout spreads over
+    // every core; explicit count because AQE would coalesce the
+    // bytes-small exchange right back.
     val base = df
       .filter(candCol.isNotNull && refCol.isNotNull)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol),
         TextAnalysis.tokens(candCol).as("__ct"),
         TextAnalysis.tokens(refCol).as("__rt"))
 
-    // one exploded gram frame per side spanning all n: (id, n, gram, cnt)
-    def gramCounts(toksCol: String, as: String): DataFrame =
-      base
-        .select(col(idCol) +: (1 to maxN).map(n =>
-          evalGrams(col(toksCol), n).as(s"__g$n")): _*)
-        .select(col(idCol), explode(array((1 to maxN).map(n =>
-          struct(lit(n).as("n"), col(s"__g$n").as("grams"))): _*)).as("__e"))
-        .select(col(idCol), col("__e.n").as("n"),
-          explode(col("__e.grams")).as("gram"))
-        .groupBy(col(idCol), col("n"), col("gram"))
-        .agg(count(lit(1)).as(as))
+    // ONE tagged gram stream for BOTH sides, then a single
+    // (id, n, gram) aggregation producing both counts (r21, guide
+    // §2.4): the previous shape built a gram-count pipeline per side
+    // and referenced each in TWO join branches (overlap + totals), so
+    // the explode+count subtree executed four times and the plan
+    // carried 22 Exchanges. The clipped overlap Σ min(c_cnt, r_cnt)
+    // is preserved exactly — a gram absent from one side has that
+    // count 0 and least() contributes 0, which is precisely what the
+    // old INNER join on (id, n, gram) contributed for it; per-(id, n)
+    // totals are the same sums the old per-side groupBys produced,
+    // and an (id, n) present on only one side appears here with the
+    // other side's counts at 0, matching the old full join + fill(0).
+    // Grams are built RELATIONALLY (posexplode → per-doc lead() window
+    // → concat_ws), the [[Dedup.shinglesExploded]] pattern, instead of
+    // the array-lambda [[evalGrams]]: higher-order lambdas evaluate
+    // INTERPRETED per element, and under 32 concurrent tasks the
+    // allocation-heavy interpreted path measured 5-16× the CPU of the
+    // same logical work (r21: 2.4 s of CPU at 2 tasks became 12.7 s
+    // isolated / 39.5 s in-suite at 32 — wall followed). The window
+    // runs on the id-partitioned exchange above, so no extra shuffle;
+    // every expression here is codegen'd. Gram semantics are
+    // identical: position i contributes the n-gram tokens[i..i+n-1]
+    // exactly when the (n−1)-th lead exists — matching evalGrams'
+    // "len ≥ n" slices (concat_ws would silently IGNORE null leads
+    // and emit a truncated gram, hence the explicit isNotNull gate).
+    def gramSide(toksCol: String, side: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy("__pos")
+      val leads = base
+        .select(col(idCol), posexplode(col(toksCol)).as(Seq("__pos", "__t0")))
+        .select(col(idCol) +: col("__t0") +:
+          (1 until maxN).map(j => lead(col("__t0"), j).over(w).as(s"__t$j")): _*)
+      val gramStructs = array((1 to maxN).map { n =>
+        val g = concat_ws(" ", (0 until n).map(j => col(s"__t$j")): _*)
+        val gated = if (n == 1) g else when(col(s"__t${n - 1}").isNotNull, g)
+        struct(lit(n).as("n"), gated.as("gram"))
+      }: _*)
+      leads
+        .select(col(idCol), explode(gramStructs).as("__e"))
+        .select(col(idCol), col("__e.n").as("n"), col("__e.gram").as("gram"),
+          lit(side).as("__side"))
+        .filter(col("gram").isNotNull)
+    }
 
-    val cand = gramCounts("__ct", "c_cnt")
-    val ref = gramCounts("__rt", "r_cnt")
-    // clip: grams absent from either side contribute zero overlap, so
-    // INNER equi-join on (id, n, gram) — the frame never exceeds the
-    // smaller side's distinct grams
-    val overlap = cand.join(ref, Seq(idCol, "n", "gram"))
+    val totals = gramSide("__ct", 0).unionByName(gramSide("__rt", 1))
+      .groupBy(col(idCol), col("n"), col("gram"))
+      .agg(
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("c_cnt"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("r_cnt"))
       .groupBy(col(idCol), col("n"))
-      .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("ov"))
-    val totals = cand.groupBy(col(idCol), col("n"))
-      .agg(sum(col("c_cnt")).as("ct"))
-      .join(ref.groupBy(col(idCol), col("n")).agg(sum(col("r_cnt")).as("rt")),
-        Seq(idCol, "n"), "full")
-      .join(overlap, Seq(idCol, "n"), "left")
-      .na.fill(0L, Seq("ov", "ct", "rt"))
+      .agg(
+        sum(least(col("c_cnt"), col("r_cnt"))).as("ov"),
+        sum(col("c_cnt")).as("ct"),
+        sum(col("r_cnt")).as("rt"))
 
     def per(n: Int, c: String) = max(when(col("n") === n, col(c))).as(s"__${c}_$n")
     val aggs = (1 to maxN).flatMap(n => Seq(per(n, "ov"), per(n, "ct"), per(n, "rt")))

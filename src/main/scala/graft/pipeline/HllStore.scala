@@ -111,8 +111,15 @@ object HllStore {
     */
   private[graft] def foldedRegisters(
       spark: SparkSession, root: String, groupCols: Seq[String]): DataFrame = {
-    val all = sources(spark, root)
-      .map(spark.read.parquet(_))
+    // Every generation was written by this store with one schema:
+    // infer it from the first source only and read the rest with it
+    // stated — each avoided inference is one fewer footer job per
+    // generation per fold (r21). A generation whose schema genuinely
+    // drifted still fails loudly, in the read instead of the union.
+    val srcs = sources(spark, root)
+    val first = spark.read.parquet(srcs.head)
+    val all = (first +: srcs.tail.map(p =>
+        spark.read.schema(first.schema).parquet(p)))
       .reduce(_.unionByName(_))
     all
       .groupBy(groupCols.map(col) :+ col("bucket"): _*)

@@ -160,8 +160,12 @@ object MediaCycle {
     println("MEDIA_CYCLE " + metrics.map { case (k, v) => s"$k=$v" }.mkString(" "))
 
     // Store updates join against the MATERIALIZED survivors (the
-    // screens ran once for the output write).
-    val keptOnDisk = spark.read.parquet(cfg.output)
+    // screens ran once for the output write). The output was written
+    // by THIS run with a statically known schema — state it on the
+    // read-back so no footer-inference job runs (r21).
+    val keptOnDisk = spark.read
+      .schema("id LONG, content BINARY, media_type STRING")
+      .parquet(cfg.output)
     val keptIds = keptOnDisk.select("id")
     val nextFpStore = fpStore.select(col("fingerprint"), col("cycle"))
       .union(keptOnDisk.select(md5(col("content")).as("fingerprint"))

@@ -907,7 +907,7 @@ object LlmQueries {
     "q_image_decode" -> ((s, _) => {
       import s.implicits._
       val media = Multimodal.ingestBase64(
-        s.read.json(imagesFixture), "id", "b64", "image")
+        mediaFixtureJson(s)(imagesFixture), "id", "b64", "image")
         .as[Multimodal.MediaRecord]
       Multimodal.decodeImage(media)
         .select("id", "byte_len", "format", "width", "height")
@@ -928,7 +928,7 @@ object LlmQueries {
     "q_gif_frames" -> ((s, _) => {
       import s.implicits._
       val media = Multimodal.ingestBase64(
-        s.read.json(gifsFixture), "id", "b64", "image/gif")
+        mediaFixtureJson(s)(gifsFixture), "id", "b64", "image/gif")
         .as[Multimodal.MediaRecord]
       def stageOf(name: String, frames: org.apache.spark.sql.Dataset[Multimodal.DecodedFrame]) =
         frames.toDF().select(
@@ -948,7 +948,7 @@ object LlmQueries {
     "q_audio_decode" -> ((s, _) => {
       import s.implicits._
       val media = Multimodal.ingestBase64(
-        s.read.json(audioFixture), "id", "b64", "audio")
+        mediaFixtureJson(s)(audioFixture), "id", "b64", "audio")
         .as[Multimodal.MediaRecord]
       Multimodal.decodeAudio(media).toDF().orderBy("id")
     }),
@@ -964,7 +964,7 @@ object LlmQueries {
     "q_image_phash" -> ((s, _) => {
       import s.implicits._
       val media = Multimodal.ingestBase64(
-        s.read.json(bmpsFixture), "id", "b64", "image/bmp")
+        mediaFixtureJson(s)(bmpsFixture), "id", "b64", "image/bmp")
         .as[Multimodal.MediaRecord]
       Multimodal.dHash(media).toDF()
         .select(col("id"), col("width"), col("height"),
@@ -981,7 +981,7 @@ object LlmQueries {
     "q_image_neardup" -> ((s, _) => {
       import s.implicits._
       val media = Multimodal.ingestBase64(
-        s.read.json(bmpsFixture), "id", "b64", "image/bmp")
+        mediaFixtureJson(s)(bmpsFixture), "id", "b64", "image/bmp")
         .as[Multimodal.MediaRecord]
       val fps = Multimodal.dHash(media).toDF()
         .filter(col("phash").isNotNull)
@@ -1003,7 +1003,7 @@ object LlmQueries {
     "q_audio_phash" -> ((s, _) => {
       import s.implicits._
       val media = Multimodal.ingestBase64(
-        s.read.json(audioFixture), "id", "b64", "audio")
+        mediaFixtureJson(s)(audioFixture), "id", "b64", "audio")
         .as[Multimodal.MediaRecord]
       Multimodal.audioFingerprint(media).toDF()
         .select(col("id"), col("n_frames"),
@@ -1021,7 +1021,7 @@ object LlmQueries {
     "q_audio_neardup" -> ((s, _) => {
       import s.implicits._
       val media = Multimodal.ingestBase64(
-        s.read.json(audioFixture), "id", "b64", "audio")
+        mediaFixtureJson(s)(audioFixture), "id", "b64", "audio")
         .as[Multimodal.MediaRecord]
       val fps = Multimodal.audioFingerprint(media).toDF()
         .filter(col("phash").isNotNull)
@@ -1044,9 +1044,9 @@ object LlmQueries {
     // decisions must agree).
     "q_media_screen" -> ((s, _) => {
       val bmp = Multimodal.ingestBase64(
-        s.read.json(bmpsFixture), "id", "b64", "image")
+        mediaFixtureJson(s)(bmpsFixture), "id", "b64", "image")
       val aud = Multimodal.ingestBase64(
-        s.read.json(audioFixture), "id", "b64", "audio")
+        mediaFixtureJson(s)(audioFixture), "id", "b64", "audio")
         .withColumn("id", col("id") + 100)
       val media = bmp.unionByName(aud)
       val scratch =
@@ -1073,6 +1073,16 @@ object LlmQueries {
         ()
       }
     }))
+
+  /** The media fixtures all carry exactly (id, b64); reading them with
+    * the schema stated skips the whole-file inference scan Spark runs
+    * per `read.json` call — one fewer job per fixture read, nine sites
+    * across the decode/phash/media-cycle queries (r21). The Yelp
+    * fixtures in PipelineQueries deliberately KEEP inference: S1
+    * schema-inference is the operator those queries demonstrate.
+    */
+  private def mediaFixtureJson(s: SparkSession)(path: String) =
+    s.read.schema("id LONG, b64 STRING").json(path)
 
   val imagesFixture = "/root/repo/fixtures/images.ndjson"
   val audioFixture = "/root/repo/fixtures/audio.ndjson"
