@@ -368,12 +368,15 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName(s"graft-${opts.getOrElse("pipeline", "?")}")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
+    // Same steady-state JVM confs as Bench/Verify (r22): a CLI
+    // pipeline run is a long-lived driver over the same plan library,
+    // so it gets the same codegen-cache sizing and periodic GC.
+    val spark = SessionDefaults.steadyState(SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName(s"graft-${opts.getOrElse("pipeline", "?")}")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.session.timeZone", "UTC"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -19,26 +19,18 @@ object Verify {
       require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // Vintage compat: older testdata shipped events.ts as parquet
-      // TIMESTAMP(NANOS) readable only as raw longs; current testdata
-      // is native timestamp[us]. Tables.events branches on the footer
-      // schema, and this conf keeps BOTH vintages loadable.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // Same long-single-JVM hygiene as Bench: ~120 queries' broadcast
-      // state only reclaims when driver GC runs; the 30-min default
-      // periodic-GC interval never fires inside one run.
-      .config("spark.cleaner.periodicGC.interval", "1min")
-      // Same codegen-class cache sizing as Bench: the 200-query suite
-      // overflows the default 100-entry Janino cache and recompiles
-      // every stage with tasks serialized on the cache loader (see
-      // Bench.scala). Correctness-neutral; cuts full-suite wall time.
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+    // Steady-state JVM hygiene (periodic GC + codegen cache sizing)
+    // shared with Bench/Main via [[SessionDefaults]] (r22).
+    val spark = SessionDefaults.steadyState(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        // Vintage compat: older testdata shipped events.ts as parquet
+        // TIMESTAMP(NANOS) readable only as raw longs; current testdata
+        // is native timestamp[us]. Tables.events branches on the footer
+        // schema, and this conf keeps BOTH vintages loadable.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

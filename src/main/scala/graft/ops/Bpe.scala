@@ -34,9 +34,10 @@ import graft.functions.GraftFunctions.roundPinned
   *    a shared delimiter, making replace-all EXACTLY the textbook
   *    greedy scan; see [[applyMerge]]).
   *  - '''Encoding new text never touches the loop''': [[encode]]
-  *    applies the learned merge list in order inside one `transform`
-  *    lambda per word — a pure projection, zero shuffle, usable on a
-  *    corpus the trainer never saw.
+  *    applies the learned merge list in order as ONE codegen'd
+  *    regexp_replace chain over each document's marker-joined symbol
+  *    string — a pure projection, zero shuffle, usable on a corpus
+  *    the trainer never saw.
   *
   * Choices, documented: words are the repo's whitespace/lowercase
   * tokens ([[TextAnalysis.tokens]]); symbols start as single
@@ -155,11 +156,47 @@ object Bpe {
     (merges.toSeq, words)
   }
 
+  /** Word-boundary marker for the document-level merge chain: symbols
+    * come from whitespace-split words, so no SYMBOL ever contains
+    * whitespace or this control character — a trained merge pair can
+    * therefore never match across a boundary. Input text that happens
+    * to contain the marker falls back to the per-word path (below), so
+    * the output is defined for every input.
+    */
+  private val BoundaryMarker = "\u0001"
+
+  /** Inputs the doc-level chain must NOT take: texts containing the
+    * marker itself, or any line terminator - the symbol-injection
+    * regex `(.)` skips line terminators (no DOTALL), so a word like
+    * "a\\nb" double-spaces differently at doc level than per word.
+    * Both are impossible for the repo whitespace word shape and
+    * merely route the row to the exact legacy per-word expression.
+    */
+  private val DocChainUnsafe = "[\\u0001\\n\\r\\u0085\\u2028\\u2029]"
+
   /** Segment arbitrary text with a learned merge list: per document,
-    * one `array<string>` of subword tokens. Pure projection — the
-    * merge chain runs inside a single `transform` lambda per word,
-    * zero shuffle, no join; exactly the shape that encodes a 100 TB
-    * corpus with a vocabulary trained on a sample.
+    * one `array<string>` of subword tokens. Pure projection — zero
+    * shuffle, no join; exactly the shape that encodes a 100 TB corpus
+    * with a vocabulary trained on a sample.
+    *
+    * The merge chain runs ONCE PER DOCUMENT over a marker-joined
+    * symbol string (r22): the words join on [[BoundaryMarker]], the
+    * double-space symbol form comes from ONE doc-level `symInit`
+    * (the marker becomes just another symbol), and the learned
+    * replacements apply as top-level codegen'd `regexp_replace`s —
+    * a pair can never match across a boundary because the marker
+    * symbol sits between the words' symbols. Splitting on the double
+    * space and removing marker symbols yields exactly
+    * `flatten(per-word merge chains)`: replace-all is position-local,
+    * so chaining at doc level equals chaining per word. The previous
+    * form ran the chain inside a per-word `transform` lambda, which
+    * Spark evaluates INTERPRETED — the dominant cost of encode
+    * (measured r21: ~1.3 s steady at sf0.1; the r21/r22 rounds
+    * measured interpreted HOFs at 5–16× the CPU of the codegen form
+    * under concurrency). Documents that contain the marker byte (not
+    * producible by [[TextAnalysis.tokens]]' whitespace words, but
+    * legal input) take the legacy per-word lambda, so results are
+    * bit-identical for every input.
     */
   def encode(
       df: DataFrame,
@@ -168,10 +205,21 @@ object Bpe {
       outCol: String = "bpe_tokens"): DataFrame = {
     require(!df.columns.contains(outCol),
       s"encode appends $outCol; rename the existing column")
-    val segmented = transform(
-      filter(TextAnalysis.tokens(col(textCol)), w => w =!= ""),
-      w => split(merges.foldLeft(symInit(w))((s, m) => applyMerge(s, m.pair)), "  ", -1))
-    df.withColumn(outCol, flatten(segmented))
+    val words = filter(TextAnalysis.tokens(col(textCol)), w => w =!= "")
+    val legacy = flatten(transform(
+      words,
+      w => split(merges.foldLeft(symInit(w))((s, m) => applyMerge(s, m.pair)), "  ", -1)))
+    val docSym = trim(regexp_replace(
+      array_join(words, BoundaryMarker), "(.)", "$1  "))
+    val chained = merges.foldLeft(docSym)((s, m) => applyMerge(s, m.pair))
+    val fast = array_remove(split(chained, "  ", -1), BoundaryMarker)
+    df.withColumn(
+      outCol,
+      // empty word list: split("") yields [""], not [] — route the
+      // degenerate cases (and marker/terminator collisions) through
+      // the exact legacy expression
+      when(size(words) === 0 || col(textCol).rlike(DocChainUnsafe), legacy)
+        .otherwise(fast))
   }
 
   /** Tokenizer fertility report — subwords-per-word by group (the
@@ -209,7 +257,9 @@ object Bpe {
         col(groupCol),
         size(words).cast("long").as("__nw"),
         size(col("bpe_tokens")).cast("long").as("__ns"),
-        aggregate(col("bpe_tokens"), lit(0L), (a, w) => a + length(w)).as("__nc"))
+        // total subword chars as length-of-concatenation: codegen'd,
+        // where the previous `aggregate` HOF ran interpreted per element
+        length(array_join(col("bpe_tokens"), "")).cast("long").as("__nc"))
       .groupBy(groupCol)
       .agg(
         sum("__nw").as("n_words"),

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.roundPinned
 
@@ -50,11 +49,12 @@ object ClassifierEval {
     val nn = col("__nn").cast("double")
     val term = roundPinned((col("n_gold").cast("double") / nn) *
       (col("n_pred").cast("double") / nn) * lit(1e12)).cast("long")
-    val w = Window.partitionBy().rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
     val po = col("__agree").cast("double") / nn
-    cls.crossJoin(broadcast(tot))
-      .withColumn("__pe", sum(term).over(w).cast("double") / lit(1e12))
+    // κ's chance-agreement sum as a broadcast grand total (r22): the
+    // class frame is small, but this removes the repo's last
+    // everything-into-one-task window — same order-free integer sum.
+    PrefixSum.withGrandTotals(cls.crossJoin(broadcast(tot)), Seq("__peq" -> term))
+      .withColumn("__pe", col("__peq").cast("double") / lit(1e12))
       .select(
         col("class"), col("n_gold"), col("n_pred"), col("tp"),
         roundPinned(try_divide(col("tp").cast("double"), col("n_pred").cast("double")), 4)

@@ -950,11 +950,15 @@ object Curation {
       .agg(
         sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
         sum(when(col("__y"), 0L).otherwise(1L)).as("__n"))
-    import org.apache.spark.sql.expressions.Window
-    val below = Window.orderBy("__s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    g
-      .withColumn("__nb", coalesce(sum("__n").over(below), lit(0L)))
+    // negatives-strictly-below running count via the partition-parallel
+    // [[PrefixSum]] (r22): the previous unpartitioned window moved the
+    // whole distinct-score frame through ONE task — bounded only when
+    // scores are pre-rounded; a raw continuous score made it a global
+    // sort through a single thread. __s is unique (groupBy key), so the
+    // exclusive ROWS frame is well-defined.
+    val g2 = PrefixSum.withRunningTotals(
+      g, Seq(col("__s")), Seq("__nb" -> col("__n")), includeCurrent = false)
+    g2
       .agg(
         sum("__p").as("n_pos"),
         sum("__n").as("n_neg"),
@@ -980,7 +984,6 @@ object Curation {
     * yield an empty frame.
     */
   def prCurve(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = df
       .select(scoreCol.cast("double").as("__s"), labelCol.cast("boolean").as("__y"))
       .filter(col("__s").isNotNull && !isnan(col("__s")) && col("__y").isNotNull)
@@ -988,16 +991,18 @@ object Curation {
       .agg(
         sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
         sum(when(col("__y"), 0L).otherwise(1L)).as("__n"))
-    val cum = Window.orderBy(col("__s").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.orderBy(col("__s").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val prec = col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
     val rec = col("tp").cast("double") / col("__ptot").cast("double")
-    g
-      .withColumn("tp", sum("__p").over(cum))
-      .withColumn("fp", sum("__n").over(cum))
-      .withColumn("__ptot", sum("__p").over(all))
+    // cumulative confusion counts via the partition-parallel
+    // [[PrefixSum]] over score DESC (r22; was two unpartitioned
+    // windows through one task — see binaryEval), and the positives
+    // grand total as a broadcast constant instead of an
+    // unbounded-both-ways window.
+    PrefixSum.withGrandTotals(
+        PrefixSum.withRunningTotals(
+          g, Seq(col("__s").desc),
+          Seq("tp" -> col("__p"), "fp" -> col("__n"))),
+        Seq("__ptot" -> col("__p")))
       .filter(col("__ptot") > 0)
       .select(
         col("__s").as("threshold"), col("tp"), col("fp"),

@@ -63,6 +63,14 @@ object Curriculum {
     val rows = Sketches.logBucketed(
       df.withColumn("__q", Sketches.quantized(difficulty, scale)), subBits)
     val hist = rows.groupBy(col("m"), col("sub")).agg(count(lit(1)).as("__n"))
+    // Cumulative histogram share: deliberately a single-partition
+    // window, NOT [[PrefixSum]] (r22 A/B). The histogram is BOUNDED
+    // (≤ 64·2^subBits rows — the whole point of the sketch), so the
+    // one-task window costs microseconds, while PrefixSum's machinery
+    // (range exchange + two persists + offset joins) adds measurable
+    // per-query overhead and a rangepartitioning node the corpus-sort
+    // plan pins rightly forbid. PrefixSum is for UNBOUNDED global
+    // orderings (NegSampling vocab CDF, Curation score curves).
     val cumW = Window.orderBy(col("m"), col("sub"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cdf = hist
@@ -128,6 +136,8 @@ object Curriculum {
       subBits)
     val hist = rows.filter(col("__gate"))
       .groupBy(col("m"), col("sub")).agg(count(lit(1)).as("__n"))
+    // same bounded-histogram single-partition window as phaseAssign
+    // (see the comment there for why NOT PrefixSum)
     val cumW = Window.orderBy(col("m"), col("sub"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cdf = hist

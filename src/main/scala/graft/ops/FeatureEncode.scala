@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.roundPinned
 
@@ -62,14 +61,14 @@ object FeatureEncode {
     val sB = smoothing * nBuckets
     val num = (col("n_pos") + lit(smoothing)) / (col("__tp") + lit(sB))
     val den = (col("n_neg") + lit(smoothing)) / (col("__tn") + lit(sB))
-    val w = Window.partitionBy().rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    agg.crossJoin(broadcast(tot))
+    val withIvt = agg.crossJoin(broadcast(tot))
       .withColumn("__woe", log(num / den))
       .withColumn("__ivt", (num - den) * col("__woe"))
-      // feature-level IV: quantized-integer sum over the ≤nBuckets rows
-      .withColumn("__ivq",
-        sum(roundPinned(col("__ivt") * lit(1e9)).cast("long")).over(w))
+    // feature-level IV: quantized-integer sum over the ≤nBuckets rows
+    // as a broadcast grand total (r22) — was an unpartitioned window;
+    // same order-free integer sum, no single-task WindowExec.
+    PrefixSum.withGrandTotals(withIvt,
+        Seq("__ivq" -> roundPinned(col("__ivt") * lit(1e9)).cast("long")))
       .select(col("segment"), col("n"), col("n_pos"), col("n_neg"),
         (roundPinned(col("__woe"), 4)).as("woe_r"),
         (roundPinned(col("__ivt"), 4)).as("iv_term_r"),

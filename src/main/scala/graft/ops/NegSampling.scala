@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.CachedFrames
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.roundPinned
 
@@ -26,8 +25,9 @@ import graft.functions.GraftFunctions.roundPinned
   *    the sampling path.
   *
   * Scale shape: one corpus scan for frequencies (map-side combined);
-  * ONE vocabulary-sized window for the prefix sum (bounded — same
-  * contract as the BPE/vocab family); draws are a pure projection of
+  * the CDF prefix sum is a partition-parallel [[PrefixSum]] (range
+  * exchange + per-partition windows + broadcast offsets — never a
+  * single-task global window); draws are a pure projection of
   * (id, slot); the inverse-CDF lookup is a BUCKETED EQUI-join — the
   * CDF explodes each interval to the ≈B·width/total grid buckets it
   * spans (ΣB + vocab rows total) and each draw joins its single
@@ -45,14 +45,20 @@ object NegSampling {
       freqs: DataFrame,
       tokenCol: String,
       freqCol: String): DataFrame = {
-    val ord = Window.orderBy(col("token"))
     // f^0.75 = sqrt(f · sqrt(f)): correctly-rounded steps only
     val f = col("freq").cast("double")
-    freqs
+    val weighted = freqs
       .filter(col(freqCol) > 0)
       .select(col(tokenCol).as("token"), col(freqCol).cast("long").as("freq"))
       .withColumn("q", roundPinned(sqrt(f * sqrt(f)) * lit(1e6)).cast("long"))
-      .withColumn("cum_hi", sum(col("q")).over(ord))
+    // Partition-parallel prefix sum (r22): the previous
+    // `sum(q) OVER (ORDER BY token)` was an unpartitioned window — the
+    // ENTIRE vocabulary serialized through one task (a multi-million-
+    // token vocab at corpus scale). Same exact integer cumulative, same
+    // tie semantics (tokens are unique here anyway), numPartitions-way
+    // parallel.
+    PrefixSum.withRunningTotals(
+        weighted, Seq(col("token")), Seq("cum_hi" -> col("q")))
       .withColumn("cum_lo", col("cum_hi") - col("q"))
   }
 

@@ -205,6 +205,15 @@ object Pca {
     val base = df
       .select(col(vecCol).cast("array<double>").as("__v"))
       .filter(v.isNotNull && !exists(v, _.isNull) && size(v) === dim)
+      // Spread the moments fanout (guide §2.4, r22): the quad explode
+      // multiplies every vector by dim(dim+1)/2 ≈ 2 000 rows, and
+      // without this exchange the whole fanout runs in the SCAN's
+      // task count — one task for a single-file corpus sample, which
+      // is exactly why q_pca_whiten measured core-INSENSITIVE in the
+      // r21 8-vs-32-core pair (1.82 s at both). The exchange moves
+      // only the narrow pre-explode vectors; integer quantized sums
+      // are order-free, so results are bit-identical.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val withIdx = base.select(v, posexplode(v).as(Seq("__i", "__x")))
     val lin = withIdx.select(
       col("__i").as("i"), lit(-1).as("j"), q(col("__x")).as("q"))

@@ -155,7 +155,11 @@ object TextAnalysis {
     val nChars = length(text).cast("long")
     val nTokens = size(t).cast("long")
     val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
-    val tokLenSum = aggregate(t, lit(0L), (acc, tok) => acc + length(tok))
+    // Σ token lengths without the interpreted per-element `aggregate`
+    // HOF (r22): tokens are split(lower(text), " ") — exactly
+    // size(t) − 1 single-space separators — so the sum is
+    // length(lower(text)) − (size(t) − 1), all codegen'd.
+    val tokLenSum = (length(lower(text)) - size(t) + lit(1)).cast("long")
     Seq(
       "n_chars" -> nChars,
       "n_tokens" -> nTokens,

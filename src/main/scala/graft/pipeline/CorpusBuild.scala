@@ -90,7 +90,13 @@ object CorpusBuild {
     val contaminated = Curation.decontaminate(quality, bench, "text", "doc_id",
         shingleN = cfg.shingleN, minShared = 2L)
       .select("doc_id").distinct()
+    // Project BEFORE mix/pack (r22, guide §2.3/§8): the two range
+    // shuffles and RDD row-conversion passes must move only the four
+    // columns the rest of the DAG reads, never `text` — and this is
+    // the exact plan the standalone curation queries build, so the
+    // sorted mix frame persistOnce-shares across the trio.
     val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "n_tokens", "bpe_tokens")
     val mixed = Curation.mixSources(clean, "doc_id", "source", "n_tokens",
       cfg.mix, tokenBudget = cfg.tokenBudget, seed = cfg.mixSeed, hasher = hasher)
     val packed = Curation.packSequences(mixed, "doc_id", "bpe_tokens", cfg.packTokens)
