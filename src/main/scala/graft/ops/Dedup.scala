@@ -3,7 +3,7 @@ package graft.ops
 import graft.CachedFrames
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.TextAnalysis.{fastBaseHash, fastH64, tokens}
+import graft.ops.TextAnalysis.{fastBaseHash, fastH64, shinglesOfTokens, tokens}
 import graft.functions.GraftFunctions.roundPinned
 
 /** Corpus deduplication for LLM training-data pipelines: exact
@@ -157,26 +157,38 @@ object Dedup {
     graft.functions.Md5PrefixLongExpr.hashPrefix(s"minhash-b|$i", 15) % minhashP
 
   /** (id, sh: array<string>) — the word-`shingleN`-gram MULTISET as
-    * one array per document, repacked from the fully codegen'd
-    * [[shinglesExploded]] rows by a pre-partitioned collect_list (r21;
-    * previously a per-element array-lambda `transform`, which Spark
-    * evaluates INTERPRETED — ~16µs/shingle, and worse under many
-    * concurrent tasks). The array ORDER differs from the old
-    * lambda form (window-lead row order vs slice order), which is
-    * immaterial to the only consumer — [[jaccard]] applies
-    * array_distinct/intersect/union, all set-semantics — and the
-    * element multiset is identical, including the short-doc
-    * whole-text shingle. Exploded rows arrive pre-partitioned by id,
-    * so the collect_list aggregation shuffles nothing.
+    * one array per document, built by the per-row
+    * [[TextAnalysis.shinglesOfTokens]] array lambda.
+    *
+    * Deliberately NOT the [[shinglesExploded]]+collect_list repack
+    * (r22 A/B, settling VERDICT r21 #3). The lambda runs interpreted,
+    * but every caller feeds this a CANDIDATE-BOUNDED frame (semi-join
+    * on pair ids), so the interpreted cost is proportional to the
+    * candidate set — while the repack paid a window sort plus a
+    * post-union groupBy exchange per call regardless. Isolated
+    * steady-state A/B (DevProfile, iters=4, drained host, identical
+    * session): repack → lambda moved q_dedup_capped 4.63 → 2.35 s,
+    * q_dedup_verified 2.54 → 1.94 s, q_fuzzy_join 1.03 → 1.13 s,
+    * q_fuzzy_capped 1.19 → 1.21 s — net ≈ −2.8 s, matching the
+    * r20→r21 drained-floor regression the repack caused. The
+    * CORPUS-scale shingle path ([[signatures]]) keeps the codegen'd
+    * exploded pipeline, where the relational form genuinely wins.
+    * Element multiset and slice order are the r20 form's, oracle-green
+    * under [[jaccard]]'s set semantics either way.
     */
   def shingleFrame(
       df: DataFrame,
       textCol: String,
       idCol: String,
       shingleN: Int = 3): DataFrame =
-    shinglesExploded(df, textCol, idCol, shingleN)
-      .groupBy(col(idCol))
-      .agg(collect_list(col("__sh")).as("sh"))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(
+        col(idCol),
+        tokens(col(textCol)).as("__toks"),
+        lower(col(textCol)).as("__lt"))
+      .select(
+        col(idCol),
+        shinglesOfTokens(col("__toks"), col("__lt"), shingleN).as("sh"))
 
   /** (id, __sh) exploded word-shingle rows, built RELATIONALLY:
     * posexplode tokens → per-doc `lead(tok, j)` window → `concat_ws` —
