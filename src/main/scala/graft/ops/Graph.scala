@@ -80,11 +80,24 @@ object Graph {
     // degree fused into the edge list once — NOT re-joined per
     // iteration. Only the fused frame persists: the raw edge list is
     // setup-only, and the node census derives from the fused frame
-    // (the inner degree join keeps every edge — every src has a
-    // degree), so the loop pins ONE edge-sized cache, not two.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // (every edge keeps its row — every src has a degree), so the
+    // loop pins ONE edge-sized cache, not two.
+    //
+    // Setup shape (r22, guide §2.4): ONE src-keyed exchange total.
+    // Repartitioning by src FIRST lets the (src, dst) distinct run on
+    // that clustering (equal src co-locates equal (src, dst) — no
+    // second exchange), and the out-degree then comes from a
+    // src-partitioned window COUNT on the same layout instead of the
+    // old groupBy + self-join (which cost a distinct exchange, an
+    // aggregation exchange, and a join). Row set and __deg values are
+    // identical; this is the per-pass persist-build cost, which was
+    // the whole q_pagerank floor (iterations were already one join).
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
+      .distinct()
     val contribEdges = graft.CachedFrames.persistOnce(
-      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), Seq("src")))
+      e.withColumn("__deg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src")))))
     val nodes = graft.CachedFrames.persistOnce(
       contribEdges.select(col("src").as("node"))
         .union(contribEdges.select(col("dst").as("node")))
