@@ -89,11 +89,17 @@ object HllStore {
       hasher: (Column, Column) => Column = graft.ops.TextAnalysis.h64): Unit = {
     val root = registersPath(storeDir)
     AtomicSwap.recover(spark, root)
-    val storeB = spark.read.parquet(basePath(root))
-      .select(col("b")).distinct().collect()
-    require(storeB.length == 1,
-      s"store carries ${storeB.length} register widths; rebuild it")
-    val b = storeB.head.getInt(0)
+    // The store's register width, from parquet column statistics on
+    // the driver (r22, guide §6): the old `read.parquet.select(b)
+    // .distinct().collect()` cost an inference job plus a scan job to
+    // learn ONE integer. min==max across every part file and row
+    // group is the same single-width audit the distinct performed.
+    val (bLo, bHi) = graft.io.ParquetFooters
+      .int32Range(spark, basePath(root), "b")
+      .getOrElse(sys.error(s"store base ${basePath(root)} is empty; rebuild it"))
+    require(bLo == bHi,
+      s"store carries register widths $bLo..$bHi; rebuild it")
+    val b = bLo
     val n = sources(spark, root).size - 1
     val target = s"$root/registers_inc_$n.parquet"
     val tmp = target + ".tmp"
@@ -114,10 +120,22 @@ object HllStore {
     // Every generation was written by this store with one schema:
     // infer it from the first source only and read the rest with it
     // stated — each avoided inference is one fewer footer job per
-    // generation per fold (r21). A generation whose schema genuinely
-    // drifted still fails loudly, in the read instead of the union.
+    // generation per fold (r21). A stated-schema read is SILENT about
+    // column-set drift (missing columns become nulls, extras are
+    // dropped — ADVICE r21), so each tail generation's column set is
+    // audited against the first's from ONE parquet footer per
+    // generation, read on the driver (parquet-hadoop, no Spark job —
+    // the audit costs microseconds, not the inference job the stated
+    // schema saved). Type drift still fails loudly in the read.
     val srcs = sources(spark, root)
     val first = spark.read.parquet(srcs.head)
+    val firstCols = first.schema.fieldNames.toSet
+    srcs.tail.foreach { p =>
+      val cols = graft.io.ParquetFooters.columnNames(spark, p)
+      require(cols == firstCols,
+        s"store generation $p column drift: has ${cols.toSeq.sorted.mkString(",")}, " +
+          s"base has ${firstCols.toSeq.sorted.mkString(",")}")
+    }
     val all = (first +: srcs.tail.map(p =>
         spark.read.schema(first.schema).parquet(p)))
       .reduce(_.unionByName(_))

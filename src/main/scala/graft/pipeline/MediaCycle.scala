@@ -106,19 +106,42 @@ object MediaCycle {
     def withCycle(df: DataFrame): DataFrame =
       if (df.columns.contains("cycle")) df
       else df.withColumn("cycle", lit(0))
+    // Store read-backs: this module writes both tables with a fixed
+    // schema, so when the on-disk column set matches (one driver-side
+    // footer read — no job) the read states the schema and skips the
+    // per-call inference job; any drifted/legacy layout falls back to
+    // inference, preserving the old behavior loudly rather than
+    // null-filling silently (r22, guide §6 fewer jobs).
+    def storeRead(path: String, stated: String): DataFrame = {
+      val want = spark.read.schema(stated).parquet(path).schema.fieldNames.toSet
+      if (graft.io.ParquetFooters.columnNames(spark, path) == want)
+        spark.read.schema(stated).parquet(path)
+      else spark.read.parquet(path)
+    }
     val fpStoreAll = withCycle(
-      if (exists(fingerprintPath(cfg))) spark.read.parquet(fingerprintPath(cfg))
+      if (exists(fingerprintPath(cfg)))
+        storeRead(fingerprintPath(cfg), "fingerprint STRING, cycle INT")
       else increment.limit(0).select(md5(col("content")).as("fingerprint")))
     val phStoreAll = withCycle(
-      if (exists(phashPath(cfg))) spark.read.parquet(phashPath(cfg))
+      if (exists(phashPath(cfg)))
+        storeRead(phashPath(cfg), "kind STRING, phash BIGINT, cycle INT")
       else perceptualHashes(increment.limit(0).as[Multimodal.MediaRecord])
         .select(col("kind"), col("phash")))
     // Current cycle = one past the newest admission (every admitted
     // asset has a fingerprint row; the phash store misses quarantined
-    // ones). One tiny agg over the catalog-sized store.
-    val cycle: Int = Option(
-      fpStoreAll.agg(max(col("cycle"))).head().get(0))
-      .map(_.asInstanceOf[Int] + 1).getOrElse(0)
+    // ones). Read from parquet column statistics on the driver when
+    // the store has the cycle column (r22 — was a max() agg job per
+    // run); legacy/fresh layouts keep the tiny agg.
+    val cycle: Int =
+      if (exists(fingerprintPath(cfg)) &&
+          graft.io.ParquetFooters
+            .columnNames(spark, fingerprintPath(cfg)).contains("cycle"))
+        graft.io.ParquetFooters
+          .int32Range(spark, fingerprintPath(cfg), "cycle")
+          .map(_._2 + 1).getOrElse(0)
+      else Option(
+        fpStoreAll.agg(max(col("cycle"))).head().get(0))
+        .map(_.asInstanceOf[Int] + 1).getOrElse(0)
     val fpStore = fpStoreAll
     val phStore = phStoreAll
 
