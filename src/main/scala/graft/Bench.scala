@@ -92,16 +92,23 @@ object Bench {
     * #2): a CONTAMINATED run must not clobber a sealed uncontaminated
     * floor at the same path — the r20 driver's hot-host re-run
     * overwrote the committed 119.06 s seal with a 202.4 s artifact.
-    * If this run is contaminated and the existing file says
-    * `"contaminated":false`, divert to `<path>.contaminated.json`;
-    * every other combination (clean run, no existing file, existing
-    * file already contaminated/unparseable) keeps the requested path.
+    * If this run is contaminated and the existing file does not
+    * POSITIVELY declare itself contaminated, divert to
+    * `<path>.contaminated.json`. The flag parses tolerantly
+    * (`"contaminated"<ws>:<ws>false`), and an existing file with NO
+    * recognizable flag is treated as sealed-clean — fail toward
+    * diverting, never toward overwriting (ADVICE r21: the old exact
+    * substring match silently disabled the protection on any
+    * formatting drift). A clean run or a missing file keeps the
+    * requested path.
     */
   def resolveQueryFile(
       requested: String,
       contaminated: Boolean,
       existing: Option[String]): String = {
-    val sealedClean = existing.exists(_.contains("\"contaminated\":false"))
+    val flag = """"contaminated"\s*:\s*(true|false)""".r
+    val sealedClean = existing.exists(s =>
+      flag.findFirstMatchIn(s).forall(_.group(1) == "false"))
     if (contaminated && sealedClean) {
       val stem =
         if (requested.endsWith(".json")) requested.dropRight(5) else requested

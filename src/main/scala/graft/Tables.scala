@@ -28,9 +28,21 @@ object Tables {
     * this memo is that catalog metadata — static per file, never a
     * query result. Keyed by full path so different SF dirs (and the
     * two events vintages) coexist.
+    *
+    * ASSUMES the file at a path is immutable for the JVM's lifetime
+    * (true for the read-only testdata trees this loader serves; the
+    * same assumption a metastore makes until a DDL invalidates it). A
+    * test or long-lived driver that REWRITES a parquet file in place
+    * must call [[clearSchemaCache]] first, or the stale memo reads
+    * missing columns as nulls instead of erroring (ADVICE r21).
     */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Drop every memoized footer schema — the invalidation hook for
+    * callers that rewrite a table path within one JVM.
+    */
+  def clearSchemaCache(): Unit = schemaCache.clear()
 
   /** Plain parquet table scan (S2 analogue of catalog-table scan). */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -55,6 +55,13 @@ object TextEval {
     *
     * NULL candidate or reference texts are excluded (no defined
     * overlap), like every eval op here excludes undefined rows.
+    *
+    * `idCol` MUST be unique per row (ADVICE r21): gram extraction
+    * orders a per-id window by token position, so duplicate ids give
+    * tied positions — `lead()` then interleaves tokens from different
+    * rows into nondeterministic cross-row grams. Every caller in this
+    * repo passes a primary key; an aggregate-eval over repeated ids
+    * should pre-concatenate or re-key first.
     */
   def ngramOverlap(
       df: DataFrame,

@@ -113,5 +113,17 @@ class BenchSpec extends AnyFunSuite {
     // non-.json paths get a readable suffix too
     assert(Bench.resolveQueryFile("/tmp/q", contaminated = true, sealedClean) ==
       "/tmp/q.contaminated.json")
+    // ADVICE r21: the flag parses tolerantly — whitespace after the
+    // colon (pretty-printers, external tools) must not disable the
+    // protection...
+    val sealedCleanSpaced = Some("""{"value": 119.064, "contaminated": false}""")
+    assert(Bench.resolveQueryFile(path, contaminated = true, sealedCleanSpaced) ==
+      "/root/repo/BENCH_QUERIES.contaminated.json")
+    // ...and an existing file with NO recognizable flag fails toward
+    // diverting (sealed-clean), never toward overwriting
+    val unparseable = Some("""{"value":119.064}""")
+    assert(Bench.resolveQueryFile(path, contaminated = true, unparseable) ==
+      "/root/repo/BENCH_QUERIES.contaminated.json")
+    assert(Bench.resolveQueryFile(path, contaminated = false, unparseable) == path)
   }
 }
