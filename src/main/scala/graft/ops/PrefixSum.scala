@@ -28,10 +28,10 @@ import org.apache.spark.sql.functions._
   *  3. per-partition running sums via a window PARTITIONED by the
   *     stamped id — parallel across partitions;
   *  4. per-partition totals collapse to ≤ numPartitions rows; each
-  *     partition's offset (sum of all EARLIER partitions' totals) comes
-  *     from a tiny pid-inequality join of that totals frame with
-  *     itself — numPartitions² intermediate rows at most, no window,
-  *     no driver action;
+  *     partition's offset (sum of all EARLIER partitions' totals) is
+  *     an exclusive running sum over that TINY frame — bounded by
+  *     cluster configuration, not data, so its one-partition window is
+  *     free; no driver action anywhere;
   *  5. broadcast the offsets back onto the stamped frame:
   *     global prefix = local prefix + offset.
   *
@@ -71,14 +71,18 @@ object PrefixSum {
     require(clashing.isEmpty,
       s"withRunningTotals appends ${outNames.mkString("/")} and stages $PidCol; " +
         s"rename: ${clashing.mkString(", ")}")
-    // Two persists, both load-bearing: `src` because a range exchange
-    // SAMPLES its child for partition boundaries before shuffling it —
-    // an unpersisted upstream would be computed twice (sample pass +
-    // shuffle pass); `part` because the stamped partition id must be
-    // identical in the totals branch and the output branch.
-    val src = graft.CachedFrames.persistOnce(df)
+    // ONE persist, load-bearing for correctness: the stamped partition
+    // id must be IDENTICAL in the totals branch and the output branch,
+    // which only a materialized common subplan guarantees (two
+    // independent executions of a range exchange may sample different
+    // boundaries). The range exchange's boundary-sampling pass does
+    // re-execute the unpersisted child once more — every caller feeds
+    // a small pre-aggregated frame (vocab CDF, distinct-score curve)
+    // whose recompute is one cheap aggregation, measured cheaper than
+    // a second InMemoryRelation build (r22 A/B; the same
+    // cache-vs-recompute lesson as shingleFrame and the TfIdf streams).
     val part = graft.CachedFrames.persistOnce(
-      src.repartitionByRange(orderCols: _*)
+      df.repartitionByRange(orderCols: _*)
         .withColumn(PidCol, spark_partition_id()))
     val w0 = Window.partitionBy(PidCol).orderBy(orderCols: _*)
     // default frame = RANGE UNBOUNDED PRECEDING .. CURRENT ROW
@@ -90,18 +94,18 @@ object PrefixSum {
       .agg(
         sum(sums.head._2).as(s"__ps_t_${sums.head._1}"),
         sums.tail.map { case (n, v) => sum(v).as(s"__ps_t_$n") }: _*)
-    val earlier = totalsDf.select(
-      col(PidCol).as("__ps_pid2") +:
-        sums.map { case (n, _) => col(s"__ps_t_$n").as(s"__ps_e_$n") }: _*)
-    val offsets = totalsDf
-      .join(earlier, col("__ps_pid2") < col(PidCol), "left")
-      .groupBy(col(PidCol))
-      .agg(
-        coalesce(sum(s"__ps_e_${sums.head._1}"), lit(0L)).as(s"__ps_o_${sums.head._1}"),
-        sums.tail.map { case (n, _) =>
-          coalesce(sum(s"__ps_e_$n"), lit(0L)).as(s"__ps_o_$n")
-        }: _*)
-      .select(col(PidCol) +: sums.map { case (n, _) => col(s"__ps_o_$n") }: _*)
+    // Each partition's offset = sum of all EARLIER partitions' totals:
+    // an exclusive running sum over totalsDf — which is ≤ numPartitions
+    // ROWS (bounded by cluster configuration, not data), so a
+    // single-partition window here is a microsecond stage, not a scale
+    // risk, and replaces the pid-inequality join + re-aggregation that
+    // cost several extra AQE stage jobs per call (r22 A/B).
+    val offW = Window.orderBy(col(PidCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totalsDf.select(
+      col(PidCol) +: sums.map { case (n, _) =>
+        coalesce(sum(col(s"__ps_t_$n")).over(offW), lit(0L)).as(s"__ps_o_$n")
+      }: _*)
     val joined = local.join(broadcast(offsets), Seq(PidCol))
     val bumped = sums.foldLeft(joined) { case (acc, (n, _)) =>
       acc.withColumn(n, col(n) + col(s"__ps_o_$n"))
